@@ -1,0 +1,40 @@
+package graft.analyzer
+
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+/** Analyzer tuning knobs with the reference's defaults
+  * (structa analyzer.py:177-185, ui/cli.py:96-226).
+  *
+  * Thresholds are fractions in [0,1]; timestamps are epoch-second
+  * doubles in the configured epoch units.
+  */
+final case class AnalyzerConfig(
+    badThreshold: Double = 0.02,
+    emptyThreshold: Double = 0.98,
+    nullThreshold: Double = 0.98,
+    fieldThreshold: Int = 20,
+    mergeThreshold: Double = 0.5,
+    maxNumericLen: Int = 30,
+    stripWhitespace: Boolean = false,
+    minTimestampOpt: Option[Double] = None,
+    maxTimestampOpt: Option[Double] = None,
+    /** Seconds offset of the numeric-datetime epoch from the UNIX
+      * epoch (Excel's is -2209161600: 1899-12-30).
+      */
+    timestampOffset: Double = 0.0,
+    /** Seconds per unit of numeric datetimes (86400 for day counts). */
+    timestampScale: Double = 1.0,
+    /** "now" used for the ±(20y,10y) plausible-timestamp window; fixed
+      * at construction for determinism (analyzer.py:196-206).
+      */
+    now: Instant = Instant.now()) {
+
+  /** Window bounds in *scaled* units (analyzer.py:199-206). */
+  val minTimestamp: Double = minTimestampOpt.getOrElse(
+    (now.minus(20 * 365, ChronoUnit.DAYS).toEpochMilli / 1000.0 -
+      timestampOffset) / timestampScale)
+  val maxTimestamp: Double = maxTimestampOpt.getOrElse(
+    (now.plus(10 * 365, ChronoUnit.DAYS).toEpochMilli / 1000.0 -
+      timestampOffset) / timestampScale)
+}

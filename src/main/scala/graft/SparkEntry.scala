@@ -13,19 +13,35 @@ import graft.queries.ReferenceQueries
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Mirrors the reference's core loop: classify + summarize a column
-    * (structa analyzer.py:598-640 scalar ladder as one wide aggregation).
+  /** Flagship: run the distributed structure analyzer over every
+    * sf0.001 table and emit one row per column with its inferred type
+    * (the engine's core capability — structa's analyze+render lifecycle
+    * as Spark aggregations; see graft.analyzer.SparkAnalyzer).
     */
   def entry(spark: SparkSession): DataFrame = {
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    li.groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("card"),
-        min(col("l_quantity")).as("min_qty"),
-        max(col("l_quantity")).as("max_qty"),
-        countDistinct(col("l_quantity")).as("n_distinct"))
-      .orderBy(col("l_returnflag").asc_nulls_first)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val analyzer = new graft.analyzer.SparkAnalyzer()
+    val rows = tables.flatMap { t =>
+      try {
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        analyzer.analyzeTable(df) match {
+          case l: graft.core.SList => l.content match {
+            case d: graft.core.SDict => d.content.map(f =>
+              (t, f.key.asInstanceOf[graft.core.SField].value.toString,
+                f.value.render))
+            case other => Seq((t, "", other.render))
+          }
+          case other => Seq((t, "", other.render))
+        }
+      } catch {
+        case e: Exception => Seq((t, "<error>", e.getMessage))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "column_name", "inferred")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -343,12 +343,20 @@ final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
       val n = SType.asDouble(v)
       config.minTimestamp <= n && n <= config.maxTimestamp
     }
+    def conv(v: Any): Any = SType.epochToInstant(
+      SType.asDouble(v) * config.timestampScale +
+        config.timestampOffset)
     def promote(num: SScalar, isFloat: Boolean): SType = {
-      val counter = num.values.sample.get.mapKeys(v =>
-        SType.epochToInstant(
-          SType.asDouble(v) * config.timestampScale +
-            config.timestampOffset))
-      SNumRepr(SDateTime(Stats.fromCounter(counter)), isFloat,
+      val dtStats = num.values.sample match {
+        case Some(c) => Stats.fromCounter(c.mapKeys(conv))
+        case None =>
+          // summary mode (no counter): epoch conversion is monotonic,
+          // so positional quartiles map through directly
+          val s = num.values
+          Stats.summary(s.card, conv(s.min), conv(s.q1), conv(s.q2),
+            conv(s.q3), conv(s.max), s.unique)
+      }
+      SNumRepr(SDateTime(dtStats), isFloat,
         config.timestampScale, config.timestampOffset)
     }
     pattern match {

@@ -197,6 +197,8 @@ object SURL {
     val s = SStr.fromCounter(sample)
     new SURL(s.values, s.lengths, s.pattern)
   }
+  def fromSummary(values: Stats, lengths: Stats): SURL =
+    new SURL(values, lengths, None)
 }
 
 /** String representation of an inner type (types.py:1113-1194).

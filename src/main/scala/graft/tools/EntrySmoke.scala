@@ -14,7 +14,7 @@ object EntrySmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.entry(spark)
-    df.show(20, truncate = false)
+    df.show(50, truncate = false)
     println("ENTRY_ROWS=" + df.count())
     spark.stop()
   }

@@ -44,12 +44,13 @@ object SparkEntry {
     rows.toDF("table_name", "column_name", "inferred")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * beyond-reference pipeline operators (§7.5). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries
+    ReferenceQueries.queries ++ graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql
+    ReferenceQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 }

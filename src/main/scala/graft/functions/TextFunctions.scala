@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All are composed from built-in codegen'd Spark functions (no UDFs):
+  * they stay inside whole-stage codegen and push down through Catalyst.
+  * Each has an exact ANSI-SQL equivalent runnable by DuckDB, used by
+  * the oracle queries in [[graft.queries.PipelineQueries]].
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the baseline tokenizer). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count: whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-unit count: runs of letters, digits, or single
+    * punctuation — a cheap proxy for subword token counts.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+      lit(0)))
+
+  /** Canonical text form for fingerprinting: lowercase, collapsed
+    * whitespace, trimmed.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the canonical form (same digest
+    * function exists in DuckDB → oracle-comparable).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Punctuation character count (sentence-level quality signal). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", ""))
+
+  /** Stopword occurrences among whitespace tokens. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isInCollection(stopwords)))
+
+  /** Quality score in [0,1]-ish: rewards mid-length docs with low
+    * punctuation density and a sane stopword ratio. Deterministic
+    * decimal arithmetic (cast before ratio) for oracle parity.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nPunct = punctCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val meanWordLen = nChar / greatest(nTok, lit(1.0))
+    ((lit(1.0) - least(nPunct / greatest(nChar, lit(1.0)) * 10, lit(1.0)))
+      * least(nTok / lit(100.0), lit(1.0))
+      * least(meanWordLen / lit(8.0), lit(1.0)))
+      .cast("decimal(18,6)")
+  }
+
+  /** Marker-word language guess (n-gram heuristic, LIKE-based so the
+    * DuckDB oracle is byte-identical). Ordered first-match ladder.
+    */
+  def langGuess(text: Column): Column = {
+    val t = lower(text)
+    when(t.like("% the %").or(t.like("% and %")), "en")
+      .when(t.like("% der %").or(t.like("% und %")), "de")
+      .when(t.like("% el %").or(t.like("% la %")), "es")
+      .when(t.like("% le %").or(t.like("% et %")), "fr")
+      .otherwise("und")
+  }
+
+  /** Word k-gram shingles (distinct), the unit for Jaccard/MinHash
+    * near-duplicate detection. Array-lambda built-ins only.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, n) descends when n < 0 (docs shorter than k)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(
+            toks, i + j + 1)): _*))))
+  }
+}

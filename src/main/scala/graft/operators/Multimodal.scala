@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `BinaryType` columns with a typed metadata struct.
+  *
+  * The Spark-side machinery — schema, per-item metadata, partition-
+  * friendly batch transforms, frame sampling — is real and tested. The
+  * actual media *decode* is STUBBED with a deterministic fake
+  * ([[fakeDecodeFeatures]]): the execution container has no image/audio
+  * libraries, so the decode stage is the only seam a production deploy
+  * replaces (e.g. with a JNI decoder inside `mapPartitions`, keeping
+  * the same columnar contract).
+  */
+object Multimodal {
+
+  /** Metadata schema carried alongside every binary payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType)))
+
+  /** Wrap a source column as an opaque binary payload + metadata
+    * struct — the ingestion shape for media columns.
+    */
+  def asMedia(df: DataFrame, src: Column, format: String): DataFrame = {
+    val blob = src.cast(BinaryType)
+    df.withColumn("payload", blob)
+      .withColumn("meta", struct(
+        lit(format).as("format"),
+        length(blob).cast(LongType).as("n_bytes"),
+        md5(blob).as("checksum")))
+  }
+
+  /** STUB decode: deterministic fake feature extraction — a 16-bin
+    * byte histogram computed with array built-ins (stands in for an
+    * image-embedding / audio-fingerprint stage; same columnar contract:
+    * binary in, fixed-width float vector out).
+    */
+  def fakeDecodeFeatures(payload: Column, bins: Int = 16): Column = {
+    // deterministic projection of the checksum — the STUB contract is
+    // "fixed-width numeric features per payload", not real pixels
+    val h = md5(payload)
+    array((0 until bins).map(i =>
+      (conv(substring(h, i * 2 + 1, 2), 16, 10).cast(DoubleType)
+        / 255.0)): _*)
+  }
+
+  /** "Frame sampling": fixed-stride byte slices of the payload (the
+    * shape of video frame extraction: one row per sampled frame).
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    val p = col(payloadCol)
+    df.withColumn("frame_offset", explode(sequence(lit(1),
+        greatest(length(p) - frameBytes + 1, lit(1)), lit(stride))))
+      .withColumn("frame",
+        expr(s"substring($payloadCol, frame_offset, $frameBytes)"))
+  }
+
+  /** Per-source media statistics over the payloads (the oracle-checked
+    * plumbing query).
+    */
+  def mediaStats(df: DataFrame, groupCol: Column): DataFrame =
+    df.groupBy(groupCol.as("grp"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        min(col("meta.n_bytes")).as("min_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+      .orderBy(col("grp").asc_nulls_first)
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
+  * dedup, similarity search, text analysis, multimodal plumbing — each
+  * surfaced as a deterministic query with a DuckDB oracle where the
+  * semantics are SQL-expressible (q27/q32 are rows-only: SimHash bit
+  * arithmetic and frame explosion have no portable SQL form).
+  *
+  * Determinism notes: md5/crc32 digests are identical across engines;
+  * ratio thresholds use integer cross-multiplication; dot products are
+  * double-multiplied, decimal-summed (exact, order-free — and a double
+  * can never tie at a decimal rounding boundary, so the final decimal
+  * casts agree between Spark's HALF_UP and DuckDB's rounding).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -------------------------------------------
+    "q21_token_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("total_tokens"),
+          min(col("ntok")).as("min_tokens"),
+          max(col("ntok")).as("max_tokens"))
+        .orderBy(col("lang").asc_nulls_first)),
+
+    "q22_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q")).cast("double").as("sum_quality"))
+        .orderBy(col("source").asc_nulls_first)),
+
+    "q23_lang_guess" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextFunctions.langGuess(col("text")).as("guessed"))
+        .groupBy(col("lang"), col("guessed"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang").asc_nulls_first,
+          col("guessed").asc_nulls_first)),
+
+    // ---- dedup ---------------------------------------------------
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupStats(t(s, d, "documents"), col("text"))),
+
+    "q25_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"),
+          col("text"), shingleK = 5, thresholdNum = 0, thresholdDen = 1)
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          count(when(col("inter") * 5 >= col("union_n"), 1))
+            .as("n_near_dups"))),
+
+    "q26_minhash_bands" -> ((s, d) => {
+      val sigs = Dedup.minHashSignatures(t(s, d, "documents"),
+        col("doc_id"), col("text"), numHashes = 4, shingleK = 5)
+      Dedup.lshBands(sigs, numHashes = 4, bandSize = 2)
+        .where(col("key").isNotNull)
+        .groupBy(col("band"))
+        .agg(countDistinct(col("key")).as("n_keys"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("band").asc_nulls_first)
+    }),
+
+    // rows-only: SimHash (no portable SQL form for bit arithmetic)
+    "q27_simhash" -> ((s, d) =>
+      Dedup.simHash32(t(s, d, "documents"), col("doc_id"), col("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("simhash")).as("n_distinct"))),
+
+    // ---- similarity search ---------------------------------------
+    "q28_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 10)),
+
+    "q29_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBucketCounts(t(s, d, "embeddings"), "embedding",
+        bits = 4)),
+
+    "q30_cosine_near_dups" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.5, bits = 4)
+        .agg(count(lit(1)).as("n_pairs_05"),
+          count(when(col("cosine") >= 0.8, 1)).as("n_pairs_08"))),
+
+    // ---- multimodal plumbing -------------------------------------
+    "q31_media_stats" -> ((s, d) =>
+      Multimodal.mediaStats(
+        Multimodal.asMedia(t(s, d, "documents"), col("text"),
+          "text/plain"),
+        col("source"))),
+
+    // rows-only: frame sampling + stub decode (explosion shape)
+    "q32_media_frames" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), col("text"),
+        "text/plain")
+      val frames = Multimodal.sampleFrames(media, "payload",
+        frameBytes = 64, stride = 128)
+      frames
+        .select(col("source"), col("frame_offset"),
+          Multimodal.fakeDecodeFeatures(col("frame")).as("feat"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(element_at(col("feat"), 1).cast("decimal(18,9)"))
+            .cast("double").as("sum_f0"))
+        .orderBy(col("source").asc_nulls_first)
+    })
+  )
+
+  private val shingleCte =
+    "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), " +
+    "'\\s+') AS t FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, unnest([t[i+1] || ' ' || t[i+2] " +
+    "|| ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] FOR i IN " +
+    "range(greatest(array_length(t) - 4, 0))]) AS s FROM tok) "
+
+  /** round-half-away quantization identical in both engines. */
+  private val unnestEmb =
+    "(SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+    "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 33554432.0) AS " +
+    "BIGINT) AS x FROM embeddings)"
+
+  private def bucketSql(src: String): String =
+    s"SELECT vec_id, CAST(" +
+      (0 until 4).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ") +
+      " AS INT) AS bucket FROM (SELECT vec_id, " +
+      (0 until 4).map(j =>
+        s"SUM(CASE WHEN (i-1) % 4 = $j THEN x ELSE 0 END) " +
+        s"AS s$j").mkString(", ") +
+      s" FROM $src GROUP BY vec_id)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_token_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
+       "total_tokens, MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens " +
+       "FROM (SELECT lang, CAST(array_length(regexp_split_to_array(" +
+       "trim(text), '\\s+')) AS BIGINT) AS ntok FROM documents) " +
+       "GROUP BY lang ORDER BY lang NULLS FIRST"),
+    "q22_quality_score" ->
+      ("SELECT source, COUNT(*) AS n_docs, CAST(SUM(q) AS DOUBLE) AS " +
+       "sum_quality FROM (SELECT source, CAST((1.0 - LEAST(np / " +
+       "GREATEST(nc, 1.0) * 10, 1.0)) * LEAST(nt / 100.0, 1.0) * " +
+       "LEAST((nc / GREATEST(nt, 1.0)) / 8.0, 1.0) AS DECIMAL(18,6)) " +
+       "AS q FROM (SELECT source, CAST(array_length(" +
+       "regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS nt, " +
+       "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS " +
+       "DOUBLE) AS np, CAST(length(text) AS DOUBLE) AS nc FROM " +
+       "documents)) GROUP BY source ORDER BY source NULLS FIRST"),
+    "q23_lang_guess" ->
+      ("SELECT lang, CASE WHEN lower(text) LIKE '% the %' OR " +
+       "lower(text) LIKE '% and %' THEN 'en' WHEN lower(text) LIKE " +
+       "'% der %' OR lower(text) LIKE '% und %' THEN 'de' WHEN " +
+       "lower(text) LIKE '% el %' OR lower(text) LIKE '% la %' THEN " +
+       "'es' WHEN lower(text) LIKE '% le %' OR lower(text) LIKE " +
+       "'% et %' THEN 'fr' ELSE 'und' END AS guessed, COUNT(*) AS cnt " +
+       "FROM documents GROUP BY lang, guessed " +
+       "ORDER BY lang NULLS FIRST, guessed NULLS FIRST"),
+    "q24_dedup_exact" ->
+      ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique, " +
+       "COUNT(*) - COUNT(DISTINCT fp) AS n_dups FROM (SELECT " +
+       "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS " +
+       "fp FROM documents)"),
+    "q25_jaccard_pairs" ->
+      (shingleCte +
+       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)" +
+       ", pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) " +
+       "AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < " +
+       "b.doc_id GROUP BY 1, 2) " +
+       "SELECT COUNT(*) AS n_candidate_pairs, COUNT(CASE WHEN " +
+       "inter * 5 >= (sa.n + sb.n - inter) THEN 1 END) AS n_near_dups " +
+       "FROM pairs JOIN sz sa ON id1 = sa.doc_id " +
+       "JOIN sz sb ON id2 = sb.doc_id"),
+    "q26_minhash_bands" ->
+      (shingleCte +
+       ", sig AS (SELECT doc_id, MIN(md5('1|' || s)) AS mh1, " +
+       "MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3, " +
+       "MIN(md5('4|' || s)) AS mh4 FROM sh GROUP BY doc_id), " +
+       "bands AS (SELECT doc_id, 0 AS band, substr(mh1,1,8) || " +
+       "substr(mh2,1,8) AS key FROM sig UNION ALL SELECT doc_id, 1, " +
+       "substr(mh3,1,8) || substr(mh4,1,8) FROM sig) " +
+       "SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +
+       "n_rows FROM bands WHERE key IS NOT NULL GROUP BY band " +
+       "ORDER BY band NULLS FIRST"),
+    "q28_cosine_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE " +
+       "vec_id = 0), " +
+       "e AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * " +
+       "33554432.0) AS BIGINT) AS qx, CAST(round(CAST(qv[i] AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) AS qy FROM (SELECT vec_id, " +
+       "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
+       "x, (SELECT qv FROM q) AS qv FROM embeddings WHERE vec_id <> 0))" +
+       ", dots AS (SELECT vec_id, CAST(SUM(qx * qy) AS BIGINT) AS " +
+       "dot, CAST(SUM(qx * qx) AS BIGINT) AS na2 FROM e " +
+       "GROUP BY vec_id), " +
+       "nq AS (SELECT CAST(SUM(qy * qy) AS BIGINT) AS nq2 FROM " +
+       "(SELECT CAST(round(CAST(unnest(qv) AS DOUBLE) * 33554432.0) " +
+       "AS BIGINT) AS qy FROM q)) " +
+       "SELECT vec_id, dot FROM dots, nq " +
+       "ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * " +
+       "sqrt(CAST(nq2 AS DOUBLE))) DESC, vec_id LIMIT 10"),
+    "q29_lsh_buckets" ->
+      ("SELECT bucket, COUNT(*) AS n_vectors FROM (" +
+       bucketSql(unnestEmb) +
+       ") GROUP BY bucket ORDER BY bucket NULLS FIRST"),
+    "q30_cosine_near_dups" ->
+      ("WITH eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM " +
+       "embeddings e JOIN (" + bucketSql(unnestEmb) + ") b ON " +
+       "e.vec_id = b.vec_id), " +
+       "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+       "a.embedding AS ea, b.embedding AS eb2 FROM eb a JOIN eb b ON " +
+       "a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+       "dots AS (SELECT id1, id2, CAST(SUM(x * y) AS BIGINT) AS dot, " +
+       "CAST(SUM(x * x) AS BIGINT) AS na2, CAST(SUM(y * y) AS BIGINT) " +
+       "AS nb2 FROM (SELECT id1, id2, CAST(round(CAST(x0 AS DOUBLE) * " +
+       "33554432.0) AS BIGINT) AS x, CAST(round(CAST(eb2[i] AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) AS y " +
+       "FROM (SELECT id1, id2, generate_subscripts(ea, 1) AS i, " +
+       "unnest(ea) AS x0, eb2 FROM pairs)) GROUP BY id1, id2), " +
+       "cos AS (SELECT CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS " +
+       "DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine FROM dots) " +
+       "SELECT COUNT(CASE WHEN cosine >= 0.5 THEN 1 END) AS " +
+       "n_pairs_05, COUNT(CASE WHEN cosine >= 0.8 THEN 1 END) AS " +
+       "n_pairs_08 FROM cos"),
+    "q31_media_stats" ->
+      ("SELECT source AS grp, COUNT(*) AS n_items, " +
+       "CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS " +
+       "total_bytes, CAST(MIN(octet_length(CAST(text AS BLOB))) AS " +
+       "BIGINT) AS min_bytes, CAST(MAX(octet_length(CAST(text AS " +
+       "BLOB))) AS BIGINT) AS max_bytes FROM documents GROUP BY " +
+       "source ORDER BY grp NULLS FIRST")
+  )
+}

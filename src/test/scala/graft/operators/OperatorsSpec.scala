@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+
+/** Behavioral tests for the pipeline operators on controlled inputs
+  * with known duplicates/neighbors (the sf tables have none).
+  */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup counts duplicate canonical forms") {
+    val df = docs(
+      1L -> "Hello  World", 2L -> "hello world", 3L -> "different doc",
+      4L -> "  HELLO WORLD  ")
+    val r = Dedup.exactDupStats(df, col("text")).head()
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("n_unique") == 2)
+    assert(r.getAs[Long]("n_dups") == 2)
+  }
+
+  test("jaccard pairs finds near-duplicates, skips unrelated") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base + " lambda" // shares most 5-gram shingles
+    val far = "one two three four five six seven eight nine ten"
+    val df = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      shingleK = 5, thresholdNum = 1, thresholdDen = 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id1") == 1L)
+    assert(pairs.head.getAs[Long]("id2") == 2L)
+  }
+
+  test("minhash LSH: identical docs collide on every band") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = docs(1L -> text, 2L -> text,
+      3L -> "完全 different words entirely unrelated content here now")
+    val sigs = Dedup.minHashSignatures(df, col("doc_id"), col("text"))
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs)).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id1") == 1L &&
+      pairs.head.getAs[Long]("id2") == 2L)
+  }
+
+  test("simhash: near-identical docs have close hashes") {
+    val a = "the quick brown fox jumps over the lazy dog again today"
+    val df = docs(1L -> a, 2L -> (a + " ok"),
+      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq")
+    val m = Dedup.simHash32(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long): Int =
+      java.lang.Long.bitCount(x ^ y)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-identical
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 2)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(-1.0f, -1.0f, -1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id",
+      "embedding", threshold = 0.99).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id1") == 0L &&
+      pairs.head.getAs[Long]("id2") == 1L)
+  }
+
+  test("multimodal: payload + metadata + frames + stub features") {
+    val df = docs(1L -> ("x" * 300))
+    val media = Multimodal.asMedia(df, col("text"), "text/plain")
+    val meta = media.select(col("meta.format"), col("meta.n_bytes"),
+      col("meta.checksum")).head()
+    assert(meta.getString(0) == "text/plain")
+    assert(meta.getLong(1) == 300L)
+    assert(meta.getString(2).length == 32)
+    val frames = Multimodal.sampleFrames(media, "payload",
+      frameBytes = 64, stride = 128)
+    // offsets 1, 129 (300-64+1=237 → 1,129 within bound)
+    assert(frames.count() == 2)
+    val feats = frames.select(Multimodal.fakeDecodeFeatures(
+      col("frame")).as("f")).head().getSeq[Double](0)
+    assert(feats.length == 16)
+    assert(feats.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("text functions: tokens, fingerprint, lang, quality") {
+    val df = docs(1L -> "The cat and the dog sat.  ")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.stopwordCount(col("text"),
+        Seq("the", "and")).as("sw"),
+      TextFunctions.qualityScore(col("text")).as("q")).head()
+    assert(r.getAs[Int]("n") == 6)
+    assert(r.getAs[String]("fp").length == 32)
+    assert(r.getAs[Int]("sw") == 2) // "the" (second) + "and"; "The" cap
+    assert(r.getAs[java.math.BigDecimal]("q").doubleValue >= 0.0)
+  }
+}

@@ -36,18 +36,29 @@ object Dedup {
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
 
   /** MinHash signature columns `mh1..mhN` over word-5-gram shingles.
-    * Seeded hash h_j(s) = md5(j || '|' || s); the signature is the
-    * lexicographic minimum — associative and map-side computable.
+    * ONE md5 per shingle; hash family j = the j-th 8-hex-char slice of
+    * the digest (each slice is an independent uniform 32-bit value).
+    * The signature is the lexicographic minimum — associative and
+    * map-side computable, zero shuffle.
     */
   def minHashSignatures(df: DataFrame, idCol: Column, text: Column,
                         numHashes: Int = 4, shingleK: Int = 5)
       : DataFrame = {
-    val shingles = TextFunctions.wordShingles(text, shingleK)
-    val sigCols = (1 to numHashes).map { j =>
-      array_min(transform(shingles,
-        s => md5(concat(lit(s"$j|"), s)))).as(s"mh$j")
-    }
-    df.select((idCol.as("id") +: sigCols): _*)
+    require(numHashes <= 4, "md5 yields four 8-hex-char slices")
+    // explode + groupBy instead of nested array lambdas: higher-order
+    // functions are interpreted (no codegen) and Catalyst may inline
+    // the md5 array into each of the N signature expressions; here the
+    // digest is computed exactly once per shingle and the mins combine
+    // map-side (partial aggregation → one row per id per partition
+    // crosses the shuffle)
+    val hashed = df
+      .select(idCol.as("id"),
+        explode_outer(TextFunctions.wordShingles(text, shingleK))
+          .as("s"))
+      .select(col("id"), md5(col("s")).as("h"))
+    val aggs = (1 to numHashes).map(j =>
+      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a signature frame: rows (id, band, key) where
@@ -59,7 +70,7 @@ object Dedup {
                bandSize: Int = 2): DataFrame = {
     val bands = (0 until numHashes / bandSize).map { b =>
       val key = concat((1 to bandSize).map(i =>
-        substring(col(s"mh${b * bandSize + i}"), 1, 8)): _*)
+        col(s"mh${b * bandSize + i}")): _*)
       sigs.select(col("id"), lit(b).as("band"), key.as("key"))
     }
     bands.reduce(_ unionAll _)
@@ -101,11 +112,15 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: Column, text: Column,
                    shingleK: Int = 5, thresholdNum: Int = 1,
                    thresholdDen: Int = 5): DataFrame = {
-    val sh = df.select(idCol.as("id"),
-      TextFunctions.wordShingles(text, shingleK).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val exploded = sh.select(col("id"),
-      explode(col("shingles")).as("s"))
+    // explode once, join/aggregate on a 16-hex-char digest of the
+    // shingle (identical md5 in the oracle): far smaller shuffle keys
+    // than raw shingle strings; persisted because both the size agg
+    // and both join sides re-derive it (spills to disk at scale)
+    val exploded = df.select(idCol.as("id"),
+      explode(TextFunctions.wordShingles(text, shingleK)).as("s0"))
+      .select(col("id"), substring(md5(col("s0")), 1, 16).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = exploded.as("a")
       .join(exploded.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

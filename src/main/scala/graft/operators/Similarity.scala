@@ -88,17 +88,25 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 4): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"),
-      col(vecCol).as("v"), lshBucket(col(vecCol), bits).as("bucket"))
-    val a = withBucket.as("a")
-    val b = withBucket.as("b")
+    // quantize each vector and compute its norm ONCE before the join:
+    // the per-pair work is a single zip_with multiply-sum instead of
+    // three quantization passes
+    val prepped = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => quantize(x)).as("qv"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", aggregate(
+        expr("transform(qv, x -> x * x)"), lit(0L), (a, x) => a + x))
+    val a = prepped.as("a")
+    val b = prepped.as("b")
+    val dot = aggregate(
+      zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (dotQ(col("a.v"), col("b.v")).cast("double") /
-          (sqrt(dotQ(col("a.v"), col("a.v")).cast("double")) *
-           sqrt(dotQ(col("b.v"), col("b.v")).cast("double"))))
-          .as("cosine"))
+        (dot.cast("double") /
+          (sqrt(col("a.n2").cast("double")) *
+           sqrt(col("b.n2").cast("double")))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

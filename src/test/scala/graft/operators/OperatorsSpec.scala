@@ -137,3 +137,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[java.math.BigDecimal]("q").doubleValue >= 0.0)
   }
 }
+
+/** Custom Catalyst TypedImperativeAggregate spec. */
+class CharClassAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("per-position char sets over fixed-length strings") {
+    val s = spark
+    import s.implicits._
+    // force multiple partitions so partial-buffer merge runs
+    val df = Seq("abc", "abd", "xbc", "abe").toDF("v").repartition(3)
+    val r = df.agg(graft.functions.CharClassAgg
+      .charClasses(col("v")).as("p")).head()
+    assert(r.getSeq[String](0) == Seq("ax", "b", "cde"))
+  }
+
+  test("null result for varying lengths or over-width strings") {
+    val s = spark
+    import s.implicits._
+    val varying = Seq("ab", "abc").toDF("v")
+    assert(varying.agg(graft.functions.CharClassAgg
+      .charClasses(col("v"))).head().isNullAt(0))
+    val wide = Seq("x" * 100, "y" * 100).toDF("v")
+    assert(wide.agg(graft.functions.CharClassAgg
+      .charClasses(col("v"), 64)).head().isNullAt(0))
+  }
+
+  test("nulls ignored, empty input yields null") {
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(Some("ab"), None, Some("cb")).toDF("v")
+    assert(withNulls.agg(graft.functions.CharClassAgg
+      .charClasses(col("v"))).head().getSeq[String](0) ==
+      Seq("ac", "b"))
+    val empty = Seq.empty[String].toDF("v")
+    assert(empty.agg(graft.functions.CharClassAgg
+      .charClasses(col("v"))).head().isNullAt(0))
+  }
+}

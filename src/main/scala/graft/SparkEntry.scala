@@ -23,7 +23,8 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val analyzer = new graft.analyzer.SparkAnalyzer()
+    val analyzer = new graft.analyzer.SparkAnalyzer(
+      graft.analyzer.AnalyzerConfig(extendedEpochUnits = true))
     val rows = tables.flatMap { t =>
       try {
         val df = spark.read.parquet(s"$dir/$t.parquet")

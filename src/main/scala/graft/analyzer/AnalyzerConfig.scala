@@ -25,6 +25,11 @@ final case class AnalyzerConfig(
     timestampOffset: Double = 0.0,
     /** Seconds per unit of numeric datetimes (86400 for day counts). */
     timestampScale: Double = 1.0,
+    /** Beyond-reference: also probe milli/micro/nano-second epochs in
+      * the numeric-datetime heuristic (the reference only checks the
+      * configured unit). Off by default for reference fidelity.
+      */
+    extendedEpochUnits: Boolean = false,
     /** "now" used for the ±(20y,10y) plausible-timestamp window; fixed
       * at construction for determinism (analyzer.py:196-206).
       */

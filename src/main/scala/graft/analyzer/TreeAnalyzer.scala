@@ -337,16 +337,28 @@ final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
     SStr.fromCounter(items, Some(pattern))
   }
 
-  /** analyzer.py:742-770 — numeric plausible-epoch heuristic. */
+  /** analyzer.py:742-770 — numeric plausible-epoch heuristic. With
+    * `extendedEpochUnits`, additionally probes ms/µs/ns encodings
+    * (beyond-reference; the configured unit is always probed first).
+    */
   private[analyzer] def matchPossibleDateTime(pattern: SType): SType = {
     def inRange(v: Any): Boolean = {
       val n = SType.asDouble(v)
       config.minTimestamp <= n && n <= config.maxTimestamp
     }
-    def conv(v: Any): Any = SType.epochToInstant(
-      SType.asDouble(v) * config.timestampScale +
-        config.timestampOffset)
-    def promote(num: SScalar, isFloat: Boolean): SType = {
+    def extendedScale(values: Stats): Option[Double] =
+      if (!config.extendedEpochUnits) None
+      else Seq(1e-3, 1e-6, 1e-9).find { s =>
+        val mn = SType.asDouble(values.min) * s
+        val mx = SType.asDouble(values.max) * s
+        // extended probes compare against the base (seconds) window
+        config.minTimestamp * config.timestampScale <= mn &&
+          mx <= config.maxTimestamp * config.timestampScale
+      }
+    def promote(num: SScalar, isFloat: Boolean,
+                scale: Double): SType = {
+      def conv(v: Any): Any = SType.epochToInstant(
+        SType.asDouble(v) * scale + config.timestampOffset)
       val dtStats = num.values.sample match {
         case Some(c) => Stats.fromCounter(c.mapKeys(conv))
         case None =>
@@ -356,23 +368,24 @@ final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
           Stats.summary(s.card, conv(s.min), conv(s.q1), conv(s.q2),
             conv(s.q3), conv(s.max), s.unique)
       }
-      SNumRepr(SDateTime(dtStats), isFloat,
-        config.timestampScale, config.timestampOffset)
+      SNumRepr(SDateTime(dtStats), isFloat, scale,
+        config.timestampOffset)
     }
+    def tryPromote(num: SScalar, isFloat: Boolean): Option[SType] =
+      if (inRange(num.values.min) && inRange(num.values.max))
+        Some(promote(num, isFloat, config.timestampScale))
+      else extendedScale(num.values).map(s =>
+        promote(num, isFloat, s))
     pattern match {
-      case n: SInt if inRange(n.values.min) && inRange(n.values.max) =>
-        promote(n, isFloat = false)
-      case n: SFloat if inRange(n.values.min) && inRange(n.values.max) =>
-        promote(n, isFloat = true)
+      case n: SInt => tryPromote(n, isFloat = false).getOrElse(n)
+      case n: SFloat => tryPromote(n, isFloat = true).getOrElse(n)
       case sr @ SStrRepr(content: SScalar, pat)
-          if ((content.isInstanceOf[SInt] && pat == "d" &&
-               !content.isInstanceOf[SBool]) ||
-              content.isInstanceOf[SFloat]) &&
-            inRange(content.values.min) &&
-            inRange(content.values.max) =>
-        SStrRepr(promote(content,
-          content.isInstanceOf[SFloat] &&
-            !content.isInstanceOf[SInt]), pat)
+          if (content.isInstanceOf[SInt] && pat == "d" &&
+              !content.isInstanceOf[SBool]) ||
+             content.isInstanceOf[SFloat] =>
+        tryPromote(content, content.isInstanceOf[SFloat] &&
+          !content.isInstanceOf[SInt])
+          .map(p => SStrRepr(p, pat)).getOrElse(sr)
       case other => other
     }
   }

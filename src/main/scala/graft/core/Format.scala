@@ -83,7 +83,8 @@ object Format {
   /** format.py:155-178 — describe a numeric-timestamp encoding. */
   def formatTimestampNumRepr(offset: Double, scale: Double): String = {
     val simple = Map(
-      1e-6 -> "microseconds", 1e-3 -> "milliseconds", 1.0 -> "seconds",
+      1e-9 -> "nanoseconds", 1e-6 -> "microseconds",
+      1e-3 -> "milliseconds", 1.0 -> "seconds",
       60.0 -> "minutes", 3600.0 -> "hours", 86400.0 -> "days",
       604800.0 -> "weeks")
     val epochInstant = Instant.ofEpochMilli((offset * 1000).toLong)

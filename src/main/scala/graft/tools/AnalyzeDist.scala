@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.analyzer.SparkAnalyzer
+import graft.core.{SSourcesList, SType, Stats, ValueCounter}
+
+/** Distributed structa CLI: the same detect → analyze → merge → render
+  * lifecycle as [[Analyze]], but scans run on Spark executors — the
+  * entry point a structa user switches to when a file no longer fits
+  * one machine.
+  *
+  * Format/encoding/dialect detection stays driver-side over the 1 MB
+  * head sample ([[graft.sources.Source.detect]]); the full-size parse
+  * is `spark.read.json/csv` with the sniffed options; inference is the
+  * wide-aggregation analyzer ([[SparkAnalyzer]]); the tiny result
+  * trees merge on the driver.
+  *
+  * Usage: AnalyzeDist [options] <file.{json,csv}> [more files...]
+  */
+object AnalyzeDist {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parse(args.toSeq)
+    if (opts.files.isEmpty) { System.err.println(Cli.usage); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val analyzer = new SparkAnalyzer(opts.config)
+      val trees = opts.files.map { path =>
+        val df =
+          if (path.endsWith(".parquet")) spark.read.parquet(path)
+          else graft.sources.Source.sparkRead(spark, path)
+        analyzer.analyzeTable(df)
+      }
+      val tree: SType =
+        if (trees.length == 1) trees.head
+        else {
+          val merged = trees.reduce(SType.merge)
+          SSourcesList(Stats.fromCounter(ValueCounter(Map(
+            (trees.length.toLong: Any) -> 1L))), merged)
+        }
+      val treeAnalyzer = new graft.analyzer.TreeAnalyzer(opts.config)
+      println(treeAnalyzer.mergeToFixpoint(tree).render)
+    } finally spark.stop()
+  }
+}

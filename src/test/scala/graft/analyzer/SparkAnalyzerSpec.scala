@@ -1,0 +1,111 @@
+package graft.analyzer
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Cross-validation: the distributed analyzer must agree with the
+  * reference-faithful in-memory analyzer on identical data (rendered
+  * per-column types compared; stats carried by the render strings).
+  */
+class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def columnTypes(t: SType): Map[String, String] = t match {
+    case l: SList => l.content match {
+      case d: SDict => d.content.map(f =>
+        f.key.asInstanceOf[SField].value.toString -> f.value.render)
+        .toMap
+      case other => Map("" -> other.render)
+    }
+    case other => Map("" -> other.render)
+  }
+
+  test("distributed and in-memory analyzers agree on mixed columns") {
+    val s = spark
+    import s.implicits._
+    val n = 200
+    val df = (0 until n).map { i =>
+      (i.toLong,                       // unique ints
+       "%03o".format(i % 64),          // octal strings, fixed length
+       f"2021-03-${i % 28 + 1}%02d 06:00:00", // datetime strings
+       i % 2 == 0,                     // bools
+       (i % 7).toString,               // decimal digit strings
+       s"cat${i % 5}")                 // fixed-length pattern strings
+    }.toDF("id", "oct", "when", "flag", "digit", "cat")
+
+    val sparkTypes = columnTypes(
+      new SparkAnalyzer().analyzeTable(df))
+
+    val rows: Vector[Any] = df.collect().toVector.map { r =>
+      Map[Any, Any]("id" -> r.getLong(0), "oct" -> r.getString(1),
+        "when" -> r.getString(2), "flag" -> r.getBoolean(3),
+        "digit" -> r.getString(4), "cat" -> r.getString(5))
+    }
+    val treeTypes = columnTypes(new TreeAnalyzer().analyze(rows))
+
+    sparkTypes.foreach { case (name, rendered) =>
+      assert(treeTypes(name) == rendered,
+        s"column $name: tree=${treeTypes(name)} spark=$rendered")
+    }
+  }
+
+  test("over-cap summary path agrees with exact path on numerics") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 1000).map(i =>
+      (i.toLong, i * 1.5)).toDF("a", "b")
+    val exact = columnTypes(new SparkAnalyzer(
+      exactDistinctCap = 100000).analyzeTable(df))
+    val summary = columnTypes(new SparkAnalyzer(
+      exactDistinctCap = 2).analyzeTable(df))
+    assert(exact == summary, s"\nexact=$exact\nsummary=$summary")
+  }
+
+  test("array column analyzed via explode level") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 50).map(i =>
+      (i.toLong, Seq(i.toLong, i + 1L, i + 2L))).toDF("id", "xs")
+    val types = columnTypes(new SparkAnalyzer().analyzeTable(df))
+    assert(types("xs").startsWith("[int range=0.."), types("xs"))
+  }
+
+  test("JSON string column recursion") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 50).map(i =>
+      (i.toLong, s"""{"a": $i, "b": "x$i"}""")).toDF("id", "js")
+    val types = columnTypes(new SparkAnalyzer().analyzeTable(df))
+    assert(types("js").startsWith("str of {"), types("js"))
+    assert(types("js").endsWith("pattern=json"), types("js"))
+    // and with the flag off it stays a plain string type
+    val off = columnTypes(new SparkAnalyzer(
+      parseJsonStrings = false).analyzeTable(df))
+    assert(!off("js").contains("json"))
+  }
+
+  test("null-heavy column discounts nulls like the reference") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i =>
+      (i.toLong, if (i < 95) Some(i.toLong) else None)).toDF("id", "v")
+    val types = columnTypes(new SparkAnalyzer().analyzeTable(df))
+    assert(types("v").startsWith("int range=0..94"), types("v"))
+  }
+}

@@ -40,15 +40,27 @@ object Similarity {
     */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int): DataFrame = {
+    // pre-quantize and pre-norm both sides so the per-row work after
+    // the broadcast is ONE zip_with fold (the interpreted higher-order
+    // fold is the hot path; the query norm especially must not be
+    // recomputed per candidate row)
+    def q2(v: Column): Column = aggregate(
+      transform(v, x => {
+        val qx = quantize(x); qx * qx
+      }), lit(0L), (a, x) => a + x)
     val q = df.where(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"))
-    val dot = dotQ(col(vecCol), col("__qv"))
-    val norm = (v: Column) => sqrt(dotQ(v, v).cast("double"))
+      .select(transform(col(vecCol), x => quantize(x)).as("__qv"),
+        sqrt(q2(col(vecCol)).cast("double")).as("__qn"))
+    val prepped = df.where(col(idCol) =!= queryId)
+      .select(col(idCol), transform(col(vecCol), x => quantize(x)).as("__v"),
+        sqrt(q2(col(vecCol)).cast("double")).as("__n"))
+    val dot = aggregate(
+      zip_with(col("__v"), col("__qv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
     // rank by cosine; OUTPUT the exact integer dot (hash-compared)
-    df.crossJoin(broadcast(q))
-      .where(col(idCol) =!= queryId)
+    prepped.crossJoin(broadcast(q))
       .select(col(idCol), dot.as("dot"),
-        (dot.cast("double") / (norm(col(vecCol)) * norm(col("__qv"))))
+        (dot.cast("double") / (col("__n") * col("__qn")))
           .as("__cosine"))
       .orderBy(col("__cosine").desc, col(idCol).asc_nulls_first)
       .limit(k)

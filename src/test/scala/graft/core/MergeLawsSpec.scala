@@ -160,3 +160,98 @@ class MergeLawsSpec extends AnyFunSuite {
     assert(SEmpty.size == 0)
   }
 }
+
+/** Further algebra ports from the reference's test_types.py. */
+class TypeAlgebraSpec extends AnyFunSuite {
+
+  private def ints(vs: Long*): SType = SInt(Stats.fromValues(vs))
+  private def strs(vs: String*): SStr =
+    SStr.fromCounter(ValueCounter.from(vs))
+
+  test("Str merge drops pattern on length mismatch " +
+      "(types.py:1011-1031)") {
+    val a = SStr.fromCounter(ValueCounter.from(Seq("ab", "cd")),
+      Some(Vector(CharClass("ac"), CharClass("bd"))))
+    val b = SStr.fromCounter(ValueCounter.from(Seq("xyz")),
+      Some(Vector(CharClass("x"), CharClass("y"), CharClass("z"))))
+    val m = SType.merge(a, b).asInstanceOf[SStr]
+    assert(m.pattern.isEmpty)
+    // equal lengths union positionwise
+    val c = SStr.fromCounter(ValueCounter.from(Seq("ef")),
+      Some(Vector(CharClass("e"), CharClass("f"))))
+    val m2 = SType.merge(a, c).asInstanceOf[SStr]
+    assert(m2.pattern.contains(Vector(
+      CharClass("ace"), CharClass("bdf"))))
+  }
+
+  test("URL + Str demotes to Str; URL + URL stays URL " +
+      "(types.py:704-713 parent-class rule)") {
+    val u1 = SURL.fromCounter(ValueCounter.from(Seq(
+      "http://a/", "https://b/x")))
+    val u2 = SURL.fromCounter(ValueCounter.from(Seq("http://c/yy")))
+    val s = strs("plain", "text!")
+    assert(SType.merge(u1, u2).isInstanceOf[SURL])
+    val demoted = SType.merge(u1, s)
+    assert(demoted.isInstanceOf[SStr] && !demoted.isInstanceOf[SURL])
+  }
+
+  test("NumRepr equality requires equal scale and offset " +
+      "(types.py:1223-1243)") {
+    def nr(scale: Double, offset: Double) = SNumRepr(
+      SDateTime(Stats.fromValues(Seq(
+        java.time.Instant.ofEpochSecond(1600000000L)))),
+      isFloat = false, scale, offset)
+    assert(SType.matches(nr(1, 0), nr(1, 0)))
+    assert(!SType.matches(nr(1, 0), nr(86400, 0)))
+    assert(!SType.matches(nr(1, 0), nr(1, -2209161600.0)))
+    val m = SType.merge(nr(1, 0),
+      SNumRepr(SDateTime(Stats.fromValues(Seq(
+        java.time.Instant.ofEpochSecond(1700000000L)))),
+        isFloat = true, 1, 0)).asInstanceOf[SNumRepr]
+    assert(m.isFloat) // int→float widening
+  }
+
+  test("Field + Tuple folds key length into tuple lengths " +
+      "(types.py:1404-1410)") {
+    val tup = STuple(Stats.fromLengths(Seq(2, 2)), Vector(
+      STupleField(SField(0L, 2), ints(1, 2)),
+      STupleField(SField(1L, 2), ints(3, 4))))
+    val f = SField(VTuple(Vector(9L, 9L)), 3)
+    val m = SType.merge(f, tup).asInstanceOf[STuple]
+    assert(m.lengths.card == 5) // 2 + 3 more length-2 observations
+  }
+
+  test("Empty + Field → optional field; Field stays optional " +
+      "(types.py:1535-1543)") {
+    val f = SField("k", 5, optional = false)
+    val m = SType.merge(SEmpty, f).asInstanceOf[SField]
+    assert(m.optional && m.count == 5)
+    val m2 = SType.merge(m, SField("k", 2)).asInstanceOf[SField]
+    assert(m2.optional && m2.count == 7) // optional is sticky
+  }
+
+  test("Field vs scalar type matches via validation " +
+      "(types.py:1378-1390)") {
+    val f = SField("abc", 1)
+    assert(SType.matches(f, strs("aaa", "zzz"))) // in range
+    assert(!SType.matches(f, ints(1, 10)))       // not an int
+    val folded = SType.merge(f, strs("aaa", "zzz"))
+    assert(folded.isInstanceOf[SStr])
+    assert(folded.asInstanceOf[SStr].values.card == 3)
+  }
+
+  test("tuple zip pads missing indices with Empty → optional " +
+      "(types.py:1580-1589)") {
+    val t2 = STuple(Stats.fromLengths(Seq(2)), Vector(
+      STupleField(SField(0L, 1), ints(1)),
+      STupleField(SField(1L, 1), ints(2))))
+    val t1 = STuple(Stats.fromLengths(Seq(1)), Vector(
+      STupleField(SField(0L, 1), ints(9))))
+    assert(SType.matches(t1, t2))
+    val m = SType.merge(t1, t2).asInstanceOf[STuple]
+    assert(m.content.length == 2)
+    val col1 = m.content.find(f =>
+      f.index.asInstanceOf[SField].value == 1L).get
+    assert(col1.index.asInstanceOf[SField].optional)
+  }
+}

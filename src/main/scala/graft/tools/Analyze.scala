@@ -17,7 +17,8 @@ object Analyze {
     val analyzer = new TreeAnalyzer(opts.config)
     val structure = analyzer.analyze(data)
     val merged = analyzer.mergeToFixpoint(structure)
-    println(merged.render)
+    println(if (opts.showSamples) graft.core.Render.verbose(merged)
+            else merged.render)
   }
 }
 

@@ -12,6 +12,7 @@ object Cli {
       files: Vector[String] = Vector.empty,
       format: String = "auto",
       encoding: String = "auto",
+      showSamples: Boolean = false,
       config: AnalyzerConfig = AnalyzerConfig(
         badThreshold = 0.01, // CLI default 1% (API default is 2%)
         emptyThreshold = 0.99, // CLI default 99%
@@ -62,6 +63,8 @@ object Cli {
           cfg = cfg.copy(maxNumericLen = next().toInt)
         case "--strip-whitespace" =>
           cfg = cfg.copy(stripWhitespace = true)
+        case "--show-samples" =>
+          o = o.copy(showSamples = true)
         case "--timestamps" =>
           val (off, scale) = parseTimestamps(next())
           cfg = cfg.copy(timestampOffset = off, timestampScale = scale)
@@ -94,6 +97,7 @@ object Cli {
       |  --max-numeric-len N      longest string probed as a number
       |                           (default: 30)
       |  --strip-whitespace       strip strings before analysis
+      |  --show-samples           annotate output with stats and samples
       |  --timestamps {unix,excel} numeric datetime epoch (default: unix)
       |""".stripMargin
 }

@@ -121,6 +121,29 @@ object Dedup {
     sums.select(col("id"), sim.as("simhash"))
   }
 
+  /** SimHash near-duplicate candidates: split each 32-bit hash into
+    * `bands` bit-slices and bucket-join — two hashes within Hamming
+    * distance < bands share at least one identical slice (pigeonhole),
+    * so the equi-join is a complete candidate generator for that
+    * radius without any pairwise scan.
+    */
+  def simHashCandidatePairs(sims: DataFrame,
+                            bands: Int = 4): DataFrame = {
+    val bits = 32 / bands
+    val mask = (1L << bits) - 1
+    val sliced = (0 until bands).map(b =>
+      sims.select(col("id"), lit(b).as("band"),
+        shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+          .as("key")))
+      .reduce(_ unionAll _)
+    val a = sliced.as("a")
+    val b = sliced.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.
     * Threshold num/den (e.g. 1/5 for 0.2) applied in integer form:
     * den·inter ≥ num·union — no floating point.

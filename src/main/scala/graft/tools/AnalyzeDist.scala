@@ -42,7 +42,14 @@ object AnalyzeDist {
       val tree: SType =
         if (trees.length == 1) trees.head
         else {
-          val merged = trees.reduce(SType.merge)
+          // sources merge only when structurally similar; mixed file
+          // shapes degrade to ⊤ like the reference's mixed-type list
+          // (analyzer.py:594-597)
+          val merged =
+            if (trees.sliding(2).forall(p =>
+              p.length < 2 || SType.matches(p(0), p(1))))
+              trees.reduce(SType.merge)
+            else graft.core.SValue()
           SSourcesList(Stats.fromCounter(ValueCounter(Map(
             (trees.length.toLong: Any) -> 1L))), merged)
         }

@@ -182,3 +182,32 @@ class CharClassAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       .charClasses(col("v"))).head().isNullAt(0))
   }
 }
+
+/** SimHash band-bucket candidate generation. */
+class SimHashBandsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("near-identical docs are candidates; far docs are not") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "and keeps running through the quiet field all day long"
+    val df = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "completely different words nine eight seven six five " +
+        "four three two one zero alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simHash32(df, col("doc_id"), col("text"))
+    val pairs = Dedup.simHashCandidatePairs(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
+  }
+}

@@ -97,6 +97,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs_05"),
           count(when(col("cosine") >= 0.8, 1)).as("n_pairs_08"))),
 
+    // nanosecond-timestamp column (read as long nanos under
+    // nanosAsLong): conversion to calendar dates must agree with
+    // DuckDB's native TIMESTAMP_NS view of the same column
+    "q34_nanos_range" -> ((s, d) =>
+      t(s, d, "events").agg(
+        count(col("ts")).as("n_ts"),
+        min(timestamp_micros(expr("ts div 1000"))
+          .cast("date")).as("min_day"),
+        max(timestamp_micros(expr("ts div 1000"))
+          .cast("date")).as("max_day"))),
+
     // ---- multimodal plumbing -------------------------------------
     "q31_media_stats" -> ((s, d) =>
       Multimodal.mediaStats(
@@ -258,6 +269,9 @@ object PipelineQueries {
        "SELECT COUNT(CASE WHEN cosine >= 0.5 THEN 1 END) AS " +
        "n_pairs_05, COUNT(CASE WHEN cosine >= 0.8 THEN 1 END) AS " +
        "n_pairs_08 FROM cos"),
+    "q34_nanos_range" ->
+      ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
+       "MAX(CAST(ts AS DATE)) AS max_day FROM events"),
     "q31_media_stats" ->
       ("SELECT source AS grp, COUNT(*) AS n_items, " +
        "CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS " +

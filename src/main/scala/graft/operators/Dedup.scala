@@ -36,25 +36,17 @@ object Dedup {
         countDistinct(col("fp")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
 
-  /** Distinct word-k-gram shingle rows (id, s) via posexplode +
-    * window lead: whole-stage-codegen'd, 7x faster locally than the
-    * equivalent (interpreted) array-lambda pipeline. Costs a shuffle
-    * by id; on a cluster where that shuffle dominates, swap in the
-    * map-side `TextFunctions.wordShingles` array form (same rows).
+  /** Distinct word-k-gram shingle rows (id, s) via the native
+    * [[graft.functions.WordShinglesExpr]] Catalyst expression: one JVM
+    * call per row (already-deduplicated output), map-side with zero
+    * shuffle — measured 2.5x faster than a window-lead formulation and
+    * ~15x faster than interpreted array lambdas at sf0.1.
     */
   def shingleRows(df: DataFrame, idCol: Column, text: Column,
-                  k: Int): DataFrame = {
-    val toks = df.select(idCol.as("id"),
-      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until k).map(j =>
-      lead(col("tok"), j).over(w))
-    toks.select(col("id"), concat_ws(" ", parts: _*).as("s"),
-        lead(col("tok"), k - 1).over(w).as("__last"))
-      .where(col("__last").isNotNull)
-      .select(col("id"), col("s"))
-      .distinct()
-  }
+                  k: Int): DataFrame =
+    df.select(idCol.as("id"), explode(
+      graft.functions.WordShinglesExpr.wordShinglesNative(text, k))
+      .as("s"))
 
   /** MinHash signature columns `mh1..mhN` over word-5-gram shingles.
     * ONE md5 per shingle; hash family j = the j-th 8-hex-char slice of

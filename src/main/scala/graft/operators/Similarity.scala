@@ -28,11 +28,12 @@ object Similarity {
   def quantize(x: Column): Column =
     round(x.cast("double") * lit(33554432.0)).cast("long")
 
-  /** Exact integer dot product of two equal-length float arrays. */
+  /** Exact integer dot product of two equal-length float arrays —
+    * the native expression (one JVM call per row; identical
+    * quantization semantics to the lambda form).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => quantize(x) * quantize(y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.DotQExpr.dotQNative(a, b)
 
   /** Brute-force cosine top-k against the vector with id `queryId`.
     * The query side is a single broadcast row; ranking is by the
@@ -40,23 +41,15 @@ object Similarity {
     */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int): DataFrame = {
-    // pre-quantize and pre-norm both sides so the per-row work after
-    // the broadcast is ONE zip_with fold (the interpreted higher-order
-    // fold is the hot path; the query norm especially must not be
-    // recomputed per candidate row)
-    def q2(v: Column): Column = aggregate(
-      transform(v, x => {
-        val qx = quantize(x); qx * qx
-      }), lit(0L), (a, x) => a + x)
+    // norms precomputed per side; per-candidate work is one native
+    // dot-product call
     val q = df.where(col(idCol) === queryId)
-      .select(transform(col(vecCol), x => quantize(x)).as("__qv"),
-        sqrt(q2(col(vecCol)).cast("double")).as("__qn"))
+      .select(col(vecCol).as("__qv"),
+        sqrt(dotQ(col(vecCol), col(vecCol)).cast("double")).as("__qn"))
     val prepped = df.where(col(idCol) =!= queryId)
-      .select(col(idCol), transform(col(vecCol), x => quantize(x)).as("__v"),
-        sqrt(q2(col(vecCol)).cast("double")).as("__n"))
-    val dot = aggregate(
-      zip_with(col("__v"), col("__qv"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+      .select(col(idCol), col(vecCol).as("__v"),
+        sqrt(dotQ(col(vecCol), col(vecCol)).cast("double")).as("__n"))
+    val dot = dotQ(col("__v"), col("__qv"))
     // rank by cosine; OUTPUT the exact integer dot (hash-compared)
     prepped.crossJoin(broadcast(q))
       .select(col(idCol), dot.as("dot"),
@@ -100,19 +93,15 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 4): DataFrame = {
-    // quantize each vector and compute its norm ONCE before the join:
-    // the per-pair work is a single zip_with multiply-sum instead of
-    // three quantization passes
+    // norms computed once per vector before the join; per-pair work
+    // is one native dot-product call
     val prepped = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => quantize(x)).as("qv"),
-      lshBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("n2", aggregate(
-        expr("transform(qv, x -> x * x)"), lit(0L), (a, x) => a + x))
+      col(vecCol).as("v"),
+      lshBucket(col(vecCol), bits).as("bucket"),
+      dotQ(col(vecCol), col(vecCol)).as("n2"))
     val a = prepped.as("a")
     val b = prepped.as("b")
-    val dot = aggregate(
-      zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = dotQ(col("a.v"), col("b.v"))
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -11,10 +11,11 @@ import graft.functions.TextFunctions
   *
   *  - **Exact**: hash-groupBy on a canonical fingerprint — one shuffle
   *    on the digest, map-side partial aggregation.
-  *  - **MinHash + LSH**: shingle → per-seed min-hash signature (all
-  *    array built-ins, computed map-side with zero shuffle) → band
-  *    keys → bucket-join. Candidate pairs only ever materialize within
-  *    a band bucket, never the O(n²) cross product.
+  *  - **MinHash + LSH**: native shingle expression → one md5 per
+  *    shingle → per-slice minimums combined map-side by partial
+  *    aggregation (one signature row per id crosses the shuffle) →
+  *    band keys → bucket-join. Candidate pairs only ever materialize
+  *    within a band bucket, never the O(n²) cross product.
   *  - **SimHash**: 32-bit crc32-based per-token sign-sum — one pass,
   *    Hamming-ball lookups via band substrings.
   *  - **N-gram Jaccard**: shingle-explode + equi-join on shingle; the

@@ -121,7 +121,11 @@ object Conversions {
           i += 1
         }
       }
+      // STRICT: Python's strptime rejects impossible dates like
+      // Feb 31; java.time's default SMART resolver silently adjusts
+      // them to the month's last day
       b.toFormatter(Locale.ENGLISH)
+        .withResolverStyle(java.time.format.ResolverStyle.STRICT)
     })
 
   private val hasTime = Set('H', 'M', 'S', 'f')

@@ -35,8 +35,9 @@ object Conversions {
     catch {
       case _: NumberFormatException =>
         // overflow or invalid chars; Python ints are unbounded, so
-        // distinguish: valid digits → widen via BigInt
-        try Some(BigInt(body, base).doubleValue)
+        // distinguish: valid digits → keep EXACT via BigInt (a Double
+        // would silently lose precision in SInt stats)
+        try Some(BigInt(body, base))
         catch { case _: NumberFormatException => None }
     }
   }

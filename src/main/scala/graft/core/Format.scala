@@ -26,6 +26,17 @@ object Format {
     else f"${i / math.pow(1000, index)}%.1f${suffixes(index)}"
   }
 
+  /** Same SI reduction for unbounded ints (Python-int parity). */
+  def formatBigInt(i: BigInt): String =
+    if (i.isValidLong) formatInt(i.longValue)
+    else {
+      val suffixes = Array("", "K", "M", "G", "T", "P")
+      val index = math.min(
+        suffixes.length - 1,
+        (math.log(i.abs.doubleValue) / math.log(1000)).toInt)
+      f"${i.doubleValue / math.pow(1000, index)}%.1f${suffixes(index)}"
+    }
+
   /** Python's `%.7g` formatting for doubles (format.py:145). */
   def formatFloat(d: Double): String = {
     if (d == d.toLong && math.abs(d) < 1e15) return d.toLong.toString
@@ -48,6 +59,7 @@ object Format {
     case b: Boolean      => if (b) "true" else "false"
     case i: Int          => formatInt(i.toLong)
     case l: Long         => formatInt(l)
+    case b: BigInt       => formatBigInt(b)
     case d: Double       => formatFloat(d)
     case f: Float        => formatFloat(f.toDouble)
     case s: String       => "\"" + s.replace("\"", "\"\"") + "\""

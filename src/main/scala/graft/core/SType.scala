@@ -104,10 +104,10 @@ final case class SBool(values: Stats) extends SScalar {
 /** types.py:773-824. */
 final case class SInt(values: Stats) extends SScalar {
   def render =
-    s"int range=${Format.formatInt(SType.asLong(values.min))}.." +
-      Format.formatInt(SType.asLong(values.max))
+    s"int range=${Format.formatBigInt(SType.asBigInt(values.min))}.." +
+      Format.formatBigInt(SType.asBigInt(values.max))
   def validates(v: Any) = v match {
-    case _: Long | _: Int =>
+    case _: Long | _: Int | _: BigInt =>
       ValueOrdering.compare(values.min, v) <= 0 &&
         ValueOrdering.compare(v, values.max) <= 0
     case _ => false
@@ -120,7 +120,7 @@ final case class SFloat(values: Stats) extends SScalar {
     s"float range=${Format.formatFloat(SType.asDouble(values.min))}.." +
       Format.formatFloat(SType.asDouble(values.max))
   def validates(v: Any) = v match {
-    case _: Double | _: Float | _: Long | _: Int =>
+    case _: Double | _: Float | _: Long | _: Int | _: BigInt =>
       ValueOrdering.compare(values.min, v) <= 0 &&
         ValueOrdering.compare(v, values.max) <= 0
     case _ => false
@@ -357,6 +357,20 @@ object SType {
     case d: Double => d.toLong
     case f: Float => f.toLong
     case b: Boolean => if (b) 1L else 0L
+    case b: BigInt => b.longValue // callers needing exactness use asBigInt
+    case _ => throw new IllegalArgumentException(s"not numeric: $v")
+  }
+
+  /** Exact unbounded-int view (Python-int parity for oversized
+    * integer strings; see Conversions.parseInt).
+    */
+  private[graft] def asBigInt(v: Any): BigInt = v match {
+    case b: BigInt => b
+    case l: Long => BigInt(l)
+    case i: Int => BigInt(i)
+    case b: Boolean => if (b) BigInt(1) else BigInt(0)
+    case d: Double => BigDecimal(d).toBigInt
+    case f: Float => BigDecimal(f.toDouble).toBigInt
     case _ => throw new IllegalArgumentException(s"not numeric: $v")
   }
 
@@ -366,6 +380,7 @@ object SType {
     case l: Long => l.toDouble
     case i: Int => i.toDouble
     case b: Boolean => if (b) 1d else 0d
+    case b: BigInt => b.doubleValue
     case _ => throw new IllegalArgumentException(s"not numeric: $v")
   }
 

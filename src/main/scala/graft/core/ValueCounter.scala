@@ -14,6 +14,7 @@ object ValueOrdering extends Ordering[Any] {
     case l: Long    => Some(l.toDouble)
     case f: Float   => Some(f.toDouble)
     case d: Double  => Some(d)
+    case b: BigInt  => Some(b.doubleValue)
     case _          => None
   }
 
@@ -22,6 +23,10 @@ object ValueOrdering extends Ordering[Any] {
     case (null, _)                => -1
     case (_, null)                => 1
     case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    // exact integer comparisons for unbounded ints (Python-int parity)
+    case (x: BigInt, y: BigInt)   => x.compare(y)
+    case (x: BigInt, y: Long)     => x.compare(BigInt(y))
+    case (x: Long, y: BigInt)     => BigInt(x).compare(y)
     case (x: String, y: String)   => x.compareTo(y)
     case (x: Instant, y: Instant) => x.compareTo(y)
     case _ =>

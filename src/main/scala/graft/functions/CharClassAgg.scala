@@ -98,8 +98,11 @@ case class CharClassAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val invalid = in.readBoolean()
     val width = in.readInt()
+    // width == 0 (all-empty-string column) round-trips to an EMPTY
+    // sets array, not null — eval on a deserialized buffer must agree
+    // with eval on a live one (distributed final aggregation)
     val sets =
-      if (invalid || width <= 0) null
+      if (invalid || width < 0) null
       else Array.fill(width)(
         mutable.Set.from(in.readUTF().iterator))
     new CharSetsBuffer(width, sets, invalid)

@@ -45,11 +45,18 @@ object AnalyzeDist {
           // sources merge only when structurally similar; mixed file
           // shapes degrade to ⊤ like the reference's mixed-type list
           // (analyzer.py:594-597)
-          val merged =
-            if (trees.sliding(2).forall(p =>
-              p.length < 2 || SType.matches(p(0), p(1))))
-              trees.reduce(SType.merge)
+          // matches() is not transitive, so a pairwise pre-check can
+          // still admit a mid-reduce merge failure — fold with a
+          // per-step guard and degrade to ⊤ exactly like the
+          // reference's mixed-type list (analyzer.py:594-597)
+          val merged = trees.reduceLeft { (acc, t) =>
+            if (acc.isInstanceOf[graft.core.SValue]) acc
+            else if (SType.matches(acc, t))
+              try SType.merge(acc, t)
+              catch { case _: IllegalArgumentException =>
+                graft.core.SValue() }
             else graft.core.SValue()
+          }
           SSourcesList(Stats.fromCounter(ValueCounter(Map(
             (trees.length.toLong: Any) -> 1L))), merged)
         }

@@ -51,6 +51,25 @@ class ConversionsSpec extends AnyFunSuite {
     assert(parseInt("", 10).isEmpty)
   }
 
+  test("out-of-Long-range ints stay exact (Python unbounded ints)") {
+    val big = "12345678901234567890123"
+    assert(parseInt(big, 10).contains(BigInt(big)))
+    // adjacent huge values must not collapse (a Double would merge them)
+    val a = parseInt("12345678901234567890123", 10).get
+    val b = parseInt("12345678901234567890124", 10).get
+    assert(a != b)
+    assert(ValueOrdering.compare(a, b) < 0)
+    // mixed Long/BigInt ordering is exact
+    assert(ValueOrdering.compare(Long.MaxValue, BigInt(big)) < 0)
+    assert(ValueOrdering.compare(BigInt(big), 5L) > 0)
+    // stats over huge ints render without precision-driven surprises
+    val st = Stats.fromCounter(ValueCounter(Map[Any, Long](
+      BigInt("12345678901234567890123") -> 1,
+      BigInt("12345678901234567890124") -> 1)))
+    assert(SInt(st).render.startsWith("int range="))
+    assert(st.unique)
+  }
+
   test("float parsing rejects Java-isms Python rejects") {
     assert(parseFloat("1.5e3").contains(1500.0))
     assert(parseFloat("1d").isEmpty)

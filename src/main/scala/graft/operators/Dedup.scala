@@ -49,34 +49,40 @@ object Dedup {
       graft.functions.WordShinglesExpr.wordShinglesNative(text, k))
       .as("s"))
 
-  /** MinHash signature columns `mh1..mhN` over word-5-gram shingles.
-    * ONE md5 per shingle; hash family j = the j-th 8-hex-char slice of
-    * the digest (each slice is an independent uniform 32-bit value).
-    * The signature is the lexicographic minimum — associative, and the
-    * mins combine map-side through the partial aggregation.
+  /** MinHash signature columns `mh1..mhN` over word-k-gram shingles,
+    * computed by the native [[graft.functions.MinHashExpr]]: the whole
+    * signature is one JVM call per document — a pure projection with
+    * NO explode, NO groupBy, NO shuffle (the previous formulation
+    * shuffled every shingle row through a partial aggregation).
+    *
+    * The family is salted md5 (`md5(s || '#' || salt)`, four
+    * 8-hex-char slices per salt), so `numHashes` must be a multiple of
+    * 4; the default 64 gives a b=16, r=4 banding whose collision curve
+    * actually separates 0.8-Jaccard near-dups from noise (a 4-hash
+    * family cannot). Docs with fewer than k tokens get null
+    * signatures.
     */
   def minHashSignatures(df: DataFrame, idCol: Column, text: Column,
-                        numHashes: Int = 4, shingleK: Int = 5)
+                        numHashes: Int = 64, shingleK: Int = 5)
       : DataFrame = {
-    require(numHashes <= 4, "md5 yields four 8-hex-char slices")
-    val hashed = shingleRows(df, idCol, text, shingleK)
-      .select(col("id"), md5(col("s")).as("h"))
-    val aggs = (1 to numHashes).map(j =>
-      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
-    // docs shorter than k tokens have no shingles: keep them with
-    // null signatures via a left join on the id universe
-    val ids = df.select(idCol.as("id")).distinct()
-    ids.join(hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*),
-      Seq("id"), "left")
+    require(numHashes % 4 == 0 && numHashes > 0,
+      "salted md5 slices come in fours")
+    val withSig = df.select(idCol.as("id"),
+      graft.functions.MinHashExpr.minHashNative(text, shingleK,
+        numHashes / 4).as("__sig"))
+    withSig.select(col("id") +:
+      (1 to numHashes).map(j =>
+        element_at(col("__sig"), j).as(s"mh$j")): _*)
   }
 
   /** LSH band keys from a signature frame: rows (id, band, key) where
-    * key concatenates 8-hex-char prefixes of the band's hashes.
-    * Near-duplicates collide on at least one band with high
-    * probability; the bucket-join replaces the O(n²) scan.
+    * key concatenates the band's 8-hex-char hashes (b bands of r
+    * rows; collision probability 1-(1-J^r)^b). Near-duplicates collide
+    * on at least one band with high probability; the bucket-join
+    * replaces the O(n²) scan.
     */
-  def lshBands(sigs: DataFrame, numHashes: Int = 4,
-               bandSize: Int = 2): DataFrame = {
+  def lshBands(sigs: DataFrame, numHashes: Int = 64,
+               bandSize: Int = 4): DataFrame = {
     val bands = (0 until numHashes / bandSize).map { b =>
       val key = concat((1 to bandSize).map(i =>
         col(s"mh${b * bandSize + i}")): _*)
@@ -140,20 +146,38 @@ object Dedup {
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.
     * Threshold num/den (e.g. 1/5 for 0.2) applied in integer form:
     * den·inter ≥ num·union — no floating point.
+    *
+    * `maxShingleDf` is the document-frequency cap: a shingle shared by
+    * k documents contributes k² rows to the self-join, so one
+    * stop-shingle with k in the millions is quadratic death at corpus
+    * scale. Shingles with df > cap are removed from the shingle space
+    * entirely (both intersection AND sizes — standard stop-shingle
+    * removal, so the Jaccard stays internally consistent). The
+    * over-cap list is tiny by construction and is applied as a
+    * broadcast anti-join, never a shuffle.
+    *
+    * No caching: the shingle frame is ~k× the corpus, far too large to
+    * persist at scale. The two self-join sides are identical subplans,
+    * so Spark's ReuseExchange evaluates their shuffle once; the size
+    * aggregation re-scans — two scans total, no cached state to leak.
     */
   def jaccardPairs(df: DataFrame, idCol: Column, text: Column,
                    shingleK: Int = 5, thresholdNum: Int = 1,
-                   thresholdDen: Int = 5): DataFrame = {
+                   thresholdDen: Int = 5,
+                   maxShingleDf: Long = 10000L): DataFrame = {
     // join/aggregate on a 16-hex-char digest of the shingle
     // (identical md5 in the oracle): far smaller shuffle keys than raw
-    // shingle strings; persisted because both the size agg and both
-    // join sides re-derive it (spills to disk at scale)
+    // shingle strings
     val exploded = shingleRows(df, idCol, text, shingleK)
       .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"),
+    val hot = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .select(col("s"))
+    val kept = exploded.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))

@@ -60,15 +60,16 @@ object PipelineQueries {
 
     "q25_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"),
-          col("text"), shingleK = 5, thresholdNum = 0, thresholdDen = 1)
+          col("text"), shingleK = 5, thresholdNum = 0, thresholdDen = 1,
+          maxShingleDf = 10000L)
         .agg(count(lit(1)).as("n_candidate_pairs"),
           count(when(col("inter") * 5 >= col("union_n"), 1))
             .as("n_near_dups"))),
 
     "q26_minhash_bands" -> ((s, d) => {
       val sigs = Dedup.minHashSignatures(t(s, d, "documents"),
-        col("doc_id"), col("text"), numHashes = 4, shingleK = 5)
-      Dedup.lshBands(sigs, numHashes = 4, bandSize = 2)
+        col("doc_id"), col("text"), numHashes = 64, shingleK = 5)
+      Dedup.lshBands(sigs, numHashes = 64, bandSize = 4)
         .where(col("key").isNotNull)
         .groupBy(col("band"))
         .agg(countDistinct(col("key")).as("n_keys"),
@@ -159,6 +160,28 @@ object PipelineQueries {
     "|| ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] FOR i IN " +
     "range(greatest(array_length(t) - 4, 0))]) AS s FROM tok) "
 
+  /** Salted-md5 MinHash family, identical to MinHashExpr: hash
+    * i = slice (i mod 4) of md5(s || '#' || (i div 4)); 16 salts × 4
+    * slices = the 64-hash family; b=16 bands of r=4.
+    */
+  private val minhashSigCte = {
+    val mins = (0 until 16).flatMap { salt =>
+      (0 until 4).map { slice =>
+        val idx = salt * 4 + slice + 1
+        s"MIN(substr(md5(s || '#$salt'), ${slice * 8 + 1}, 8)) AS mh$idx"
+      }
+    }.mkString(", ")
+    s", sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val minhashBandsCte = {
+    val selects = (0 until 16).map { b =>
+      val key = (1 to 4).map(i => s"mh${b * 4 + i}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s", bands AS ($selects)"
+  }
+
   /** round-half-away quantization identical in both engines. */
   private val unnestEmb =
     "(SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
@@ -210,23 +233,21 @@ object PipelineQueries {
     "q25_jaccard_pairs" ->
       (shingleCte +
        ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
-       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)" +
+       // same document-frequency cap as the engine (stop-shingle
+       // removal before the self-join)
+       ", kept AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM " +
+       "shd GROUP BY s HAVING COUNT(*) > 10000))" +
+       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id)" +
        ", pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) " +
-       "AS inter FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < " +
+       "AS inter FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < " +
        "b.doc_id GROUP BY 1, 2) " +
        "SELECT COUNT(*) AS n_candidate_pairs, COUNT(CASE WHEN " +
        "inter * 5 >= (sa.n + sb.n - inter) THEN 1 END) AS n_near_dups " +
        "FROM pairs JOIN sz sa ON id1 = sa.doc_id " +
        "JOIN sz sb ON id2 = sb.doc_id"),
     "q26_minhash_bands" ->
-      (shingleCte +
-       ", sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh1, " +
-       "MIN(substr(md5(s), 9, 8)) AS mh2, MIN(substr(md5(s), 17, 8)) " +
-       "AS mh3, MIN(substr(md5(s), 25, 8)) AS mh4 FROM sh GROUP BY " +
-       "doc_id), " +
-       "bands AS (SELECT doc_id, 0 AS band, mh1 || mh2 AS key FROM " +
-       "sig UNION ALL SELECT doc_id, 1, mh3 || mh4 FROM sig) " +
-       "SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +
+      (shingleCte + minhashSigCte + minhashBandsCte +
+       " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +
        "n_rows FROM bands WHERE key IS NOT NULL GROUP BY band " +
        "ORDER BY band NULLS FIRST"),
     "q28_cosine_topk" ->

@@ -54,6 +54,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.head.getAs[Long]("id2") == 2L)
   }
 
+  test("jaccard df-cap drops stop-shingles before the self-join") {
+    // every doc shares the same hot 5-gram prefix (a stop-shingle with
+    // df = n, the k² join-explosion case); each also has a unique tail
+    val hot = "common common common common common"
+    val df = docs((1L to 8L).map(i =>
+      i -> s"$hot unique$i tail$i words$i here$i now$i"): _*)
+    // uncapped: the hot shingle makes every doc pair a candidate
+    val uncapped = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      shingleK = 5, thresholdNum = 0, thresholdDen = 1,
+      maxShingleDf = Long.MaxValue).count()
+    assert(uncapped == 8L * 7 / 2)
+    // df-cap below n removes the stop-shingle: docs share nothing else,
+    // so the candidate space collapses to zero — the join side is
+    // bounded by cap², not n²
+    val capped = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      shingleK = 5, thresholdNum = 0, thresholdDen = 1,
+      maxShingleDf = 4L).count()
+    assert(capped == 0L)
+    // and a cap that nothing exceeds is a no-op (oracle-parity default)
+    val noop = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      shingleK = 5, thresholdNum = 0, thresholdDen = 1,
+      maxShingleDf = 10000L).count()
+    assert(noop == uncapped)
+  }
+
   test("minhash LSH: identical docs collide on every band") {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val df = docs(1L -> text, 2L -> text,
@@ -63,6 +88,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.length == 1)
     assert(pairs.head.getAs[Long]("id1") == 1L &&
       pairs.head.getAs[Long]("id2") == 2L)
+  }
+
+  test("minhash LSH recall: every exact-Jaccard near-dup is a candidate") {
+    // clusters of near-duplicates (high shingle overlap) plus
+    // unrelated noise docs; with b=16 bands of r=4, a 0.8-Jaccard pair
+    // collides with p = 1-(1-0.8^4)^16 ≈ 0.9996 (and md5 is
+    // deterministic, so this fixture's outcome is fixed)
+    val base1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val rows = Seq(
+      1L -> base1, 2L -> (base1 + " x"), 3L -> (base1 + " x y"),
+      4L -> base2, 5L -> (base2 + " z"),
+      6L -> (1 to 30).map(i => s"noise$i").mkString(" "))
+    val df = docs(rows: _*)
+    val exact = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+        shingleK = 5, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // fixture sanity: real near-dups exist
+    val sigs = Dedup.minHashSignatures(df, col("doc_id"), col("text"),
+      numHashes = 64, shingleK = 5)
+    val candidates = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, numHashes = 64, bandSize = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(candidates),
+      s"missed: ${exact -- candidates}")
+    // and the unrelated noise doc never becomes a candidate
+    assert(!candidates.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
   test("simhash: near-identical docs have close hashes") {

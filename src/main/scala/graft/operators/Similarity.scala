@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: the brute-force path broadcasts the (tiny) query side
   * and computes dot products map-side with array built-ins — no
   * shuffle, one scan, candidates never materialize. The bucketed path
-  * assigns every vector to a deterministic LSH bucket (sign pattern of
-  * positional partial sums) so ANN lookups and near-dup joins touch
-  * only same-bucket rows.
+  * assigns every vector to a deterministic random-hyperplane LSH
+  * bucket (md5-derived ±1 hyperplanes, native expression) whose bucket
+  * count scales with n, so ANN lookups and near-dup joins touch only
+  * same-bucket rows and no join side ever degenerates to a constant
+  * fan-out.
   */
 object Similarity {
 
@@ -60,47 +62,74 @@ object Similarity {
       .select(col(idCol), col("dot"))
   }
 
-  /** Deterministic LSH bucket id (0..2^bits-1): bit j is the sign of
-    * the decimal-exact sum of elements at positions ≡ j (mod bits).
-    * A stand-in for random-hyperplane LSH with a seedless, both-engine-
-    * computable hyperplane family.
+  /** Full random-hyperplane sign pattern (16 bits) via the native
+    * [[graft.functions.LshSignExpr]] — one JVM call per row, replacing
+    * the interpreted `zip_with`+`aggregate` lambda chain.
     */
-  def lshBucket(vec: Column, bits: Int = 4): Column = {
-    val terms = (0 until bits).map { j =>
-      val s = aggregate(
-        zip_with(vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, i) => when(i % bits === j, quantize(x)).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
-      when(s > 0, lit(1 << j)).otherwise(0)
-    }
-    terms.reduce(_ + _)
+  def signPattern(vec: Column): Column =
+    graft.functions.LshSignExpr.lshSignNative(vec)
+
+  /** Bucket-width derivation: the smallest b in [4, 16] with
+    * n ≤ targetPerBucket·2^b — so the bucket count 2^b GROWS with the
+    * corpus instead of being a constant (a fixed 16-bucket space makes
+    * every bucket join O(n²/16)). Pure integer arithmetic so the
+    * DuckDB oracle's CASE ladder derives the identical width (a
+    * float log2 could round differently across engines at exact
+    * powers of two).
+    */
+  def bitsForCount(n: Long, targetPerBucket: Long = 128L): Int = {
+    var b = 4
+    while (b < graft.functions.LshSignExpr.MaxBits &&
+        n > (targetPerBucket << b)) b += 1
+    b
   }
 
+  /** Deterministic LSH bucket id (0..2^bits−1): the low `bits` of the
+    * native sign pattern.
+    */
+  def lshBucket(vec: Column, bits: Int): Column =
+    signPattern(vec).bitwiseAND(lit((1 << bits) - 1))
+
   /** Bucketed ANN: per-bucket membership counts (the partition shape
-    * an IVF/LSH index would use for candidate pruning).
+    * an IVF/LSH index would use for candidate pruning). Bucket width
+    * scales with the row count via [[bitsForCount]].
     */
   def lshBucketCounts(df: DataFrame, vecCol: String,
-                      bits: Int = 4): DataFrame =
+                      targetPerBucket: Long = 128L): DataFrame = {
+    val bits = bitsForCount(df.count(), targetPerBucket)
     df.select(lshBucket(col(vecCol), bits).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("bucket").asc_nulls_first)
+  }
 
   /** Embedding near-duplicate pairs: same-bucket candidates filtered
-    * by cosine ≥ threshold. The bucket equi-join bounds the pair space
-    * (scale path); cosine is decimal-deterministic.
+    * by cosine ≥ threshold. The bucket equi-join bounds the pair
+    * space; the bucket count scales with n ([[bitsForCount]]), and
+    * buckets larger than `maxBucketSize` — a degenerate hyperplane
+    * region that would re-create the quadratic join — are dropped
+    * entirely via a broadcast anti-join against the (tiny) over-cap
+    * bucket list, mirroring the stop-shingle df-cap in
+    * [[Dedup.jaccardPairs]].
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bits: Int = 4): DataFrame = {
+                         threshold: Double,
+                         targetPerBucket: Long = 128L,
+                         maxBucketSize: Long = 10000L): DataFrame = {
+    val bits = bitsForCount(df.count(), targetPerBucket)
     // norms computed once per vector before the join; per-pair work
     // is one native dot-product call
     val prepped = df.select(col(idCol).as("id"),
       col(vecCol).as("v"),
       lshBucket(col(vecCol), bits).as("bucket"),
       dotQ(col(vecCol), col(vecCol)).as("n2"))
-    val a = prepped.as("a")
-    val b = prepped.as("b")
+    val hot = prepped.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > maxBucketSize)
+      .select(col("bucket"))
+    val kept = prepped.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val a = kept.as("a")
+    val b = kept.as("b")
     val dot = dotQ(col("a.v"), col("b.v"))
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

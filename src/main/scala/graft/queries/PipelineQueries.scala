@@ -90,11 +90,12 @@ object PipelineQueries {
 
     "q29_lsh_buckets" -> ((s, d) =>
       Similarity.lshBucketCounts(t(s, d, "embeddings"), "embedding",
-        bits = 4)),
+        targetPerBucket = 128L)),
 
     "q30_cosine_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
-          "embedding", threshold = 0.5, bits = 4)
+          "embedding", threshold = 0.5, targetPerBucket = 128L,
+          maxBucketSize = 10000L)
         .agg(count(lit(1)).as("n_pairs_05"),
           count(when(col("cosine") >= 0.8, 1)).as("n_pairs_08"))),
 
@@ -188,16 +189,30 @@ object PipelineQueries {
     "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 33554432.0) AS " +
     "BIGINT) AS x FROM embeddings)"
 
+  /** Bucket-width CASE ladder — integer-exact twin of
+    * Similarity.bitsForCount (target 128/bucket): smallest b in
+    * [4, 16] with n ≤ 128·2^b.
+    */
+  private val bitsSql =
+    "(SELECT CASE " +
+      (4 to 15).map(b => s"WHEN n <= ${128L << b} THEN $b ").mkString +
+      "ELSE 16 END AS bits FROM " +
+      "(SELECT COUNT(*) AS n FROM embeddings))"
+
+  /** md5-hyperplane sign pattern masked to the derived width —
+    * bit-for-bit the engine's LshSignExpr + bitsForCount mask.
+    */
   private def bucketSql(src: String): String =
     s"SELECT vec_id, CAST(" +
-      (0 until 4).map(j =>
+      (0 until 16).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ") +
-      " AS INT) AS bucket FROM (SELECT vec_id, " +
-      (0 until 4).map(j =>
-        s"SUM(CASE WHEN (i-1) % 4 = $j THEN x ELSE 0 END) " +
-        s"AS s$j").mkString(", ") +
-      s" FROM $src GROUP BY vec_id)"
+      " AS INT) & ((1 << bits) - 1) AS bucket FROM (SELECT vec_id, " +
+      (0 until 16).map(j =>
+        s"SUM(CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':$j'), " +
+        s"1, 1) BETWEEN '0' AND '7' THEN x ELSE -x END) AS s$j")
+        .mkString(", ") +
+      s" FROM $src GROUP BY vec_id), $bitsSql"
 
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" ->
@@ -272,9 +287,13 @@ object PipelineQueries {
        bucketSql(unnestEmb) +
        ") GROUP BY bucket ORDER BY bucket NULLS FIRST"),
     "q30_cosine_near_dups" ->
-      ("WITH eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM " +
+      ("WITH eb0 AS (SELECT e.vec_id, e.embedding, b.bucket FROM " +
        "embeddings e JOIN (" + bucketSql(unnestEmb) + ") b ON " +
        "e.vec_id = b.vec_id), " +
+       // same per-bucket candidate cap as the engine (degenerate
+       // buckets dropped before the pair join)
+       "eb AS (SELECT * FROM eb0 WHERE bucket IN (SELECT bucket " +
+       "FROM eb0 GROUP BY bucket HAVING COUNT(*) <= 10000)), " +
        "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
        "a.embedding AS ea, b.embedding AS eb2 FROM eb a JOIN eb b ON " +
        "a.bucket = b.bucket AND a.vec_id < b.vec_id), " +

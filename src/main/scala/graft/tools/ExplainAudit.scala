@@ -38,11 +38,23 @@ object ExplainAudit {
         Seq("BroadcastNestedLoopJoin", "BroadcastExchange")),
       ("q24_dedup_exact",
         "map-side partial aggregation on digest",
-        Seq("HashAggregate", "WholeStageCodegen")))
+        Seq("HashAggregate", "WholeStageCodegen")),
+      ("q30_cosine_near_dups",
+        "near-dup join side bounded: over-cap buckets removed by a " +
+          "broadcast anti-join before the pair join",
+        Seq("BroadcastHashJoin", "LeftAnti", "lsh_sign")),
+      ("q25_jaccard_pairs",
+        "stop-shingle df-cap anti-join + ReuseExchange on the " +
+          "self-join sides",
+        Seq("LeftAnti", "ReusedExchange")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // execute first: AQE performs exchange/stage reuse at runtime,
+      // so properties like ReusedExchange only appear in the final
+      // adaptive plan
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExtendedMode)
       val formatted = df.queryExecution.explainString(

@@ -157,6 +157,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs.head.getAs[Long]("id2") == 1L)
   }
 
+  test("bucket width scales with n; over-cap buckets are dropped") {
+    val s = spark
+    import s.implicits._
+    // integer ladder: ≤128·2^4 rows → 4 bits; growth is monotone
+    assert(Similarity.bitsForCount(100) == 4)
+    assert(Similarity.bitsForCount(128L << 4) == 4)
+    assert(Similarity.bitsForCount((128L << 4) + 1) == 5)
+    assert(Similarity.bitsForCount(128L << 10) == 10)
+    assert(Similarity.bitsForCount(Long.MaxValue / 4) == 16)
+    // forced skew: every vector identical → one bucket holds all n;
+    // a cap below n drops the degenerate bucket, bounding the join
+    val n = 20
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF(
+      "vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairs(vecs, "vec_id",
+      "embedding", threshold = 0.5, maxBucketSize = 10000L).count()
+    assert(uncapped == n.toLong * (n - 1) / 2)
+    val capped = Similarity.cosineNearDupPairs(vecs, "vec_id",
+      "embedding", threshold = 0.5, maxBucketSize = 5L).count()
+    assert(capped == 0L)
+  }
+
   test("multimodal: payload + metadata + frames + stub features") {
     val df = docs(1L -> ("x" * 300))
     val media = Multimodal.asMedia(df, col("text"), "text/plain")

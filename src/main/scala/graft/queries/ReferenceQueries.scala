@@ -62,34 +62,46 @@ object ReferenceQueries {
 
     // Q7 — A2 positional quartiles: min=x[0], q1=x[n/4], q2=x[n/2],
     // q3=x[3n/4], max=x[n-1], 0-based int div (types.py:182-207).
-    // Computed the reference's own way — a value→count counter
-    // (one small shuffle on the distinct values; the reference's
-    // Counter-based Stats.from_sample, types.py:182-207) walked on the
-    // driver — instead of a global row_number window, which would be a
-    // single-partition sort of the full table at scale.
+    // Guarded two-mode plan: columns under the distinct cap use the
+    // reference's own counter walk (one small shuffle on the distinct
+    // values); over the cap — the unbounded case an arbitrary column
+    // hits at scale — the exact distributed rank lookup of
+    // [[graft.operators.OrderStats]] runs instead, with NO driver
+    // histogram, NO global sort, and NO float interpolation (results
+    // stay bit-identical to the oracle). Force the scale path with
+    // SPARK_GRAFT_DISTINCT_CAP.
     "q07_quartiles" -> ((s, d) => {
-      val counts = t(s, d, "lineitem")
-        .groupBy(col("l_quantity").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("v"))
-        .collect()
-      val n = counts.map(_.getAs[Long]("c")).sum
-      val targets = Seq(0L, n / 4, n / 2, 3 * n / 4, n - 1)
-      val values = Array.fill[Double](targets.length)(0d)
-      var cum = 0L
-      var ti = 0
-      counts.foreach { r =>
-        val hi = cum + r.getAs[Long]("c")
-        // targets are ascending; each lands in the first bucket whose
-        // cumulative upper bound exceeds it
-        while (ti < targets.length && targets(ti) < hi) {
-          values(ti) = r.getAs[Double]("v")
-          ti += 1
-        }
-        cum = hi
-      }
       import s.implicits._
-      values.toSeq.toDF("v")
+      val df = t(s, d, "lineitem")
+      val cap = graft.analyzer.SparkAnalyzer.defaultDistinctCap
+      val adist = df.agg(approx_count_distinct(col("l_quantity"))
+        .as("ad")).head().getAs[Long]("ad")
+      if (adist > cap)
+        graft.operators.OrderStats
+          .positionalQuartiles(df, "l_quantity").toDF("v")
+      else {
+        val counts = df
+          .groupBy(col("l_quantity").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("v"))
+          .collect()
+        val n = counts.map(_.getAs[Long]("c")).sum
+        val targets = Seq(0L, n / 4, n / 2, 3 * n / 4, n - 1)
+        val values = Array.fill[Double](targets.length)(0d)
+        var cum = 0L
+        var ti = 0
+        counts.foreach { r =>
+          val hi = cum + r.getAs[Long]("c")
+          // targets are ascending; each lands in the first bucket
+          // whose cumulative upper bound exceeds it
+          while (ti < targets.length && targets(ti) < hi) {
+            values(ti) = r.getAs[Double]("v")
+            ti += 1
+          }
+          cum = hi
+        }
+        values.toSeq.toDF("v")
+      }
     }),
 
     // Q8 — A3 length stats (types.py:209-224)

@@ -258,6 +258,44 @@ class CharClassAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 }
 
+/** Distributed exact order statistics (the q07 scale path). */
+class OrderStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("exactRanks matches an in-memory sort, duplicates and all") {
+    val s = spark
+    import s.implicits._
+    // skewed multiset: value i repeated (i % 7 + 1) times, shuffled
+    val values = (0 until 500).flatMap(i =>
+      Seq.fill(i % 7 + 1)((i * 37 % 250).toDouble))
+    val expectSorted = values.sorted
+    val df = scala.util.Random.shuffle(values).toDF("v")
+      .repartition(7)
+    val n = values.length.toLong
+    val ranks = Seq(0L, 1L, n / 4, n / 2, 3 * n / 4, n - 2, n - 1)
+    val got = OrderStats.exactRanks(df, "v", ranks, numPartitions = 5)
+    assert(got == ranks.map(k => expectSorted(k.toInt)))
+  }
+
+  test("positionalQuartiles equals the reference §1.3 rule") {
+    val s = spark
+    import s.implicits._
+    // range(10) → quartiles 2, 5, 7 (structa tests/test_types.py:36-50)
+    val df = (0 until 10).map(_.toDouble).toDF("v")
+    assert(OrderStats.positionalQuartiles(df, "v") ==
+      Seq(0.0, 2.0, 5.0, 7.0, 9.0))
+    assert(OrderStats.positionalQuartiles(
+      Seq.empty[Double].toDF("v"), "v") == Seq.empty)
+  }
+}
+
 /** SimHash band-bucket candidate generation. */
 class SimHashBandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _

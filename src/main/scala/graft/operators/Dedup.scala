@@ -16,14 +16,14 @@ import graft.functions.TextFunctions
   *    aggregation (one signature row per id crosses the shuffle) →
   *    band keys → bucket-join. Candidate pairs only ever materialize
   *    within a band bucket, never the O(n²) cross product.
-  *  - **SimHash**: 32-bit crc32-based per-token sign-sum — one pass,
+  *  - **SimHash**: 32-bit md5-slice per-token sign-sum — one pass,
   *    Hamming-ball lookups via band substrings.
   *  - **N-gram Jaccard**: shingle-explode + equi-join on shingle; the
   *    integer threshold form `k·inter ≥ m·union` avoids float
   *    comparisons entirely (exactly portable to the DuckDB oracle).
   *
-  * Hash functions are md5/crc32 — identical digests in DuckDB, so every
-  * operator except SimHash has an exact SQL oracle.
+  * Every hash is md5-derived — identical digests in DuckDB, so every
+  * operator has an exact SQL oracle.
   */
 object Dedup {
 
@@ -102,13 +102,18 @@ object Dedup {
   }
 
   /** 32-bit SimHash over whitespace tokens: for each bit position, sum
-    * +1/−1 according to crc32(token) bit, then take the sign. All
-    * built-ins, one pass, no UDF.
+    * +1/−1 according to a bit of the token's 32-bit hash, then take
+    * the sign. The token hash is the first 8 hex chars of md5 — DuckDB
+    * computes the identical value via
+    * `CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)`, giving SimHash
+    * a full SQL oracle. All built-ins, one pass, no UDF.
     */
   def simHash32(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val toks = df.select(idCol.as("id"),
       explode(TextFunctions.tokens(text)).as("tok"))
-      .select(col("id"), crc32(col("tok").cast("binary")).as("h"))
+      .select(col("id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
     val bitSums = (0 until 32).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$b"))

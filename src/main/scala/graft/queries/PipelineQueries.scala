@@ -8,9 +8,9 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
-  * surfaced as a deterministic query with a DuckDB oracle where the
-  * semantics are SQL-expressible (q27/q32 are rows-only: SimHash bit
-  * arithmetic and frame explosion have no portable SQL form).
+  * surfaced as a deterministic query with a DuckDB oracle (q33, the
+  * flagship structure-inference dump, is the only rows-only query; it
+  * is pinned by the byte-identical golden snapshot instead).
   *
   * Determinism notes: md5/crc32 digests are identical across engines;
   * ratio thresholds use integer cross-multiplication; dot products are
@@ -77,7 +77,6 @@ object PipelineQueries {
         .orderBy(col("band").asc_nulls_first)
     }),
 
-    // rows-only: SimHash (no portable SQL form for bit arithmetic)
     "q27_simhash" -> ((s, d) =>
       Dedup.simHash32(t(s, d, "documents"), col("doc_id"), col("text"))
         .agg(count(lit(1)).as("n_docs"),
@@ -137,7 +136,12 @@ object PipelineQueries {
         .orderBy(col("column_name").asc_nulls_first)
     }),
 
-    // rows-only: frame sampling + stub decode (explosion shape)
+    // frame sampling + stub decode (explosion shape). The feature
+    // aggregation is integer-exact: feat(1) is byte/255.0, and
+    // round(feat·255) provably recovers the byte (the product is
+    // within 1e-13 of the integer), so the sum is a plain long —
+    // no decimal casts of doubles anywhere (engines tie-break those
+    // differently).
     "q32_media_frames" -> ((s, d) => {
       val media = Multimodal.asMedia(t(s, d, "documents"), col("text"),
         "text/plain")
@@ -148,8 +152,8 @@ object PipelineQueries {
           Multimodal.fakeDecodeFeatures(col("frame")).as("feat"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_frames"),
-          sum(element_at(col("feat"), 1).cast("decimal(18,9)"))
-            .cast("double").as("sum_f0"))
+          sum(round(element_at(col("feat"), 1) * 255).cast("long"))
+            .as("sum_f0"))
         .orderBy(col("source").asc_nulls_first)
     })
   )
@@ -265,6 +269,36 @@ object PipelineQueries {
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +
        "n_rows FROM bands WHERE key IS NOT NULL GROUP BY band " +
        "ORDER BY band NULLS FIRST"),
+    "q27_simhash" -> {
+      // 32-bit SimHash in plain SQL: md5-slice token hash via DuckDB's
+      // hex-literal cast, per-bit sign sums, bit reassembly
+      val sums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(" +
+        "trim(text), '\\s+')) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS " +
+        "BIGINT) AS h FROM tok), " +
+        s"b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id), " +
+        s"sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash " +
+        "FROM b) " +
+        "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT simhash) AS " +
+        "n_distinct FROM sim"
+    },
+    "q32_media_frames" ->
+      // documents are ASCII (octet_length == length verified at every
+      // SF), so VARCHAR substr == the engine's byte slicing; sum_f0 is
+      // the exact integer sum of each frame's first md5 byte
+      ("WITH f AS (SELECT source, text, unnest(range(1, " +
+       "greatest(length(text) - 63, 1) + 1, 128)) AS off FROM " +
+       "documents), " +
+       "fr AS (SELECT source, substr(text, off, 64) AS frame FROM f) " +
+       "SELECT source, COUNT(*) AS n_frames, CAST(SUM(CAST('0x' || " +
+       "substr(md5(frame), 1, 2) AS INTEGER)) AS BIGINT) AS sum_f0 " +
+       "FROM fr GROUP BY source ORDER BY source NULLS FIRST"),
     "q28_cosine_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE " +
        "vec_id = 0), " +

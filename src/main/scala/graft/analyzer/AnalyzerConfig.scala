@@ -35,11 +35,14 @@ final case class AnalyzerConfig(
       */
     now: Instant = Instant.now()) {
 
-  /** Window bounds in *scaled* units (analyzer.py:199-206). */
-  val minTimestamp: Double = minTimestampOpt.getOrElse(
-    (now.minus(20 * 365, ChronoUnit.DAYS).toEpochMilli / 1000.0 -
-      timestampOffset) / timestampScale)
-  val maxTimestamp: Double = maxTimestampOpt.getOrElse(
-    (now.plus(10 * 365, ChronoUnit.DAYS).toEpochMilli / 1000.0 -
-      timestampOffset) / timestampScale)
+  /** Window bounds in *scaled* units (analyzer.py:199-206). The Opt
+    * overrides (CLI --min/max-timestamp) are RAW epoch seconds; the
+    * default window is now∓(20y,10y).
+    */
+  val minTimestamp: Double = (minTimestampOpt.getOrElse(
+    now.minus(20 * 365, ChronoUnit.DAYS).toEpochMilli / 1000.0) -
+      timestampOffset) / timestampScale
+  val maxTimestamp: Double = (maxTimestampOpt.getOrElse(
+    now.plus(10 * 365, ChronoUnit.DAYS).toEpochMilli / 1000.0) -
+      timestampOffset) / timestampScale
 }

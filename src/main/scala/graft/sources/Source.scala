@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,19 +9,27 @@ import graft.core.{VTuple, VSources}
 
 /** Input detection + parsing (structa source.py:69-254):
   *
-  *  - S1/S2 encoding detection over a 1 MB sample: BOM probing + UTF-8
-  *    validation (stands in for chardet; same confidence contract)
+  *  - S1/S2 encoding detection over a configurable sample: BOM probing
+  *    (UTF-8/16/32), BOM-less UTF-16 NUL-parity heuristic, strict
+  *    UTF-8 validation, and an 8-bit byte-range fallback
+  *    (windows-1252 vs ISO-8859-1) — each with a confidence; like the
+  *    reference (source.py:137-145) detections under 0.9 confidence
+  *    warn on stderr
   *  - S3 format detection: `<?xml` → xml (detected then rejected, as
   *    the reference does), `[`/`{` → json, else the YAML-vs-CSV line
   *    scorer (source.py:160-203 scoring reproduced exactly)
-  *  - S4 CSV dialect sniffing over the post-header 8 KiB
+  *  - S4 CSV dialect sniffing over the post-header 8 KiB, manually
+  *    overridable (`csv_delimiter`/`csv_quotechar` equivalents)
   *  - S5 CSV scan: the first line is ALWAYS skipped as a header and
   *    all values stay strings (the reference's documented quirk —
   *    types are inferred downstream, source.py:237-241)
-  *  - S7 YAML: a driver-side block-style subset parser (maps, lists,
-  *    nested indentation, core-schema scalars); the distributed path
-  *    converts YAML → the value model on the driver before analysis
-  *    (no native Spark YAML source exists)
+  *  - S7 YAML: a driver-side subset parser — block maps/lists, FLOW
+  *    collections (`{a: 1}`, `[1, 2]`), anchors/aliases (`&a`/`*a`),
+  *    multi-document streams (`---`), comments, core-schema scalars.
+  *    The "safe" loader restriction is structural: the parser can only
+  *    ever build plain maps/lists/scalars, so `yamlSafe=false` is
+  *    accepted-but-identical (the reference's unsafe mode constructs
+  *    arbitrary Python objects, which has no Spark-side analog)
   *
   * Driver-side detection reads only the sample prefix; the distributed
   * read ([[Source.sparkRead]]) maps the detected format onto
@@ -32,6 +40,19 @@ object Source {
 
   val SampleBytes: Int = 1024 * 1024
 
+  /** Per-source knobs mirroring the reference Source constructor
+    * (source.py:69-83) / CLI surface (ui/cli.py:70-234).
+    */
+  final case class SourceOptions(
+      format: String = "auto", // auto|csv|json|yaml
+      encoding: String = "auto",
+      encodingStrict: Boolean = true,
+      sampleBytes: Int = SampleBytes,
+      csvDelimiter: Option[Char] = None,
+      csvQuote: Option[Char] = None,
+      jsonStrict: Boolean = true,
+      yamlSafe: Boolean = true)
+
   sealed trait Format
   case object JsonFormat extends Format
   case object CsvFormat extends Format
@@ -41,29 +62,69 @@ object Source {
 
   final case class CsvDialect(delimiter: Char, quote: Char)
 
-  final case class Detected(encoding: Charset, format: Format,
-                            dialect: Option[CsvDialect])
+  final case class Detected(encoding: Charset, confidence: Double,
+                            format: Format, dialect: Option[CsvDialect])
 
   // ---------------------------------------------------------- detection
 
-  /** S2: BOM probe, then strict UTF-8 validation, else Latin-1. */
-  def detectEncoding(sample: Array[Byte]): Charset = {
+  /** S2 with a confidence, chardet-style: BOMs are certain; valid
+    * multi-byte UTF-8 is near-certain; BOM-less UTF-16 is inferred
+    * from the NUL-byte parity skew of ASCII-heavy text; 8-bit data
+    * falls back on byte-range evidence (0x80-0x9F bytes are cp1252
+    * letters but ISO-8859-1 controls). Anything under 0.9 warrants the
+    * reference's low-confidence warning.
+    */
+  def detectEncodingConfidence(sample: Array[Byte]): (Charset, Double) = {
+    if (sample.isEmpty) return (StandardCharsets.UTF_8, 1.0)
+    // BOMs — UTF-32 before UTF-16 (FF FE 00 00 starts with FF FE)
+    if (sample.length >= 4 && sample(0) == 0xFF.toByte &&
+        sample(1) == 0xFE.toByte && sample(2) == 0 && sample(3) == 0)
+      return (Charset.forName("UTF-32LE"), 1.0)
+    if (sample.length >= 4 && sample(0) == 0 && sample(1) == 0 &&
+        sample(2) == 0xFE.toByte && sample(3) == 0xFF.toByte)
+      return (Charset.forName("UTF-32BE"), 1.0)
     if (sample.length >= 3 && sample(0) == 0xEF.toByte &&
         sample(1) == 0xBB.toByte && sample(2) == 0xBF.toByte)
-      return StandardCharsets.UTF_8
+      return (StandardCharsets.UTF_8, 1.0)
     if (sample.length >= 2 && sample(0) == 0xFF.toByte &&
-        sample(1) == 0xFE.toByte) return StandardCharsets.UTF_16LE
+        sample(1) == 0xFE.toByte) return (StandardCharsets.UTF_16LE, 1.0)
     if (sample.length >= 2 && sample(0) == 0xFE.toByte &&
-        sample(1) == 0xFF.toByte) return StandardCharsets.UTF_16BE
-    val dec = StandardCharsets.UTF_8.newDecoder()
-    try {
-      dec.decode(java.nio.ByteBuffer.wrap(sample))
-      StandardCharsets.UTF_8
-    } catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        StandardCharsets.ISO_8859_1
+        sample(1) == 0xFF.toByte) return (StandardCharsets.UTF_16BE, 1.0)
+    // BOM-less UTF-16: ASCII-dominated text encodes as alternating
+    // NUL/non-NUL bytes with a strong parity skew
+    var nulEven = 0
+    var nulOdd = 0
+    var i = 0
+    while (i < sample.length) {
+      if (sample(i) == 0) { if (i % 2 == 0) nulEven += 1 else nulOdd += 1 }
+      i += 1
     }
+    val nuls = nulEven + nulOdd
+    if (nuls * 4 > sample.length) { // ≥ 25% NULs: not an 8-bit text
+      if (nulOdd > nulEven * 4)
+        return (StandardCharsets.UTF_16LE, 0.85)
+      if (nulEven > nulOdd * 4)
+        return (StandardCharsets.UTF_16BE, 0.85)
+    }
+    // strict UTF-8 validation
+    val dec = StandardCharsets.UTF_8.newDecoder()
+    val utf8Ok =
+      try { dec.decode(java.nio.ByteBuffer.wrap(sample)); true }
+      catch { case _: java.nio.charset.CharacterCodingException => false }
+    if (utf8Ok) {
+      val hasMultiByte = sample.exists(b => (b & 0x80) != 0)
+      return (StandardCharsets.UTF_8, if (hasMultiByte) 0.99 else 1.0)
+    }
+    // 8-bit fallback: windows-1252 when the cp1252-specific range is
+    // in use, else ISO-8859-1 — both are guesses, both warn
+    val hasC1 = sample.exists(b => (b & 0xFF) >= 0x80 && (b & 0xFF) <= 0x9F)
+    if (hasC1) (Charset.forName("windows-1252"), 0.7)
+    else (StandardCharsets.ISO_8859_1, 0.73)
   }
+
+  /** S2 compatibility form (confidence dropped). */
+  def detectEncoding(sample: Array[Byte]): Charset =
+    detectEncodingConfidence(sample)._1
 
   /** S3 (source.py:147-162). */
   def detectFormat(sample: String): Format = {
@@ -166,19 +227,51 @@ object Source {
     rows.result()
   }
 
-  /** S7: block-style YAML subset — nested maps (`k: v` / `k:`), lists
-    * (`- item`), comments, core-schema scalars. Flow collections and
-    * anchors are out of scope (documented limitation; the reference
-    * delegates to ruamel).
+  // --------------------------------------------------------------- YAML
+
+  /** S7: YAML subset — block maps/lists, single-line flow collections,
+    * anchors/aliases, multi-document streams, comments, core-schema
+    * scalars. A multi-document stream returns a Vector of documents.
     */
   def parseYaml(text: String): Any = {
-    val lines = text.linesIterator
+    val anchors = scala.collection.mutable.HashMap.empty[String, Any]
+    val allLines = text.linesIterator
       .map(stripComment)
-      .filter(_.trim.nonEmpty)
       .toVector
-    val (v, rest) = parseBlock(lines, 0)
-    require(rest.isEmpty, s"unparsed YAML remainder: ${rest.headOption}")
-    v
+    // multi-document split on --- / ... separator lines
+    val docs = Vector.newBuilder[Vector[String]]
+    var cur = Vector.newBuilder[String]
+    var sawSep = false
+    var nDocs = 0
+    allLines.foreach { l =>
+      val t = l.trim
+      if (t == "---" || t.startsWith("--- ")) {
+        val done = cur.result().filter(_.trim.nonEmpty)
+        if (done.nonEmpty || nDocs > 0) { docs += done; nDocs += 1 }
+        sawSep = true
+        cur = Vector.newBuilder[String]
+        // "--- value" inline document start
+        if (t.startsWith("--- ")) cur += t.drop(4)
+      } else if (t == "...") {
+        val done = cur.result().filter(_.trim.nonEmpty)
+        docs += done; nDocs += 1
+        cur = Vector.newBuilder[String]
+      } else cur += l
+    }
+    val tail = cur.result().filter(_.trim.nonEmpty)
+    if (tail.nonEmpty || nDocs == 0) { docs += tail; nDocs += 1 }
+    val parsed = docs.result().filter(_.nonEmpty).map { doc =>
+      anchors.clear()
+      val (v, rest) = parseBlock(doc, 0, anchors)
+      require(rest.isEmpty,
+        s"unparsed YAML remainder: ${rest.headOption}")
+      v
+    }
+    parsed match {
+      case Vector() => null
+      case Vector(one) => one
+      case many => many
+    }
   }
 
   private def stripComment(line: String): String = {
@@ -201,8 +294,10 @@ object Source {
   private def indentOf(line: String): Int =
     line.takeWhile(_ == ' ').length
 
-  private def parseBlock(lines: Vector[String], indent: Int)
-      : (Any, Vector[String]) = {
+  private type Anchors = scala.collection.mutable.HashMap[String, Any]
+
+  private def parseBlock(lines: Vector[String], indent: Int,
+                         anchors: Anchors): (Any, Vector[String]) = {
     if (lines.isEmpty) return (null, lines)
     val first = lines.head
     val ind = indentOf(first)
@@ -214,17 +309,28 @@ object Source {
       var rest = lines
       while (rest.nonEmpty && indentOf(rest.head) == ind &&
              (rest.head.trim.startsWith("- ") || rest.head.trim == "-")) {
-        val itemText = rest.head.trim.drop(1).trim
+        val itemText0 = rest.head.trim.drop(1).trim
+        // anchor definition on the item
+        val (anchorName, itemText) = splitAnchor(itemText0)
         if (itemText.isEmpty) {
-          val (v, r) = parseBlock(rest.tail, ind + 1)
+          val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
+          anchorName.foreach(anchors.update(_, v))
           items += v; rest = r
+        } else if (isFlowStart(itemText)) {
+          val v = parseFlowValue(itemText, anchors)
+          anchorName.foreach(anchors.update(_, v))
+          items += v; rest = rest.tail
         } else if (itemText.contains(": ") || itemText.endsWith(":")) {
           // inline map start: re-indent the fragment
           val synthetic = (" " * (ind + 2)) + itemText
-          val (v, r) = parseBlock(synthetic +: rest.tail, ind + 2)
+          val (v, r) = parseBlock(synthetic +: rest.tail, ind + 2,
+            anchors)
+          anchorName.foreach(anchors.update(_, v))
           items += v; rest = r
         } else {
-          items += parseScalar(itemText); rest = rest.tail
+          val v = resolveScalar(itemText, anchors)
+          anchorName.foreach(anchors.update(_, v))
+          items += v; rest = rest.tail
         }
       }
       (items.result(), rest)
@@ -236,19 +342,172 @@ object Source {
              (rest.head.trim.contains(": ") ||
               rest.head.trim.endsWith(":"))) {
         val l = rest.head.trim
-        val ci = l.indexOf(':')
+        val ci = keyColonIndex(l)
         val key = parseScalar(l.take(ci).trim)
-        val after = l.drop(ci + 1).trim
+        val after0 = l.drop(ci + 1).trim
+        val (anchorName, after) = splitAnchor(after0)
         if (after.isEmpty) {
-          val (v, r) = parseBlock(rest.tail, ind + 1)
+          val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
+          anchorName.foreach(anchors.update(_, v))
           entries += (key -> v); rest = r
+        } else if (isFlowStart(after)) {
+          val v = parseFlowValue(after, anchors)
+          anchorName.foreach(anchors.update(_, v))
+          entries += (key -> v); rest = rest.tail
         } else {
-          entries += (key -> parseScalar(after)); rest = rest.tail
+          val v = resolveScalar(after, anchors)
+          anchorName.foreach(anchors.update(_, v))
+          entries += (key -> v); rest = rest.tail
         }
       }
       (entries.result().toMap, rest)
+    } else if (isFlowStart(content)) {
+      (parseFlowValue(content, anchors), lines.tail)
     } else {
-      (parseScalar(content), lines.tail)
+      (resolveScalar(content, anchors), lines.tail)
+    }
+  }
+
+  /** First colon that terminates the key (skips quoted keys). */
+  private def keyColonIndex(l: String): Int = {
+    if (l.isEmpty) return -1
+    if (l.head == '"' || l.head == '\'') {
+      val close = l.indexOf(l.head, 1)
+      if (close > 0) {
+        val ci = l.indexOf(':', close)
+        if (ci > 0) return ci
+      }
+    }
+    l.indexOf(':')
+  }
+
+  private def isFlowStart(s: String): Boolean =
+    s.startsWith("{") || s.startsWith("[")
+
+  /** `&name rest` → (Some(name), rest); plain text passes through. */
+  private def splitAnchor(s: String): (Option[String], String) =
+    if (s.startsWith("&")) {
+      val sp = s.indexWhere(_.isWhitespace)
+      if (sp < 0) (Some(s.drop(1)), "")
+      else (Some(s.substring(1, sp)), s.substring(sp).trim)
+    } else (None, s)
+
+  /** Scalar position: alias lookup or core-schema scalar. */
+  private def resolveScalar(s: String, anchors: Anchors): Any =
+    if (s.startsWith("*")) {
+      val name = s.drop(1).trim
+      require(anchors.contains(name), s"unknown YAML alias *$name")
+      anchors(name)
+    } else parseScalar(s)
+
+  /** Single-line flow collection: `{k: v, ...}` / `[a, b, ...]` with
+    * nesting, quoting, anchors and aliases.
+    */
+  private def parseFlowValue(s: String, anchors: Anchors): Any = {
+    val p = new FlowParser(s, anchors)
+    val v = p.value()
+    p.skipWs()
+    require(p.eof, s"trailing flow content in: $s")
+    v
+  }
+
+  private final class FlowParser(s: String, anchors: Anchors) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit =
+      while (!eof && s.charAt(pos).isWhitespace) pos += 1
+
+    def value(): Any = {
+      skipWs()
+      require(!eof, "unexpected end of flow")
+      s.charAt(pos) match {
+        case '{' => map()
+        case '[' => seq()
+        case '"' | '\'' => quoted()
+        case '*' =>
+          val name = bare(stopAtColon = false)
+          resolveScalar(name, anchors)
+        case '&' =>
+          val tok = bare(stopAtColon = false)
+          val (name, restText) = splitAnchor(tok)
+          val v = if (restText.isEmpty) value()
+                  else parseScalar(restText)
+          name.foreach(anchors.update(_, v))
+          v
+        case _ => parseScalar(bare(stopAtColon = false))
+      }
+    }
+
+    private def map(): Map[Any, Any] = {
+      pos += 1 // {
+      val b = Map.newBuilder[Any, Any]
+      skipWs()
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return b.result() }
+      while (true) {
+        skipWs()
+        val k = s.charAt(pos) match {
+          case '"' | '\'' => quoted()
+          case _ => parseScalar(bare(stopAtColon = true))
+        }
+        skipWs()
+        require(!eof && s.charAt(pos) == ':',
+          s"expected : in flow map at $pos")
+        pos += 1
+        b += (k -> value())
+        skipWs()
+        require(!eof, "unterminated flow map")
+        s.charAt(pos) match {
+          case ',' => pos += 1
+          case '}' => pos += 1; return b.result()
+          case c => throw new IllegalArgumentException(
+            s"expected , or } in flow map, got $c")
+        }
+      }
+      b.result()
+    }
+
+    private def seq(): Vector[Any] = {
+      pos += 1 // [
+      val b = Vector.newBuilder[Any]
+      skipWs()
+      if (!eof && s.charAt(pos) == ']') { pos += 1; return b.result() }
+      while (true) {
+        b += value()
+        skipWs()
+        require(!eof, "unterminated flow sequence")
+        s.charAt(pos) match {
+          case ',' => pos += 1
+          case ']' => pos += 1; return b.result()
+          case c => throw new IllegalArgumentException(
+            s"expected , or ] in flow sequence, got $c")
+        }
+      }
+      b.result()
+    }
+
+    private def quoted(): String = {
+      val q = s.charAt(pos)
+      pos += 1
+      val b = new StringBuilder
+      while (!eof && s.charAt(pos) != q) {
+        // YAML single-quote escape: '' → '
+        if (q == '\'' && s.charAt(pos) == '\'' &&
+            pos + 1 < s.length && s.charAt(pos + 1) == '\'') {
+          b += '\''; pos += 1
+        } else b += s.charAt(pos)
+        pos += 1
+      }
+      require(!eof, "unterminated quoted string")
+      pos += 1
+      b.result()
+    }
+
+    private def bare(stopAtColon: Boolean): String = {
+      val start = pos
+      while (!eof && !",]}".contains(s.charAt(pos)) &&
+             !(stopAtColon && s.charAt(pos) == ':'))
+        pos += 1
+      s.substring(start, pos).trim
     }
   }
 
@@ -274,29 +533,83 @@ object Source {
 
   // --------------------------------------------------------- top level
 
-  /** Detect everything from the head sample of a file. */
-  def detect(path: String): Detected = {
-    val all = Files.readAllBytes(Paths.get(path))
-    val sampleBytes = all.take(SampleBytes)
-    val enc = detectEncoding(sampleBytes)
-    val sample = new String(sampleBytes, enc)
-    val fmt = detectFormat(sample)
+  private def namedFormat(name: String): Format = name match {
+    case "auto" => UnknownFormat
+    case "csv" => CsvFormat
+    case "json" => JsonFormat
+    case "yaml" => YamlFormat
+    case other =>
+      throw new IllegalArgumentException(s"unknown format: $other")
+  }
+
+  /** Detect everything from the head sample of a file, honoring the
+    * manual overrides in `opts`; warns on stderr for low-confidence
+    * encoding detections (source.py:137-145).
+    */
+  def detect(path: String, opts: SourceOptions = SourceOptions())
+      : Detected = {
+    val sampleBytes = readSample(path, opts.sampleBytes)
+    val (enc, conf) =
+      if (opts.encoding == "auto") {
+        val (e, c) = detectEncodingConfidence(sampleBytes)
+        if (c < 0.9)
+          System.err.println(
+            f"warning: low confidence ($c%.2f) in detected encoding " +
+              s"${e.name()} of $path")
+        (e, c)
+      } else (Charset.forName(opts.encoding), 1.0)
+    val sample = decode(sampleBytes, enc, strict = false)
+    val fmt =
+      if (opts.format == "auto") detectFormat(sample)
+      else namedFormat(opts.format)
     val dialect = fmt match {
-      case CsvFormat => Some(sniffCsvDialect(sample))
+      case CsvFormat => Some(dialectFor(sample, opts))
       case _ => None
     }
-    Detected(enc, fmt, dialect)
+    Detected(enc, conf, fmt, dialect)
+  }
+
+  private def dialectFor(sample: String, opts: SourceOptions)
+      : CsvDialect =
+    opts.csvDelimiter match {
+      case Some(d) => CsvDialect(d, opts.csvQuote.getOrElse('"'))
+      case None =>
+        val sniffed = sniffCsvDialect(sample)
+        opts.csvQuote.fold(sniffed)(q => sniffed.copy(quote = q))
+    }
+
+  private def readSample(path: String, limit: Int): Array[Byte] = {
+    val in = Files.newInputStream(Paths.get(path))
+    try in.readNBytes(limit)
+    finally in.close()
+  }
+
+  /** Decode with the reference's strictness contract: strict mode
+    * raises on invalid sequences, lenient mode substitutes the
+    * replacement character (--no-encoding-strict).
+    */
+  private def decode(bytes: Array[Byte], enc: Charset,
+                     strict: Boolean): String = {
+    val dec = enc.newDecoder()
+      .onMalformedInput(
+        if (strict) CodingErrorAction.REPORT
+        else CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(
+        if (strict) CodingErrorAction.REPORT
+        else CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
   }
 
   /** Driver-side load into the dynamic value model (reference
     * lifecycle for a single file).
     */
-  def load(path: String): Any = {
-    val d = detect(path)
-    val text = new String(Files.readAllBytes(Paths.get(path)),
-      d.encoding)
+  def load(path: String,
+           opts: SourceOptions = SourceOptions()): Any = {
+    val d = detect(path, opts)
+    val text = decode(Files.readAllBytes(Paths.get(path)), d.encoding,
+      strict = opts.encodingStrict)
     d.format match {
-      case JsonFormat => graft.tools.Json.parse(text)
+      case JsonFormat => graft.tools.Json.parse(text, opts.jsonStrict)
       case CsvFormat => parseCsv(text, d.dialect.get)
       case YamlFormat => parseYaml(text)
       case XmlFormat =>
@@ -307,17 +620,19 @@ object Source {
   }
 
   /** Load many files as a sources list (ui/cli.py:240-249). */
-  def loadAll(paths: Seq[String]): Any =
-    if (paths.length == 1) load(paths.head)
-    else VSources(paths.toVector.map(load))
+  def loadAll(paths: Seq[String],
+              opts: SourceOptions = SourceOptions()): Any =
+    if (paths.length == 1) load(paths.head, opts)
+    else VSources(paths.toVector.map(load(_, opts)))
 
   /** Distributed read: detection on the driver's head sample, full
     * scan on executors via the native readers. CSV keeps all columns
     * as strings (downstream inference owns typing) and skips the
     * header per the reference quirk.
     */
-  def sparkRead(spark: SparkSession, path: String): DataFrame = {
-    val d = detect(path)
+  def sparkRead(spark: SparkSession, path: String,
+                opts: SourceOptions = SourceOptions()): DataFrame = {
+    val d = detect(path, opts)
     d.format match {
       case JsonFormat =>
         spark.read

@@ -13,12 +13,15 @@ object Analyze {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args.toSeq)
     if (opts.files.isEmpty) { System.err.println(Cli.usage); sys.exit(2) }
-    val data = graft.sources.Source.loadAll(opts.files)
+    val data = graft.sources.Source.loadAll(opts.files, opts.source)
     val analyzer = new TreeAnalyzer(opts.config)
     val structure = analyzer.analyze(data)
     val merged = analyzer.mergeToFixpoint(structure)
-    println(if (opts.showSamples) graft.core.Render.verbose(merged)
-            else merged.render)
+    // default toggles → the golden types.py-str grammar; any explicit
+    // show/hide flag switches to the configurable CLI view
+    println(if (opts.render == graft.core.RenderOptions.default)
+              merged.render
+            else graft.core.Render.configured(merged, opts.render))
   }
 }
 
@@ -28,15 +31,18 @@ object Analyze {
   * path uses spark.read.json.
   */
 object Json {
-  def parse(s: String): Any = {
-    val p = new Parser(s)
+  /** `strict` mirrors Python json's default: control characters inside
+    * strings are rejected unless strict is disabled (--no-json-strict).
+    */
+  def parse(s: String, strict: Boolean = true): Any = {
+    val p = new Parser(s, strict)
     val v = p.value()
     p.skipWs()
     require(p.eof, s"trailing content at ${p.pos}")
     v
   }
 
-  private final class Parser(s: String) {
+  private final class Parser(s: String, strict: Boolean = true) {
     var pos = 0
     def eof: Boolean = pos >= s.length
     def skipWs(): Unit =
@@ -110,6 +116,8 @@ object Json {
       val b = new StringBuilder
       while (s.charAt(pos) != '"') {
         val c = s.charAt(pos)
+        require(!strict || c >= ' ',
+          s"invalid control character at $pos")
         if (c == '\\') {
           pos += 1
           s.charAt(pos) match {

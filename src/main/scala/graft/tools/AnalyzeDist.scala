@@ -36,7 +36,7 @@ object AnalyzeDist {
       val trees = opts.files.map { path =>
         val df =
           if (path.endsWith(".parquet")) spark.read.parquet(path)
-          else graft.sources.Source.sparkRead(spark, path)
+          else graft.sources.Source.sparkRead(spark, path, opts.source)
         analyzer.analyzeTable(df)
       }
       val tree: SType =

@@ -119,4 +119,149 @@ class SourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](load(f.toString))
     Files.delete(f)
   }
+
+  // ---- chardet-class encoding detection (test_source.py:54-75) ----
+
+  test("encoding confidence: 8-bit fallbacks warn (< 0.9)") {
+    // latin-1 names (test_source.py fixture rows) → ISO-8859-1, low
+    // confidence like chardet's
+    val latin1 = "José,España\nFrançois,France\nMüller,Deutschland\n"
+      .getBytes("ISO-8859-1")
+    val (e1, c1) = detectEncodingConfidence(latin1)
+    assert(e1 == StandardCharsets.ISO_8859_1)
+    assert(c1 < 0.9)
+    // cp1252-specific C1 range (’ = 0x92) → windows-1252
+    val cp1252 = "it’s fine".getBytes("windows-1252")
+    val (e2, c2) = detectEncodingConfidence(cp1252)
+    assert(e2.name == "windows-1252")
+    assert(c2 < 0.9)
+    // multi-byte UTF-8 is near-certain, pure ASCII certain
+    assert(detectEncodingConfidence("héllo".getBytes("UTF-8"))._2 >= 0.9)
+    assert(detectEncodingConfidence("hello".getBytes("UTF-8"))._2 == 1.0)
+  }
+
+  test("encoding: BOM-less UTF-16 via NUL-parity heuristic") {
+    val textLe = "name,nationality\nJose,Spain\n"
+      .getBytes(StandardCharsets.UTF_16LE)
+    val (le, lc) = detectEncodingConfidence(textLe)
+    assert(le == StandardCharsets.UTF_16LE)
+    assert(lc < 0.9) // heuristic, warns like chardet sub-0.9
+    val textBe = "name,nationality\nJose,Spain\n"
+      .getBytes(StandardCharsets.UTF_16BE)
+    assert(detectEncodingConfidence(textBe)._1 ==
+      StandardCharsets.UTF_16BE)
+  }
+
+  test("encoding: UTF-32 BOMs out-prioritize the UTF-16LE prefix") {
+    val utf32le = Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0, 'h', 0,
+      0, 0)
+    assert(detectEncodingConfidence(utf32le)._1.name == "UTF-32LE")
+  }
+
+  test("manual encoding + strict raises on bad bytes " +
+      "(test_source.py:63-66)") {
+    val f = Files.createTempFile("latin1", ".csv")
+    Files.write(f, "h\nJosé,España\nFrançois,France\n"
+      .getBytes("ISO-8859-1"))
+    // utf-8 forced on latin-1 bytes: strict decode must throw
+    intercept[Exception](load(f.toString,
+      SourceOptions(encoding = "utf-8", encodingStrict = true)))
+    // lenient decode substitutes replacement chars instead
+    val lenient = load(f.toString,
+      SourceOptions(encoding = "utf-8", encodingStrict = false))
+    assert(lenient.asInstanceOf[Vector[Any]].nonEmpty)
+    Files.delete(f)
+  }
+
+  test("manual format override raises on mismatched data " +
+      "(test_source.py:78-86)") {
+    val f = Files.createTempFile("notjson", ".csv")
+    Files.write(f, "a,b\n1,2\n".getBytes("UTF-8"))
+    intercept[Exception](load(f.toString,
+      SourceOptions(format = "json")))
+    Files.delete(f)
+  }
+
+  test("manual csv dialect override (test_source.py:112-116)") {
+    val f = Files.createTempFile("weird", ".csv")
+    Files.write(f, "root:x:0\ndaemon:y:1\nbin:z:2\n".getBytes("UTF-8"))
+    val d = detect(f.toString, SourceOptions(format = "csv",
+      csvDelimiter = Some(':'), csvQuote = Some('\'')))
+    assert(d.dialect.contains(CsvDialect(':', '\'')))
+    val rows = load(f.toString, SourceOptions(format = "csv",
+      csvDelimiter = Some(':'), csvQuote = Some('\'')))
+    assert(rows.asInstanceOf[Vector[Any]].head ==
+      VTuple(Vector("daemon", "y", "1")))
+    Files.delete(f)
+  }
+
+  test("sample limit honored (test_source.py:41-51)") {
+    val f = Files.createTempFile("sample", ".bin")
+    Files.write(f, ("x" * 2000 + "\ny,z\n").getBytes("UTF-8"))
+    // tiny sample: detection only reads sampleBytes of the head
+    val d = detect(f.toString, SourceOptions(sampleBytes = 1000))
+    assert(d.encoding == StandardCharsets.UTF_8)
+    Files.delete(f)
+  }
+
+  // ---- YAML: flow collections, anchors, multi-doc ----
+
+  test("yaml flow collections: inline maps and sequences") {
+    val y =
+      """top: {a: 1, b: [1, 2, 3], c: {d: true}}
+        |list: [x, 'y z', {k: v}]
+        |empty_map: {}
+        |empty_list: []
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    val top = v("top").asInstanceOf[Map[Any, Any]]
+    assert(top("a") == 1L)
+    assert(top("b") == Vector(1L, 2L, 3L))
+    assert(top("c").asInstanceOf[Map[Any, Any]]("d") == true)
+    val list = v("list").asInstanceOf[Vector[Any]]
+    assert(list(0) == "x")
+    assert(list(1) == "y z")
+    assert(list(2).asInstanceOf[Map[Any, Any]]("k") == "v")
+    assert(v("empty_map") == Map.empty)
+    assert(v("empty_list") == Vector.empty)
+  }
+
+  test("yaml anchors and aliases") {
+    val y =
+      """defaults: &def
+        |  host: example.com
+        |  port: 8080
+        |main: *def
+        |alt:
+        |  - &x 42
+        |  - *x
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("main") == v("defaults"))
+    assert(v("main").asInstanceOf[Map[Any, Any]]("port") == 8080L)
+    assert(v("alt") == Vector(42L, 42L))
+  }
+
+  test("yaml multi-document streams") {
+    val y =
+      """---
+        |a: 1
+        |---
+        |b: 2
+        |...
+        |""".stripMargin
+    val docs = parseYaml(y).asInstanceOf[Vector[Any]]
+    assert(docs.length == 2)
+    assert(docs(0) == Map("a" -> 1L))
+    assert(docs(1) == Map("b" -> 2L))
+    // single document with a --- header stays a single value
+    assert(parseYaml("---\nk: v\n") == Map("k" -> "v"))
+  }
+
+  test("json strict rejects control chars in strings") {
+    intercept[IllegalArgumentException](
+      graft.tools.Json.parse("[\"a\tb\"]", strict = true))
+    assert(graft.tools.Json.parse("[\"a\tb\"]", strict = false) ==
+      Vector("a\tb"))
+  }
 }

@@ -41,7 +41,14 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
                             SparkAnalyzer.defaultDistinctCap,
                           /** Recurse into JSON-encoded string columns
                             * (beyond-reference; see assembleScalar). */
-                          val parseJsonStrings: Boolean = true) {
+                          val parseJsonStrings: Boolean = true,
+                          /** Over-cap columns keep a bounded top-K
+                            * frequency sketch as their display sample
+                            * (SURVEY §8); 0 disables the extra
+                            * TakeOrdered job per summary column.
+                            */
+                          val sampleTopK: Int =
+                            SparkAnalyzer.defaultSampleTopK) {
 
   private val tree = new TreeAnalyzer(config)
 
@@ -331,8 +338,9 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         (approx_count_distinct(c) >= (count(c) * 98 / 100))
           .as("uniq")).head()
       val mn = normalize(r.get(0))
-      return Stats.summary(r.getAs[Long]("cnt"), mn, mn, mn, mn,
-        normalize(r.get(1)), unique = r.getAs[Boolean]("uniq"))
+      return withTopK(df, c, Stats.summary(r.getAs[Long]("cnt"), mn,
+        mn, mn, mn, normalize(r.get(1)),
+        unique = r.getAs[Boolean]("uniq")))
     }
     val ps = Seq(n / 4, n / 2, 3 * n / 4).map(k =>
       if (n <= 1) 0.0 else k.toDouble / (n - 1))
@@ -350,9 +358,30 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       (approx_count_distinct(c) >= (count(c) * 98 / 100))
         .as("uniq")).head()
     val qs = r.getSeq[Double](2)
-    Stats.summary(r.getAs[Long]("cnt"), normalize(r.get(0)),
-      qs(0), qs(1), qs(2), normalize(r.get(1)),
-      unique = r.getAs[Boolean]("uniq"))
+    withTopK(df, c, Stats.summary(r.getAs[Long]("cnt"),
+      normalize(r.get(0)), qs(0), qs(1), qs(2), normalize(r.get(1)),
+      unique = r.getAs[Boolean]("uniq")))
+  }
+
+  /** Attach the bounded top-K most-common sketch to a summary Stats:
+    * one partial-aggregated groupBy + TakeOrdered of K rows — the
+    * sample display survives past the distinct cap without a driver
+    * histogram (SURVEY §8). Marked partial so it can never feed
+    * quartile recomputation on merge.
+    */
+  private def withTopK(df: DataFrame, c: Column, s: Stats): Stats = {
+    if (sampleTopK <= 0 || s.unique) return s
+    val rows = df.groupBy(c.as("v"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("v").asc_nulls_first)
+      .limit(sampleTopK)
+      .collect()
+    val counter = ValueCounter(rows.flatMap { r =>
+      Option(r.get(0)).map(v => (normalize(v): Any) -> r.getAs[Long]("n"))
+    }.toMap)
+    if (counter.isEmpty) s
+    else Stats.summaryWithSample(s.card, s.min, s.q1, s.q2, s.q3,
+      s.max, s.unique, counter)
   }
 
   /** Spark row value → dynamic value model. */
@@ -638,4 +667,10 @@ object SparkAnalyzer {
   def exactPercentileCap: Long =
     sys.env.get("SPARK_GRAFT_EXACT_PCT_CAP").map(_.toLong)
       .getOrElse(100000000L)
+
+  /** Top-K sketch size for over-cap sample display. Override:
+    * SPARK_GRAFT_SAMPLE_TOPK (0 disables).
+    */
+  def defaultSampleTopK: Int =
+    sys.env.get("SPARK_GRAFT_SAMPLE_TOPK").map(_.toInt).getOrElse(8)
 }

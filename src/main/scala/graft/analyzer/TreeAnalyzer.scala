@@ -16,9 +16,30 @@ import graft.core._
   * wide DataFrame aggregations and reuses this class's scalar-matching
   * ladder on collected counters.
   */
+/** A value failing validation against the inferred pattern during
+  * extraction (structa errors.py:7-11 ValidationWarning) — collected
+  * rather than silently dropped, so callers can report counts.
+  */
+final case class ValidationWarning(message: String)
+
 final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
 
   import TreeAnalyzer._
+
+  private val warningsBuf =
+    scala.collection.mutable.Buffer.empty[ValidationWarning]
+
+  /** Warnings collected by extractions since construction (or the
+    * last [[clearWarnings]]) — the reference emits these via the
+    * warnings module (analyzer.py:515-523); we accumulate them.
+    */
+  def warnings: Vector[ValidationWarning] = warningsBuf.toVector
+
+  def clearWarnings(): Unit = warningsBuf.clear()
+
+  private def warnInvalid(value: Any, against: SType): Unit =
+    warningsBuf += ValidationWarning(
+      s"failed to validate $value against ${against.render}")
 
   // ------------------------------------------------------------ analyze
 
@@ -99,7 +120,7 @@ final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
         case PDictValues(keyType) =>
           mapOf(v).foreach { case (k, value) =>
             if (keyType.validates(k)) walk(value, i + 1)
-            // else: ValidationWarning (analyzer.py:515-523); dropped
+            else warnInvalid(k, keyType) // analyzer.py:515-523
           }
         case PTupleIndices =>
           tupOf(v).indices.foreach(ix => walk(ix.toLong, i + 1))
@@ -110,6 +131,7 @@ final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
         case PTupleValues(indexType) =>
           tupOf(v).zipWithIndex.foreach { case (value, ix) =>
             if (indexType.validates(ix.toLong)) walk(value, i + 1)
+            else warnInvalid(ix.toLong, indexType)
           }
       }
     }

@@ -26,12 +26,19 @@ final case class Stats(
     q2: Any,
     q3: Any,
     max: Any,
-    unique: Boolean) {
+    unique: Boolean,
+    /** True when `sample` is a bounded top-K frequency sketch rather
+      * than the exact counter (scale mode past the distinct cap) —
+      * display-only: it must never feed quartile recomputation.
+      */
+    sampleIsPartial: Boolean = false) {
 
   def median: Any = q2
 
   def merge(other: Stats): Stats = (sample, other.sample) match {
-    case (Some(a), Some(b)) => Stats.fromCounter(a.merge(b))
+    case (Some(a), Some(b))
+        if !sampleIsPartial && !other.sampleIsPartial =>
+      Stats.fromCounter(a.merge(b))
     case _ =>
       val (lo, hi) =
         if (ValueOrdering.compare(min, other.min) <= 0) (this, other)
@@ -93,4 +100,13 @@ object Stats {
   def summary(card: Long, min: Any, q1: Any, q2: Any, q3: Any, max: Any,
               unique: Boolean): Stats =
     Stats(None, card, min, q1, q2, q3, max, unique)
+
+  /** Scale-mode summary carrying a bounded top-K frequency sketch so
+    * sample display survives past the distinct cap (SURVEY §8).
+    */
+  def summaryWithSample(card: Long, min: Any, q1: Any, q2: Any,
+                        q3: Any, max: Any, unique: Boolean,
+                        topK: ValueCounter): Stats =
+    Stats(if (topK.isEmpty) None else Some(topK), card, min, q1, q2,
+      q3, max, unique, sampleIsPartial = true)
 }

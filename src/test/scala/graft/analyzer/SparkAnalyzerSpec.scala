@@ -100,6 +100,34 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!off("js").contains("json"))
   }
 
+  test("over-cap columns keep a bounded top-K sample sketch") {
+    val s = spark
+    import s.implicits._
+    // 150 distinct values, each appearing twice (non-unique so the
+    // sample display rule applies)
+    val df = (0 until 300).map(i => (s"k${i % 150}", (i % 150).toLong))
+      .toDF("strs", "nums")
+    val tree = new SparkAnalyzer(exactDistinctCap = 2, sampleTopK = 4)
+      .analyzeTable(df)
+    val rendered = graft.core.Render.configured(tree,
+      graft.core.RenderOptions(showSamples = true, showRange = 1))
+    // both columns carry samples past the cap...
+    assert(rendered.contains("samples="), rendered)
+    // ...and they are bounded: at most 4 entries per column
+    val sampleGroups = rendered.split("samples=").drop(1)
+    assert(sampleGroups.nonEmpty)
+    sampleGroups.foreach { g =>
+      val entries = g.takeWhile(c => c != ',' && c != '\n' && c != '}')
+        .count(_ == '×')
+      assert(entries <= 4, s"unbounded sample: $g")
+    }
+    // with the sketch disabled the sample is absent, like round 1
+    val off = new SparkAnalyzer(exactDistinctCap = 2, sampleTopK = 0)
+      .analyzeTable(df)
+    assert(!graft.core.Render.configured(off,
+      graft.core.RenderOptions(showSamples = true)).contains("samples="))
+  }
+
   test("null-heavy column discounts nulls like the reference") {
     val s = spark
     import s.implicits._

@@ -196,6 +196,23 @@ class TreeAnalyzerSpec extends AnyFunSuite {
     assert(sr.content.isInstanceOf[SDateTime], s"got $sr")
   }
 
+  test("extraction mismatches surface as ValidationWarnings " +
+      "(analyzer.py:515-523, test_analyzer.py:181-190 bad-data dict)") {
+    // {"0".."99" -> int} + one bad key "a": keys infer as
+    // str-of-int(d) within the 1% bad threshold; extracting values
+    // through that key type must warn about "a", not silently drop it
+    val data: Map[Any, Any] =
+      ((0 until 100).map(i => (i.toString: Any) -> (i.toLong: Any)) :+
+        (("a": Any) -> (0L: Any))).toMap
+    val a = new TreeAnalyzer(AnalyzerConfig(badThreshold = 0.01))
+    val t = a.analyze(data).asInstanceOf[SDict]
+    assert(t.content.head.key.isInstanceOf[SStrRepr])
+    assert(a.warnings.length == 1, a.warnings)
+    assert(a.warnings.head.message.contains("a"))
+    a.clearWarnings()
+    assert(a.warnings.isEmpty)
+  }
+
   test("URLs (test_analyzer.py:535-551)") {
     val data: Vector[Any] = Vector(
       "http://example.com/", "https://example.org/index.html",

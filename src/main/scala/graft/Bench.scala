@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the sf tables are single sub-MB parquet files; without a
+      // smaller split size every map-side stage (shingling, hashing,
+      // signatures) runs on ONE core of the 32. A real cluster gets
+      // its splits from many files and keeps the 128m default.
+      .config("spark.sql.files.maxPartitionBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen and the parquet footer cache so the first

@@ -67,28 +67,31 @@ object Dedup {
       : DataFrame = {
     require(numHashes % 4 == 0 && numHashes > 0,
       "salted md5 slices come in fours")
-    val withSig = df.select(idCol.as("id"),
+    df.select(idCol.as("id"),
       graft.functions.MinHashExpr.minHashNative(text, shingleK,
-        numHashes / 4).as("__sig"))
-    withSig.select(col("id") +:
-      (1 to numHashes).map(j =>
-        element_at(col("__sig"), j).as(s"mh$j")): _*)
+        numHashes / 4).as("sig"))
   }
 
-  /** LSH band keys from a signature frame: rows (id, band, key) where
-    * key concatenates the band's 8-hex-char hashes (b bands of r
-    * rows; collision probability 1-(1-J^r)^b). Near-duplicates collide
-    * on at least one band with high probability; the bucket-join
-    * replaces the O(n²) scan.
+  /** LSH band keys from a signature frame (id, sig array): rows
+    * (id, band, key) where key concatenates the band's 8-hex-char
+    * hashes (b bands of r rows; collision probability 1-(1-J^r)^b).
+    * Near-duplicates collide on at least one band with high
+    * probability; the bucket-join replaces the O(n²) scan.
+    *
+    * The signature array is referenced exactly ONCE (a single
+    * `transform` + `posexplode`), which matters: splaying it into
+    * per-hash columns would inline the expensive MinHash expression
+    * into every band branch and re-evaluate it b× per row (measured
+    * 7× slower at sf0.1). Null signatures (short docs) vanish in the
+    * explode, keeping them out of candidate generation.
     */
   def lshBands(sigs: DataFrame, numHashes: Int = 64,
                bandSize: Int = 4): DataFrame = {
-    val bands = (0 until numHashes / bandSize).map { b =>
-      val key = concat((1 to bandSize).map(i =>
-        col(s"mh${b * bandSize + i}")): _*)
-      sigs.select(col("id"), lit(b).as("band"), key.as("key"))
-    }
-    bands.reduce(_ unionAll _)
+    val b = numHashes / bandSize
+    val keys = transform(sequence(lit(0), lit(b - 1)), i =>
+      concat((0 until bandSize).map(r =>
+        element_at(col("sig"), i * bandSize + r + 1)): _*))
+    sigs.select(col("id"), posexplode(keys).as(Seq("band", "key")))
   }
 
   /** Candidate near-duplicate pairs: ids sharing an LSH band bucket. */

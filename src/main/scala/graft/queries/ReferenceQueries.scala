@@ -74,17 +74,21 @@ object ReferenceQueries {
       import s.implicits._
       val df = t(s, d, "lineitem")
       val cap = graft.analyzer.SparkAnalyzer.defaultDistinctCap
-      val adist = df.agg(approx_count_distinct(col("l_quantity"))
-        .as("ad")).head().getAs[Long]("ad")
-      if (adist > cap)
+      // bounded collect doubles as the cap check: TakeOrdered of at
+      // most cap+1 distinct values — one job when under the cap, and
+      // the scale path engages without ever collecting a full
+      // histogram when over it
+      val capped = df
+        .groupBy(col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("v"))
+        .limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+      if (capped.length > cap)
         graft.operators.OrderStats
           .positionalQuartiles(df, "l_quantity").toDF("v")
       else {
-        val counts = df
-          .groupBy(col("l_quantity").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("v"))
-          .collect()
+        val counts = capped
         val n = counts.map(_.getAs[Long]("c")).sum
         val targets = Seq(0L, n / 4, n / 2, 3 * n / 4, n - 1)
         val values = Array.fill[Double](targets.length)(0d)

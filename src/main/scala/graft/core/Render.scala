@@ -42,34 +42,63 @@ object Render {
 
   // ------------------------------------------------ configurable view
 
+  /** ANSI style roles mirroring the reference terminal palette
+    * (ui/cli.py:269-283: type=cyan, fill/suffix=green,
+    * pattern=yellow).
+    */
+  final case class Style(typ: String => String,
+                         suffix: String => String,
+                         pat: String => String)
+
+  object Style {
+    val plain: Style = Style(identity, identity, identity)
+    private def c(code: Int)(s: String) = "\u001b[" + code + "m" + s + "\u001b[0m"
+    val ansi: Style = Style(c(36), c(32), c(33))
+  }
+
   /** The reference CLI's configurable view (the role of ui/cli.xsl,
-    * re-expressed over our grammar without the XML/ANSI layer):
+    * re-expressed over our grammar without the XML layer):
     * honors every show/hide toggle plus the str-limit rule — string
     * VALUE ranges display only while the longest value fits
     * `strLimit`; longer strings fall back to their length range
     * (cli.xsl:168-176).
     */
-  def configured(t: SType, o: RenderOptions): String = walkC(t, o)
+  def configured(t: SType, o: RenderOptions): String =
+    walkC(t, o)(Style.plain)
+
+  /** The styled terminal view (ui/cli.py:269-307's ANSI layer). */
+  def styled(t: SType, o: RenderOptions): String =
+    walkC(t, o)(Style.ansi)
 
   private def summaryC(s: Stats, o: RenderOptions,
-                       fmt: Any => String): String =
+                       fmt: Any => String)
+                      (implicit st: Style): String = {
+    val dots = st.suffix("..")
     o.showRange match {
       case 0 => ""
       case 2 =>
-        s" range=${fmt(s.min)}..${fmt(s.q2)}..${fmt(s.max)}"
+        st.suffix(" range=") +
+          s"${fmt(s.min)}$dots${fmt(s.q2)}$dots${fmt(s.max)}"
       case 3 =>
-        s" range=${fmt(s.min)}..${fmt(s.q1)}..${fmt(s.q2)}.." +
-          s"${fmt(s.q3)}..${fmt(s.max)}"
+        st.suffix(" range=") +
+          s"${fmt(s.min)}$dots${fmt(s.q1)}$dots${fmt(s.q2)}$dots" +
+          s"${fmt(s.q3)}$dots${fmt(s.max)}"
       case 4 =>
-        s" range=${fmt(s.min)} [${fmt(s.q1)} ${fmt(s.q2)} " +
+        st.suffix(" range=") +
+          s"${fmt(s.min)} [${fmt(s.q1)} ${fmt(s.q2)} " +
           s"${fmt(s.q3)}] ${fmt(s.max)}"
-      case _ => s" range=${fmt(s.min)}..${fmt(s.max)}"
+      case _ =>
+        st.suffix(" range=") + s"${fmt(s.min)}$dots${fmt(s.max)}"
     }
+  }
 
   private def valuesC(s: Stats, o: RenderOptions,
-                      fmt: Any => String): String = {
+                      fmt: Any => String)
+                     (implicit st: Style): String = {
     val count =
-      if (o.showCount) s" count=${Format.formatInt(s.card)}" else ""
+      if (o.showCount)
+        st.suffix(" count=") + Format.formatInt(s.card)
+      else ""
     val range = summaryC(s, o, fmt)
     val samples = s.sample match {
       // non-unique only, like the reference display rule
@@ -79,7 +108,7 @@ object Render {
         val shown =
           if (common.length > 6) common.take(3) ++ common.takeRight(3)
           else common
-        " samples=" + shown.map { case (v, n) =>
+        st.suffix(" samples=") + shown.map { case (v, n) =>
           s"${fmt(v)}×${Format.formatInt(n)}"
         }.mkString(" ")
       case _ => ""
@@ -90,33 +119,42 @@ object Render {
   private def dtFmt(v: Any): String =
     Format.formatSample(v).stripPrefix("\"").stripSuffix("\"")
 
-  private def walkC(t: SType, o: RenderOptions): String = t match {
-    case b: SBool => "bool"
-    case i: SInt => "int" + valuesC(i.values, o, Format.formatSample)
+  private def walkC(t: SType, o: RenderOptions)
+                   (implicit st: Style): String = t match {
+    case b: SBool => st.typ("bool")
+    case i: SInt =>
+      st.typ("int") + valuesC(i.values, o, Format.formatSample)
     case f: SFloat =>
-      "float" + valuesC(f.values, o, Format.formatSample)
-    case d: SDateTime => "datetime" + valuesC(d.values, o, dtFmt)
-    case u: SURL => "URL"
+      st.typ("float") + valuesC(f.values, o, Format.formatSample)
+    case d: SDateTime =>
+      st.typ("datetime") + valuesC(d.values, o, dtFmt)
+    case u: SURL => st.typ("URL")
     case s: SStr =>
       val body =
         if (SType.asLong(s.lengths.max) <= o.strLimit)
           valuesC(s.values, o, Format.formatSample)
         else if (o.showLengths)
-          s" lengths=${Format.formatSample(s.lengths.min)}.." +
+          st.suffix(" lengths=") +
+            s"${Format.formatSample(s.lengths.min)}${st.suffix("..")}" +
             Format.formatSample(s.lengths.max)
         else ""
       val pat = s.pattern match {
         case Some(p) if o.showPattern =>
-          " pattern=" + SType.shorten(p.map(_.render).mkString, 60)
+          st.suffix(" pattern=") +
+            st.pat(SType.shorten(p.map(_.render).mkString, 60))
         case _ => ""
       }
-      "str" + body + pat
+      st.typ("str") + body + pat
     case r: SStrRepr =>
-      val pat = if (o.showPattern) s" pattern=${r.pattern}" else ""
-      s"str of ${walkC(r.content, o)}$pat"
+      val pat =
+        if (o.showPattern)
+          st.suffix(" pattern=") + st.pat(r.pattern)
+        else ""
+      st.typ("str of ") + walkC(r.content, o) + pat
     case n: SNumRepr =>
       val kind = if (n.isFloat) "float" else "int"
-      s"$kind ${Format.formatTimestampNumRepr(n.offset, n.scale)} of " +
+      st.typ(kind) +
+        s" ${Format.formatTimestampNumRepr(n.offset, n.scale)} of " +
         walkC(n.content, o)
     case d: SDict =>
       SType.renderContainer(d.content.map(f =>
@@ -131,8 +169,11 @@ object Render {
     case other => other.render
   }
 
-  private def countSuffix(s: Stats, o: RenderOptions): String =
-    if (o.showCount) s" count=${Format.formatInt(s.card)}" else ""
+  private def countSuffix(s: Stats, o: RenderOptions)
+                         (implicit st: Style): String =
+    if (o.showCount)
+      st.suffix(" count=") + Format.formatInt(s.card)
+    else ""
 
   private def statsSuffix(s: Stats): String = {
     val base = s" {card=${Format.formatInt(s.card)}" +

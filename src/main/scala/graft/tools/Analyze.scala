@@ -18,10 +18,16 @@ object Analyze {
     val structure = analyzer.analyze(data)
     val merged = analyzer.mergeToFixpoint(structure)
     // default toggles → the golden types.py-str grammar; any explicit
-    // show/hide flag switches to the configurable CLI view
-    println(if (opts.render == graft.core.RenderOptions.default)
-              merged.render
-            else graft.core.Render.configured(merged, opts.render))
+    // show/hide flag switches to the configurable CLI view; --xml and
+    // --ansi select the other two reference output surfaces
+    println(opts.outputMode match {
+      case "xml" => graft.core.Xml.toStringOf(merged)
+      case "ansi" => graft.core.Render.styled(merged, opts.render)
+      case _ =>
+        if (opts.render == graft.core.RenderOptions.default)
+          merged.render
+        else graft.core.Render.configured(merged, opts.render)
+    })
   }
 }
 

@@ -28,6 +28,8 @@ object Cli {
       files: Vector[String] = Vector.empty,
       source: SourceOptions = SourceOptions(),
       render: RenderOptions = RenderOptions(),
+      /** text (default grammar), ansi (styled terminal), xml. */
+      outputMode: String = "text",
       config: AnalyzerConfig = AnalyzerConfig(
         badThreshold = 0.01, // CLI default 1% (API default is 2%)
         emptyThreshold = 0.99, // CLI default 99%
@@ -266,6 +268,8 @@ object Cli {
         case "--hide-range" => r = r.copy(showRange = 0)
         case "--show-samples" => r = r.copy(showSamples = true)
         case "--hide-samples" => r = r.copy(showSamples = false)
+        case "--xml" => o = o.copy(outputMode = "xml")
+        case "--ansi" => o = o.copy(outputMode = "ansi")
         case "-h" | "--help" =>
           println(usage); sys.exit(0)
         case flag if flag.startsWith("-") && flag != "-" =>
@@ -321,5 +325,7 @@ object Cli {
       |                           numeric range detail (default limits)
       |  --hide-range             same as --show-range hidden
       |  --show/hide-samples      value samples (default hidden)
+      |  --xml                    emit the structure as XML
+      |  --ansi                   styled terminal output
       |""".stripMargin
 }

@@ -94,48 +94,47 @@ object Dedup {
     sigs.select(col("id"), posexplode(keys).as(Seq("band", "key")))
   }
 
-  /** Candidate near-duplicate pairs: ids sharing an LSH band bucket. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
+  /** Candidate near-duplicate pairs: ids sharing an LSH band bucket.
+    * Buckets above `maxBucketSize` (mass-duplicate clusters: a band
+    * key shared by k docs contributes k² join rows) are dropped via
+    * broadcast anti-join; dedup them with [[exactDupStats]]-style
+    * fingerprinting first instead of pairwise.
+    */
+  def lshCandidatePairs(bands: DataFrame,
+                        maxBucketSize: Long = 10000L): DataFrame = {
+    val kept = dropHotBuckets(bands, maxBucketSize)
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
   }
 
-  /** 32-bit SimHash over whitespace tokens: for each bit position, sum
-    * +1/−1 according to a bit of the token's 32-bit hash, then take
-    * the sign. The token hash is the first 8 hex chars of md5 — DuckDB
-    * computes the identical value via
-    * `CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)`, giving SimHash
-    * a full SQL oracle. All built-ins, one pass, no UDF.
+  /** 32-bit SimHash over whitespace tokens via the native
+    * [[graft.functions.SimHashExpr]]: the whole signature is one JVM
+    * call per document — a pure projection with NO explode and NO
+    * shuffle (the previous formulation shuffled every token row
+    * through 32 sum aggregates). The token hash (first 4 md5 bytes)
+    * is what DuckDB computes via
+    * `CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)`, so the SQL
+    * oracle is unchanged.
     */
-  def simHash32(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val toks = df.select(idCol.as("id"),
-      explode(TextFunctions.tokens(text)).as("tok"))
-      .select(col("id"),
-        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-          .cast("long").as("h"))
-    val bitSums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$b"))
-    val sums = toks.groupBy(col("id")).agg(bitSums.head,
-      bitSums.tail: _*)
-    val sim = (0 until 32).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    sums.select(col("id"), sim.as("simhash"))
-  }
+  def simHash32(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("id"),
+      graft.functions.SimHashExpr.simHashNative(text).as("simhash"))
 
   /** SimHash near-duplicate candidates: split each 32-bit hash into
     * `bands` bit-slices and bucket-join — two hashes within Hamming
     * distance < bands share at least one identical slice (pigeonhole),
     * so the equi-join is a complete candidate generator for that
-    * radius without any pairwise scan.
+    * radius without any pairwise scan. Slices shared by more than
+    * `maxBucketSize` docs (mass-duplicate clusters that would
+    * re-create the quadratic join) are dropped via broadcast
+    * anti-join, like every other bucket join in this module.
     */
-  def simHashCandidatePairs(sims: DataFrame,
-                            bands: Int = 4): DataFrame = {
+  def simHashCandidatePairs(sims: DataFrame, bands: Int = 4,
+                            maxBucketSize: Long = 10000L): DataFrame = {
     val bits = 32 / bands
     val mask = (1L << bits) - 1
     val sliced = (0 until bands).map(b =>
@@ -143,12 +142,25 @@ object Dedup {
         shiftright(col("simhash"), b * bits).bitwiseAND(mask)
           .as("key")))
       .reduce(_ unionAll _)
-    val a = sliced.as("a")
-    val b = sliced.as("b")
+    val kept = dropHotBuckets(sliced, maxBucketSize)
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /** Drop (band, key) buckets holding more than `cap` rows — the
+    * candidate-join guard shared by the LSH family: the over-cap list
+    * is tiny by construction and applies as a broadcast anti-join.
+    */
+  private def dropHotBuckets(bands: DataFrame, cap: Long): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > cap)
+      .select(col("band"), col("key"))
+    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.

@@ -117,6 +117,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!candidates.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("candidate-pair bucket caps bound mass-duplicate clusters") {
+    // 12 identical docs: every band bucket holds all 12 → 66 pairs
+    // uncapped; a cap below 12 drops the cluster from pairwise work
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val df = docs((1L to 12L).map(_ -> text): _*)
+    val bands = Dedup.lshBands(Dedup.minHashSignatures(
+      df, col("doc_id"), col("text")))
+    assert(Dedup.lshCandidatePairs(bands).count() == 66L)
+    assert(Dedup.lshCandidatePairs(bands, maxBucketSize = 5L)
+      .count() == 0L)
+    val sims = Dedup.simHash32(df, col("doc_id"), col("text"))
+    assert(Dedup.simHashCandidatePairs(sims).count() == 66L)
+    assert(Dedup.simHashCandidatePairs(sims, maxBucketSize = 5L)
+      .count() == 0L)
+  }
+
   test("simhash: near-identical docs have close hashes") {
     val a = "the quick brown fox jumps over the lazy dog again today"
     val df = docs(1L -> a, 2L -> (a + " ok"),

@@ -229,49 +229,92 @@ object Source {
 
   // --------------------------------------------------------------- YAML
 
-  /** S7: YAML subset — block maps/lists, single-line flow collections,
+  /** S7: YAML subset — block maps/lists, block scalars (`|`, `>` with
+    * clip/strip chomping), single-line flow collections,
     * anchors/aliases, multi-document streams, comments, core-schema
     * scalars. A multi-document stream returns a Vector of documents.
+    * (Comment stripping is line-oriented, so a ` #` inside a block
+    * scalar is treated as a comment — documented subset limitation.)
     */
   def parseYaml(text: String): Any = {
     val anchors = scala.collection.mutable.HashMap.empty[String, Any]
+    // empty lines survive (block scalars own them); parsers skip them
     val allLines = text.linesIterator
       .map(stripComment)
       .toVector
     // multi-document split on --- / ... separator lines
     val docs = Vector.newBuilder[Vector[String]]
     var cur = Vector.newBuilder[String]
-    var sawSep = false
     var nDocs = 0
     allLines.foreach { l =>
       val t = l.trim
       if (t == "---" || t.startsWith("--- ")) {
-        val done = cur.result().filter(_.trim.nonEmpty)
-        if (done.nonEmpty || nDocs > 0) { docs += done; nDocs += 1 }
-        sawSep = true
+        val done = cur.result()
+        if (done.exists(_.trim.nonEmpty) || nDocs > 0) {
+          docs += done; nDocs += 1
+        }
         cur = Vector.newBuilder[String]
         // "--- value" inline document start
         if (t.startsWith("--- ")) cur += t.drop(4)
       } else if (t == "...") {
-        val done = cur.result().filter(_.trim.nonEmpty)
-        docs += done; nDocs += 1
+        docs += cur.result(); nDocs += 1
         cur = Vector.newBuilder[String]
       } else cur += l
     }
-    val tail = cur.result().filter(_.trim.nonEmpty)
-    if (tail.nonEmpty || nDocs == 0) { docs += tail; nDocs += 1 }
-    val parsed = docs.result().filter(_.nonEmpty).map { doc =>
-      anchors.clear()
-      val (v, rest) = parseBlock(doc, 0, anchors)
-      require(rest.isEmpty,
-        s"unparsed YAML remainder: ${rest.headOption}")
-      v
+    val tail = cur.result()
+    if (tail.exists(_.trim.nonEmpty) || nDocs == 0) {
+      docs += tail; nDocs += 1
     }
+    val parsed = docs.result()
+      .filter(_.exists(_.trim.nonEmpty))
+      .map { doc =>
+        anchors.clear()
+        val (v, rest) = parseBlock(doc, 0, anchors)
+        require(!rest.exists(_.trim.nonEmpty),
+          s"unparsed YAML remainder: ${rest.find(_.trim.nonEmpty)}")
+        v
+      }
     parsed match {
       case Vector() => null
       case Vector(one) => one
       case many => many
     }
+  }
+
+  /** Block scalar (`|` literal / `>` folded; `-` strips the trailing
+    * newline, default clips to one): consumes lines more indented
+    * than the parent.
+    */
+  private def blockScalar(marker: String, lines: Vector[String],
+                          parentIndent: Int): (String, Vector[String]) = {
+    val body = lines.takeWhile(l =>
+      l.trim.isEmpty || indentOf(l) > parentIndent)
+    val rest = lines.drop(body.length)
+    val contentIndent = body.find(_.trim.nonEmpty).map(indentOf)
+      .getOrElse(parentIndent + 1)
+    val raw = body.map(l =>
+      if (l.length >= contentIndent) l.drop(contentIndent) else "")
+      .reverse.dropWhile(_.isEmpty).reverse
+    val textVal =
+      if (marker.startsWith(">")) {
+        // folded: adjacent non-empty lines join with spaces; blank
+        // lines become newlines
+        val sb = new StringBuilder
+        var prevBlank = true
+        raw.foreach { l =>
+          if (l.isEmpty) { sb += '\n'; prevBlank = true }
+          else {
+            if (!prevBlank) sb += ' '
+            sb ++= l
+            prevBlank = false
+          }
+        }
+        sb.result()
+      } else raw.mkString("\n")
+    val chomped =
+      if (marker.endsWith("-")) textVal
+      else textVal + "\n"
+    (chomped, rest)
   }
 
   private def stripComment(line: String): String = {
@@ -296,68 +339,91 @@ object Source {
 
   private type Anchors = scala.collection.mutable.HashMap[String, Any]
 
-  private def parseBlock(lines: Vector[String], indent: Int,
+  private def isBlockScalarMarker(s: String): Boolean =
+    s.matches("[|>][+-]?")
+
+  private def parseBlock(lines0: Vector[String], indent: Int,
                          anchors: Anchors): (Any, Vector[String]) = {
+    val lines = lines0.dropWhile(_.trim.isEmpty)
     if (lines.isEmpty) return (null, lines)
     val first = lines.head
     val ind = indentOf(first)
-    if (ind < indent) return (null, lines)
+    if (ind < indent) return (null, lines0)
     val content = first.trim
     if (content.startsWith("- ") || content == "-") {
       // list at this indent
       val items = Vector.newBuilder[Any]
       var rest = lines
-      while (rest.nonEmpty && indentOf(rest.head) == ind &&
-             (rest.head.trim.startsWith("- ") || rest.head.trim == "-")) {
-        val itemText0 = rest.head.trim.drop(1).trim
-        // anchor definition on the item
-        val (anchorName, itemText) = splitAnchor(itemText0)
-        if (itemText.isEmpty) {
-          val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
-          anchorName.foreach(anchors.update(_, v))
-          items += v; rest = r
-        } else if (isFlowStart(itemText)) {
-          val v = parseFlowValue(itemText, anchors)
-          anchorName.foreach(anchors.update(_, v))
-          items += v; rest = rest.tail
-        } else if (itemText.contains(": ") || itemText.endsWith(":")) {
-          // inline map start: re-indent the fragment
-          val synthetic = (" " * (ind + 2)) + itemText
-          val (v, r) = parseBlock(synthetic +: rest.tail, ind + 2,
-            anchors)
-          anchorName.foreach(anchors.update(_, v))
-          items += v; rest = r
-        } else {
-          val v = resolveScalar(itemText, anchors)
-          anchorName.foreach(anchors.update(_, v))
-          items += v; rest = rest.tail
+      var go = true
+      while (go) {
+        rest = rest.dropWhile(_.trim.isEmpty)
+        if (rest.isEmpty || indentOf(rest.head) != ind ||
+            !(rest.head.trim.startsWith("- ") ||
+              rest.head.trim == "-")) go = false
+        else {
+          val itemText0 = rest.head.trim.drop(1).trim
+          // anchor definition on the item
+          val (anchorName, itemText) = splitAnchor(itemText0)
+          if (itemText.isEmpty) {
+            val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
+            anchorName.foreach(anchors.update(_, v))
+            items += v; rest = r
+          } else if (isBlockScalarMarker(itemText)) {
+            val (v, r) = blockScalar(itemText, rest.tail, ind)
+            anchorName.foreach(anchors.update(_, v))
+            items += v; rest = r
+          } else if (isFlowStart(itemText)) {
+            val v = parseFlowValue(itemText, anchors)
+            anchorName.foreach(anchors.update(_, v))
+            items += v; rest = rest.tail
+          } else if (itemText.contains(": ") || itemText.endsWith(":")) {
+            // inline map start: re-indent the fragment
+            val synthetic = (" " * (ind + 2)) + itemText
+            val (v, r) = parseBlock(synthetic +: rest.tail, ind + 2,
+              anchors)
+            anchorName.foreach(anchors.update(_, v))
+            items += v; rest = r
+          } else {
+            val v = resolveScalar(itemText, anchors)
+            anchorName.foreach(anchors.update(_, v))
+            items += v; rest = rest.tail
+          }
         }
       }
       (items.result(), rest)
     } else if (content.contains(": ") || content.endsWith(":")) {
       val entries = Vector.newBuilder[(Any, Any)]
       var rest = lines
-      while (rest.nonEmpty && indentOf(rest.head) == ind &&
-             !rest.head.trim.startsWith("- ") &&
-             (rest.head.trim.contains(": ") ||
-              rest.head.trim.endsWith(":"))) {
-        val l = rest.head.trim
-        val ci = keyColonIndex(l)
-        val key = parseScalar(l.take(ci).trim)
-        val after0 = l.drop(ci + 1).trim
-        val (anchorName, after) = splitAnchor(after0)
-        if (after.isEmpty) {
-          val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
-          anchorName.foreach(anchors.update(_, v))
-          entries += (key -> v); rest = r
-        } else if (isFlowStart(after)) {
-          val v = parseFlowValue(after, anchors)
-          anchorName.foreach(anchors.update(_, v))
-          entries += (key -> v); rest = rest.tail
-        } else {
-          val v = resolveScalar(after, anchors)
-          anchorName.foreach(anchors.update(_, v))
-          entries += (key -> v); rest = rest.tail
+      var go = true
+      while (go) {
+        rest = rest.dropWhile(_.trim.isEmpty)
+        if (rest.isEmpty || indentOf(rest.head) != ind ||
+            rest.head.trim.startsWith("- ") ||
+            !(rest.head.trim.contains(": ") ||
+              rest.head.trim.endsWith(":"))) go = false
+        else {
+          val l = rest.head.trim
+          val ci = keyColonIndex(l)
+          val key = parseScalar(l.take(ci).trim)
+          val after0 = l.drop(ci + 1).trim
+          val (anchorName, after) = splitAnchor(after0)
+          if (after.isEmpty) {
+            val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
+            anchorName.foreach(anchors.update(_, v))
+            entries += (key -> v); rest = r
+          } else if (isBlockScalarMarker(after)) {
+            val (v, r) = blockScalar(after, rest.tail, ind)
+            anchorName.foreach(anchors.update(_, v))
+            entries += (key -> v); rest = r
+          } else if (isFlowStart(after)) {
+            val v = parseFlowValue(after, anchors)
+            anchorName.foreach(anchors.update(_, v))
+            entries += (key -> v); rest = rest.tail
+          } else {
+            val v = resolveScalar(after, anchors)
+            anchorName.foreach(anchors.update(_, v))
+            entries += (key -> v); rest = rest.tail
+          }
         }
       }
       (entries.result().toMap, rest)

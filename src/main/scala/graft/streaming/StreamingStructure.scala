@@ -55,22 +55,40 @@ object StreamingStructure {
   }
 
   /** Custom keyed state: continuous (key → running stats), updated per
-    * micro-batch via mapGroupsWithState (processing-time timeout left
-    * off: state lives for the stream's lifetime, sized by key count).
+    * micro-batch via mapGroupsWithState.
+    *
+    * `idleTimeout` bounds state size on unbounded key spaces (the
+    * 100 TB concern: without it, state grows with the total number of
+    * keys ever seen): a key idle longer than the timeout is evicted
+    * and restarts from zero if it reappears. `None` keeps lifetime
+    * state for genuinely bounded key domains.
     */
   def runningStats(spark: SparkSession,
-                   ds: Dataset[(String, Option[Double])])
+                   ds: Dataset[(String, Option[Double])],
+                   idleTimeout: Option[String] = Some("1 hour"))
       : Dataset[RunningStats] = {
     import spark.implicits._
+    val timeoutConf = idleTimeout match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
     ds.groupByKey(_._1)
-      .mapGroupsWithState[RunningStats, RunningStats](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[RunningStats, RunningStats](timeoutConf) {
         (key: String, rows: Iterator[(String, Option[Double])],
          state: GroupState[RunningStats]) =>
-          val prior = state.getOption.getOrElse(RunningStats.zero(key))
-          val updated = rows.foldLeft(prior)((acc, r) => acc.merge(r._2))
-          state.update(updated)
-          updated
+          if (state.hasTimedOut) {
+            // evicted: emit the final summary and drop the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prior = state.getOption.getOrElse(RunningStats.zero(key))
+            val updated = rows.foldLeft(prior)((acc, r) =>
+              acc.merge(r._2))
+            state.update(updated)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            updated
+          }
       }
   }
 }

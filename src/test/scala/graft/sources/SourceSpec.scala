@@ -242,6 +242,29 @@ class SourceSpec extends AnyFunSuite {
     assert(v("alt") == Vector(42L, 42L))
   }
 
+  test("yaml block scalars: literal and folded with chomping") {
+    val y =
+      """lit: |
+        |  line one
+        |  line two
+        |
+        |  line four
+        |strip: |-
+        |  no trailing
+        |folded: >
+        |  a b
+        |  c d
+        |
+        |  e
+        |after: 1
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("lit") == "line one\nline two\n\nline four\n")
+    assert(v("strip") == "no trailing")
+    assert(v("folded") == "a b c d\ne\n")
+    assert(v("after") == 1L)
+  }
+
   test("yaml multi-document streams") {
     val y =
       """---

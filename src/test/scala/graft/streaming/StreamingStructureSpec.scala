@@ -55,8 +55,10 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, Option[Double])]
+    // lifetime state in the test: MemoryStream + processAllAvailable
+    // and processing-time timeout triggers interact non-deterministically
     val query = StreamingStructure
-      .runningStats(spark, input.toDS())
+      .runningStats(spark, input.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("run")
       .outputMode("update").start()
     try {

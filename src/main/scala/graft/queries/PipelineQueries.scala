@@ -36,6 +36,21 @@ object PipelineQueries {
           max(col("ntok")).as("max_tokens"))
         .orderBy(col("lang").asc_nulls_first)),
 
+    // BPE-ish subword units (letter runs / digit runs / single
+    // punctuation): the branches match disjoint character sets, so
+    // Java and RE2 regex engines tokenize identically
+    "q35_subword_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextFunctions.subwordCount(col("text")).cast("long")
+            .as("nsw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nsw")).cast("long").as("total_subwords"),
+          min(col("nsw")).as("min_subwords"),
+          max(col("nsw")).as("max_subwords"))
+        .orderBy(col("lang").asc_nulls_first)),
+
     "q22_quality_score" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("source"),
@@ -225,6 +240,12 @@ object PipelineQueries {
        "FROM (SELECT lang, CAST(array_length(regexp_split_to_array(" +
        "trim(text), '\\s+')) AS BIGINT) AS ntok FROM documents) " +
        "GROUP BY lang ORDER BY lang NULLS FIRST"),
+    "q35_subword_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nsw) AS BIGINT) AS " +
+       "total_subwords, MIN(nsw) AS min_subwords, MAX(nsw) AS " +
+       "max_subwords FROM (SELECT lang, CAST(len(regexp_extract_all(" +
+       "text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS nsw " +
+       "FROM documents) GROUP BY lang ORDER BY lang NULLS FIRST"),
     "q22_quality_score" ->
       ("SELECT source, COUNT(*) AS n_docs, CAST(SUM(q) AS DOUBLE) AS " +
        "sum_quality FROM (SELECT source, CAST((1.0 - LEAST(np / " +

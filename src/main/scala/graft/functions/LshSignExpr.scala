@@ -61,8 +61,11 @@ case class LshSignExpr(child: Expression) extends UnaryExpression {
 
 object LshSignExpr {
 
-  /** Width of the precomputed sign family; buckets use a ≤-wide mask. */
-  final val MaxBits = 16
+  /** Width of the precomputed sign family; buckets use a ≤-wide mask.
+    * 24 bits → up to 16.7M buckets, enough for the n ≤ 128·2^24 ≈
+    * 2×10^9-row ladder before the width caps.
+    */
+  final val MaxBits = 24
 
   private final val Scale = 33554432.0 // 2^25
 

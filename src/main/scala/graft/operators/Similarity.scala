@@ -62,20 +62,21 @@ object Similarity {
       .select(col(idCol), col("dot"))
   }
 
-  /** Full random-hyperplane sign pattern (16 bits) via the native
-    * [[graft.functions.LshSignExpr]] — one JVM call per row, replacing
-    * the interpreted `zip_with`+`aggregate` lambda chain.
+  /** Full random-hyperplane sign pattern (LshSignExpr.MaxBits wide)
+    * via the native [[graft.functions.LshSignExpr]] — one JVM call per
+    * row, replacing the interpreted `zip_with`+`aggregate` lambda
+    * chain.
     */
   def signPattern(vec: Column): Column =
     graft.functions.LshSignExpr.lshSignNative(vec)
 
-  /** Bucket-width derivation: the smallest b in [4, 16] with
+  /** Bucket-width derivation: the smallest b in [4, MaxBits] with
     * n ≤ targetPerBucket·2^b — so the bucket count 2^b GROWS with the
     * corpus instead of being a constant (a fixed 16-bucket space makes
-    * every bucket join O(n²/16)). Pure integer arithmetic so the
-    * DuckDB oracle's CASE ladder derives the identical width (a
-    * float log2 could round differently across engines at exact
-    * powers of two).
+    * every bucket join O(n²/16)); the 24-bit family holds the ladder
+    * to ~2×10^9 rows. Pure integer arithmetic so the DuckDB oracle's
+    * CASE ladder derives the identical width (a float log2 could
+    * round differently across engines at exact powers of two).
     */
   def bitsForCount(n: Long, targetPerBucket: Long = 128L): Int = {
     var b = 4

@@ -208,14 +208,17 @@ object PipelineQueries {
     "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 33554432.0) AS " +
     "BIGINT) AS x FROM embeddings)"
 
+  private val lshMaxBits = graft.functions.LshSignExpr.MaxBits
+
   /** Bucket-width CASE ladder — integer-exact twin of
     * Similarity.bitsForCount (target 128/bucket): smallest b in
-    * [4, 16] with n ≤ 128·2^b.
+    * [4, MaxBits] with n ≤ 128·2^b.
     */
   private val bitsSql =
     "(SELECT CASE " +
-      (4 to 15).map(b => s"WHEN n <= ${128L << b} THEN $b ").mkString +
-      "ELSE 16 END AS bits FROM " +
+      (4 until lshMaxBits).map(b =>
+        s"WHEN n <= ${128L << b} THEN $b ").mkString +
+      s"ELSE $lshMaxBits END AS bits FROM " +
       "(SELECT COUNT(*) AS n FROM embeddings))"
 
   /** md5-hyperplane sign pattern masked to the derived width —
@@ -223,11 +226,11 @@ object PipelineQueries {
     */
   private def bucketSql(src: String): String =
     s"SELECT vec_id, CAST(" +
-      (0 until 16).map(j =>
+      (0 until lshMaxBits).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ") +
       " AS INT) & ((1 << bits) - 1) AS bucket FROM (SELECT vec_id, " +
-      (0 until 16).map(j =>
+      (0 until lshMaxBits).map(j =>
         s"SUM(CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':$j'), " +
         s"1, 1) BETWEEN '0' AND '7' THEN x ELSE -x END) AS s$j")
         .mkString(", ") +

@@ -181,7 +181,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.bitsForCount(128L << 4) == 4)
     assert(Similarity.bitsForCount((128L << 4) + 1) == 5)
     assert(Similarity.bitsForCount(128L << 10) == 10)
-    assert(Similarity.bitsForCount(Long.MaxValue / 4) == 16)
+    assert(Similarity.bitsForCount(128L << 20) == 20)
+    assert(Similarity.bitsForCount(Long.MaxValue / 4) ==
+      graft.functions.LshSignExpr.MaxBits)
     // forced skew: every vector identical → one bucket holds all n;
     // a cap below n drops the degenerate bucket, bounding the join
     val n = 20

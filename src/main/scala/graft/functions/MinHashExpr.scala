@@ -36,6 +36,7 @@ case class MinHashExpr(child: Expression, k: Int, salts: Int)
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullable: Boolean = true
+  override def prettyName: String = "min_hash_sig"
 
   override def nullSafeEval(input: Any): Any =
     MinHashExpr.compute(input.asInstanceOf[UTF8String], k, salts)

@@ -46,7 +46,15 @@ object ExplainAudit {
       ("q25_jaccard_pairs",
         "stop-shingle df-cap anti-join + ReuseExchange on the " +
           "self-join sides",
-        Seq("LeftAnti", "ReusedExchange")))
+        Seq("LeftAnti", "ReusedExchange")),
+      ("q26_minhash_bands",
+        "whole MinHash signature as one map-side native call, bands " +
+          "via a single generate (no per-band re-evaluation)",
+        Seq("min_hash_sig", "Generate posexplode")),
+      ("q27_simhash",
+        "SimHash as a pure projection (no token explode, no " +
+          "pre-aggregation shuffle)",
+        Seq("simhash32")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>

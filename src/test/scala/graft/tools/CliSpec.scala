@@ -142,4 +142,10 @@ class CliSpec extends AnyFunSuite {
   test("unknown option raises") {
     intercept[IllegalArgumentException](parse(Seq("--wat")))
   }
+
+  test("output modes: --xml and --ansi") {
+    assert(parse(Seq("f.json")).outputMode == "text")
+    assert(parse(Seq("--xml", "f.json")).outputMode == "xml")
+    assert(parse(Seq("--ansi", "f.json")).outputMode == "ansi")
+  }
 }

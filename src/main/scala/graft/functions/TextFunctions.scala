@@ -71,17 +71,4 @@ object TextFunctions {
       .otherwise("und")
   }
 
-  /** Word k-gram shingles (distinct), the unit for Jaccard/MinHash
-    * near-duplicate detection. Array-lambda built-ins only.
-    */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    // guard: sequence(0, n) descends when n < 0 (docs shorter than k)
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(
-            toks, i + j + 1)): _*))))
-  }
 }

@@ -24,12 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize a float element to a 2^25-scaled integer. Product pairs
-    * stay ≤ 2^50, so a 64-dim dot sum (≤ 2^56) fits a long exactly.
-    */
-  def quantize(x: Column): Column =
-    round(x.cast("double") * lit(33554432.0)).cast("long")
-
   /** Exact integer dot product of two equal-length float arrays —
     * the native expression (one JVM call per row; identical
     * quantization semantics to the lambda form).

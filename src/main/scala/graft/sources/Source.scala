@@ -373,9 +373,10 @@ object Source {
             anchorName.foreach(anchors.update(_, v))
             items += v; rest = r
           } else if (isFlowStart(itemText)) {
-            val v = parseFlowValue(itemText, anchors)
+            val (joined, r) = joinFlow(itemText, rest.tail)
+            val v = parseFlowValue(joined, anchors)
             anchorName.foreach(anchors.update(_, v))
-            items += v; rest = rest.tail
+            items += v; rest = r
           } else if (itemText.contains(": ") || itemText.endsWith(":")) {
             // inline map start: re-indent the fragment
             val synthetic = (" " * (ind + 2)) + itemText
@@ -416,9 +417,10 @@ object Source {
             anchorName.foreach(anchors.update(_, v))
             entries += (key -> v); rest = r
           } else if (isFlowStart(after)) {
-            val v = parseFlowValue(after, anchors)
+            val (joined, r) = joinFlow(after, rest.tail)
+            val v = parseFlowValue(joined, anchors)
             anchorName.foreach(anchors.update(_, v))
-            entries += (key -> v); rest = rest.tail
+            entries += (key -> v); rest = r
           } else {
             val v = resolveScalar(after, anchors)
             anchorName.foreach(anchors.update(_, v))
@@ -428,7 +430,8 @@ object Source {
       }
       (entries.result().toMap, rest)
     } else if (isFlowStart(content)) {
-      (parseFlowValue(content, anchors), lines.tail)
+      val (joined, r) = joinFlow(content, lines.tail)
+      (parseFlowValue(joined, anchors), r)
     } else {
       (resolveScalar(content, anchors), lines.tail)
     }
@@ -449,6 +452,41 @@ object Source {
 
   private def isFlowStart(s: String): Boolean =
     s.startsWith("{") || s.startsWith("[")
+
+  /** Bracket balance outside quotes — positive while a flow
+    * collection is still open (supports multi-line flow).
+    */
+  private def flowBalance(s: String): Int = {
+    var bal = 0
+    var inS = false
+    var inD = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (!inS && !inD) {
+        if (c == '{' || c == '[') bal += 1
+        else if (c == '}' || c == ']') bal -= 1
+      }
+      i += 1
+    }
+    bal
+  }
+
+  /** Join continuation lines of a flow collection that spans lines
+    * until the brackets balance; returns (joined, remaining lines).
+    */
+  private def joinFlow(first: String, rest0: Vector[String])
+      : (String, Vector[String]) = {
+    var joined = first
+    var rest = rest0
+    while (flowBalance(joined) > 0 && rest.nonEmpty) {
+      joined = joined + " " + rest.head.trim
+      rest = rest.tail
+    }
+    (joined, rest)
+  }
 
   /** `&name rest` → (Some(name), rest); plain text passes through. */
   private def splitAnchor(s: String): (Option[String], String) =

@@ -61,7 +61,16 @@ object AnalyzeDist {
             (trees.length.toLong: Any) -> 1L))), merged)
         }
       val treeAnalyzer = new graft.analyzer.TreeAnalyzer(opts.config)
-      println(treeAnalyzer.mergeToFixpoint(tree).render)
+      val merged = treeAnalyzer.mergeToFixpoint(tree)
+      // same output-mode surface as the driver-side CLI
+      println(opts.outputMode match {
+        case "xml" => graft.core.Xml.toStringOf(merged)
+        case "ansi" => graft.core.Render.styled(merged, opts.render)
+        case _ =>
+          if (opts.render == graft.core.RenderOptions.default)
+            merged.render
+          else graft.core.Render.configured(merged, opts.render)
+      })
     } finally spark.stop()
   }
 }

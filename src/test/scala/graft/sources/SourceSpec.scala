@@ -226,6 +226,22 @@ class SourceSpec extends AnyFunSuite {
     assert(v("empty_list") == Vector.empty)
   }
 
+  test("yaml multi-line flow collections") {
+    val y =
+      """spec: {a: 1,
+        |  b: [1, 2,
+        |    3],
+        |  c: "x, y"}
+        |next: ok
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    val spec = v("spec").asInstanceOf[Map[Any, Any]]
+    assert(spec("a") == 1L)
+    assert(spec("b") == Vector(1L, 2L, 3L))
+    assert(spec("c") == "x, y")
+    assert(v("next") == "ok")
+  }
+
   test("yaml anchors and aliases") {
     val y =
       """defaults: &def

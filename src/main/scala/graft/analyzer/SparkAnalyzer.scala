@@ -137,6 +137,15 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     }
     val stringy = l.dataType match {
       case StringType =>
+        // Per-row length gate on the numeric/bool/datetime probes:
+        // the ladder only consults these witnesses when the column's
+        // GLOBAL lmax ≤ maxNumericLen (summaryStrLadder), so gating
+        // each row changes no decision — but it lets codegen skip
+        // ~20 regex/timestamp parses per row on long text columns
+        // (conditional branches evaluate lazily), which is where the
+        // wide agg spends its time on document corpora.
+        val short = length(c) <= config.maxNumericLen
+        def probe(cond: Column): Column = count(when(short && cond, 1))
         Seq(
           count(when(c === "", 1)).as(s"${id}__empty"),
           min(length(c)).as(s"${id}__lmin"),
@@ -146,17 +155,15 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           count(when(c.rlike("^\\s*[\\[{]"), 1)).as(s"${id}__json")) ++
           TreeAnalyzer.BoolPatterns.zipWithIndex.map { case (p, i) =>
             val Array(f, t) = p.split("\\|", -1)
-            count(when(lower(trim(c)).isin(f, t), 1)).as(s"${id}__b$i")
+            probe(lower(trim(c)).isin(f, t)).as(s"${id}__b$i")
           } ++ Seq(
-          count(when(c.rlike("^[+-]?(0[oO])?[0-7]+$"), 1))
-            .as(s"${id}__io"),
-          count(when(c.rlike("^[+-]?[0-9]+$"), 1)).as(s"${id}__id"),
-          count(when(c.rlike("^[+-]?(0[xX])?[0-9A-Fa-f]+$"), 1))
+          probe(c.rlike("^[+-]?(0[oO])?[0-7]+$")).as(s"${id}__io"),
+          probe(c.rlike("^[+-]?[0-9]+$")).as(s"${id}__id"),
+          probe(c.rlike("^[+-]?(0[xX])?[0-9A-Fa-f]+$"))
             .as(s"${id}__ix"),
-          count(when(c.try_cast(DoubleType).isNotNull, 1))
-            .as(s"${id}__f")) ++
+          probe(c.try_cast(DoubleType).isNotNull).as(s"${id}__f")) ++
           sparkDateTimeFormats.zipWithIndex.map { case ((_, fmt), i) =>
-            count(when(try_to_timestamp(c, lit(fmt)).isNotNull, 1))
+            probe(try_to_timestamp(c, lit(fmt)).isNotNull)
               .as(s"${id}__dt$i")
           }
       case _ => Seq.empty

@@ -215,7 +215,8 @@ object Cli {
         case "--no-encoding-strict" =>
           src = src.copy(encodingStrict = false)
         case "--sample-bytes" =>
-          src = src.copy(sampleBytes = parseSize(next()).toInt)
+          src = src.copy(sampleBytes =
+            math.min(parseSize(next()), Int.MaxValue.toLong).toInt)
         case "--csv-format" =>
           val v = next()
           if (v != "auto") {

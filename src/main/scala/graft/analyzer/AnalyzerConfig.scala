@@ -16,6 +16,12 @@ final case class AnalyzerConfig(
     fieldThreshold: Int = 20,
     mergeThreshold: Double = 0.5,
     maxNumericLen: Int = 30,
+    /** Beyond-reference hardening (SURVEY §7.6 watch item): recursion
+      * depth cap on unbounded/variant nesting — levels deeper than
+      * this collapse to the ⊤ type instead of recursing (the
+      * reference would recurse until the Python stack gives out).
+      */
+    maxDepth: Int = 100,
     stripWhitespace: Boolean = false,
     minTimestampOpt: Option[Double] = None,
     maxTimestampOpt: Option[Double] = None,

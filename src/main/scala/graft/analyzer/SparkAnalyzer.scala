@@ -61,7 +61,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
   }
 
   /** Analyze one nesting level (a relation of records). */
-  private def analyzeLevel(df: DataFrame): SType = {
+  private def analyzeLevel(df: DataFrame,
+                           jsonDepth: Int = 0): SType = {
     val schema = df.schema
     if (schema.isEmpty) return SDict(
       Stats.fromCounter(ValueCounter(Map((0L: Any) -> 1L))), Vector.empty)
@@ -83,7 +84,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     // -------- assemble the record dict
     val fields = schema.fields.toVector.sortBy(_.name).map { f =>
       val t = analyzeField(df, Vector(f.name), f.dataType, row, counters,
-        total)
+        total, jsonDepth)
       SDictField(SField(f.name, total, optional = false), t)
     }
     SDict(Stats.fromCounter(ValueCounter(Map(
@@ -251,7 +252,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
   private def analyzeField(df: DataFrame, path: Vector[String],
                            dt: DataType, row: Row,
                            counters: Map[String, ValueCounter],
-                           total: Long): SType = dt match {
+                           total: Long, jsonDepth: Int): SType =
+    dt match {
     case s: StructType =>
       // struct = nested record; fields were analyzed in the same pass
       val leaf = Leaf(path, s)
@@ -259,7 +261,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       val fields = s.fields.toVector.sortBy(_.name).map { f =>
         SDictField(SField(f.name, cnt, optional = false),
           analyzeField(df, path :+ f.name, f.dataType, row, counters,
-            total))
+            total, jsonDepth))
       }
       SDict(Stats.fromCounter(ValueCounter(Map(
         (s.fields.length.toLong: Any) -> cnt))), fields)
@@ -270,34 +272,36 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       val lengthsDf = df.select(size(c).as("n")).where(col("n") >= 0)
       val lengths = counterOrSummary(lengthsDf, "n")
       val items = df.select(explode(c).as("item"))
-      val itemType = analyzeNested(items, et)
+      val itemType = analyzeNested(items, et, jsonDepth)
       SList(lengths, itemType)
     case MapType(kt, vt, _) =>
       val c = Leaf(path, dt).col
       val lengthsDf = df.select(size(c).as("n")).where(col("n") >= 0)
       val lengths = counterOrSummary(lengthsDf, "n")
       val keys = analyzeNested(df.select(explode(map_keys(c))
-        .as("item")), kt)
+        .as("item")), kt, jsonDepth)
       val values = analyzeNested(df.select(explode(map_values(c))
-        .as("item")), vt)
+        .as("item")), vt, jsonDepth)
       SDict(lengths, Vector(SDictField(keys, values)))
     case other =>
       val leaf = Leaf(path, other)
-      assembleScalar(df, leaf, row, counters.get(leaf.id), total)
+      assembleScalar(df, leaf, row, counters.get(leaf.id), total,
+        jsonDepth)
   }
 
   /** Analyze exploded array/map content as its own level. */
-  private def analyzeNested(items: DataFrame, et: DataType): SType =
+  private def analyzeNested(items: DataFrame, et: DataType,
+                            jsonDepth: Int): SType =
     et match {
       case s: StructType =>
         analyzeLevel(items.select(s.fields.toVector.map(f =>
-          col("item").getField(f.name).as(f.name)): _*))
+          col("item").getField(f.name).as(f.name)): _*), jsonDepth)
       case _: ArrayType | _: MapType =>
         // deeper nesting: recurse with the single "item" column
-        val sub = analyzeLevel2(items)
+        val sub = analyzeLevel2(items, jsonDepth)
         sub
       case _ =>
-        val sub = analyzeLevel(items)
+        val sub = analyzeLevel(items, jsonDepth)
         sub match {
           case d: SDict if d.content.length == 1 =>
             d.content.head.value // unwrap single synthetic column
@@ -305,8 +309,9 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         }
     }
 
-  private def analyzeLevel2(items: DataFrame): SType = {
-    val d = analyzeLevel(items)
+  private def analyzeLevel2(items: DataFrame,
+                            jsonDepth: Int): SType = {
+    val d = analyzeLevel(items, jsonDepth)
     d match {
       case dict: SDict if dict.content.length == 1 =>
         dict.content.head.value
@@ -414,7 +419,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     */
   private def assembleScalar(df: DataFrame, leaf: Leaf, row: Row,
                              counterOpt: Option[ValueCounter],
-                             total: Long): SType = {
+                             total: Long, jsonDepth: Int): SType = {
     val id = leaf.id
     val cnt = row.getAs[Long](s"${id}__cnt")
     val nulls = total - cnt
@@ -428,7 +433,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     // schema-merges across executors) and recurse, yielding
     // `str of {…} pattern=json`. The reference leaves such columns as
     // plain Str (it never parses strings as documents).
-    if (parseJsonStrings && leaf.dataType == StringType) {
+    if (parseJsonStrings && leaf.dataType == StringType &&
+        jsonDepth < config.maxDepth) {
       val empty = row.getAs[Long](s"${id}__empty")
       val jsonW = row.getAs[Long](s"${id}__json")
       if (jsonW > 0 && jsonW == cnt - empty) {
@@ -438,7 +444,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           .where(col("v").isNotNull && col("v") =!= "").as[String]
         val parsed = spark.read.json(strings)
         if (!parsed.columns.contains("_corrupt_record"))
-          return SStrRepr(analyzeLevel(parsed), "json")
+          return SStrRepr(analyzeLevel(parsed, jsonDepth + 1),
+            "json")
       }
     }
 

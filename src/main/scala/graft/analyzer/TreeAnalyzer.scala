@@ -51,6 +51,9 @@ final class TreeAnalyzer(val config: AnalyzerConfig = AnalyzerConfig()) {
 
   private def analyzeAt(it: Any, path: Vector[PathStep],
                         threshold: Option[Int], card: Long): SType = {
+    // depth cap (§7.6): pathological nesting degrades to ⊤ instead
+    // of unbounded recursion
+    if (path.length > config.maxDepth) return SValue(Vector.empty)
     val items = extract(it, path)
     val pattern = matchItems(items, path, threshold, card)
     pattern match {

@@ -44,7 +44,7 @@ object Source {
     * (source.py:69-83) / CLI surface (ui/cli.py:70-234).
     */
   final case class SourceOptions(
-      format: String = "auto", // auto|csv|json|yaml
+      format: String = "auto", // auto|csv|json|jsonl|yaml
       encoding: String = "auto",
       encodingStrict: Boolean = true,
       sampleBytes: Int = SampleBytes,
@@ -55,6 +55,10 @@ object Source {
 
   sealed trait Format
   case object JsonFormat extends Format
+  /** Beyond-reference: newline-delimited JSON (the dominant LLM
+    * training-corpus layout; Spark's native json source shape).
+    */
+  case object JsonLinesFormat extends Format
   case object CsvFormat extends Format
   case object YamlFormat extends Format
   case object XmlFormat extends Format
@@ -126,12 +130,23 @@ object Source {
   def detectEncoding(sample: Array[Byte]): Charset =
     detectEncodingConfidence(sample)._1
 
-  /** S3 (source.py:147-162). */
+  /** S3 (source.py:147-162), extended with JSONL discrimination: a
+    * sample whose FIRST LINE is a complete JSON document followed by
+    * another JSON-opening line is a newline-delimited stream (the
+    * reference rejects such files; Spark reads them natively).
+    */
   def detectFormat(sample: String): Format = {
     if (sample.startsWith("<?xml")) return XmlFormat
     val stripped = sample.dropWhile(_.isWhitespace)
     stripped.headOption match {
-      case Some('[') | Some('{') => JsonFormat
+      case Some('[') | Some('{') =>
+        val lines = sample.linesIterator.filter(_.trim.nonEmpty)
+          .take(2).toVector
+        val jsonl = lines.length == 2 &&
+          Seq('{', '[').contains(lines(1).trim.head) &&
+          (try { graft.tools.Json.parse(lines(0)); true }
+           catch { case _: Exception => false })
+        if (jsonl) JsonLinesFormat else JsonFormat
       case Some('<') => XmlFormat
       case _ => detectYamlOrCsv(sample)
     }
@@ -641,6 +656,7 @@ object Source {
     case "auto" => UnknownFormat
     case "csv" => CsvFormat
     case "json" => JsonFormat
+    case "jsonl" => JsonLinesFormat
     case "yaml" => YamlFormat
     case other =>
       throw new IllegalArgumentException(s"unknown format: $other")
@@ -714,6 +730,9 @@ object Source {
       strict = opts.encodingStrict)
     d.format match {
       case JsonFormat => graft.tools.Json.parse(text, opts.jsonStrict)
+      case JsonLinesFormat =>
+        text.linesIterator.filter(_.trim.nonEmpty)
+          .map(graft.tools.Json.parse(_, opts.jsonStrict)).toVector
       case CsvFormat => parseCsv(text, d.dialect.get)
       case YamlFormat => parseYaml(text)
       case XmlFormat =>
@@ -742,6 +761,11 @@ object Source {
         spark.read
           .option("encoding", d.encoding.name())
           .option("multiLine", true)
+          .json(path)
+      case JsonLinesFormat =>
+        // Spark's native shape: one record per line, splittable scans
+        spark.read
+          .option("encoding", d.encoding.name())
           .json(path)
       case CsvFormat =>
         spark.read

@@ -288,7 +288,8 @@ object Cli {
       |Analyze data files and print their inferred structure.
       |
       |  --version                print the version and exit
-      |  -f, --format {auto,csv,json,yaml}  input format (default: auto)
+      |  -f, --format {auto,csv,json,jsonl,yaml}  input format
+      |                           (default: auto)
       |  -e, --encoding ENC       character encoding (default: auto)
       |  --[no-]encoding-strict   error on invalid characters (default on)
       |  --sample-bytes SIZE      detection sample size, k/m/g suffixes

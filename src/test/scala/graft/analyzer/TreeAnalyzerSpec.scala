@@ -196,6 +196,15 @@ class TreeAnalyzerSpec extends AnyFunSuite {
     assert(sr.content.isInstanceOf[SDateTime], s"got $sr")
   }
 
+  test("pathological nesting degrades to ⊤ at the depth cap " +
+      "(SURVEY §7.6)") {
+    var v: Any = 1L
+    (0 until 300).foreach(_ => v = Map[Any, Any]("k" -> v))
+    // must neither stack-overflow nor loop: deep levels collapse
+    val t = new TreeAnalyzer(AnalyzerConfig(maxDepth = 20)).analyze(v)
+    assert(t.render.contains("value"), t.render.takeRight(80))
+  }
+
   test("extraction mismatches surface as ValidationWarnings " +
       "(analyzer.py:515-523, test_analyzer.py:181-190 bad-data dict)") {
     // {"0".."99" -> int} + one bad key "a": keys infer as

@@ -297,6 +297,21 @@ class SourceSpec extends AnyFunSuite {
     assert(parseYaml("---\nk: v\n") == Map("k" -> "v"))
   }
 
+  test("jsonl: detected, loaded as records, whole-doc json unaffected") {
+    val jsonl = "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n"
+    assert(detectFormat(jsonl) == JsonLinesFormat)
+    // pretty-printed whole-doc json is NOT jsonl (first line alone
+    // does not parse)
+    assert(detectFormat("{\n  \"a\": 1\n}\n") == JsonFormat)
+    assert(detectFormat("[1, 2, 3]") == JsonFormat)
+    val f = Files.createTempFile("recs", ".jsonl")
+    Files.write(f, jsonl.getBytes("UTF-8"))
+    val data = load(f.toString).asInstanceOf[Vector[Any]]
+    assert(data.length == 3)
+    assert(data.head == Map("a" -> 1L))
+    Files.delete(f)
+  }
+
   test("json strict rejects control chars in strings") {
     intercept[IllegalArgumentException](
       graft.tools.Json.parse("[\"a\tb\"]", strict = true))

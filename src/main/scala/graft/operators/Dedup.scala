@@ -121,8 +121,11 @@ object Dedup {
     * oracle is unchanged.
     */
   def simHash32(df: DataFrame, idCol: Column, text: Column): DataFrame =
-    df.select(idCol.as("id"),
-      graft.functions.SimHashExpr.simHashNative(text).as("simhash"))
+    // null-text docs are absent, matching both the previous
+    // explode-based shape and the oracle's unnest (which drop them)
+    df.where(text.isNotNull)
+      .select(idCol.as("id"),
+        graft.functions.SimHashExpr.simHashNative(text).as("simhash"))
 
   /** SimHash near-duplicate candidates: split each 32-bit hash into
     * `bands` bit-slices and bucket-join — two hashes within Hamming

@@ -133,6 +133,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L)
   }
 
+  test("simhash: null-text docs are absent (oracle parity)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a b c")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHash32(df, col("doc_id"), col("text"))
+    assert(out.count() == 1L)
+    assert(out.head().getLong(0) == 1L)
+  }
+
   test("simhash: near-identical docs have close hashes") {
     val a = "the quick brown fox jumps over the lazy dog again today"
     val df = docs(1L -> a, 2L -> (a + " ok"),

@@ -24,10 +24,17 @@ import graft.core._
   *    doubles / strings), instead of a shuffle per column. The counters
   *    feed the exact reference ladder ([[TreeAnalyzer]] internals), so
   *    low-cardinality columns are bit-for-bit reference-faithful.
-  *  - **Summary path over the cap** — high-cardinality columns keep
-  *    exact count/min/max plus positional quartiles computed by exact
-  *    `percentile` at rank-aligned fractions (p = k/(n-1) hits x[k]
-  *    exactly); uniqueness degrades to an approx-distinct comparison.
+  *    Length counters for over-cap string columns ride the same batch.
+  *  - **One wide summary pass over the cap** — high-cardinality columns
+  *    have their representation DECIDED from the pass-1 witness counts
+  *    alone (no extra jobs), then every over-cap column's summary
+  *    aggregates — exact `percentile` at rank-aligned fractions
+  *    (p = k/(n-1) hits x[k] exactly), min/max/count/uniqueness, length
+  *    stats, and the fixed-length CharClass pattern miner — run together
+  *    in a SECOND single wide aggregation per level. Job count per level
+  *    is O(1) in column count (a 200-column table costs the same number
+  *    of scheduler round-trips as a 2-column one); only the optional
+  *    bounded top-K sample sketch remains a per-column TakeOrdered job.
   *  - **Nested data = projections, not re-scans** — struct fields are
   *    analyzed in the parent's wide agg via dotted columns; arrays and
   *    maps cost one `explode` projection per level (filter/column
@@ -74,17 +81,37 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     val total = row.getAs[Long]("__total")
 
-    // -------- pass 2: batched exact counters for under-cap columns
+    // -------- plan: decide every over-cap column's representation from
+    // the pass-1 witnesses (driver-side, no jobs)
     val counterCols = leaves.filter { l =>
       row.getAs[Long](s"${l.id}__adist") <= exactDistinctCap &&
         isCounterable(l.dataType)
     }
-    val counters = collectCounters(df, counterCols)
+    val counterIds = counterCols.map(_.id).toSet
+    val plans = leaves.filterNot(l => counterIds(l.id))
+      .flatMap(l => planSummary(l, row, total))
+    val lengthCounterCols = plans
+      .filter(p => p.needLengths && p.lengthsExact).map(_.leaf)
+
+    // -------- pass 2: batched exact counters (values under the cap +
+    // lengths of over-cap strings) — one job per JVM type group
+    val (counters, lengthCounters) =
+      collectCounters(df, counterCols, lengthCounterCols)
+
+    // -------- pass 3: ONE wide summary aggregation for all over-cap
+    // columns (quartiles, length stats, CharClass patterns together)
+    val summaryRow: Row =
+      if (plans.isEmpty) null
+      else {
+        val exprs = plans.flatMap(summaryAggExprs)
+        df.agg(exprs.head, exprs.tail: _*).head()
+      }
 
     // -------- assemble the record dict
+    val ctx = LevelCtx(df, row, counters, lengthCounters,
+      plans.map(p => p.leaf.id -> p).toMap, summaryRow, total, jsonDepth)
     val fields = schema.fields.toVector.sortBy(_.name).map { f =>
-      val t = analyzeField(df, Vector(f.name), f.dataType, row, counters,
-        total, jsonDepth)
+      val t = analyzeField(ctx, Vector(f.name), f.dataType)
       SDictField(SField(f.name, total, optional = false), t)
     }
     SDict(Stats.fromCounter(ValueCounter(Map(
@@ -100,6 +127,33 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     private def quote(n: String) = s"`${n.replace("`", "``")}`"
   }
   private val functions = org.apache.spark.sql.functions
+
+  /** Everything one nesting level's assembly needs: the pass-1 witness
+    * row, batched counters, and the over-cap summary plans + their
+    * single wide-agg result row.
+    */
+  private final case class LevelCtx(df: DataFrame, row: Row,
+                                    counters: Map[String, ValueCounter],
+                                    lengthCounters: Map[String, ValueCounter],
+                                    plans: Map[String, SummaryPlan],
+                                    summaryRow: Row, total: Long,
+                                    jsonDepth: Int)
+
+  /** An over-cap column's decided representation: which expression to
+    * aggregate in the wide summary pass, the count its rank-aligned
+    * percentile fractions use, which extras it needs (length stats /
+    * CharClass pattern), and how to build the final SType from the
+    * aggregated pieces.
+    */
+  private final case class SummaryPlan(leaf: Leaf, value: Column,
+                                       numeric: Boolean, n: Long,
+                                       needLengths: Boolean,
+                                       lengthsExact: Boolean,
+                                       needPattern: Boolean,
+                                       build: SummaryCtx => SType)
+
+  private final case class SummaryCtx(values: Stats, lengths: () => Stats,
+                                      pattern: Option[Vector[CharClass]])
 
   /** Leaf scalar columns, descending struct fields inline (no extra
     * job needed for structs — they're projections).
@@ -140,7 +194,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       case StringType =>
         // Per-row length gate on the numeric/bool/datetime probes:
         // the ladder only consults these witnesses when the column's
-        // GLOBAL lmax ≤ maxNumericLen (summaryStrLadder), so gating
+        // GLOBAL lmax ≤ maxNumericLen (planStringSummary), so gating
         // each row changes no decision — but it lets codegen skip
         // ~20 regex/timestamp parses per row on long text columns
         // (conditional branches evaluate lazily), which is where the
@@ -151,6 +205,9 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           count(when(c === "", 1)).as(s"${id}__empty"),
           min(length(c)).as(s"${id}__lmin"),
           max(length(c)).as(s"${id}__lmax"),
+          // length-distinct estimate: decides whether an over-cap
+          // string's LENGTH counter can ride the batched counter pass
+          approx_count_distinct(length(c)).as(s"${id}__ladist"),
           count(when(c.startsWith("http://")
             .or(c.startsWith("https://")), 1)).as(s"${id}__url"),
           count(when(c.rlike("^\\s*[\\[{]"), 1)).as(s"${id}__json")) ++
@@ -184,17 +241,20 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
   // ------------------------------------------------- counter batch pass
 
   /** ONE job per JVM type group: explode (name, value) structs and
-    * groupBy — instead of a full-data shuffle per column.
+    * groupBy — instead of a full-data shuffle per column. Over-cap
+    * string columns' length counters ride the longs group ("l"-prefixed
+    * keys), so length stats cost no per-column job either.
     */
-  private def collectCounters(df: DataFrame, cols: Vector[Leaf])
-      : Map[String, ValueCounter] = {
-    if (cols.isEmpty) return Map.empty
-    def group(sel: Leaf => Option[Column]): Map[String, ValueCounter] = {
-      val pairs = cols.flatMap(l => sel(l).map(v =>
-        struct(lit(l.id).as("k"), v.as("v"))))
+  private def collectCounters(df: DataFrame, cols: Vector[Leaf],
+                              lengthCols: Vector[Leaf])
+      : (Map[String, ValueCounter], Map[String, ValueCounter]) = {
+    if (cols.isEmpty && lengthCols.isEmpty) return (Map.empty, Map.empty)
+    def group(pairs: Vector[(String, Column)])
+        : Map[String, ValueCounter] = {
       if (pairs.isEmpty) return Map.empty
       val rows = df
-        .select(explode(array(pairs: _*)).as("e"))
+        .select(explode(array(pairs.map { case (k, v) =>
+          struct(lit(k).as("k"), v.as("v")) }: _*)).as("e"))
         .groupBy(col("e.k").as("k"), col("e.v").as("v"))
         .agg(count(lit(1)).as("c"))
         .collect()
@@ -203,65 +263,305 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           (r.get(1): Any) -> r.getAs[Long]("c")).toMap)
       }
     }
-    // longs (ints, bools as 0/1 kept separately, timestamps as micros)
-    val longs = group { l =>
+    def sel(f: Leaf => Option[Column]): Vector[(String, Column)] =
+      cols.flatMap(l => f(l).map(v => ("v" + l.id) -> v))
+    // longs (ints; over-cap string lengths ride along, "l"-prefixed)
+    val longs = group(sel { l =>
       l.dataType match {
         case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
           Some(l.col.cast(LongType))
         case _ => None
       }
-    }
-    val bools = group { l =>
+    } ++ lengthCols.map(l =>
+      ("l" + l.id) -> length(l.col).cast(LongType)))
+    val bools = group(sel { l =>
       l.dataType match {
         case BooleanType => Some(l.col)
         case _ => None
       }
-    }
-    val times = group { l =>
+    })
+    val times = group(sel { l =>
       l.dataType match {
         case TimestampType | TimestampNTZType | DateType =>
           // NTZ/date need an explicit cast (session tz = UTC)
           Some(unix_micros(l.col.cast(TimestampType)))
         case _ => None
       }
-    }.map { case (k, vc) =>
+    }).map { case (k, vc) =>
       k -> vc.mapKeys {
         case null => null
         case m: Long => Instant.ofEpochSecond(
           Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L)
       }
     }
-    val doubles = group { l =>
+    val doubles = group(sel { l =>
       l.dataType match {
         case DoubleType | FloatType | _: DecimalType =>
           Some(l.col.cast(DoubleType))
         case _ => None
       }
-    }
-    val strings = group { l =>
+    })
+    val strings = group(sel { l =>
       l.dataType match {
         case StringType => Some(l.col)
         case _ => None
       }
+    })
+    val all = longs ++ bools ++ times ++ doubles ++ strings
+    val values = all.collect { case (k, vc) if k.startsWith("v") =>
+      k.substring(1) -> vc }
+    val lengths = all.collect { case (k, vc) if k.startsWith("l") =>
+      k.substring(1) -> vc }
+    (values, lengths)
+  }
+
+  // --------------------------------------------------- summary planning
+
+  /** Decide an over-cap column's representation from the pass-1 witness
+    * counts alone — the reference ladder (analyzer.py:598-740) as
+    * threshold tests over pre-computed conditional aggregates. Returns
+    * the aggregation plan; no Spark jobs are launched here.
+    */
+  private def planSummary(leaf: Leaf, row: Row, total: Long)
+      : Option[SummaryPlan] = {
+    val id = leaf.id
+    val cnt = row.getAs[Long](s"${id}__cnt")
+    if (cnt == 0) return None
+    if (total > 0 && (total - cnt).toDouble / total > config.nullThreshold)
+      return None
+    val c = leaf.col
+    leaf.dataType match {
+      case BooleanType =>
+        Some(SummaryPlan(leaf, c.cast(LongType), numeric = true, cnt,
+          needLengths = false, lengthsExact = false, needPattern = false,
+          ctx => SBool(ctx.values)))
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+        Some(SummaryPlan(leaf, c, numeric = true, cnt,
+          needLengths = false, lengthsExact = false, needPattern = false,
+          ctx => tree.matchPossibleDateTime(SInt(ctx.values))))
+      case DoubleType | FloatType | _: DecimalType =>
+        Some(SummaryPlan(leaf, c.cast(DoubleType), numeric = true, cnt,
+          needLengths = false, lengthsExact = false, needPattern = false,
+          ctx => tree.matchPossibleDateTime(SFloat(ctx.values))))
+      case TimestampType | TimestampNTZType | DateType =>
+        Some(SummaryPlan(leaf, unix_micros(c.cast(TimestampType)),
+          numeric = true, cnt,
+          needLengths = false, lengthsExact = false, needPattern = false,
+          ctx => SDateTime(instantStats(ctx.values))))
+      case StringType => planStringSummary(leaf, row, cnt)
+      case _ => None
     }
-    longs ++ bools ++ times ++ doubles ++ strings
+  }
+
+  /** The string ladder from witness counts (analyzer.py:642-740). */
+  private def planStringSummary(leaf: Leaf, row: Row, cnt: Long)
+      : Option[SummaryPlan] = {
+    val id = leaf.id
+    val c = leaf.col
+    val empty = row.getAs[Long](s"${id}__empty")
+    val lmin = row.getAs[Int](s"${id}__lmin")
+    val lmax = row.getAs[Int](s"${id}__lmax")
+    val lengthsExact =
+      row.getAs[Long](s"${id}__ladist") <= exactDistinctCap
+    if (cnt > 0 && empty.toDouble / cnt > config.emptyThreshold)
+      return Some(SummaryPlan(leaf, c, numeric = false, cnt,
+        needLengths = true, lengthsExact, needPattern = false,
+        ctx => SStr(ctx.values, ctx.lengths(), None)))
+    val nonEmpty = cnt - empty
+    val bad = math.ceil(cnt * config.badThreshold).toLong
+    def ok(witness: Long): Boolean =
+      witness > 0 && witness >= nonEmpty - bad
+
+    if (lmax <= config.maxNumericLen) {
+      // bools
+      TreeAnalyzer.BoolPatterns.zipWithIndex.foreach { case (p, i) =>
+        if (ok(row.getAs[Long](s"${id}__b$i")))
+          return Some(SummaryPlan(leaf,
+            when(lower(trim(c)) === p.split("\\|", -1)(1), 1L)
+              .otherwise(0L),
+            numeric = true, nonEmpty,
+            needLengths = false, lengthsExact = false,
+            needPattern = false,
+            ctx => SStrRepr(SBool(ctx.values), p)))
+      }
+      // ints (o, d, x probe order — analyzer.py:63)
+      Seq(("o", 8, s"${id}__io"), ("d", 10, s"${id}__id"),
+          ("x", 16, s"${id}__ix")).foreach { case (pat, base, key) =>
+        if (ok(row.getAs[Long](key))) {
+          val conv = base match {
+            case 10 => c.try_cast(LongType)
+            case _ => conv10(c, base)
+          }
+          return Some(SummaryPlan(leaf, conv, numeric = true, nonEmpty,
+            needLengths = false, lengthsExact = false,
+            needPattern = false,
+            ctx => {
+              val res = SStrRepr(SInt(ctx.values), pat)
+              if (pat == "d") promoteSummaryEpoch(res) else res
+            }))
+        }
+      }
+      // float
+      if (ok(row.getAs[Long](s"${id}__f")))
+        return Some(SummaryPlan(leaf, c.try_cast(DoubleType),
+          numeric = true, nonEmpty,
+          needLengths = false, lengthsExact = false, needPattern = false,
+          ctx => promoteSummaryEpoch(SStrRepr(SFloat(ctx.values), "f"))))
+      // datetimes
+      sparkDateTimeFormats.zipWithIndex.foreach { case ((py, fmt), i) =>
+        if (ok(row.getAs[Long](s"${id}__dt$i")))
+          return Some(SummaryPlan(leaf,
+            unix_micros(try_to_timestamp(c, lit(fmt))),
+            numeric = true, nonEmpty,
+            needLengths = false, lengthsExact = false,
+            needPattern = false,
+            ctx => SStrRepr(SDateTime(instantStats(ctx.values)), py)))
+      }
+    }
+    // plain string: lengths + fixed-length CharClass pattern + URL
+    val urlAll = row.getAs[Long](s"${id}__url") == cnt
+    Some(SummaryPlan(leaf, c, numeric = false, cnt,
+      needLengths = true, lengthsExact,
+      needPattern = lmin == lmax && lmax > 0 && lmax <= 64,
+      ctx => {
+        if (ctx.pattern.isEmpty && lmin != lmax && urlAll)
+          SURL.fromSummary(ctx.values, ctx.lengths())
+        else SStr(ctx.values, ctx.lengths(), ctx.pattern)
+      }))
+  }
+
+  // ------------------------------------------------ summary agg pass 3
+
+  /** A plan's slice of the single wide summary aggregation: value
+    * min/max/count/uniqueness (+ exact positional quartiles for
+    * numerics), length stats for strings whose length counter couldn't
+    * be batched, and the CharClassAgg buffer for fixed-length patterns.
+    */
+  private def summaryAggExprs(p: SummaryPlan): Seq[Column] = {
+    val id = p.leaf.id
+    val v = p.value
+    val base = Seq(
+      min(v).as(s"${id}__smn"), max(v).as(s"${id}__smx"),
+      count(v).as(s"${id}__scnt"),
+      (approx_count_distinct(v) >= (count(v) * 98 / 100))
+        .as(s"${id}__suniq"))
+    val qs =
+      if (p.numeric) Seq(quartileExpr(v, p.n).as(s"${id}__sqs"))
+      else Seq.empty
+    val len =
+      if (p.needLengths && !p.lengthsExact) {
+        val lc = length(p.leaf.col).cast(LongType)
+        Seq(min(lc).as(s"${id}__slmn"), max(lc).as(s"${id}__slmx"),
+          count(lc).as(s"${id}__slcnt"),
+          (approx_count_distinct(lc) >= (count(lc) * 98 / 100))
+            .as(s"${id}__sluniq"),
+          quartileExpr(lc, p.n).as(s"${id}__slqs"))
+      } else Seq.empty
+    val pat =
+      if (p.needPattern)
+        Seq(graft.functions.CharClassAgg.charClasses(p.leaf.col, 64)
+          .as(s"${id}__spat"))
+      else Seq.empty
+    base ++ qs ++ len ++ pat
+  }
+
+  /** Exact positional quartiles: percentile at p = k/(n-1) evaluates
+    * order statistic x[k] with no interpolation (§1.3 rule: k = n/4,
+    * n/2, 3n/4, 0-based int div). Exact percentile holds the group's
+    * values in executor memory; past the cap (100 TB territory) degrade
+    * to the GK sketch.
+    */
+  private def quartileExpr(v: Column, n: Long): Column = {
+    val ps = Seq(n / 4, n / 2, 3 * n / 4).map(k =>
+      if (n <= 1) 0.0 else k.toDouble / (n - 1))
+    if (n <= SparkAnalyzer.exactPercentileCap)
+      percentile(v, typedLit(ps))
+    else approx_percentile(v.cast(DoubleType), typedLit(ps),
+      lit(10000)).cast(ArrayType(DoubleType))
+  }
+
+  /** Build a plan's value Stats from the wide summary row (+ the
+    * bounded top-K sample, the one remaining per-column job).
+    */
+  private def summaryStatsFromRow(df: DataFrame, p: SummaryPlan,
+                                  srow: Row): Stats = {
+    val id = p.leaf.id
+    val cnt = srow.getAs[Long](s"${id}__scnt")
+    val uniq = srow.getAs[Boolean](s"${id}__suniq")
+    val mn = normalize(srow.get(srow.fieldIndex(s"${id}__smn")))
+    val mx = normalize(srow.get(srow.fieldIndex(s"${id}__smx")))
+    val s0 =
+      if (!p.numeric)
+        // strings over the distinct cap: quartiles pinned to min — a
+        // documented scale-mode approximation (the reference would
+        // sort the whole sample)
+        Stats.summary(cnt, mn, mn, mn, mn, mx, uniq)
+      else {
+        val qs = srow.getSeq[Double](srow.fieldIndex(s"${id}__sqs"))
+        Stats.summary(cnt, mn, qs(0), qs(1), qs(2), mx, uniq)
+      }
+    withTopK(df.select(p.value.as("v")), col("v"), s0)
+  }
+
+  /** Length Stats: exact from the batched counter when the length
+    * cardinality is under the cap (the common case), else from the
+    * wide summary row.
+    */
+  private def lengthStatsFor(df: DataFrame, p: SummaryPlan, srow: Row,
+                             lengthCounters: Map[String, ValueCounter])
+      : Stats = {
+    val id = p.leaf.id
+    if (p.lengthsExact) {
+      val cleaned = lengthCounters.get(id).map(vc =>
+        ValueCounter(vc.counts.flatMap {
+          case (null, _) => None
+          case (k, n) => Some((normalize(k): Any) -> n)
+        })).getOrElse(ValueCounter(Map.empty))
+      if (cleaned.isEmpty)
+        Stats.fromCounter(ValueCounter(Map((0L: Any) -> 1L)))
+      else Stats.fromCounter(cleaned)
+    } else {
+      val cnt = srow.getAs[Long](s"${id}__slcnt")
+      val uniq = srow.getAs[Boolean](s"${id}__sluniq")
+      val mn = normalize(srow.get(srow.fieldIndex(s"${id}__slmn")))
+      val mx = normalize(srow.get(srow.fieldIndex(s"${id}__slmx")))
+      val qs = srow.getSeq[Double](srow.fieldIndex(s"${id}__slqs"))
+      val s0 = Stats.summary(cnt, mn, qs(0), qs(1), qs(2), mx, uniq)
+      withTopK(df.select(length(p.leaf.col).cast(LongType).as("v"))
+        .where(col("v").isNotNull), col("v"), s0)
+    }
+  }
+
+  private def buildFromPlan(df: DataFrame, p: SummaryPlan, srow: Row,
+                            lengthCounters: Map[String, ValueCounter])
+      : SType = {
+    val values = summaryStatsFromRow(df, p, srow)
+    val lengths = () => lengthStatsFor(df, p, srow, lengthCounters)
+    val pattern =
+      if (!p.needPattern) None
+      else {
+        val idx = srow.fieldIndex(s"${p.leaf.id}__spat")
+        if (srow.isNullAt(idx)) None
+        else {
+          val classes = srow.getSeq[String](idx).toVector.map(ch =>
+            Chars(ch.toSet): CharClass)
+          Some(generalizePattern(classes))
+        }
+      }
+    p.build(SummaryCtx(values, lengths, pattern))
   }
 
   // ------------------------------------------------------ per-field asm
 
-  private def analyzeField(df: DataFrame, path: Vector[String],
-                           dt: DataType, row: Row,
-                           counters: Map[String, ValueCounter],
-                           total: Long, jsonDepth: Int): SType =
+  private def analyzeField(ctx: LevelCtx, path: Vector[String],
+                           dt: DataType): SType =
     dt match {
     case s: StructType =>
       // struct = nested record; fields were analyzed in the same pass
-      val leaf = Leaf(path, s)
-      val cnt = total // struct presence not separately tracked
+      val cnt = ctx.total // struct presence not separately tracked
       val fields = s.fields.toVector.sortBy(_.name).map { f =>
         SDictField(SField(f.name, cnt, optional = false),
-          analyzeField(df, path :+ f.name, f.dataType, row, counters,
-            total, jsonDepth))
+          analyzeField(ctx, path :+ f.name, f.dataType))
       }
       SDict(Stats.fromCounter(ValueCounter(Map(
         (s.fields.length.toLong: Any) -> cnt))), fields)
@@ -269,24 +569,22 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       // one extra projection job per array level (explode); Catalyst
       // prunes the scan to this column only
       val c = Leaf(path, dt).col
-      val lengthsDf = df.select(size(c).as("n")).where(col("n") >= 0)
+      val lengthsDf = ctx.df.select(size(c).as("n")).where(col("n") >= 0)
       val lengths = counterOrSummary(lengthsDf, "n")
-      val items = df.select(explode(c).as("item"))
-      val itemType = analyzeNested(items, et, jsonDepth)
+      val items = ctx.df.select(explode(c).as("item"))
+      val itemType = analyzeNested(items, et, ctx.jsonDepth)
       SList(lengths, itemType)
     case MapType(kt, vt, _) =>
       val c = Leaf(path, dt).col
-      val lengthsDf = df.select(size(c).as("n")).where(col("n") >= 0)
+      val lengthsDf = ctx.df.select(size(c).as("n")).where(col("n") >= 0)
       val lengths = counterOrSummary(lengthsDf, "n")
-      val keys = analyzeNested(df.select(explode(map_keys(c))
-        .as("item")), kt, jsonDepth)
-      val values = analyzeNested(df.select(explode(map_values(c))
-        .as("item")), vt, jsonDepth)
+      val keys = analyzeNested(ctx.df.select(explode(map_keys(c))
+        .as("item")), kt, ctx.jsonDepth)
+      val values = analyzeNested(ctx.df.select(explode(map_values(c))
+        .as("item")), vt, ctx.jsonDepth)
       SDict(lengths, Vector(SDictField(keys, values)))
     case other =>
-      val leaf = Leaf(path, other)
-      assembleScalar(df, leaf, row, counters.get(leaf.id), total,
-        jsonDepth)
+      assembleScalar(ctx, Leaf(path, other))
   }
 
   /** Analyze exploded array/map content as its own level. */
@@ -319,7 +617,10 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     }
   }
 
-  /** Exact counter when cheap, else percentile-backed summary. */
+  /** Exact counter when cheap, else percentile-backed summary (used by
+    * the array/map length paths, which aggregate their own exploded
+    * frames).
+    */
   private def counterOrSummary(df: DataFrame, colName: String): Stats = {
     val c = col(colName)
     val r = df.agg(count(c).as("cnt"),
@@ -334,12 +635,9 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     } else summaryStats(df, c, cnt)
   }
 
-  /** Exact positional quartiles for over-cap numeric columns:
-    * percentile at p = k/(n-1) evaluates order statistic x[k] with no
-    * interpolation (§1.3 rule: k = n/4, n/2, 3n/4, 0-based int div).
-    * Non-numeric (string) columns get min/max only, quartiles pinned
-    * to min — a documented scale-mode approximation (strings over the
-    * distinct cap; the reference would sort the whole sample).
+  /** Exact positional quartiles for over-cap numeric columns (see
+    * [[quartileExpr]]). Non-numeric (string) columns get min/max only,
+    * quartiles pinned to min.
     */
   private def summaryStats(df: DataFrame, c: Column, n: Long): Stats = {
     val numeric = df.select(c).schema.head.dataType
@@ -354,18 +652,9 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         mn, mn, mn, normalize(r.get(1)),
         unique = r.getAs[Boolean]("uniq")))
     }
-    val ps = Seq(n / 4, n / 2, 3 * n / 4).map(k =>
-      if (n <= 1) 0.0 else k.toDouble / (n - 1))
-    // exact percentile holds the group's values in executor memory;
-    // past the cap (100 TB territory) degrade to the GK sketch
-    val qExpr =
-      if (n <= SparkAnalyzer.exactPercentileCap)
-        percentile(c, typedLit(ps))
-      else approx_percentile(c.cast(DoubleType), typedLit(ps),
-        lit(10000)).cast(ArrayType(DoubleType))
     val r = df.agg(
       min(c).as("mn"), max(c).as("mx"),
-      qExpr.as("qs"),
+      quartileExpr(c, n).as("qs"),
       count(c).as("cnt"),
       (approx_count_distinct(c) >= (count(c) * 98 / 100))
         .as("uniq")).head()
@@ -413,18 +702,31 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     case other => other
   }
 
-  /** Build the scalar's SType: exact ladder over the counter when
-    * available (reference-faithful), else witness-count decisions +
-    * summary stats.
+  /** micros-epoch summary Stats → Instant-valued Stats (the approx
+    * path yields Double micros).
     */
-  private def assembleScalar(df: DataFrame, leaf: Leaf, row: Row,
-                             counterOpt: Option[ValueCounter],
-                             total: Long, jsonDepth: Int): SType = {
+  private def instantStats(s: Stats): Stats = {
+    def toInst(v: Any): Any = v match {
+      case m: Long => Instant.ofEpochSecond(
+        Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L)
+      case d: Double => SType.epochToInstant(d / 1e6)
+      case other => other
+    }
+    Stats.summary(s.card, toInst(s.min), toInst(s.q1), toInst(s.q2),
+      toInst(s.q3), toInst(s.max), s.unique)
+  }
+
+  /** Build the scalar's SType: exact ladder over the counter when
+    * available (reference-faithful), else the pre-planned summary built
+    * from the single wide summary pass.
+    */
+  private def assembleScalar(ctx: LevelCtx, leaf: Leaf): SType = {
     val id = leaf.id
+    val row = ctx.row
     val cnt = row.getAs[Long](s"${id}__cnt")
-    val nulls = total - cnt
+    val nulls = ctx.total - cnt
     if (cnt == 0) return SValue(Vector.empty)
-    if (total > 0 && nulls.toDouble / total > config.nullThreshold)
+    if (ctx.total > 0 && nulls.toDouble / ctx.total > config.nullThreshold)
       return SValue(Vector.empty)
 
     // Spark-first extension beyond the reference: a string column
@@ -434,22 +736,22 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     // `str of {…} pattern=json`. The reference leaves such columns as
     // plain Str (it never parses strings as documents).
     if (parseJsonStrings && leaf.dataType == StringType &&
-        jsonDepth < config.maxDepth) {
+        ctx.jsonDepth < config.maxDepth) {
       val empty = row.getAs[Long](s"${id}__empty")
       val jsonW = row.getAs[Long](s"${id}__json")
       if (jsonW > 0 && jsonW == cnt - empty) {
-        val spark = df.sparkSession
+        val spark = ctx.df.sparkSession
         import spark.implicits._
-        val strings = df.select(leaf.col.as("v"))
+        val strings = ctx.df.select(leaf.col.as("v"))
           .where(col("v").isNotNull && col("v") =!= "").as[String]
         val parsed = spark.read.json(strings)
         if (!parsed.columns.contains("_corrupt_record"))
-          return SStrRepr(analyzeLevel(parsed, jsonDepth + 1),
+          return SStrRepr(analyzeLevel(parsed, ctx.jsonDepth + 1),
             "json")
       }
     }
 
-    counterOpt match {
+    ctx.counters.get(id) match {
       case Some(counter0) =>
         val counter = ValueCounter(counter0.counts.flatMap {
           case (null, _) => None
@@ -457,7 +759,12 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         })
         if (counter.isEmpty) return SValue(Vector.empty)
         exactLadder(counter, leaf.dataType)
-      case None => summaryLadder(df, leaf, row, cnt)
+      case None =>
+        ctx.plans.get(id) match {
+          case Some(p) =>
+            buildFromPlan(ctx.df, p, ctx.summaryRow, ctx.lengthCounters)
+          case None => SValue(Vector.empty)
+        }
     }
   }
 
@@ -476,128 +783,6 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       case StringType => tree.matchStr(counter)
       case _ => SValue(Vector.empty)
     }
-
-  /** Over-cap path: decide the interpretation from the wide-agg
-    * witness counts, then compute summary stats for the chosen
-    * representation in one more aggregation.
-    */
-  private def summaryLadder(df: DataFrame, leaf: Leaf, row: Row,
-                            cnt: Long): SType = {
-    val id = leaf.id
-    val c = leaf.col
-    leaf.dataType match {
-      case BooleanType =>
-        SBool(summaryStats(df.select(c.cast(LongType).as("v")),
-          col("v"), cnt))
-      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
-        tree.matchPossibleDateTime(
-          SInt(summaryStats(df.select(c.as("v")), col("v"), cnt)))
-      case DoubleType | FloatType | _: DecimalType =>
-        tree.matchPossibleDateTime(SFloat(summaryStats(
-          df.select(c.cast(DoubleType).as("v")), col("v"), cnt)))
-      case TimestampType | TimestampNTZType | DateType =>
-        val s = summaryStats(df.select(unix_micros(
-          c.cast(TimestampType)).as("v")), col("v"), cnt)
-        def toInst(v: Any): Any = v match {
-          case m: Long => Instant.ofEpochSecond(
-            Math.floorDiv(m, 1000000L),
-            Math.floorMod(m, 1000000L) * 1000L)
-          case d: Double => SType.epochToInstant(d / 1e6)
-          case other => other
-        }
-        SDateTime(Stats.summary(s.card, toInst(s.min), toInst(s.q1),
-          toInst(s.q2), toInst(s.q3), toInst(s.max), s.unique))
-      case StringType => summaryStrLadder(df, leaf, row, cnt)
-      case _ => SValue(Vector.empty)
-    }
-  }
-
-  /** The string ladder from witness counts (analyzer.py:642-740
-    * re-expressed as threshold tests over pre-computed conditional
-    * aggregates).
-    */
-  private def summaryStrLadder(df: DataFrame, leaf: Leaf, row: Row,
-                               cnt: Long): SType = {
-    val id = leaf.id
-    val c = leaf.col
-    val empty = row.getAs[Long](s"${id}__empty")
-    if (cnt > 0 && empty.toDouble / cnt > config.emptyThreshold)
-      return SStr(summaryStats(df.select(c.as("v")), col("v"), cnt),
-        lengthStats(df, c), None)
-    val nonEmpty = cnt - empty
-    val bad = math.ceil(cnt * config.badThreshold).toLong
-    def ok(witness: Long): Boolean =
-      witness > 0 && witness >= nonEmpty - bad
-    val lmax = row.getAs[Int](s"${id}__lmax")
-    val lmin = row.getAs[Int](s"${id}__lmin")
-
-    if (lmax <= config.maxNumericLen) {
-      // bools
-      TreeAnalyzer.BoolPatterns.zipWithIndex.foreach { case (p, i) =>
-        if (ok(row.getAs[Long](s"${id}__b$i")))
-          return SStrRepr(SBool(summaryStats(df.select(
-            when(lower(trim(c)) === p.split("\\|", -1)(1), 1L)
-              .otherwise(0L).as("v")), col("v"), nonEmpty)), p)
-      }
-      // ints (o, d, x probe order — analyzer.py:63)
-      Seq(("o", 8, s"${id}__io"), ("d", 10, s"${id}__id"),
-          ("x", 16, s"${id}__ix")).foreach { case (pat, base, key) =>
-        if (ok(row.getAs[Long](key))) {
-          val conv = base match {
-            case 10 => c.try_cast(LongType)
-            case _ => conv10(c, base)
-          }
-          val res = SStrRepr(SInt(summaryStats(
-            df.select(conv.as("v")).where(col("v").isNotNull),
-            col("v"), nonEmpty)), pat)
-          return if (pat == "d") promoteSummaryEpoch(res) else res
-        }
-      }
-      // float
-      if (ok(row.getAs[Long](s"${id}__f")))
-        return promoteSummaryEpoch(SStrRepr(SFloat(summaryStats(
-          df.select(c.try_cast(DoubleType).as("v"))
-            .where(col("v").isNotNull), col("v"), nonEmpty)), "f"))
-      // datetimes
-      sparkDateTimeFormats.zipWithIndex.foreach { case ((py, fmt), i) =>
-        if (ok(row.getAs[Long](s"${id}__dt$i"))) {
-          val conv = try_to_timestamp(c, lit(fmt))
-          val s = summaryStats(df.select(unix_micros(conv).as("v"))
-            .where(col("v").isNotNull), col("v"), nonEmpty)
-          def toInst(v: Any): Any = v match {
-            case m: Long => Instant.ofEpochSecond(
-              Math.floorDiv(m, 1000000L),
-              Math.floorMod(m, 1000000L) * 1000L)
-            case d: Double => SType.epochToInstant(d / 1e6)
-            case other => other
-          }
-          return SStrRepr(SDateTime(Stats.summary(s.card,
-            toInst(s.min), toInst(s.q1), toInst(s.q2), toInst(s.q3),
-            toInst(s.max), s.unique)), py)
-        }
-      }
-    }
-    val values = summaryStats(df.select(c.as("v")), col("v"), cnt)
-    val lengths = lengthStats(df, c)
-    // fixed-length pattern mining via the custom
-    // TypedImperativeAggregate (one buffer of per-position char sets,
-    // positionwise union on merge) — SURVEY §4.2's custom aggregate
-    val pattern =
-      if (lmin == lmax && lmax > 0 && lmax <= 64) {
-        val sets = df.agg(graft.functions.CharClassAgg
-          .charClasses(c, 64).as("p")).head()
-        if (sets.isNullAt(0)) None
-        else {
-          val classes = sets.getSeq[String](0).toVector.map(ch =>
-            Chars(ch.toSet): CharClass)
-          Some(generalizePattern(classes))
-        }
-      } else None
-    if (pattern.isEmpty && lmin != lmax &&
-        row.getAs[Long](s"${id}__url") == cnt)
-      SURL.fromSummary(values, lengths)
-    else SStr(values, lengths, pattern)
-  }
 
   /** Same digit-base promotion + identifier generalization as the
     * in-memory miner (analyzer.py:686-718).
@@ -631,10 +816,6 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     else pattern0.map(c =>
       if (c.size == 1 || digits(c)) c else (AnyChar: CharClass))
   }
-
-  private def lengthStats(df: DataFrame, c: Column): Stats =
-    counterOrSummary(df.select(length(c).cast(LongType).as("n"))
-      .where(col("n").isNotNull), "n")
 
   /** Base-8/16 string → long via conv() (handles 0x/0o prefixes). */
   private def conv10(c: Column, base: Int): Column = {

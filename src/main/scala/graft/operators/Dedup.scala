@@ -140,11 +140,20 @@ object Dedup {
                             maxBucketSize: Long = 10000L): DataFrame = {
     val bits = 32 / bands
     val mask = (1L << bits) - 1
-    val sliced = (0 until bands).map(b =>
-      sims.select(col("id"), lit(b).as("band"),
-        shiftright(col("simhash"), b * bits).bitwiseAND(mask)
-          .as("key")))
-      .reduce(_ unionAll _)
+    // All band slices derive from ONE projection over the signature
+    // (array of shifted slices + posexplode), mirroring lshBands:
+    // `simhash` is referenced by every slice expression in the same
+    // Project, so CollapseProject cannot inline an upstream
+    // simHash32(...) into the branches (it only inlines
+    // single-reference or cheap producers) — the tokenize+md5
+    // signature is computed once per document. The previous
+    // unionAll-of-selects shape re-scanned the corpus and re-evaluated
+    // the signature once per band (the splay anti-pattern measured 7×
+    // for MinHash bands).
+    val keys = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * bits).bitwiseAND(mask)): _*)
+    val sliced = sims.select(col("id"),
+      posexplode(keys).as(Seq("band", "key")))
     val kept = dropHotBuckets(sliced, maxBucketSize)
     val a = kept.as("a")
     val b = kept.as("b")
@@ -159,11 +168,20 @@ object Dedup {
     * is tiny by construction and applies as a broadcast anti-join.
     */
   private def dropHotBuckets(bands: DataFrame, cap: Long): DataFrame = {
-    val hot = bands.groupBy(col("band"), col("key"))
+    // One explicit shuffle on (band, key), shared via ReuseExchange by
+    // every consumer — the hot-bucket aggregation, the anti-join probe
+    // side, and both downstream self-join sides (which also need this
+    // exact partitioning for the pair equi-join, so no further shuffle
+    // follows). Without it each consuming subtree re-scans the corpus
+    // and re-evaluates the signature projection (min_hash_sig /
+    // simhash32), i.e. 4 corpus scans; with it the scan + signature
+    // run once and only the slim (id, band, key) rows shuffle.
+    val parts = bands.repartition(col("band"), col("key"))
+    val hot = parts.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("c"))
       .where(col("c") > cap)
       .select(col("band"), col("key"))
-    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    parts.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.

@@ -78,6 +78,31 @@ object ExplainAudit {
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FULL"))
         println(formatted)
     }
+    // ---- single-evaluation check --------------------------------
+    // simHashCandidatePairs must evaluate the signature exactly ONCE:
+    // band slices derive from one projection over `simhash`. (The
+    // round-2 unionAll-of-selects shape re-scanned the corpus and
+    // re-evaluated simhash32 once per band.)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pairs = graft.operators.Dedup.simHashCandidatePairs(
+        graft.operators.Dedup.simHash32(docs, col("doc_id"),
+          col("text")))
+      pairs.collect()
+      // count in the FINAL adaptive plan only — treeString inlines
+      // expressions per node, and the "Initial Plan" section AQE
+      // appends still shows the pre-ReuseExchange subtree copies
+      val tree = pairs.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val n = finalPlan.split("simhash32\\(", -1).length - 1
+      val ok = n == 1
+      if (!ok) failures += 1
+      println(s"\n=== simhash_pairs — signature computed once ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] simhash32( " +
+        s"appears exactly once in the physical plan (found $n)")
+    }
+
     println(s"\nplan audit: ${if (failures == 0) "all checks OK"
       else s"$failures MISSING properties"}")
     spark.stop()

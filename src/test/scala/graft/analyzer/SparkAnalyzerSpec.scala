@@ -128,6 +128,41 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.core.RenderOptions(showSamples = true)).contains("samples="))
   }
 
+  test("over-cap summary path launches O(1) jobs per level") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // every column over-cap (cap=4, 101 distinct values each); job
+    // count must not grow with column count: one wide witness pass +
+    // one batched length-counter pass + one wide summary pass
+    def jobsFor(numCols: Int): Int = {
+      val base = (0 until 300).toDF("i")
+      val cols = base.col("i").cast("long").as("id") +:
+        (0 until numCols).map(k => concat(lit(s"v${k}_"),
+          (base.col("i") % 101).cast("string")).as(s"s$k"))
+      val df = base.select(cols: _*)
+      val group = s"graft-jobcount-$numCols"
+      s.sparkContext.setJobGroup(group, "job count test")
+      try new SparkAnalyzer(exactDistinctCap = 4, sampleTopK = 0)
+        .analyzeTable(df)
+      finally s.sparkContext.clearJobGroup()
+      // the status tracker is fed asynchronously; poll until stable
+      def count() =
+        s.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = count()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = count(); spins += 1
+      }
+      cur
+    }
+    val j6 = jobsFor(6)
+    val j18 = jobsFor(18)
+    assert(j6 > 0)
+    assert(j18 == j6, s"jobs grew with column count: $j6 -> $j18")
+  }
+
   test("null-heavy column discounts nulls like the reference") {
     val s = spark
     import s.implicits._

@@ -351,4 +351,25 @@ class SimHashBandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
   }
+
+  test("simhash candidates are complete within Hamming radius < bands") {
+    val s = spark
+    import s.implicits._
+    // crafted 32-bit signatures: with 4 bands of 8 bits, any pair at
+    // Hamming distance < 4 must share an untouched band (pigeonhole)
+    // and therefore MUST be generated as a candidate
+    val x = 0x5A5A5A5AL
+    val sims = Seq(
+      (1L, x),
+      (2L, x ^ 0x00000007L),  // 3 flipped bits, all in band 0
+      (3L, x ^ 0x01010100L),  // 3 flipped bits across bands 1-3
+      (4L, x ^ 0x01010101L))  // 1 flipped bit in EVERY band
+      .toDF("id", "simhash")
+    val pairs = Dedup.simHashCandidatePairs(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs)  // Hamming 3 -> found
+    assert(pairs.contains((1L, 3L)), pairs)  // Hamming 3 -> found
+    // no shared slice: differs in every band, so never a candidate
+    assert(!pairs.contains((1L, 4L)), pairs)
+  }
 }

@@ -62,10 +62,13 @@ case class LshSignExpr(child: Expression) extends UnaryExpression {
 object LshSignExpr {
 
   /** Width of the precomputed sign family; buckets use a ≤-wide mask.
-    * 24 bits → up to 16.7M buckets, enough for the n ≤ 128·2^24 ≈
-    * 2×10^9-row ladder before the width caps.
+    * 32 bits → up to 4.3G buckets, enough for the n ≤ 128·2^32 ≈
+    * 5.5×10^11-row ladder before the width caps — true 100 TB doc
+    * counts (~10^10-10^11 docs) stay inside the ladder. Bit 31 uses
+    * the Int sign bit; consumers mask via a LONG (unsigned-32 view),
+    * see [[graft.operators.Similarity.lshBucket]].
     */
-  final val MaxBits = 24
+  final val MaxBits = 32
 
   private final val Scale = 33554432.0 // 2^25
 

@@ -67,10 +67,11 @@ object Similarity {
   /** Bucket-width derivation: the smallest b in [4, MaxBits] with
     * n ≤ targetPerBucket·2^b — so the bucket count 2^b GROWS with the
     * corpus instead of being a constant (a fixed 16-bucket space makes
-    * every bucket join O(n²/16)); the 24-bit family holds the ladder
-    * to ~2×10^9 rows. Pure integer arithmetic so the DuckDB oracle's
-    * CASE ladder derives the identical width (a float log2 could
-    * round differently across engines at exact powers of two).
+    * every bucket join O(n²/16)); the 32-bit family holds the ladder
+    * to ~5.5×10^11 rows (true 100 TB doc counts). Pure integer
+    * arithmetic so the DuckDB oracle's CASE ladder derives the
+    * identical width (a float log2 could round differently across
+    * engines at exact powers of two).
     */
   def bitsForCount(n: Long, targetPerBucket: Long = 128L): Int = {
     var b = 4
@@ -80,10 +81,13 @@ object Similarity {
   }
 
   /** Deterministic LSH bucket id (0..2^bits−1): the low `bits` of the
-    * native sign pattern.
+    * native sign pattern, viewed unsigned through a LONG so the full
+    * 32-bit family works (bit 31 is the Int sign bit; sign-extension
+    * then `& (2^bits − 1)` yields the unsigned low bits — identical
+    * BIGINT arithmetic in the DuckDB oracle).
     */
   def lshBucket(vec: Column, bits: Int): Column =
-    signPattern(vec).bitwiseAND(lit((1 << bits) - 1))
+    signPattern(vec).cast("long").bitwiseAND(lit((1L << bits) - 1))
 
   /** Bucketed ANN: per-bucket membership counts (the partition shape
     * an IVF/LSH index would use for candidate pruning). Bucket width

@@ -222,14 +222,18 @@ object PipelineQueries {
       "(SELECT COUNT(*) AS n FROM embeddings))"
 
   /** md5-hyperplane sign pattern masked to the derived width —
-    * bit-for-bit the engine's LshSignExpr + bitsForCount mask.
+    * bit-for-bit the engine's LshSignExpr + bitsForCount mask
+    * (BIGINT throughout = the engine's unsigned-32-in-a-long view,
+    * so bit 31 of the 32-bit family is a positive 2^31 term in both
+    * engines).
     */
   private def bucketSql(src: String): String =
     s"SELECT vec_id, CAST(" +
       (0 until lshMaxBits).map(j =>
-        s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
         .mkString(" + ") +
-      " AS INT) & ((1 << bits) - 1) AS bucket FROM (SELECT vec_id, " +
+      " AS BIGINT) & ((CAST(1 AS BIGINT) << bits) - 1) AS bucket " +
+      "FROM (SELECT vec_id, " +
       (0 until lshMaxBits).map(j =>
         s"SUM(CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':$j'), " +
         s"1, 1) BETWEEN '0' AND '7' THEN x ELSE -x END) AS s$j")

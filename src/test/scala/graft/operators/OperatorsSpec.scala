@@ -192,6 +192,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.bitsForCount((128L << 4) + 1) == 5)
     assert(Similarity.bitsForCount(128L << 10) == 10)
     assert(Similarity.bitsForCount(128L << 20) == 20)
+    // 32-bit family ceiling: the ladder covers true 100 TB corpus
+    // sizes (~5.5e11 rows) before the width caps
+    assert(graft.functions.LshSignExpr.MaxBits == 32)
+    assert(Similarity.bitsForCount(128L << 31) == 31)
+    assert(Similarity.bitsForCount((128L << 31) + 1) == 32)
+    assert(Similarity.bitsForCount(550L * 1000 * 1000 * 1000) == 32)
     assert(Similarity.bitsForCount(Long.MaxValue / 4) ==
       graft.functions.LshSignExpr.MaxBits)
     // forced skew: every vector identical → one bucket holds all n;

@@ -31,7 +31,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // effective config alongside the number, so cross-round
+    // comparisons are self-describing (maxPartitionBytes in
+    // particular is bench-only tuning)
+    val conf = spark.conf
+    val config = Seq(
+      "cpus" -> cpus,
+      "shuffle_partitions" -> conf.get("spark.sql.shuffle.partitions"),
+      "max_partition_bytes" ->
+        conf.get("spark.sql.files.maxPartitionBytes"),
+      "aqe" -> conf.get("spark.sql.adaptive.enabled"),
+      "codegen" -> conf.get("spark.sql.codegen.wholeStage"))
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config}""")
     spark.stop()
   }
 }

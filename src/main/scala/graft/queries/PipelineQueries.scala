@@ -9,8 +9,9 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
   * surfaced as a deterministic query with a DuckDB oracle (q33, the
-  * flagship structure-inference dump, is the only rows-only query; it
-  * is pinned by the byte-identical golden snapshot instead).
+  * flagship structure-inference dump, pins its deterministic output as
+  * an explicit VALUES oracle; the byte-identical golden snapshot covers
+  * the full render grammar).
   *
   * Determinism notes: md5/crc32 digests are identical across engines;
   * ratio thresholds use integer cross-multiplication; dot products are
@@ -131,9 +132,10 @@ object PipelineQueries {
           "text/plain"),
         col("source"))),
 
-    // rows-only: the flagship structure-inference operator itself —
-    // one row per column of `documents` with its inferred type string
-    // (deterministic: exact counters over deterministic data)
+    // the flagship structure-inference operator itself — one row per
+    // column of `documents` with its inferred type string
+    // (deterministic: exact counters over deterministic data; oracle =
+    // explicit VALUES pin below)
     "q33_analyze_structure" -> ((s, d) => {
       val analyzer = new graft.analyzer.SparkAnalyzer()
       val rows = analyzer.analyzeTable(
@@ -374,6 +376,21 @@ object PipelineQueries {
     "q34_nanos_range" ->
       ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
        "MAX(CAST(ts AS DATE)) AS max_day FROM events"),
+    // q33 is the structure-inference dump itself: its five inferred
+    // type strings over sf0.01/documents are deterministic (exact
+    // counters over deterministic data), so the oracle pins them as
+    // explicit expected rows. The byte-identical golden snapshot
+    // (GoldenSpec) covers the full render grammar; this VALUES pin
+    // makes the driver's hash gate cover the query too. NOTE: pinned
+    // to the driver's verify scale factor (sf0.01).
+    "q33_analyze_structure" ->
+      ("SELECT column_name, inferred FROM (VALUES " +
+       "('doc_id', 'int range=0..499'), " +
+       "('lang', 'str pattern=Ii'), " +
+       "('n_chars', 'int range=48..553'), " +
+       "('source', 'str'), " +
+       "('text', 'str')) AS t(column_name, inferred) " +
+       "ORDER BY column_name NULLS FIRST"),
     "q31_media_stats" ->
       ("SELECT source AS grp, COUNT(*) AS n_items, " +
        "CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS " +

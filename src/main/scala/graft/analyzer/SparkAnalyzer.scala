@@ -78,7 +78,10 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     val leaves = collectLeaves(schema)
     val aggExprs = leaves.flatMap(l => wideAggExprs(l)) :+
       count(lit(1)).as("__total")
-    val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val row = described(df, s"graft: witness pass " +
+      s"(${leaves.size} columns)") {
+      df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    }
     val total = row.getAs[Long]("__total")
 
     // -------- plan: decide every over-cap column's representation from
@@ -96,13 +99,17 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     // -------- pass 2: batched exact counters (values under the cap +
     // lengths of over-cap strings) — one job per JVM type group
     val (counters, lengthCounters) =
-      collectCounters(df, counterCols, lengthCounterCols)
+      described(df, s"graft: exact counter batch " +
+        s"(${counterCols.size} columns)") {
+        collectCounters(df, counterCols, lengthCounterCols)
+      }
 
     // -------- pass 3: ONE wide summary aggregation for all over-cap
     // columns (quartiles, length stats, CharClass patterns together)
     val summaryRow: Row =
       if (plans.isEmpty) null
-      else {
+      else described(df, s"graft: summary pass " +
+        s"(${plans.size} over-cap columns)") {
         val exprs = plans.flatMap(summaryAggExprs)
         df.agg(exprs.head, exprs.tail: _*).head()
       }
@@ -110,12 +117,25 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     // -------- assemble the record dict
     val ctx = LevelCtx(df, row, counters, lengthCounters,
       plans.map(p => p.leaf.id -> p).toMap, summaryRow, total, jsonDepth)
-    val fields = schema.fields.toVector.sortBy(_.name).map { f =>
-      val t = analyzeField(ctx, Vector(f.name), f.dataType)
-      SDictField(SField(f.name, total, optional = false), t)
+    described(df, "graft: assemble (nested levels / top-K)") {
+      val fields = schema.fields.toVector.sortBy(_.name).map { f =>
+        val t = analyzeField(ctx, Vector(f.name), f.dataType)
+        SDictField(SField(f.name, total, optional = false), t)
+      }
+      SDict(Stats.fromCounter(ValueCounter(Map(
+        (schema.fields.length.toLong: Any) -> total))), fields)
     }
-    SDict(Stats.fromCounter(ValueCounter(Map(
-      (schema.fields.length.toLong: Any) -> total))), fields)
+  }
+
+  /** Label this block's Spark jobs (surfaced by the CLI progress line
+    * and the Spark UI); restores the previous label so nested levels
+    * re-label correctly.
+    */
+  private def described[T](df: DataFrame, desc: String)(f: => T): T = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
   }
 
   // ------------------------------------------------------------ schema

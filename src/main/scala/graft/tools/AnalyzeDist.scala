@@ -31,6 +31,15 @@ object AnalyzeDist {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // reference UX: a progress bar on big inputs (tqdm on a TTY,
+    // ui/cli.py:237-266) — here a SparkListener-driven stderr line
+    // labelled by the analyzer's pass descriptions
+    val progress =
+      if (Cli.progressEnabled(opts)) {
+        val l = new ProgressListener(System.err)
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
     try {
       val analyzer = new SparkAnalyzer(opts.config)
       val trees = opts.files.map { path =>
@@ -62,6 +71,11 @@ object AnalyzeDist {
         }
       val treeAnalyzer = new graft.analyzer.TreeAnalyzer(opts.config)
       val merged = treeAnalyzer.mergeToFixpoint(tree)
+      // end the \r progress line before the result goes to stdout
+      progress.foreach { l =>
+        spark.sparkContext.removeSparkListener(l)
+        l.finish()
+      }
       // same output-mode surface as the driver-side CLI
       println(opts.outputMode match {
         case "xml" => graft.core.Xml.toStringOf(merged)

@@ -30,6 +30,9 @@ object Cli {
       render: RenderOptions = RenderOptions(),
       /** text (default grammar), ansi (styled terminal), xml. */
       outputMode: String = "text",
+      /** None = auto (TTY only, like the reference's tqdm:
+        * ui/cli.py:237-266); Some overrides via --[no-]progress. */
+      progress: Option[Boolean] = None,
       config: AnalyzerConfig = AnalyzerConfig(
         badThreshold = 0.01, // CLI default 1% (API default is 2%)
         emptyThreshold = 0.99, // CLI default 99%
@@ -271,6 +274,8 @@ object Cli {
         case "--hide-samples" => r = r.copy(showSamples = false)
         case "--xml" => o = o.copy(outputMode = "xml")
         case "--ansi" => o = o.copy(outputMode = "ansi")
+        case "--progress" => o = o.copy(progress = Some(true))
+        case "--no-progress" => o = o.copy(progress = Some(false))
         case "-h" | "--help" =>
           println(usage); sys.exit(0)
         case flag if flag.startsWith("-") && flag != "-" =>
@@ -329,5 +334,13 @@ object Cli {
       |  --show/hide-samples      value samples (default hidden)
       |  --xml                    emit the structure as XML
       |  --ansi                   styled terminal output
+      |  --[no-]progress          stderr progress line while analyzing
+      |                           (default: only on a terminal)
       |""".stripMargin
+
+  /** Effective progress switch: explicit flag, else TTY detection
+    * (the reference shows its tqdm bar only on a TTY).
+    */
+  def progressEnabled(o: Options): Boolean =
+    o.progress.getOrElse(System.console() != null)
 }

@@ -148,4 +148,34 @@ class CliSpec extends AnyFunSuite {
     assert(parse(Seq("--xml", "f.json")).outputMode == "xml")
     assert(parse(Seq("--ansi", "f.json")).outputMode == "ansi")
   }
+
+  test("progress: stderr line under --progress, absent by default " +
+      "(analyzer.py:209-236 UX; TTY-gated like ui/cli.py:237-266)") {
+    assert(parse(Seq("f.json")).progress.isEmpty)
+    assert(parse(Seq("--progress", "f.json")).progress.contains(true))
+    assert(parse(Seq("--no-progress", "f.json")).progress
+      .contains(false))
+    // no TTY under sbt → auto mode stays off, like the reference
+    assert(!progressEnabled(parse(Seq("f.json"))))
+    assert(progressEnabled(parse(Seq("--progress", "f.json"))))
+
+    val f = Files.createTempFile("prog", ".json")
+    Files.write(f, (0 until 50).map(i =>
+      s"""{"a": $i, "b": "x$i"}""").mkString("[", ", ", "]").getBytes)
+    def runCapturingErr(args: Seq[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val prevErr = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      try AnalyzeDist.main(args.toArray)
+      finally System.setErr(prevErr)
+      buf.toString
+    }
+    val withProgress = runCapturingErr(Seq("--progress", f.toString))
+    assert(withProgress.contains("analyzing:"),
+      withProgress.takeRight(400))
+    assert(withProgress.contains("graft:"), withProgress.takeRight(400))
+    val without = runCapturingErr(Seq(f.toString))
+    assert(!without.contains("analyzing:"), without.takeRight(400))
+    Files.delete(f)
+  }
 }

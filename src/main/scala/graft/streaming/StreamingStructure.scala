@@ -25,10 +25,19 @@ object StreamingStructure {
 
   /** Event-time windowed per-key value stats. `tsCol` must be a
     * TimestampType column; late data beyond `watermark` is dropped.
+    *
+    * `quartiles` carries the positional quartiles that define the
+    * batch Stats (§1.3), via a bounded per-window counter buffer —
+    * the same counter monoid the batch analyzer aggregates, so a
+    * replayed stream reproduces the batch quartiles exactly. Past
+    * `quartileCap` distinct values the buffer spills to summary
+    * (null quartiles, `exact` false), keeping per-(key, window) state
+    * bounded on unbounded value domains.
     */
   def windowedStats(df: DataFrame, tsCol: String, keyCol: String,
                     valueCol: String, windowLen: String = "1 minute",
-                    watermark: String = "5 minutes"): DataFrame =
+                    watermark: String = "5 minutes",
+                    quartileCap: Int = 4096): DataFrame =
     df.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol).as("key"))
       .agg(
@@ -36,7 +45,9 @@ object StreamingStructure {
         count(col(valueCol)).as("n_present"),
         min(col(valueCol)).as("min_value"),
         max(col(valueCol)).as("max_value"),
-        sum(col(valueCol).cast("decimal(28,6)")).as("sum_value"))
+        sum(col(valueCol).cast("decimal(28,6)")).as("sum_value"),
+        graft.functions.QuartilesAgg.quartiles(
+          col(valueCol).cast("double"), quartileCap).as("quartiles"))
 
   /** Running per-key summary state. */
   final case class RunningStats(key: String, count: Long, nulls: Long,

@@ -50,6 +50,66 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("windowed quartiles match the batch positional rule on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    // duplicates included: the §1.3 walk over the counter (not a
+    // naive rank formula) is what must match batch
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 9.0, 7.0, 1.0, 8.0, 2.0, 6.0)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val query = StreamingStructure
+      .windowedStats(input.toDF.toDF("ts", "key", "value"),
+        "ts", "key", "value",
+        windowLen = "1 minute", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("winq")
+      .outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+      input.addData(vals.map(v => (t0, "a", v)): _*)
+      query.processAllAvailable()
+      val row = spark.table("winq").collect()
+        .find(_.getAs[String]("key") == "a").get
+      val q = row.getAs[org.apache.spark.sql.Row]("quartiles")
+      // batch analyzer's exact rule on the same data
+      val batch = graft.core.Stats.fromCounter(
+        graft.core.ValueCounter(vals.groupBy(identity)
+          .map { case (k, v) => (k: Any) -> v.size.toLong }))
+      assert(q.getAs[Boolean]("exact"))
+      assert(q.getAs[Double]("q1") == batch.q1)
+      assert(q.getAs[Double]("q2") == batch.q2)
+      assert(q.getAs[Double]("q3") == batch.q3)
+    } finally query.stop()
+  }
+
+  test("windowed quartiles spill to summary past the distinct cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val query = StreamingStructure
+      .windowedStats(input.toDF.toDF("ts", "key", "value"),
+        "ts", "key", "value",
+        windowLen = "1 minute", watermark = "2 minutes",
+        quartileCap = 2)
+      .writeStream.format("memory").queryName("winspill")
+      .outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+      input.addData((0 until 10).map(i => (t0, "a", i.toDouble)): _*)
+      query.processAllAvailable()
+      val row = spark.table("winspill").collect()
+        .find(_.getAs[String]("key") == "a").get
+      val q = row.getAs[org.apache.spark.sql.Row]("quartiles")
+      assert(!q.getAs[Boolean]("exact"))
+      assert(q.isNullAt(q.fieldIndex("q1")))
+      // the unbounded-safe aggregates still summarize the window
+      assert(row.getAs[Long]("n_rows") == 10)
+      assert(row.getAs[Double]("min_value") == 0.0)
+      assert(row.getAs[Double]("max_value") == 9.0)
+    } finally query.stop()
+  }
+
   test("running per-key state via mapGroupsWithState") {
     val s = spark
     import s.implicits._

@@ -245,27 +245,30 @@ object Source {
   // --------------------------------------------------------------- YAML
 
   /** S7: YAML subset — block maps/lists, block scalars (`|`, `>` with
-    * clip/strip chomping), single-line flow collections,
-    * anchors/aliases, multi-document streams, comments, core-schema
-    * scalars. A multi-document stream returns a Vector of documents.
-    * (Comment stripping is line-oriented, so a ` #` inside a block
-    * scalar is treated as a comment — documented subset limitation.)
+    * clip/strip chomping), multi-line plain scalars, single- and
+    * multi-line flow collections, tags (`!!str` etc. coerce; unknown
+    * tags are ignored and the value parsed), anchors/aliases,
+    * multi-document streams, comments, core-schema scalars. A
+    * multi-document stream returns a Vector of documents. Lines stay
+    * RAW until structurally interpreted, so a ` #` inside a block
+    * scalar body is content, not a comment.
     */
   def parseYaml(text: String): Any = {
     val anchors = scala.collection.mutable.HashMap.empty[String, Any]
-    // empty lines survive (block scalars own them); parsers skip them
-    val allLines = text.linesIterator
-      .map(stripComment)
-      .toVector
+    // keep lines raw: comment stripping happens at interpretation
+    // points (block scalars own their bodies verbatim)
+    val allLines = text.linesIterator.toVector
+    def hasContent(ls: Vector[String]): Boolean =
+      ls.exists(l => stripComment(l).trim.nonEmpty)
     // multi-document split on --- / ... separator lines
     val docs = Vector.newBuilder[Vector[String]]
     var cur = Vector.newBuilder[String]
     var nDocs = 0
     allLines.foreach { l =>
-      val t = l.trim
+      val t = stripComment(l).trim
       if (t == "---" || t.startsWith("--- ")) {
         val done = cur.result()
-        if (done.exists(_.trim.nonEmpty) || nDocs > 0) {
+        if (hasContent(done) || nDocs > 0) {
           docs += done; nDocs += 1
         }
         cur = Vector.newBuilder[String]
@@ -277,16 +280,17 @@ object Source {
       } else cur += l
     }
     val tail = cur.result()
-    if (tail.exists(_.trim.nonEmpty) || nDocs == 0) {
+    if (hasContent(tail) || nDocs == 0) {
       docs += tail; nDocs += 1
     }
     val parsed = docs.result()
-      .filter(_.exists(_.trim.nonEmpty))
+      .filter(hasContent)
       .map { doc =>
         anchors.clear()
         val (v, rest) = parseBlock(doc, 0, anchors)
-        require(!rest.exists(_.trim.nonEmpty),
-          s"unparsed YAML remainder: ${rest.find(_.trim.nonEmpty)}")
+        require(!hasContent(rest),
+          s"unparsed YAML remainder: ${
+            rest.find(l => stripComment(l).trim.nonEmpty)}")
         v
       }
     parsed match {
@@ -359,9 +363,10 @@ object Source {
 
   private def parseBlock(lines0: Vector[String], indent: Int,
                          anchors: Anchors): (Any, Vector[String]) = {
-    val lines = lines0.dropWhile(_.trim.isEmpty)
+    def blank(l: String): Boolean = stripComment(l).trim.isEmpty
+    val lines = lines0.dropWhile(blank)
     if (lines.isEmpty) return (null, lines)
-    val first = lines.head
+    val first = stripComment(lines.head)
     val ind = indentOf(first)
     if (ind < indent) return (null, lines0)
     val content = first.trim
@@ -371,38 +376,38 @@ object Source {
       var rest = lines
       var go = true
       while (go) {
-        rest = rest.dropWhile(_.trim.isEmpty)
-        if (rest.isEmpty || indentOf(rest.head) != ind ||
-            !(rest.head.trim.startsWith("- ") ||
-              rest.head.trim == "-")) go = false
+        rest = rest.dropWhile(blank)
+        val head = rest.headOption.map(stripComment)
+        if (head.isEmpty || indentOf(head.get) != ind ||
+            !(head.get.trim.startsWith("- ") ||
+              head.get.trim == "-")) go = false
         else {
-          val itemText0 = rest.head.trim.drop(1).trim
-          // anchor definition on the item
-          val (anchorName, itemText) = splitAnchor(itemText0)
+          val itemText0 = head.get.trim.drop(1).trim
+          // anchor / tag decorators on the item
+          val (anchorName, tag, itemText) = splitDecorators(itemText0)
+          def keep(v0: Any, r: Vector[String]): Unit = {
+            val v = applyTag(tag, v0)
+            anchorName.foreach(anchors.update(_, v))
+            items += v; rest = r
+          }
           if (itemText.isEmpty) {
             val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
-            anchorName.foreach(anchors.update(_, v))
-            items += v; rest = r
+            keep(v, r)
           } else if (isBlockScalarMarker(itemText)) {
             val (v, r) = blockScalar(itemText, rest.tail, ind)
-            anchorName.foreach(anchors.update(_, v))
-            items += v; rest = r
+            keep(v, r)
           } else if (isFlowStart(itemText)) {
             val (joined, r) = joinFlow(itemText, rest.tail)
-            val v = parseFlowValue(joined, anchors)
-            anchorName.foreach(anchors.update(_, v))
-            items += v; rest = r
+            keep(parseFlowValue(joined, anchors), r)
           } else if (itemText.contains(": ") || itemText.endsWith(":")) {
             // inline map start: re-indent the fragment
             val synthetic = (" " * (ind + 2)) + itemText
             val (v, r) = parseBlock(synthetic +: rest.tail, ind + 2,
               anchors)
-            anchorName.foreach(anchors.update(_, v))
-            items += v; rest = r
+            keep(v, r)
           } else {
-            val v = resolveScalar(itemText, anchors)
-            anchorName.foreach(anchors.update(_, v))
-            items += v; rest = rest.tail
+            val (text, r) = plainContinuation(itemText, rest.tail, ind)
+            keep(resolveScalar(text, anchors), r)
           }
         }
       }
@@ -412,34 +417,35 @@ object Source {
       var rest = lines
       var go = true
       while (go) {
-        rest = rest.dropWhile(_.trim.isEmpty)
-        if (rest.isEmpty || indentOf(rest.head) != ind ||
-            rest.head.trim.startsWith("- ") ||
-            !(rest.head.trim.contains(": ") ||
-              rest.head.trim.endsWith(":"))) go = false
+        rest = rest.dropWhile(blank)
+        val head = rest.headOption.map(stripComment)
+        if (head.isEmpty || indentOf(head.get) != ind ||
+            head.get.trim.startsWith("- ") ||
+            !(head.get.trim.contains(": ") ||
+              head.get.trim.endsWith(":"))) go = false
         else {
-          val l = rest.head.trim
+          val l = head.get.trim
           val ci = keyColonIndex(l)
           val key = parseScalar(l.take(ci).trim)
           val after0 = l.drop(ci + 1).trim
-          val (anchorName, after) = splitAnchor(after0)
+          val (anchorName, tag, after) = splitDecorators(after0)
+          def keep(v0: Any, r: Vector[String]): Unit = {
+            val v = applyTag(tag, v0)
+            anchorName.foreach(anchors.update(_, v))
+            entries += (key -> v); rest = r
+          }
           if (after.isEmpty) {
             val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
-            anchorName.foreach(anchors.update(_, v))
-            entries += (key -> v); rest = r
+            keep(v, r)
           } else if (isBlockScalarMarker(after)) {
             val (v, r) = blockScalar(after, rest.tail, ind)
-            anchorName.foreach(anchors.update(_, v))
-            entries += (key -> v); rest = r
+            keep(v, r)
           } else if (isFlowStart(after)) {
             val (joined, r) = joinFlow(after, rest.tail)
-            val v = parseFlowValue(joined, anchors)
-            anchorName.foreach(anchors.update(_, v))
-            entries += (key -> v); rest = r
+            keep(parseFlowValue(joined, anchors), r)
           } else {
-            val v = resolveScalar(after, anchors)
-            anchorName.foreach(anchors.update(_, v))
-            entries += (key -> v); rest = rest.tail
+            val (text, r) = plainContinuation(after, rest.tail, ind)
+            keep(resolveScalar(text, anchors), r)
           }
         }
       }
@@ -448,8 +454,89 @@ object Source {
       val (joined, r) = joinFlow(content, lines.tail)
       (parseFlowValue(joined, anchors), r)
     } else {
-      (resolveScalar(content, anchors), lines.tail)
+      val (anchorName, tag, text0) = splitDecorators(content)
+      val (text, r) = plainContinuation(text0, lines.tail, ind)
+      val v = applyTag(tag, resolveScalar(text, anchors))
+      anchorName.foreach(anchors.update(_, v))
+      (v, r)
     }
+  }
+
+  /** Multi-line plain scalar: non-blank lines more indented than the
+    * parent fold into the scalar with single spaces (the YAML plain
+    * multi-line rule ruamel applies). Quoted scalars and aliases do
+    * not continue.
+    */
+  private def plainContinuation(first: String, rest0: Vector[String],
+                                parentIndent: Int)
+      : (String, Vector[String]) = {
+    if (first.startsWith("*") || first.startsWith("\"") ||
+        first.startsWith("'")) return (first, rest0)
+    var rest = rest0
+    var text = first
+    var go = true
+    while (go && rest.nonEmpty) {
+      val c = stripComment(rest.head)
+      if (c.trim.nonEmpty && indentOf(c) > parentIndent) {
+        text = text + " " + c.trim
+        rest = rest.tail
+      } else go = false
+    }
+    (text, rest)
+  }
+
+  /** Strip leading `&anchor` / `!tag` decorators (either order, at
+    * most one of each — the YAML node-property rule); returns
+    * (anchor, tag, remaining text).
+    */
+  private def splitDecorators(s0: String)
+      : (Option[String], Option[String], String) = {
+    var anchor: Option[String] = None
+    var tag: Option[String] = None
+    var s = s0
+    var go = true
+    while (go) {
+      if (s.startsWith("&") && anchor.isEmpty) {
+        val (a, r) = splitAnchor(s)
+        anchor = a; s = r
+      } else if (s.startsWith("!") && tag.isEmpty) {
+        val sp = s.indexWhere(_.isWhitespace)
+        if (sp < 0) { tag = Some(s); s = "" }
+        else { tag = Some(s.take(sp)); s = s.drop(sp).trim }
+      } else go = false
+    }
+    (anchor, tag, s)
+  }
+
+  /** Core-schema tag coercions; unknown/application tags are ignored
+    * and the parsed value passes through (enough for structural
+    * analysis — the reference gets full tag semantics from ruamel,
+    * source.py:242-248).
+    */
+  private def applyTag(tag: Option[String], v: Any): Any = tag match {
+    case None => v
+    case Some("!!str") => if (v == null) "" else v.toString
+    case Some("!!int") => v match {
+      case s: String =>
+        try s.trim.toLong catch { case _: NumberFormatException => s }
+      case other => other
+    }
+    case Some("!!float") => v match {
+      case s: String =>
+        try s.trim.toDouble catch { case _: NumberFormatException => s }
+      case l: Long => l.toDouble
+      case other => other
+    }
+    case Some("!!bool") => v match {
+      case s: String => s.trim.toLowerCase match {
+        case "true" | "yes" | "on" => true
+        case "false" | "no" | "off" => false
+        case _ => s
+      }
+      case other => other
+    }
+    case Some("!!null") => null
+    case Some(_) => v
   }
 
   /** First colon that terminates the key (skips quoted keys). */
@@ -491,13 +578,16 @@ object Source {
 
   /** Join continuation lines of a flow collection that spans lines
     * until the brackets balance; returns (joined, remaining lines).
+    * Comments on continuation lines are stripped (flow collections
+    * cannot contain `#` outside quotes, where stripComment respects
+    * quoting already).
     */
   private def joinFlow(first: String, rest0: Vector[String])
       : (String, Vector[String]) = {
     var joined = first
     var rest = rest0
     while (flowBalance(joined) > 0 && rest.nonEmpty) {
-      joined = joined + " " + rest.head.trim
+      joined = joined + " " + stripComment(rest.head).trim
       rest = rest.tail
     }
     (joined, rest)
@@ -553,6 +643,16 @@ object Source {
                   else parseScalar(restText)
           name.foreach(anchors.update(_, v))
           v
+        case '!' =>
+          // tag in flow position: read the tag token, then the value
+          val start = pos
+          while (!eof && !s.charAt(pos).isWhitespace &&
+                 !",]}".contains(s.charAt(pos))) pos += 1
+          val tag = s.substring(start, pos)
+          skipWs()
+          if (eof || ",]}".contains(s.charAt(pos)))
+            applyTag(Some(tag), null)
+          else applyTag(Some(tag), value())
         case _ => parseScalar(bare(stopAtColon = false))
       }
     }

@@ -281,6 +281,81 @@ class SourceSpec extends AnyFunSuite {
     assert(v("after") == 1L)
   }
 
+  test("yaml: ' #' inside block scalars is content, not a comment") {
+    val y =
+      """lit: |
+        |  value # kept
+        |  a #also kept
+        |# a real comment line
+        |after: 2 # stripped
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("lit") == "value # kept\na #also kept\n")
+    assert(v("after") == 2L)
+  }
+
+  test("yaml tags: core-schema coercions, unknown tags ignored") {
+    val y =
+      """a: !!str 5
+        |b: !!int 7
+        |c: !!float 2
+        |d: !!bool yes
+        |e: !custom thing
+        |f: !!null x
+        |g: &x !!str 9
+        |h: *x
+        |lst:
+        |  - !!str 1
+        |  - !other 2
+        |flow: [!!str 3, 4]
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("a") == "5")
+    assert(v("b") == 7L)
+    assert(v("c") == 2.0)
+    assert(v("d") == true)
+    assert(v("e") == "thing")
+    assert(v("f") == null)
+    assert(v("g") == "9")
+    assert(v("h") == "9")
+    assert(v("lst") == Vector("1", 2L))
+    assert(v("flow") == Vector("3", 4L))
+  }
+
+  test("yaml multi-line plain scalars fold with spaces") {
+    val y =
+      """a: first part
+        |  second part
+        |  third part
+        |b: 2
+        |lst:
+        |  - one item
+        |    continued
+        |  - two
+        |top: plain
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("a") == "first part second part third part")
+    assert(v("b") == 2L)
+    assert(v("lst") == Vector("one item continued", "two"))
+    assert(v("top") == "plain")
+  }
+
+  test("yaml comments: between entries, trailing, in multi-line flow") {
+    val y =
+      """# leading comment
+        |a: 1 # trailing
+        |# between entries
+        |b: [1, 2, # numbers
+        |    3]
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("a") == 1L)
+    assert(v("b") == Vector(1L, 2L, 3L))
+    // a '#' inside quotes is still content
+    assert(parseYaml("k: 'a # b'") == Map("k" -> "a # b"))
+  }
+
   test("yaml multi-document streams") {
     val y =
       """---

@@ -119,11 +119,104 @@ object Source {
       val hasMultiByte = sample.exists(b => (b & 0x80) != 0)
       return (StandardCharsets.UTF_8, if (hasMultiByte) 0.99 else 1.0)
     }
+    // CJK multi-byte families (the chardet capability the reference
+    // gets for free, source.py:137-145): strict-decode each candidate
+    // and score the decoded text by CJK-script membership
+    val cjk = detectCjk(sample)
+    if (cjk.isDefined) return cjk.get
     // 8-bit fallback: windows-1252 when the cp1252-specific range is
     // in use, else ISO-8859-1 — both are guesses, both warn
     val hasC1 = sample.exists(b => (b & 0xFF) >= 0x80 && (b & 0xFF) <= 0x9F)
     if (hasC1) (Charset.forName("windows-1252"), 0.7)
     else (StandardCharsets.ISO_8859_1, 0.73)
+  }
+
+  /** Shift-JIS / EUC-JP / GBK detection, chardet-style but decoder
+    * driven: a candidate survives only if the JVM's STRICT decoder
+    * accepts the whole sample (unassigned code points throw, which is
+    * what separates e.g. real GBK hanzi from EUC-JP noise), then the
+    * decoded text is scored by CJK script membership — full kana and
+    * unified ideographs score high, halfwidth katakana low (it is the
+    * signature of EUC bytes mis-read as Shift-JIS singles). Tie goes
+    * to the earlier candidate (Shift-JIS, EUC-JP, GBK).
+    */
+  private val cjkCandidates = Seq("Shift_JIS", "EUC-JP", "GBK")
+
+  private def detectCjk(sample: Array[Byte])
+      : Option[(Charset, Double)] = {
+    // CJK text is multi-byte DENSE; sparse high bytes mean accented
+    // Latin (which GBK's permissive trail range could otherwise
+    // swallow pair-wise)
+    val nonAsciiBytes = sample.count(b => (b & 0x80) != 0)
+    if (nonAsciiBytes.toLong * 100 < sample.length.toLong * 15)
+      return None
+    val scored = cjkCandidates.flatMap { name =>
+      val cs = Charset.forName(name)
+      strictDecode(sample, cs).flatMap { text =>
+        val (score, n, kana) = cjkTextScore(text)
+        // demand real evidence: ≥ 8 non-ASCII decoded chars
+        if (n < 8) None
+        else {
+          // GB-zone bytes are frequently ALSO structurally valid
+          // EUC-JP (GB2312 was modelled on JIS), so raw scores tie;
+          // the reliable separator is that Japanese prose always
+          // carries kana while Chinese never does — adjust the
+          // Japanese candidates by decoded kana presence.
+          val japanese = name != "GBK"
+          val kanaFrac = kana.toDouble / n
+          val adj =
+            if (!japanese) 0.0
+            else if (kanaFrac >= 0.05) 0.05
+            else -0.1
+          Some((cs, score + adj))
+        }
+      }
+    }
+    scored.sortBy(-_._2).headOption.collect {
+      case (cs, score) if score >= 0.75 =>
+        (cs, math.min(0.99, 0.6 + 0.4 * score))
+    }
+  }
+
+  /** Strict decode tolerating a truncated final character (the
+    * detection sample is a byte prefix and may cut mid-sequence).
+    */
+  private def strictDecode(sample: Array[Byte],
+                           cs: Charset): Option[String] = {
+    var cut = 0
+    while (cut <= 3 && cut < sample.length) {
+      try return Some(cs.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(sample, 0,
+          sample.length - cut)).toString)
+      catch {
+        case _: java.nio.charset.CharacterCodingException => cut += 1
+      }
+    }
+    None
+  }
+
+  /** (mean CJK-membership weight of non-ASCII chars, their count,
+    * full-width kana count).
+    */
+  private def cjkTextScore(text: String): (Double, Int, Int) = {
+    var good = 0.0
+    var n = 0
+    var kana = 0
+    text.foreach { c =>
+      if (c >= 0x80) {
+        n += 1
+        if (c >= 0x3040 && c <= 0x30FF) kana += 1
+        good +=
+          (if (c >= 0x3040 && c <= 0x30FF) 1.0 // hiragana + katakana
+           else if (c >= 0x4E00 && c <= 0x9FFF) 0.9 // CJK unified
+           else if (c >= 0x3000 && c <= 0x303F) 0.8 // CJK punctuation
+           else if (c >= 0xFF61 && c <= 0xFF9F) 0.2 // halfwidth kana
+           else if (c >= 0xFF00 && c <= 0xFFEF) 0.8 // fullwidth forms
+           else if (c >= 0xAC00 && c <= 0xD7AF) 0.9 // hangul
+           else 0.0)
+      }
+    }
+    (if (n == 0) 0.0 else good / n, n, kana)
   }
 
   /** S2 compatibility form (confidence dropped). */

@@ -140,6 +140,27 @@ class SourceSpec extends AnyFunSuite {
     assert(detectEncodingConfidence("hello".getBytes("UTF-8"))._2 == 1.0)
   }
 
+  test("encoding: CJK multi-byte families detect with confidence " +
+      ">= 0.9 (the chardet capability of source.py:137-145)") {
+    val jp = ("日本語のテキストです。構造解析エンジンのテスト" +
+      "データを生成します。") * 4
+    val (sj, sjc) = detectEncodingConfidence(jp.getBytes("Shift_JIS"))
+    assert(sj.name == "Shift_JIS", sj)
+    assert(sjc >= 0.9, sjc)
+    val (eu, euc) = detectEncodingConfidence(jp.getBytes("EUC-JP"))
+    assert(eu.name == "EUC-JP", eu)
+    assert(euc >= 0.9, euc)
+    val zh = ("中文文本用于编码检测这是一个测试数据处理引擎" +
+      "支持大规模分析。") * 4
+    val (gb, gbc) = detectEncodingConfidence(zh.getBytes("GBK"))
+    assert(gb.name == "GBK", gb)
+    assert(gbc >= 0.9, gbc)
+    // a truncated trailing multi-byte character must not break it
+    val cut = jp.getBytes("EUC-JP").dropRight(1)
+    assert(detectEncodingConfidence(cut)._1.name == "EUC-JP")
+    // sparse accents stay Latin (density gate): see 8-bit fallback test
+  }
+
   test("encoding: BOM-less UTF-16 via NUL-parity heuristic") {
     val textLe = "name,nationality\nJose,Spain\n"
       .getBytes(StandardCharsets.UTF_16LE)

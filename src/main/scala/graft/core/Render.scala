@@ -64,9 +64,12 @@ object Render {
   def configured(t: SType, o: RenderOptions): String =
     walkC(t, o)(Style.plain)
 
-  /** The styled terminal view (ui/cli.py:269-307's ANSI layer). */
+  /** The styled terminal view: the cli.xsl layout with
+    * print_structure's ANSI palette (ui/cli.py:269-307) — see
+    * [[XslRender]] for the layout rules.
+    */
   def styled(t: SType, o: RenderOptions): String =
-    walkC(t, o)(Style.ansi)
+    XslRender.render(t, o, XslRender.Styles.ansi)
 
   private def summaryC(s: Stats, o: RenderOptions,
                        fmt: Any => String)

@@ -20,9 +20,9 @@ import java.time.Instant
   *    `<lit>`/`<pat>` runs (adjacent same-tag runs merged)
   *  - `<value/>` and `<empty/>` for ⊤/⊥
   *
-  * The XSLT/ANSI terminal layer is NOT reproduced (ui/cli.xsl is
-  * scoped out); the equivalent styled view is
-  * [[Render.configured]]/[[Render.styled]].
+  * The XSLT/ANSI terminal layer is [[XslRender]] (the cli.xsl layout
+  * re-implemented as a direct tree walk); [[Render.configured]] is
+  * the text-grammar configurable view.
   */
 object Xml {
 
@@ -89,6 +89,9 @@ object Xml {
 
   // ------------------------------------------------------------- stats
 
+  /** Numeric view of a stats value (shared with [[XslRender]]). */
+  private[core] def numeric(v: Any): Option[Double] = numericValue(v)
+
   private def numericValue(v: Any): Option[Double] = v match {
     case l: Long => Some(l.toDouble)
     case i: Int => Some(i.toDouble)
@@ -99,6 +102,9 @@ object Xml {
     case t: Instant => Some(t.getEpochSecond.toDouble)
     case _ => None
   }
+
+  /** XML text form of a stats value (shared with [[XslRender]]). */
+  private[core] def fmtValue(v: Any): String = fmt(v)
 
   private def fmt(v: Any): String = v match {
     case s: String => "\"" + s.replace("\"", "\"\"") + "\""

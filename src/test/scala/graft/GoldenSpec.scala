@@ -27,4 +27,19 @@ class GoldenSpec extends AnyFunSuite {
     val rendered = a.mergeToFixpoint(a.analyze(data)).render
     assert(rendered == resource("astros.expected.txt").trim)
   }
+
+  test("astros.json styled views pin the cli.xsl layout") {
+    // the XSL terminal layout (ui/cli.xsl semantics re-implemented in
+    // XslRender: timestamp naming, quoted patterns, unique markers,
+    // padded / indented brackets) — one golden with the stylesheet's
+    // own default params, one with print_structure's ANSI palette
+    val data = graft.tools.Json.parse(resource("astros.json"))
+    val a = new TreeAnalyzer(AnalyzerConfig(badThreshold = 0.02))
+    val tree = a.mergeToFixpoint(a.analyze(data))
+    val o = graft.core.RenderOptions.default
+    assert(graft.core.XslRender.render(tree, o) ==
+      resource("astros.xsl.expected.txt"))
+    assert(graft.core.Render.styled(tree, o) ==
+      resource("astros.styled.expected.txt"))
+  }
 }

@@ -84,14 +84,18 @@ class XmlSpec extends AnyFunSuite {
     assert(lx.serialize.contains("<url"), lx.serialize)
   }
 
-  test("styled terminal view wraps roles in ANSI codes") {
+  test("styled terminal view: cli.xsl layout with ANSI roles") {
     val t = new TreeAnalyzer().analyze(
       (0 until 10).map(_.toLong: Any).toVector)
-    val plain = Render.configured(t, RenderOptions())
     val ansi = Render.styled(t, RenderOptions())
     assert(ansi.contains("\u001b[36mint\u001b[0m"), ansi)
     assert(ansi.contains("\u001b[32m range=\u001b[0m"), ansi)
-    // stripping the codes recovers the plain form
-    assert(ansi.replaceAll("\u001b\\[[0-9]+m", "") == plain)
+    // unique scalars carry the underline role before the type color
+    // (print_structure's unique-style, ui/cli.py:272)
+    assert(ansi.contains("\u001b[4m\u001b[36mint"), ansi)
+    // XSL layout: simple containers pad their brackets (cli.xsl
+    // inline list template)
+    val stripped = ansi.replaceAll("\u001b\\[[0-9]+m", "")
+    assert(stripped == "[ int range=0..9 ]", stripped)
   }
 }

@@ -184,6 +184,58 @@ object Dedup {
     parts.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 
+  /** Connected components over a candidate-pair graph — the step
+    * after pair generation in every near-dup dedup pipeline: pairs →
+    * duplicate CLUSTERS → keep one representative per cluster.
+    * Returns (id, label) with label = the smallest id in the
+    * component (deterministic, engine-portable — the DuckDB oracle's
+    * recursive closure derives the identical labels).
+    *
+    * Iterative min-label propagation: each round joins the (slim)
+    * label frame to the directed edge list and keeps the minimum
+    * label seen; the label sum is strictly decreasing until
+    * convergence, so the driver loop stops the first round nothing
+    * changes. Rounds needed = O(component diameter) — near-dup
+    * clusters are stars/cliques, so a handful of rounds at any
+    * corpus size; each round is one shuffle join + one partial-agg
+    * groupBy over (id, label) rows only, never the corpus. Frames
+    * are persisted per round and released immediately (the
+    * convergence check is the materializing action).
+    */
+  def connectedComponents(pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"),
+        col("id1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var prevSum = labels.agg(sum(col("label"))).head().get(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.label").as("label"))
+        .unionAll(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .persist()
+      val s = next.agg(sum(col("label"))).head().get(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.
     * Threshold num/den (e.g. 1/5 for 0.2) applied in integer form:
     * den·inter ≥ num·union — no floating point.

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `Dataset.sample` draws from a seeded RNG whose selection depends on
+  * partitioning — re-running on a repartitioned corpus picks different
+  * rows. Corpus curation needs the opposite: the SAME rows selected on
+  * every run, every engine, any partitioning, so ablations and
+  * decontamination reruns stay comparable. Hash sampling gives exactly
+  * that: a row is kept iff the integer value of the first 8 hex chars
+  * of `md5(key)` falls under `num/den` of the 32-bit space — a pure
+  * per-row projection (no shuffle, no state) with an identical DuckDB
+  * form (`CAST('0x' || substr(md5(k), 1, 8) AS BIGINT)`).
+  */
+object Sampling {
+
+  /** The 32-bit hash bucket of a key (0 ≤ h < 2^32). */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Keep rows whose key hashes under num/den of the hash space.
+    * Integer cross-multiplication — no float thresholds, no
+    * engine-specific rounding.
+    */
+  def hashSample(df: DataFrame, key: Column, num: Long,
+                 den: Long): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"rate must be a fraction in [0, 1]: $num/$den")
+    df.where(hash32(key) * den < lit(num) * lit(4294967296L))
+  }
+
+  /** Disjoint deterministic split (train/heldout): bucket b of n by
+    * the same hash, so splits are stable and non-overlapping across
+    * runs and engines.
+    */
+  def hashSplit(df: DataFrame, key: Column, bucket: Int,
+                of: Int): DataFrame = {
+    require(of > 0 && bucket >= 0 && bucket < of,
+      s"bucket must be in [0, $of): $bucket")
+    df.where(pmod(hash32(key), lit(of.toLong)) === bucket.toLong)
+  }
+}

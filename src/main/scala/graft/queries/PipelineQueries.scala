@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -97,6 +97,30 @@ object PipelineQueries {
       Dedup.simHash32(t(s, d, "documents"), col("doc_id"), col("text"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("simhash")).as("n_distinct"))),
+
+    // near-dup pairs -> duplicate clusters (connected components via
+    // min-label propagation; the oracle derives identical labels by
+    // recursive transitive closure)
+    "q36_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"),
+          col("doc_id"), col("text"), shingleK = 5, thresholdNum = 1,
+          thresholdDen = 5, maxShingleDf = 10000L)
+        .select(col("id1"), col("id2"))
+      val labels = Dedup.connectedComponents(pairs)
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+      labels.agg(count(lit(1)).as("n_clustered_docs"),
+          countDistinct(col("label")).as("n_clusters"))
+        .crossJoin(sizes.agg(max(col("sz")).as("max_cluster_size")))
+    }),
+
+    // reproducible subsampling: same rows on every run / engine /
+    // partitioning (md5 hash-space threshold, not a seeded RNG)
+    "q37_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "documents"), col("doc_id"), 1L, 4L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("source").asc_nulls_first)),
 
     // ---- similarity search ---------------------------------------
     "q28_cosine_topk" -> ((s, d) =>
@@ -294,6 +318,39 @@ object PipelineQueries {
        "inter * 5 >= (sa.n + sb.n - inter) THEN 1 END) AS n_near_dups " +
        "FROM pairs JOIN sz sa ON id1 = sa.doc_id " +
        "JOIN sz sb ON id2 = sb.doc_id"),
+    "q36_dedup_clusters" ->
+      // the q25 shingle/jaccard chain, near-dup filtered, then
+      // cluster labels by recursive transitive closure (min reachable
+      // id == the engine's min-label propagation fixpoint)
+      ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+       ", kept AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM " +
+       "shd GROUP BY s HAVING COUNT(*) > 10000))" +
+       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM kept " +
+       "GROUP BY doc_id)" +
+       ", p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) " +
+       "AS inter FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < " +
+       "b.doc_id GROUP BY 1, 2)" +
+       ", nd AS (SELECT id1, id2 FROM p0 JOIN sz sa ON id1 = " +
+       "sa.doc_id JOIN sz sb ON id2 = sb.doc_id WHERE inter * 5 >= " +
+       "(sa.n + sb.n - inter))" +
+       ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
+       "SELECT id2, id1 FROM nd)" +
+       ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
+       ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
+       "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
+       ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
+       "GROUP BY id)" +
+       ", sizes AS (SELECT label, COUNT(*) AS sz FROM labels " +
+       "GROUP BY label) " +
+       "SELECT (SELECT COUNT(*) FROM labels) AS n_clustered_docs, " +
+       "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
+       "(SELECT MAX(sz) FROM sizes) AS max_cluster_size"),
+    "q37_hash_sample" ->
+      ("SELECT source, COUNT(*) AS n_sampled FROM documents " +
+       "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
+       "8) AS BIGINT) * 4 < 4294967296 " +
+       "GROUP BY source ORDER BY source NULLS FIRST"),
     "q26_minhash_bands" ->
       (shingleCte + minhashSigCte + minhashBandsCte +
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +

@@ -133,6 +133,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L)
   }
 
+  test("connected components label near-dup clusters by min id") {
+    val s = spark
+    import s.implicits._
+    // two components (a chain and a pair) + ids absent from any pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L), labels)
+    // a long chain still converges (diameter > 2 propagation)
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainLabels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(chainLabels.sameElements(Array(1L)), chainLabels.toSeq)
+    // empty pair set -> empty labels
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0L)
+  }
+
+  test("hash sampling is deterministic, stratified, and splits " +
+      "disjointly") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 400).map(i =>
+      (i.toLong, s"src${i % 4}")).toDF("doc_id", "source")
+    val once = Sampling.hashSample(df, col("doc_id"), 1L, 4L)
+      .collect().map(_.getLong(0)).sorted
+    val twice = Sampling.hashSample(
+        df.repartition(7), col("doc_id"), 1L, 4L)
+      .collect().map(_.getLong(0)).sorted
+    // same rows regardless of partitioning / run
+    assert(once.sameElements(twice))
+    // roughly the requested rate (md5 is uniform)
+    assert(once.length > 400 / 8 && once.length < 400 * 3 / 8,
+      once.length)
+    // edge rates
+    assert(Sampling.hashSample(df, col("doc_id"), 0L, 1L).count() == 0)
+    assert(Sampling.hashSample(df, col("doc_id"), 1L, 1L)
+      .count() == 400)
+    // hash splits partition the corpus disjointly and completely
+    val sizes = (0 until 3).map(b =>
+      Sampling.hashSplit(df, col("doc_id"), b, 3).count())
+    assert(sizes.sum == 400, sizes)
+    assert(sizes.forall(_ > 0), sizes)
+  }
+
   test("simhash: null-text docs are absent (oracle parity)") {
     val s = spark
     import s.implicits._

@@ -163,6 +163,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus contamination (decontamination check): for each
+    * document of the (small) `bench` eval set, how many of its word
+    * k-gram shingles appear ANYWHERE in the (huge) training corpus.
+    * Returns (id, n_shingles, n_hits) per bench doc with ≥ k tokens.
+    *
+    * 100 TB shape: the bench side — benchmark suites are MBs — is
+    * collected into a broadcast, so the corpus is ONE streaming scan
+    * (shingle projection + broadcast hash join), no corpus-side
+    * shuffle except the final tiny per-bench-doc aggregate.
+    * `countDistinct` per bench doc makes pre-distincting the corpus
+    * shingles unnecessary.
+    */
+  def contamination(corpus: DataFrame, corpusId: Column,
+                    corpusText: Column, bench: DataFrame,
+                    benchId: Column, benchText: Column,
+                    shingleK: Int = 5): DataFrame = {
+    val benchShingles = shingleRows(bench, benchId, benchText, shingleK)
+      .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
+    val benchSizes = benchShingles.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val corpusShingles =
+      shingleRows(corpus, corpusId, corpusText, shingleK)
+        .select(substring(md5(col("s")), 1, 16).as("s"))
+    val hits = corpusShingles
+      .join(broadcast(benchShingles), Seq("s"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+    benchSizes.as("b")
+      .join(hits.as("h"), col("b.id") === col("h.id"), "left")
+      .select(col("b.id").as("id"), col("b.n_shingles"),
+        coalesce(col("h.n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Drop (band, key) buckets holding more than `cap` rows — the
     * candidate-join guard shared by the LSH family: the over-cap list
     * is tiny by construction and applies as a broadcast anti-join.

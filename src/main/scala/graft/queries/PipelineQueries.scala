@@ -122,6 +122,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("source").asc_nulls_first)),
 
+    // decontamination: a deterministic 1/20 hash split plays the eval
+    // set; per-eval-doc shingle overlap against the rest of the
+    // corpus (broadcast bench side — no corpus shuffle)
+    "q38_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cut = col("doc_id")
+      val bench = docs.where(
+        Sampling.hash32(cut) * 20 < lit(4294967296L))
+      val corpus = docs.where(
+        Sampling.hash32(cut) * 20 >= lit(4294967296L))
+      Dedup.contamination(corpus, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), shingleK = 5)
+        .agg(count(lit(1)).as("n_bench_docs"),
+          sum(col("n_shingles")).cast("long").as("n_shingles"),
+          sum(col("n_hits")).cast("long").as("n_hits"),
+          count(when(col("n_hits") === col("n_shingles"), 1))
+            .as("n_fully_contained"))
+    }),
+
     // ---- similarity search ---------------------------------------
     "q28_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id",
@@ -351,6 +370,27 @@ object PipelineQueries {
        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
        "8) AS BIGINT) * 4 < 4294967296 " +
        "GROUP BY source ORDER BY source NULLS FIRST"),
+    "q38_contamination" ->
+      (shingleCte +
+       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+       ", hv AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id " +
+       "AS VARCHAR)), 1, 8) AS BIGINT) AS h FROM documents)" +
+       ", bench AS (SELECT doc_id FROM hv WHERE h * 20 < 4294967296)" +
+       ", corpus AS (SELECT doc_id FROM hv WHERE h * 20 >= " +
+       "4294967296)" +
+       ", bsh AS (SELECT shd.doc_id, s FROM shd JOIN bench " +
+       "USING (doc_id))" +
+       ", csh AS (SELECT DISTINCT s FROM shd JOIN corpus " +
+       "USING (doc_id))" +
+       ", hits AS (SELECT b.doc_id, COUNT(*) AS n_hits FROM bsh b " +
+       "JOIN csh USING (s) GROUP BY 1)" +
+       ", sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bsh " +
+       "GROUP BY 1) " +
+       "SELECT COUNT(*) AS n_bench_docs, CAST(SUM(n_shingles) AS " +
+       "BIGINT) AS n_shingles, CAST(SUM(COALESCE(n_hits, 0)) AS " +
+       "BIGINT) AS n_hits, COUNT(CASE WHEN n_hits = n_shingles THEN " +
+       "1 END) AS n_fully_contained " +
+       "FROM sizes LEFT JOIN hits USING (doc_id)"),
     "q26_minhash_bands" ->
       (shingleCte + minhashSigCte + minhashBandsCte +
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +

@@ -153,6 +153,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0L)
   }
 
+  test("contamination: per-eval-doc shingle overlap vs a corpus") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (100L, shared + " and unrelated trailing words here"),
+      (101L, "totally different corpus content nine ten eleven " +
+        "twelve thirteen")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, shared),                       // every shingle in corpus
+      (2L, "zz yy xx ww vv uu tt ss"),    // nothing in corpus
+      (3L, "short"))                      // < k tokens: no shingles
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), shingleK = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 4 shingles (8 tokens, k=5), all present in corpus
+    assert(out(1L) == (4L, 4L), out)
+    // doc 2: 4 shingles, none present
+    assert(out(2L) == (4L, 0L), out)
+    // doc 3 has no shingles and is absent
+    assert(!out.contains(3L), out)
+  }
+
   test("hash sampling is deterministic, stratified, and splits " +
       "disjointly") {
     val s = spark

@@ -22,6 +22,8 @@ case class WordShinglesExpr(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType)
 
+  override def prettyName: String = "word_shingles"
+
   override def nullSafeEval(input: Any): Any =
     WordShinglesExpr.compute(input.asInstanceOf[UTF8String], k)
 

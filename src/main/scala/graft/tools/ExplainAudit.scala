@@ -54,7 +54,15 @@ object ExplainAudit {
       ("q27_simhash",
         "SimHash as a pure projection (no token explode, no " +
           "pre-aggregation shuffle)",
-        Seq("simhash32")))
+        Seq("simhash32")),
+      ("q37_hash_sample",
+        "deterministic hash sampling is a pure codegen'd filter " +
+          "(no shuffle before the group-by)",
+        Seq("WholeStageCodegen", "HashAggregate")),
+      ("q38_contamination",
+        "bench side broadcast: the corpus is one streaming scan, " +
+          "never the shuffled join side",
+        Seq("BroadcastHashJoin", "word_shingles")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>

@@ -55,7 +55,15 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
                             * TakeOrdered job per summary column.
                             */
                           val sampleTopK: Int =
-                            SparkAnalyzer.defaultSampleTopK) {
+                            SparkAnalyzer.defaultSampleTopK,
+                          /** Rows per column above which positional
+                            * quartiles degrade from exact `percentile`
+                            * to the approx_percentile GK sketch (the
+                            * 100 TB path; exact percentile holds a
+                            * group's values in executor memory).
+                            */
+                          val exactPctCap: Long =
+                            SparkAnalyzer.exactPercentileCap) {
 
   private val tree = new TreeAnalyzer(config)
 
@@ -494,7 +502,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
   private def quartileExpr(v: Column, n: Long): Column = {
     val ps = Seq(n / 4, n / 2, 3 * n / 4).map(k =>
       if (n <= 1) 0.0 else k.toDouble / (n - 1))
-    if (n <= SparkAnalyzer.exactPercentileCap)
+    if (n <= exactPctCap)
       percentile(v, typedLit(ps))
     else approx_percentile(v.cast(DoubleType), typedLit(ps),
       lit(10000)).cast(ArrayType(DoubleType))

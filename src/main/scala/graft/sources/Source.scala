@@ -131,16 +131,17 @@ object Source {
     else (StandardCharsets.ISO_8859_1, 0.73)
   }
 
-  /** Shift-JIS / EUC-JP / GBK detection, chardet-style but decoder
-    * driven: a candidate survives only if the JVM's STRICT decoder
-    * accepts the whole sample (unassigned code points throw, which is
-    * what separates e.g. real GBK hanzi from EUC-JP noise), then the
-    * decoded text is scored by CJK script membership — full kana and
-    * unified ideographs score high, halfwidth katakana low (it is the
-    * signature of EUC bytes mis-read as Shift-JIS singles). Tie goes
-    * to the earlier candidate (Shift-JIS, EUC-JP, GBK).
+  /** Shift-JIS / EUC-JP / EUC-KR / GBK detection, chardet-style but
+    * decoder driven: a candidate survives only if the JVM's STRICT
+    * decoder accepts the whole sample (unassigned code points throw,
+    * which is what separates e.g. real GBK hanzi from EUC-JP noise),
+    * then the decoded text is scored by CJK script membership — full
+    * kana and unified ideographs score high, halfwidth katakana low
+    * (it is the signature of EUC bytes mis-read as Shift-JIS
+    * singles). Tie goes to the earlier candidate.
     */
-  private val cjkCandidates = Seq("Shift_JIS", "EUC-JP", "GBK")
+  private val cjkCandidates = Seq("Shift_JIS", "EUC-JP", "EUC-KR",
+    "GBK")
 
   private def detectCjk(sample: Array[Byte])
       : Option[(Charset, Double)] = {
@@ -153,21 +154,26 @@ object Source {
     val scored = cjkCandidates.flatMap { name =>
       val cs = Charset.forName(name)
       strictDecode(sample, cs).flatMap { text =>
-        val (score, n, kana) = cjkTextScore(text)
+        val (score, n, kana, hangul) = cjkTextScore(text)
         // demand real evidence: ≥ 8 non-ASCII decoded chars
         if (n < 8) None
         else {
-          // GB-zone bytes are frequently ALSO structurally valid
-          // EUC-JP (GB2312 was modelled on JIS), so raw scores tie;
-          // the reliable separator is that Japanese prose always
-          // carries kana while Chinese never does — adjust the
-          // Japanese candidates by decoded kana presence.
-          val japanese = name != "GBK"
+          // The multi-byte zones overlap heavily (GB2312 and KS X
+          // 1001 were both modelled on JIS), so raw scores tie on
+          // structurally-ambiguous bytes; the reliable separators
+          // are script-dominance facts about real prose: Japanese
+          // always carries kana, Korean is hangul-DOMINANT (Chinese
+          // decoded as EUC-KR shows a hangul/hanja mix well under
+          // 70%), Chinese has neither.
           val kanaFrac = kana.toDouble / n
-          val adj =
-            if (!japanese) 0.0
-            else if (kanaFrac >= 0.05) 0.05
-            else -0.1
+          val hangulFrac = hangul.toDouble / n
+          val adj = name match {
+            case "Shift_JIS" | "EUC-JP" =>
+              if (kanaFrac >= 0.05) 0.05 else -0.1
+            case "EUC-KR" =>
+              if (hangulFrac >= 0.7) 0.05 else -0.1
+            case _ => 0.0
+          }
           Some((cs, score + adj))
         }
       }
@@ -196,16 +202,18 @@ object Source {
   }
 
   /** (mean CJK-membership weight of non-ASCII chars, their count,
-    * full-width kana count).
+    * full-width kana count, hangul count).
     */
-  private def cjkTextScore(text: String): (Double, Int, Int) = {
+  private def cjkTextScore(text: String): (Double, Int, Int, Int) = {
     var good = 0.0
     var n = 0
     var kana = 0
+    var hangul = 0
     text.foreach { c =>
       if (c >= 0x80) {
         n += 1
         if (c >= 0x3040 && c <= 0x30FF) kana += 1
+        if (c >= 0xAC00 && c <= 0xD7AF) hangul += 1
         good +=
           (if (c >= 0x3040 && c <= 0x30FF) 1.0 // hiragana + katakana
            else if (c >= 0x4E00 && c <= 0x9FFF) 0.9 // CJK unified
@@ -216,7 +224,7 @@ object Source {
            else 0.0)
       }
     }
-    (if (n == 0) 0.0 else good / n, n, kana)
+    (if (n == 0) 0.0 else good / n, n, kana, hangul)
   }
 
   /** S2 compatibility form (confidence dropped). */

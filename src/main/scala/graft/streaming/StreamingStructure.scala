@@ -49,20 +49,58 @@ object StreamingStructure {
         graft.functions.QuartilesAgg.quartiles(
           col(valueCol).cast("double"), quartileCap).as("quartiles"))
 
-  /** Running per-key summary state. */
-  final case class RunningStats(key: String, count: Long, nulls: Long,
-                                min: Double, max: Double) {
-    def merge(v: Option[Double]): RunningStats = v match {
+  /** Running per-key state: count/nulls/min/max plus the bounded
+    * value counter backing exact positional quartiles (the same
+    * monoid as batch Stats); `over` latches once `cap` distinct
+    * values are seen and the counter is dropped — state per key stays
+    * bounded on unbounded value domains.
+    */
+  final case class RunningState(count: Long, nulls: Long,
+                                min: Double, max: Double,
+                                counts: Map[Double, Long],
+                                over: Boolean) {
+    def merge(v: Option[Double], cap: Int): RunningState = v match {
       case None => copy(count = count + 1, nulls = nulls + 1)
-      case Some(d) => RunningStats(key, count + 1, nulls,
-        math.min(min, d), math.max(max, d))
+      case Some(d) =>
+        val c =
+          if (over) counts
+          else counts.updated(d, counts.getOrElse(d, 0L) + 1L)
+        val spilled = over || c.size > cap
+        RunningState(count + 1, nulls, math.min(min, d),
+          math.max(max, d),
+          if (spilled) Map.empty else c, spilled)
     }
   }
 
-  object RunningStats {
-    def zero(key: String): RunningStats =
-      RunningStats(key, 0L, 0L, Double.PositiveInfinity,
-        Double.NegativeInfinity)
+  object RunningState {
+    val zero: RunningState = RunningState(0L, 0L,
+      Double.PositiveInfinity, Double.NegativeInfinity, Map.empty,
+      over = false)
+  }
+
+  /** Emitted per-key summary: totals plus positional quartiles
+    * (§1.3, identical to the batch analyzer — `exact` is false once
+    * the per-key counter spilled past the cap).
+    */
+  final case class RunningStats(key: String, count: Long, nulls: Long,
+                                min: Double, max: Double,
+                                q1: Option[Double], q2: Option[Double],
+                                q3: Option[Double], exact: Boolean)
+
+  private def emit(key: String, s: RunningState): RunningStats = {
+    if (s.over || s.counts.isEmpty)
+      RunningStats(key, s.count, s.nulls, s.min, s.max, None, None,
+        None, exact = false)
+    else {
+      // the batch rule verbatim: quartiles from the counter monoid
+      val stats = graft.core.Stats.fromCounter(
+        graft.core.ValueCounter(s.counts.map { case (k, n) =>
+          (k: Any) -> n }))
+      RunningStats(key, s.count, s.nulls, s.min, s.max,
+        Some(stats.q1.asInstanceOf[Double]),
+        Some(stats.q2.asInstanceOf[Double]),
+        Some(stats.q3.asInstanceOf[Double]), exact = true)
+    }
   }
 
   /** Custom keyed state: continuous (key → running stats), updated per
@@ -72,11 +110,13 @@ object StreamingStructure {
     * 100 TB concern: without it, state grows with the total number of
     * keys ever seen): a key idle longer than the timeout is evicted
     * and restarts from zero if it reappears. `None` keeps lifetime
-    * state for genuinely bounded key domains.
+    * state for genuinely bounded key domains. `quartileCap` bounds
+    * the per-key counter behind the quartiles the same way.
     */
   def runningStats(spark: SparkSession,
                    ds: Dataset[(String, Option[Double])],
-                   idleTimeout: Option[String] = Some("1 hour"))
+                   idleTimeout: Option[String] = Some("1 hour"),
+                   quartileCap: Int = 4096)
       : Dataset[RunningStats] = {
     import spark.implicits._
     val timeoutConf = idleTimeout match {
@@ -84,21 +124,21 @@ object StreamingStructure {
       case None => GroupStateTimeout.NoTimeout
     }
     ds.groupByKey(_._1)
-      .mapGroupsWithState[RunningStats, RunningStats](timeoutConf) {
+      .mapGroupsWithState[RunningState, RunningStats](timeoutConf) {
         (key: String, rows: Iterator[(String, Option[Double])],
-         state: GroupState[RunningStats]) =>
+         state: GroupState[RunningState]) =>
           if (state.hasTimedOut) {
             // evicted: emit the final summary and drop the state
             val last = state.get
             state.remove()
-            last
+            emit(key, last)
           } else {
-            val prior = state.getOption.getOrElse(RunningStats.zero(key))
+            val prior = state.getOption.getOrElse(RunningState.zero)
             val updated = rows.foldLeft(prior)((acc, r) =>
-              acc.merge(r._2))
+              acc.merge(r._2, quartileCap))
             state.update(updated)
             idleTimeout.foreach(state.setTimeoutDuration)
-            updated
+            emit(key, updated)
           }
       }
   }

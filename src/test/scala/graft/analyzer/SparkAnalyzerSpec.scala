@@ -128,6 +128,21 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.core.RenderOptions(showSamples = true)).contains("samples="))
   }
 
+  test("approx-percentile sketch path agrees with exact quartiles") {
+    val s = spark
+    import s.implicits._
+    // force BOTH the over-cap summary path AND the GK-sketch quartile
+    // degradation (the true 100 TB path); at this size the
+    // 1/10000-accuracy sketch returns the exact order statistics, so
+    // the rendered types must be identical
+    val df = (0 until 1000).map(i => (i.toLong, i * 1.5)).toDF("a", "b")
+    val exact = columnTypes(new SparkAnalyzer(
+      exactDistinctCap = 2).analyzeTable(df))
+    val sketch = columnTypes(new SparkAnalyzer(
+      exactDistinctCap = 2, exactPctCap = 10).analyzeTable(df))
+    assert(exact == sketch, s"\nexact=$exact\nsketch=$sketch")
+  }
+
   test("over-cap summary path launches O(1) jobs per level") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -158,6 +158,12 @@ class SourceSpec extends AnyFunSuite {
     // a truncated trailing multi-byte character must not break it
     val cut = jp.getBytes("EUC-JP").dropRight(1)
     assert(detectEncodingConfidence(cut)._1.name == "EUC-JP")
+    // Korean (hangul-dominant prose) vs the overlapping GB zones
+    val kr = ("한국어 텍스트 인코딩 감지 테스트 데이터 입니다 " +
+      "대규모 분석 엔진") * 4
+    val (ek, ekc) = detectEncodingConfidence(kr.getBytes("EUC-KR"))
+    assert(ek.name == "EUC-KR", ek)
+    assert(ekc >= 0.9, ekc)
     // sparse accents stay Latin (density gate): see 8-bit fallback test
   }
 

@@ -133,6 +133,37 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last.getAs[Long]("nulls") == 1)
       assert(last.getAs[Double]("min") == 1.0)
       assert(last.getAs[Double]("max") == 9.0)
+      // running quartiles carry the batch rule over the non-null
+      // values seen so far: {5, 1, 9} -> q2 = 5
+      assert(last.getAs[Boolean]("exact"))
+      assert(last.getAs[Double]("q2") ==
+        graft.core.Stats.fromValues(
+          Seq[Any](5.0, 1.0, 9.0)).q2.asInstanceOf[Double])
+    } finally query.stop()
+  }
+
+  test("running quartiles spill to summary past the per-key cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Option[Double])]
+    val query = StreamingStructure
+      .runningStats(spark, input.toDS(), idleTimeout = None,
+        quartileCap = 3)
+      .writeStream.format("memory").queryName("runspill")
+      .outputMode("update").start()
+    try {
+      input.addData((0 until 10).map(i => ("k", Some(i.toDouble))): _*)
+      query.processAllAvailable()
+      val last = spark.table("runspill").collect()
+        .filter(_.getAs[String]("key") == "k")
+        .maxBy(_.getAs[Long]("count"))
+      assert(last.getAs[Long]("count") == 10)
+      assert(!last.getAs[Boolean]("exact"))
+      assert(last.isNullAt(last.fieldIndex("q2")))
+      // bounded-state summary still exact for min/max
+      assert(last.getAs[Double]("min") == 0.0)
+      assert(last.getAs[Double]("max") == 9.0)
     } finally query.stop()
   }
 }

@@ -63,7 +63,19 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
                             * group's values in executor memory).
                             */
                           val exactPctCap: Long =
-                            SparkAnalyzer.exactPercentileCap) {
+                            SparkAnalyzer.exactPercentileCap,
+                          /** Driver-memory budget (bytes, estimated)
+                            * for collected exact counters across a
+                            * level: a distinct-cap check alone would
+                            * happily collect 50k × 10 KB documents;
+                            * columns whose estimated counter size
+                            * (approx-distinct × max value width)
+                            * blows the remaining budget demote to the
+                            * summary path. Deterministic: columns
+                            * claim budget in leaf-id order.
+                            */
+                          val counterByteBudget: Long =
+                            SparkAnalyzer.defaultCounterByteBudget) {
 
   private val tree = new TreeAnalyzer(config)
 
@@ -94,9 +106,26 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
 
     // -------- plan: decide every over-cap column's representation from
     // the pass-1 witnesses (driver-side, no jobs)
-    val counterCols = leaves.filter { l =>
+    val underCap = leaves.filter { l =>
       row.getAs[Long](s"${l.id}__adist") <= exactDistinctCap &&
         isCounterable(l.dataType)
+    }
+    // driver-memory guard: estimated counter bytes (approx distinct ×
+    // max value width) claim a shared budget in deterministic leaf-id
+    // order; over-budget columns fall back to the summary path
+    var budget = counterByteBudget
+    val counterCols = underCap.sortBy(_.id).filter { l =>
+      val adist = row.getAs[Long](s"${l.id}__adist")
+      val width = l.dataType match {
+        case StringType =>
+          // lmax is null-free only when the column has rows; a column
+          // with cnt == 0 never reaches the counter path's consumers
+          if (row.getAs[Long](s"${l.id}__cnt") == 0) 0L
+          else row.getAs[Int](s"${l.id}__lmax").toLong.max(1L)
+        case _ => 16L
+      }
+      val est = adist * width
+      if (est <= budget) { budget -= est; true } else false
     }
     val counterIds = counterCols.map(_.id).toSet
     val plans = leaves.filterNot(l => counterIds(l.id))
@@ -896,4 +925,11 @@ object SparkAnalyzer {
     */
   def defaultSampleTopK: Int =
     sys.env.get("SPARK_GRAFT_SAMPLE_TOPK").map(_.toInt).getOrElse(8)
+
+  /** Driver budget for collected counters per level (estimated
+    * bytes). Override: SPARK_GRAFT_COUNTER_BYTES.
+    */
+  def defaultCounterByteBudget: Long =
+    sys.env.get("SPARK_GRAFT_COUNTER_BYTES").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
 }

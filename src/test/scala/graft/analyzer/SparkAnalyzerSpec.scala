@@ -128,6 +128,25 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.core.RenderOptions(showSamples = true)).contains("samples="))
   }
 
+  test("counter byte budget demotes oversized columns to summary") {
+    val s = spark
+    import s.implicits._
+    // a zero budget forces every column onto the summary path even
+    // though the distinct cap would admit them (the driver-OOM guard
+    // for wide low-cardinality columns); results must not change
+    val df = (0 until 1000).map(i =>
+      (i.toLong, i * 1.5, s"v${i % 40}")).toDF("a", "b", "c")
+    val exact = columnTypes(new SparkAnalyzer(
+      exactDistinctCap = 100000).analyzeTable(df))
+    val budgeted = columnTypes(new SparkAnalyzer(
+      exactDistinctCap = 100000,
+      counterByteBudget = 0L).analyzeTable(df))
+    assert(exact("a") == budgeted("a"), budgeted)
+    assert(exact("b") == budgeted("b"), budgeted)
+    // the string column's demotion keeps the same inferred type
+    assert(budgeted("c").startsWith("str"), budgeted)
+  }
+
   test("approx-percentile sketch path agrees with exact quartiles") {
     val s = spark
     import s.implicits._

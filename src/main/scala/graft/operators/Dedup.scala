@@ -163,6 +163,14 @@ object Dedup {
       .distinct()
   }
 
+  /** The drop list a dedup pipeline applies after clustering: every
+    * non-representative member (label ≠ id; the representative is the
+    * cluster's smallest id, deterministic across runs). Anti-join the
+    * corpus against this to materialize the deduplicated output.
+    */
+  def dedupDropList(labels: DataFrame): DataFrame =
+    labels.where(col("id") =!= col("label")).select(col("id"))
+
   /** Cross-corpus contamination (decontamination check): for each
     * document of the (small) `bench` eval set, how many of its word
     * k-gram shingles appear ANYWHERE in the (huge) training corpus.

@@ -151,6 +151,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty pair set -> empty labels
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0L)
+    // drop list keeps one representative (the min id) per cluster
+    val drops = Dedup.dedupDropList(Dedup.connectedComponents(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 3L, 4L, 11L), drops)
   }
 
   test("contamination: per-eval-doc shingle overlap vs a corpus") {

@@ -235,8 +235,9 @@ object Dedup {
     * Iterative min-label propagation: each round joins the (slim)
     * label frame to the directed edge list and keeps the minimum
     * label seen; the label sum is strictly decreasing until
-    * convergence, so the driver loop stops the first round nothing
-    * changes. Rounds needed = O(component diameter) — near-dup
+    * convergence (labels only ever decrease), so the driver loop
+    * stops the first round nothing changes. Ids must be numeric —
+    * the convergence check sums them; hash non-numeric ids first. Rounds needed = O(component diameter) — near-dup
     * clusters are stars/cliques, so a handful of rounds at any
     * corpus size; each round is one shuffle join + one partial-agg
     * groupBy over (id, label) rows only, never the corpus. Frames

@@ -129,8 +129,11 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     }
     val counterIds = counterCols.map(_.id).toSet
     val plans = leaves.filterNot(l => counterIds(l.id))
-      .flatMap(l => planSummary(l, row, total))
-    val lengthCounterCols = plans
+      .flatMap(l => planSummary(l, row, total, jsonDepth))
+    // all-JSON columns will recurse instead; keep their fallback
+    // plans out of the shared passes
+    val active = plans.filterNot(_.deferred)
+    val lengthCounterCols = active
       .filter(p => p.needLengths && p.lengthsExact).map(_.leaf)
 
     // -------- pass 2: batched exact counters (values under the cap +
@@ -142,12 +145,18 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       }
 
     // -------- pass 3: ONE wide summary aggregation for all over-cap
-    // columns (quartiles, length stats, CharClass patterns together)
+    // columns (quartiles, length stats, CharClass patterns together).
+    // Exact-percentile buffers share the executor-memory cap: each of
+    // the pctConsumers columns gets exactPctCap / pctConsumers rows
+    // before degrading to the GK sketch, so the ONE-pass batching
+    // cannot multiply peak aggregation memory by the column count.
+    val pctConsumers = (active.count(_.numeric) +
+      active.count(p => p.needLengths && !p.lengthsExact)).max(1)
     val summaryRow: Row =
-      if (plans.isEmpty) null
+      if (active.isEmpty) null
       else described(df, s"graft: summary pass " +
-        s"(${plans.size} over-cap columns)") {
-        val exprs = plans.flatMap(summaryAggExprs)
+        s"(${active.size} over-cap columns)") {
+        val exprs = active.flatMap(p => summaryAggExprs(p, pctConsumers))
         df.agg(exprs.head, exprs.tail: _*).head()
       }
 
@@ -207,7 +216,16 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
                                        needLengths: Boolean,
                                        lengthsExact: Boolean,
                                        needPattern: Boolean,
-                                       build: SummaryCtx => SType)
+                                       build: SummaryCtx => SType,
+                                       /** All-JSON string columns
+                                         * normally recurse instead;
+                                         * their plan is only the
+                                         * corrupt-JSON fallback and
+                                         * stays OUT of the shared
+                                         * passes — built on demand by
+                                         * a per-column aggregation.
+                                         */
+                                       deferred: Boolean = false)
 
   private final case class SummaryCtx(values: Stats, lengths: () => Stats,
                                       pattern: Option[Vector[CharClass]])
@@ -379,8 +397,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     * threshold tests over pre-computed conditional aggregates. Returns
     * the aggregation plan; no Spark jobs are launched here.
     */
-  private def planSummary(leaf: Leaf, row: Row, total: Long)
-      : Option[SummaryPlan] = {
+  private def planSummary(leaf: Leaf, row: Row, total: Long,
+                          jsonDepth: Int): Option[SummaryPlan] = {
     val id = leaf.id
     val cnt = row.getAs[Long](s"${id}__cnt")
     if (cnt == 0) return None
@@ -405,13 +423,34 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           numeric = true, cnt,
           needLengths = false, lengthsExact = false, needPattern = false,
           ctx => SDateTime(instantStats(ctx.values))))
-      case StringType => planStringSummary(leaf, row, cnt)
+      case StringType => planStringSummary(leaf, row, cnt, jsonDepth)
       case _ => None
     }
   }
 
+  /** String plan, with the all-JSON special case: such columns
+    * recurse in assembly (spark.read.json) and consult the plan only
+    * when the parse turns up corrupt records — so the plan is marked
+    * `deferred` and costs nothing in the shared passes.
+    */
+  private def planStringSummary(leaf: Leaf, row: Row, cnt: Long,
+                                jsonDepth: Int)
+      : Option[SummaryPlan] = {
+    val id = leaf.id
+    val p0 = planString0(leaf, row, cnt)
+    val jsonW = row.getAs[Long](s"${id}__json")
+    val empty = row.getAs[Long](s"${id}__empty")
+    val jsonCandidate = parseJsonStrings &&
+      jsonDepth < config.maxDepth && jsonW > 0 &&
+      jsonW == cnt - empty
+    if (jsonCandidate)
+      // deferred plans compute their own lengths in their fallback agg
+      p0.map(_.copy(deferred = true, lengthsExact = false))
+    else p0
+  }
+
   /** The string ladder from witness counts (analyzer.py:642-740). */
-  private def planStringSummary(leaf: Leaf, row: Row, cnt: Long)
+  private def planString0(leaf: Leaf, row: Row, cnt: Long)
       : Option[SummaryPlan] = {
     val id = leaf.id
     val c = leaf.col
@@ -494,7 +533,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     * numerics), length stats for strings whose length counter couldn't
     * be batched, and the CharClassAgg buffer for fixed-length patterns.
     */
-  private def summaryAggExprs(p: SummaryPlan): Seq[Column] = {
+  private def summaryAggExprs(p: SummaryPlan,
+                              pctConsumers: Int): Seq[Column] = {
     val id = p.leaf.id
     val v = p.value
     val base = Seq(
@@ -503,7 +543,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       (approx_count_distinct(v) >= (count(v) * 98 / 100))
         .as(s"${id}__suniq"))
     val qs =
-      if (p.numeric) Seq(quartileExpr(v, p.n).as(s"${id}__sqs"))
+      if (p.numeric)
+        Seq(quartileExpr(v, p.n, pctConsumers).as(s"${id}__sqs"))
       else Seq.empty
     val len =
       if (p.needLengths && !p.lengthsExact) {
@@ -512,7 +553,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           count(lc).as(s"${id}__slcnt"),
           (approx_count_distinct(lc) >= (count(lc) * 98 / 100))
             .as(s"${id}__sluniq"),
-          quartileExpr(lc, p.n).as(s"${id}__slqs"))
+          quartileExpr(lc, p.n, pctConsumers).as(s"${id}__slqs"))
       } else Seq.empty
     val pat =
       if (p.needPattern)
@@ -528,10 +569,13 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     * values in executor memory; past the cap (100 TB territory) degrade
     * to the GK sketch.
     */
-  private def quartileExpr(v: Column, n: Long): Column = {
+  private def quartileExpr(v: Column, n: Long,
+                           pctConsumers: Int = 1): Column = {
     val ps = Seq(n / 4, n / 2, 3 * n / 4).map(k =>
       if (n <= 1) 0.0 else k.toDouble / (n - 1))
-    if (n <= exactPctCap)
+    // the cap bounds TOTAL buffered rows across all exact-percentile
+    // columns sharing one aggregation, not each column independently
+    if (n <= exactPctCap / pctConsumers.max(1))
       percentile(v, typedLit(ps))
     else approx_percentile(v.cast(DoubleType), typedLit(ps),
       lit(10000)).cast(ArrayType(DoubleType))
@@ -557,7 +601,11 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         val qs = srow.getSeq[Double](srow.fieldIndex(s"${id}__sqs"))
         Stats.summary(cnt, mn, qs(0), qs(1), qs(2), mx, uniq)
       }
-    withTopK(df.select(p.value.as("v")), col("v"), s0)
+    // null-filter the sample job: parsed representations (try_cast /
+    // try_to_timestamp) are null on unparsed rows, and a null group
+    // would consume a top-K slot only to be dropped at collection
+    withTopK(df.select(p.value.as("v")).where(col("v").isNotNull),
+      col("v"), s0)
   }
 
   /** Length Stats: exact from the batched counter when the length
@@ -589,9 +637,18 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     }
   }
 
-  private def buildFromPlan(df: DataFrame, p: SummaryPlan, srow: Row,
+  private def buildFromPlan(df: DataFrame, p: SummaryPlan, srow0: Row,
                             lengthCounters: Map[String, ValueCounter])
       : SType = {
+    // deferred plans (all-JSON fallbacks) were excluded from the
+    // shared summary pass; build their row on demand — one
+    // per-column aggregation in the rare corrupt-JSON case only
+    val srow =
+      if (!p.deferred) srow0
+      else {
+        val exprs = summaryAggExprs(p, pctConsumers = 1)
+        df.agg(exprs.head, exprs.tail: _*).head()
+      }
     val values = summaryStatsFromRow(df, p, srow)
     val lengths = () => lengthStatsFor(df, p, srow, lengthCounters)
     val pattern =

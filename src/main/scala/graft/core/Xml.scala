@@ -116,7 +116,11 @@ object Xml {
 
   /** types.py:106-140 `_xml_summary`. */
   private def statsSummary(s: Stats): XElem = {
-    val distinct = s.sample.map(_.distinct.toLong).getOrElse(s.card)
+    // a bounded top-K sketch is not the distinct count (scale mode)
+    val distinct = s.sample match {
+      case Some(c) if !s.sampleIsPartial => c.distinct.toLong
+      case _ => s.card
+    }
     val kids = Vector.newBuilder[XNode]
     if (distinct > 1) kids += elem("min", text(fmt(s.min)))
     if (distinct > 4) kids += elem("q1", text(fmt(s.q1)))

@@ -69,8 +69,13 @@ object XslRender {
 
   // ------------------------------------------------------------ helpers
 
-  private def distinct(s: Stats): Long =
-    s.sample.map(_.distinct.toLong).getOrElse(s.card)
+  private def distinct(s: Stats): Long = s.sample match {
+    // a bounded top-K sketch is NOT the distinct count — fall back to
+    // the cardinality (overstates distinct, but gates the min/quartile
+    // display correctly instead of hiding them behind the sketch size)
+    case Some(c) if !s.sampleIsPartial => c.distinct.toLong
+    case _ => s.card
+  }
 
   /** Does this subtree contain a container element (the
     * `content//dict|content//list|content//tuple` test)?

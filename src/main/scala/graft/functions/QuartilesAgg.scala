@@ -38,6 +38,19 @@ case class QuartilesAgg(
   extends TypedImperativeAggregate[QuartilesBuffer]
   with UnaryLike[Expression] {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"quartiles expects a double column (cast first), " +
+              s"got $other")
+    }
+
   override def createAggregationBuffer(): QuartilesBuffer =
     new QuartilesBuffer(mutable.HashMap.empty, false)
 

@@ -232,17 +232,24 @@ object Dedup {
     * component (deterministic, engine-portable — the DuckDB oracle's
     * recursive closure derives the identical labels).
     *
-    * Iterative min-label propagation: each round joins the (slim)
-    * label frame to the directed edge list and keeps the minimum
-    * label seen; the label sum is strictly decreasing until
-    * convergence (labels only ever decrease), so the driver loop
-    * stops the first round nothing changes. Ids must be numeric —
-    * the convergence check sums them; hash non-numeric ids first. Rounds needed = O(component diameter) — near-dup
-    * clusters are stars/cliques, so a handful of rounds at any
-    * corpus size; each round is one shuffle join + one partial-agg
-    * groupBy over (id, label) rows only, never the corpus. Frames
-    * are persisted per round and released immediately (the
-    * convergence check is the materializing action).
+    * Iterative min-label propagation with pointer jumping: each round
+    * (a) pulls the minimum neighbour label over the directed edge
+    * list, then (b) jumps each label to its label's label — the
+    * doubling step that makes rounds O(log diameter), so even a
+    * pathological million-long version-chain converges in ~20 rounds
+    * (star/clique near-dup clusters take 2-3). The label sum is
+    * strictly decreasing until convergence (labels only ever
+    * decrease), so the driver loop stops the first round nothing
+    * changes — and warns loudly if `maxIter` ever cut it off early.
+    * Ids must be numeric — the convergence check sums them; hash
+    * non-numeric ids first.
+    *
+    * Each round shuffles only (id, label) rows, never the corpus.
+    * Every round ends in an eager `localCheckpoint`, which both
+    * caches the round's labels AND truncates the logical plan — the
+    * pointer-jump self-join would otherwise double the lineage every
+    * round (exponential plan analysis/rendering). Old checkpoint
+    * blocks are released by the context cleaner once unreferenced.
     */
   def connectedComponents(pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
@@ -255,25 +262,41 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("label"))
-      .persist()
+      .localCheckpoint(true)
     var prevSum = labels.agg(sum(col("label"))).head().get(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = edges.as("e")
+      // min neighbour label per node, merged into the node's own
+      // label by a left join (a union with the checkpointed frame
+      // would re-trip Spark's union constraint rewriting)
+      val nmin = edges.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.label").as("label"))
-        .unionAll(labels)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"))
-        .persist()
+        .groupBy(col("e.src").as("nid"))
+        .agg(min(col("l.label")).as("nlabel"))
+      val pulled = labels.as("l0")
+        .join(nmin, col("l0.id") === col("nid"), "left")
+        .select(col("l0.id").as("id"),
+          least(col("l0.label"),
+            coalesce(col("nlabel"), col("l0.label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jump: label := min(label, label(label))
+      val next = pulled.as("a")
+        .join(pulled.as("b"), col("a.label") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"),
+            coalesce(col("b.label"), col("a.label"))).as("label"))
+        .localCheckpoint(true)
       val s = next.agg(sum(col("label"))).head().get(0)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    if (!converged)
+      System.err.println("warning: connectedComponents hit " +
+        s"maxIter=$maxIter before convergence; a component wider " +
+        "than the budget may carry split labels")
     edges.unpersist()
     labels
   }

@@ -30,6 +30,10 @@ object Sampling {
                  den: Long): DataFrame = {
     require(den > 0 && num >= 0 && num <= den,
       s"rate must be a fraction in [0, 1]: $num/$den")
+    // hash32 < 2^32 and den ≤ 2^30 keep hash·den < 2^62 — no silent
+    // Long overflow flipping the predicate
+    require(den <= (1L << 30),
+      s"denominator above 2^30 would overflow the comparison: $den")
     df.where(hash32(key) * den < lit(num) * lit(4294967296L))
   }
 

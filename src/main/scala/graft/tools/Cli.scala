@@ -339,7 +339,11 @@ object Cli {
       |""".stripMargin
 
   /** Effective progress switch: explicit flag, else TTY detection
-    * (the reference shows its tqdm bar only on a TTY).
+    * (the reference shows its tqdm bar only on a TTY). Note the JVM
+    * limitation: `System.console()` is null whenever stdin OR stdout
+    * is redirected, so `analyze > out.txt` from a terminal defaults
+    * progress OFF even though stderr is interactive — pass
+    * `--progress` to force it (Java 17 has no per-stream isatty).
     */
   def progressEnabled(o: Options): Boolean =
     o.progress.getOrElse(System.console() != null)

@@ -143,10 +143,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L), labels)
-    // a long chain still converges (diameter > 2 propagation)
-    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val chainLabels = Dedup.connectedComponents(chain).collect()
-      .map(r => r.getLong(1)).distinct
+    // a chain LONGER than maxIter still converges — the pointer-jump
+    // doubling makes rounds O(log diameter), not O(diameter)
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainLabels = Dedup.connectedComponents(chain, maxIter = 25)
+      .collect().map(r => r.getLong(1)).distinct
     assert(chainLabels.sameElements(Array(1L)), chainLabels.toSeq)
     // empty pair set -> empty labels
     assert(Dedup.connectedComponents(

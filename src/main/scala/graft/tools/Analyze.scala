@@ -13,9 +13,18 @@ object Analyze {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args.toSeq)
     if (opts.files.isEmpty) { System.err.println(Cli.usage); sys.exit(2) }
+    // the reference's progress descriptions (get_structure,
+    // ui/cli.py:236-264), TTY-gated / flag-forced like AnalyzeDist
+    val progress = Cli.progressEnabled(opts)
+    def phase(msg: String): Unit =
+      if (progress) System.err.println(s"[structa] $msg")
+    opts.files.foreach(f => phase(s"Reading file $f"))
+    phase("Parsing data")
     val data = graft.sources.Source.loadAll(opts.files, opts.source)
     val analyzer = new TreeAnalyzer(opts.config)
+    phase("Analyzing data")
     val structure = analyzer.analyze(data)
+    phase("Merging common structures")
     val merged = analyzer.mergeToFixpoint(structure)
     // default toggles → the golden types.py-str grammar; any explicit
     // show/hide flag switches to the configurable CLI view; --xml and

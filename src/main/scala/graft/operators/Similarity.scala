@@ -102,6 +102,34 @@ object Similarity {
       .orderBy(col("bucket").asc_nulls_first)
   }
 
+  /** Per-label centroid partial sums — the IVF / cluster-summary
+    * building block: vectors NEVER collect anywhere. Each dimension's
+    * quantized component sum aggregates map-side (one shuffle on
+    * (label, dim), one tiny one on label); exact centroid means
+    * derive as sum/count downstream. Output keeps exact integers for
+    * engine-portable verification: per label the vector count,
+    * dimension count, and the L1 norm of the quantized component
+    * sums.
+    */
+  def centroidStats(df: DataFrame, labelCol: Column,
+                    vecCol: Column): DataFrame = {
+    val comps = df.select(labelCol.as("label"),
+        posexplode(vecCol).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x").cast("double") * 33554432.0).cast("long")
+          .as("qx"))
+    val dimSums = comps.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"))
+    val n = df.groupBy(labelCol.as("label"))
+      .agg(count(lit(1)).as("n_vectors"))
+    dimSums.groupBy(col("label"))
+      .agg(count(lit(1)).as("dims"),
+        sum(abs(col("s"))).cast("long").as("l1_q"))
+      .join(n, Seq("label"))
+      .select(col("label"), col("n_vectors"), col("dims"),
+        col("l1_q"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates filtered
     * by cosine ≥ threshold. The bucket equi-join bounds the pair
     * space; the bucket count scales with n ([[bitsForCount]]), and

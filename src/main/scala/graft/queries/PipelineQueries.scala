@@ -150,6 +150,13 @@ object PipelineQueries {
       Similarity.lshBucketCounts(t(s, d, "embeddings"), "embedding",
         targetPerBucket = 128L)),
 
+    // per-label centroid partial sums (the IVF building block):
+    // exact quantized integers, vectors never collected
+    "q39_centroid_stats" -> ((s, d) =>
+      Similarity.centroidStats(t(s, d, "embeddings"), col("label"),
+          col("embedding"))
+        .orderBy(col("label").asc_nulls_first)),
+
     "q30_cosine_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
           "embedding", threshold = 0.5, targetPerBucket = 128L,
@@ -447,6 +454,17 @@ object PipelineQueries {
       ("SELECT bucket, COUNT(*) AS n_vectors FROM (" +
        bucketSql(unnestEmb) +
        ") GROUP BY bucket ORDER BY bucket NULLS FIRST"),
+    "q39_centroid_stats" ->
+      ("WITH c AS (SELECT label, i, CAST(SUM(x) AS BIGINT) AS s " +
+       "FROM (SELECT label, generate_subscripts(embedding, 1) AS i, " +
+       "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 33554432.0) " +
+       "AS BIGINT) AS x FROM embeddings) GROUP BY label, i), " +
+       "agg AS (SELECT label, COUNT(*) AS dims, CAST(SUM(abs(s)) AS " +
+       "BIGINT) AS l1_q FROM c GROUP BY label), " +
+       "n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings " +
+       "GROUP BY label) " +
+       "SELECT agg.label, n_vectors, dims, l1_q FROM agg JOIN n " +
+       "USING (label) ORDER BY label NULLS FIRST"),
     "q30_cosine_near_dups" ->
       ("WITH eb0 AS (SELECT e.vec_id, e.embedding, b.bucket FROM " +
        "embeddings e JOIN (" + bucketSql(unnestEmb) + ") b ON " +

@@ -291,6 +291,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 0L)
   }
 
+  test("centroid stats: exact per-dimension partial sums per label") {
+    val s = spark
+    import s.implicits._
+    val q = 33554432.0 // 2^25
+    val df = Seq(
+      ("a", Array(1.0f, -2.0f)),
+      ("a", Array(3.0f, 2.0f)),
+      ("b", Array(0.5f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.centroidStats(df, col("label"),
+        col("embedding")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // label a: dim sums (1+3, -2+2) = (4, 0) quantized -> L1 = 4*2^25
+    assert(out("a") == (2L, 2L, (4 * q).toLong), out)
+    // label b: (0.5, 0) -> L1 = 0.5*2^25
+    assert(out("b") == (1L, 2L, (0.5 * q).toLong), out)
+  }
+
   test("multimodal: payload + metadata + frames + stub features") {
     val df = docs(1L -> ("x" * 300))
     val media = Multimodal.asMedia(df, col("text"), "text/plain")

@@ -149,6 +149,28 @@ class CliSpec extends AnyFunSuite {
     assert(parse(Seq("--ansi", "f.json")).outputMode == "ansi")
   }
 
+  test("Analyze and AnalyzeDist agree end-to-end on the same file") {
+    // the README's claimed invariant: the driver-side reference
+    // analyzer and the distributed analyzer print identical
+    // structure for identical input
+    val f = Files.createTempFile("agree", ".json")
+    Files.write(f, (0 until 60).map(i =>
+      s"""{"n": $i, "s": "v${i % 7}", "f": ${i % 3}.5}""")
+      .mkString("[", ", ", "]").getBytes)
+    def runMain(m: Array[String] => Unit, args: Seq[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true)) {
+        m(args.toArray)
+      }
+      buf.toString
+    }
+    val local = runMain(Analyze.main, Seq(f.toString))
+    val dist = runMain(AnalyzeDist.main, Seq(f.toString))
+    assert(local.nonEmpty)
+    assert(local == dist, s"\nanalyze=$local\ndist=$dist")
+    Files.delete(f)
+  }
+
   test("progress: stderr line under --progress, absent by default " +
       "(analyzer.py:209-236 UX; TTY-gated like ui/cli.py:237-266)") {
     assert(parse(Seq("f.json")).progress.isEmpty)

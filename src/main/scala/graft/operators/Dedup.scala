@@ -230,26 +230,29 @@ object Dedup {
     * duplicate CLUSTERS → keep one representative per cluster.
     * Returns (id, label) with label = the smallest id in the
     * component (deterministic, engine-portable — the DuckDB oracle's
-    * recursive closure derives the identical labels).
+    * recursive closure derives the identical labels). Ids may be any
+    * orderable type (long, string, …): min-label propagation only
+    * compares ids, and convergence counts changed rows, so nothing
+    * here is numeric-specific (and nothing can overflow — a raw
+    * label SUM would silently wrap at the 10^10-id scale).
     *
     * Iterative min-label propagation with pointer jumping: each round
     * (a) pulls the minimum neighbour label over the directed edge
-    * list, then (b) jumps each label to its label's label — the
-    * doubling step that makes rounds O(log diameter), so even a
-    * pathological million-long version-chain converges in ~20 rounds
-    * (star/clique near-dup clusters take 2-3). The label sum is
-    * strictly decreasing until convergence (labels only ever
-    * decrease), so the driver loop stops the first round nothing
-    * changes — and warns loudly if `maxIter` ever cut it off early.
-    * Ids must be numeric — the convergence check sums them; hash
-    * non-numeric ids first.
+    * list, then (b) jumps each label through the previous round's
+    * label table — the doubling step that keeps rounds O(log
+    * diameter), so even a pathological million-long version-chain
+    * converges in ~30 rounds (star/clique near-dup clusters take
+    * 2-3). The loop stops the first round no label changes — and
+    * warns loudly if `maxIter` ever cut it off early.
     *
-    * Each round shuffles only (id, label) rows, never the corpus.
-    * Every round ends in an eager `localCheckpoint`, which both
-    * caches the round's labels AND truncates the logical plan — the
-    * pointer-jump self-join would otherwise double the lineage every
-    * round (exponential plan analysis/rendering). Old checkpoint
-    * blocks are released by the context cleaner once unreferenced.
+    * ONE driver action per round: the round's plan ends in a LAZY
+    * `localCheckpoint` (truncating the logical plan immediately — the
+    * two label self-references would otherwise double the lineage
+    * every round) and the convergence aggregate is the action that
+    * materializes it, so the changed-row count rides the same job
+    * that computes and caches the round's labels. Each round shuffles
+    * only (id, label) rows, never the corpus; old checkpoint blocks
+    * are released by the context cleaner once unreferenced.
     */
   def connectedComponents(pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
@@ -263,7 +266,6 @@ object Dedup {
       .distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().get(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -276,21 +278,31 @@ object Dedup {
         .agg(min(col("l.label")).as("nlabel"))
       val pulled = labels.as("l0")
         .join(nmin, col("l0.id") === col("nid"), "left")
-        .select(col("l0.id").as("id"),
+        .select(col("l0.id").as("id"), col("l0.label").as("old"),
           least(col("l0.label"),
             coalesce(col("nlabel"), col("l0.label"))).as("label"))
-        .localCheckpoint(true)
-      // pointer jump: label := min(label, label(label))
+      // pointer jump through the PREVIOUS round's (cached) table:
+      // label := min(label, prevLabel(label)). Jumping through
+      // `pulled` itself would need a second self-join on fresh state
+      // (either a second materializing action or a double evaluation
+      // of the pull); the previous table still compounds reach
+      // round-over-round, keeping convergence logarithmic.
       val next = pulled.as("a")
-        .join(pulled.as("b"), col("a.label") === col("b.id"), "left")
+        .join(labels.as("j"), col("a.label") === col("j.id"), "left")
         .select(col("a.id").as("id"),
           least(col("a.label"),
-            coalesce(col("b.label"), col("a.label"))).as("label"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("label"))).head().get(0)
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+            coalesce(col("j.label"), col("a.label"))).as("label"),
+          (least(col("a.label"),
+            coalesce(col("j.label"), col("a.label"))) =!= col("a.old"))
+            .as("changed"))
+        .localCheckpoint(eager = false)
+      // the one action: materializes + caches the round's labels AND
+      // returns the changed-row count (exact — no accumulator
+      // retry-double-count caveats, no Long-sum wraparound)
+      val nChanged = next.agg(count(when(col("changed"), 1)))
+        .head().getLong(0)
+      labels = next.select(col("id"), col("label"))
+      converged = nChanged == 0L
       i += 1
     }
     if (!converged)
@@ -299,6 +311,92 @@ object Dedup {
         "than the budget may carry split labels")
     edges.unpersist()
     labels
+  }
+
+  /** Exact-Jaccard verification restricted to a CANDIDATE pair list —
+    * the scale-safe alternative to [[jaccardPairs]]' corpus-wide
+    * shingle self-join: the shingle equi-join only ever touches ids
+    * that appear in `pairs`, so the work is O(|candidates| · shingles
+    * per doc), never O(df²) per shingle. Keeps every pair that clears
+    * the integer threshold `den·inter ≥ num·union`, with its exact
+    * `inter`/`union_n` shingle counts.
+    *
+    * Shape: one corpus scan projects (id, shingle-digest) rows,
+    * semi-joined down to candidate ids (at 100 TB the candidate id
+    * set is a small fraction of the corpus — AQE picks broadcast vs
+    * shuffle by its actual size); the pair-intersection join then
+    * fans each pair out by its left side's shingles and probes
+    * (id2, s) — both joins keyed on digests, never raw text.
+    */
+  def verifiedJaccardPairs(df: DataFrame, idCol: Column, text: Column,
+                           pairs: DataFrame, shingleK: Int = 5,
+                           thresholdNum: Int = 1,
+                           thresholdDen: Int = 5): DataFrame = {
+    // the pair frame feeds FOUR consumers (two candidate-id
+    // projections, the intersection join, the final left join); a
+    // lazy localCheckpoint caches the slim (id1, id2) rows once
+    // instead of re-running the candidate generator's whole upstream
+    // chain per consumer (pairs are O(near-dups), tiny next to the
+    // corpus — MEMORY_AND_DISK absorbs even billion-pair runs)
+    val cand = pairs.select(col("id1"), col("id2"))
+      .localCheckpoint(eager = false)
+    val sh = shingleRows(df, idCol, text, shingleK)
+      .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
+    val candIds = cand.select(col("id1").as("id"))
+      .unionAll(cand.select(col("id2").as("id")))
+      .distinct()
+    // one explicit shuffle on id, shared by ReuseExchange across the
+    // size aggregation and both intersection-join sides — without it
+    // each consumer re-scans the corpus and re-shingles
+    val kept = sh.join(candIds, Seq("id"), "left_semi")
+      .repartition(col("id"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(kept.as("a"), col("id1") === col("a.id"))
+      .join(kept.as("b"),
+        col("id2") === col("b.id") && col("a.s") === col("b.s"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    // pairs with an empty intersection vanish from `inter`; pull them
+    // back via a left join so a zero threshold still emits them
+    cand
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.as("sa"), col("id1") === col("sa.id"))
+      .join(sizes.as("sb"), col("id2") === col("sb.id"))
+      .select(col("id1"), col("id2"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sa.n") + col("sb.n") -
+          coalesce(col("inter"), lit(0L))).as("union_n"))
+      .where(col("inter") * thresholdDen >=
+        col("union_n") * thresholdNum)
+  }
+
+  /** Scale-safe fuzzy dedup, end to end — the canonical 100 TB
+    * pipeline shape: MinHash signatures → LSH band candidate pairs →
+    * exact-Jaccard verification ON CANDIDATES ONLY →
+    * [[connectedComponents]] cluster labels. Returns (id, label).
+    *
+    * Unlike clustering over [[jaccardPairs]] (whose corpus-wide
+    * shingle self-join costs df² rows per under-cap shingle), no step
+    * here is quadratic in the corpus: signatures are a map-side
+    * projection, band buckets are capped, verification touches only
+    * candidate ids, and clustering shuffles slim (id, label) rows.
+    * LSH recall is probabilistic (b=16, r=4 collides a 0.8-Jaccard
+    * pair with p ≈ 0.9996); the verify step makes precision exact.
+    */
+  def lshDedupClusters(df: DataFrame, idCol: Column, text: Column,
+                       numHashes: Int = 64, bandSize: Int = 4,
+                       shingleK: Int = 5, thresholdNum: Int = 1,
+                       thresholdDen: Int = 5,
+                       maxBucketSize: Long = 10000L,
+                       maxIter: Int = 25): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, text, numHashes, shingleK)
+    val cands = lshCandidatePairs(
+      lshBands(sigs, numHashes, bandSize), maxBucketSize)
+    val verified = verifiedJaccardPairs(df, idCol, text, cands,
+      shingleK, thresholdNum, thresholdDen)
+    connectedComponents(verified.select(col("id1"), col("id2")),
+      maxIter)
   }
 
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.

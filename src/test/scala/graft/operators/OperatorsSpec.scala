@@ -158,6 +158,108 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drops == Set(2L, 3L, 4L, 11L), drops)
   }
 
+  test("connected components accept non-numeric ids") {
+    val s = spark
+    import s.implicits._
+    // string ids: min-label is lexicographic, convergence counts
+    // changed rows — nothing numeric anywhere in the loop
+    val pairs = Seq(("banana", "apple"), ("banana", "cherry"),
+      ("x", "y")).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("apple" -> "apple", "banana" -> "apple",
+      "cherry" -> "apple", "x" -> "x", "y" -> "x"), labels)
+  }
+
+  test("connected components run ONE driver action per round") {
+    val s = spark
+    import s.implicits._
+    // AQE + broadcast joins off so one action == one job (broadcast
+    // exchanges run their small collect as extra jobs inside the same
+    // action); a single pair converges in exactly two rounds (round 1
+    // relabels, round 2 confirms), and the only other job is the
+    // initial label checkpoint. The convergence count rides the SAME
+    // job that materializes the round's labels — a separate
+    // convergence action would show up here as one more job per round.
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val group = "graft-cc-actions"
+    s.sparkContext.setJobGroup(group, "cc action count")
+    try Dedup.connectedComponents(
+      Seq((2L, 1L)).toDF("id1", "id2")).count()
+    finally {
+      s.sparkContext.clearJobGroup()
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    def jobs() =
+      s.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var p = -1
+    var cur = jobs()
+    var spins = 0
+    while (cur != p && spins < 50) {
+      Thread.sleep(100); p = cur; cur = jobs(); spins += 1
+    }
+    // init checkpoint + 2 rounds + the final count() action above
+    assert(cur == 4, s"expected 4 jobs (init + 2 rounds + count), got $cur")
+  }
+
+  test("verified jaccard on candidates matches the full self-join") {
+    val base1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val df = docs(
+      1L -> base1, 2L -> (base1 + " x"), 3L -> (base1 + " x y"),
+      4L -> base2, 5L -> (base2 + " z"),
+      6L -> (1 to 30).map(i => s"noise$i").mkString(" "))
+    val exact = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+        shingleK = 5, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // verification over the LSH candidates reproduces the exact
+    // pairs AND their exact inter/union counts (candidates are a
+    // superset of the true near-dups on this fixture — recall is
+    // pinned by the "minhash LSH recall" test above)
+    val sigs = Dedup.minHashSignatures(df, col("doc_id"), col("text"))
+    val cands = Dedup.lshCandidatePairs(Dedup.lshBands(sigs))
+    val verified = Dedup.verifiedJaccardPairs(df, col("doc_id"),
+        col("text"), cands, shingleK = 5, thresholdNum = 1,
+        thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(verified == exact, s"\nverified=$verified\nexact=$exact")
+    // zero threshold keeps empty-intersection candidates (left join)
+    val all = Dedup.verifiedJaccardPairs(df, col("doc_id"),
+      col("text"), cands, shingleK = 5, thresholdNum = 0,
+      thresholdDen = 1)
+    assert(all.count() == cands.count())
+  }
+
+  test("lsh dedup clusters match exact-jaccard clusters end-to-end") {
+    // two near-dup clusters + noise; the scale-safe composition
+    // (LSH candidates -> verify -> components) must label exactly
+    // like clustering the exact all-pairs jaccard at the same
+    // threshold
+    val base1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val df = docs(
+      1L -> base1, 2L -> (base1 + " x"), 3L -> (base1 + " x y"),
+      4L -> base2, 5L -> (base2 + " z"),
+      6L -> (1 to 30).map(i => s"noise$i").mkString(" "))
+    val exactLabels = Dedup.connectedComponents(
+        Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+          shingleK = 5, thresholdNum = 1, thresholdDen = 2)
+          .select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lshLabels = Dedup.lshDedupClusters(df, col("doc_id"),
+        col("text"), thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exactLabels.nonEmpty)
+    assert(lshLabels == exactLabels,
+      s"\nlsh=$lshLabels\nexact=$exactLabels")
+  }
+
   test("contamination: per-eval-doc shingle overlap vs a corpus") {
     val s = spark
     import s.implicits._

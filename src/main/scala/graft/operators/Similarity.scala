@@ -80,6 +80,20 @@ object Similarity {
     b
   }
 
+  /** [[bitsForCount]] as a Column over a row-count column — the same
+    * integer ladder evaluated INSIDE the plan, so the width can derive
+    * from an aggregate of the one corpus pass instead of a separate
+    * `count()` scan.
+    */
+  def bitsForCountCol(n: Column,
+                      targetPerBucket: Long = 128L): Column = {
+    val maxBits = graft.functions.LshSignExpr.MaxBits
+    (5 until maxBits).foldLeft(
+        when(n <= lit(targetPerBucket << 4), lit(4)))((acc, b) =>
+      acc.when(n <= lit(targetPerBucket << b), lit(b)))
+      .otherwise(lit(maxBits))
+  }
+
   /** Deterministic LSH bucket id (0..2^bits−1): the low `bits` of the
     * native sign pattern, viewed unsigned through a LONG so the full
     * 32-bit family works (bit 31 is the Int sign bit; sign-extension
@@ -91,14 +105,27 @@ object Similarity {
 
   /** Bucketed ANN: per-bucket membership counts (the partition shape
     * an IVF/LSH index would use for candidate pruning). Bucket width
-    * scales with the row count via [[bitsForCount]].
+    * scales with the row count via the [[bitsForCountCol]] ladder.
+    *
+    * ONE corpus scan, one plan: rows aggregate by their FULL sign
+    * pattern first (slim (pattern, count) rows — at most min(n, 2^32)
+    * groups — with map-side partial aggregation); the total row count,
+    * the bucket width, and the final masked-bucket counts all derive
+    * from that aggregate, so no separate `count()` pass ever touches
+    * the corpus (the previous formulation scanned it once just to
+    * size the buckets).
     */
   def lshBucketCounts(df: DataFrame, vecCol: String,
                       targetPerBucket: Long = 128L): DataFrame = {
-    val bits = bitsForCount(df.count(), targetPerBucket)
-    df.select(lshBucket(col(vecCol), bits).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_vectors"))
+    val byPattern = df.select(
+        signPattern(col(vecCol)).cast("long").as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val bitsFrame = byPattern.agg(sum(col("c")).as("n"))
+      .select(bitsForCountCol(col("n"), targetPerBucket).as("bits"))
+    byPattern.crossJoin(broadcast(bitsFrame))
+      .groupBy(expr(
+        "p & (shiftleft(CAST(1 AS BIGINT), bits) - 1)").as("bucket"))
+      .agg(sum(col("c")).cast("long").as("n_vectors"))
       .orderBy(col("bucket").asc_nulls_first)
   }
 
@@ -143,13 +170,22 @@ object Similarity {
                          threshold: Double,
                          targetPerBucket: Long = 128L,
                          maxBucketSize: Long = 10000L): DataFrame = {
-    val bits = bitsForCount(df.count(), targetPerBucket)
+    // bucket width from parquet footers when the frame is a bare
+    // scan (exact, metadata-only, zero jobs) — the corpus is never
+    // scanned just to size the bucket space
+    val bits = bitsForCount(ScanStats.fastRowCount(df),
+      targetPerBucket)
     // norms computed once per vector before the join; per-pair work
-    // is one native dot-product call
+    // is one native dot-product call. The explicit bucket repartition
+    // is the one shuffle, shared by ReuseExchange across the
+    // hot-bucket aggregation, the anti-join probe side, and both
+    // self-join sides (which need exactly this partitioning) — so the
+    // scan + signature projection run once.
     val prepped = df.select(col(idCol).as("id"),
       col(vecCol).as("v"),
       lshBucket(col(vecCol), bits).as("bucket"),
       dotQ(col(vecCol), col(vecCol)).as("n2"))
+      .repartition(col("bucket"))
     val hot = prepped.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c"))
       .where(col("c") > maxBucketSize)

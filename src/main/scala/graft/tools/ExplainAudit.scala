@@ -111,6 +111,26 @@ object ExplainAudit {
         s"appears exactly once in the physical plan (found $n)")
     }
 
+    // ---- single-scan checks -------------------------------------
+    // the LSH bucket family must read the corpus exactly once: the
+    // bucket width derives inside the plan from the pattern aggregate
+    // (q29) or from parquet footers with zero jobs (q30), and the
+    // explicit bucket repartition is shared via ReuseExchange by
+    // every downstream consumer. (The previous shape burned one full
+    // corpus scan just to size the bucket space.)
+    Seq("q29_lsh_buckets", "q30_cosine_near_dups").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val n = finalPlan.split("Scan parquet", -1).length - 1
+      val ok = n == 1
+      if (!ok) failures += 1
+      println(s"\n=== $name — corpus scanned exactly once ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] one parquet scan " +
+        s"in the final adaptive plan (found $n)")
+    }
+
     println(s"\nplan audit: ${if (failures == 0) "all checks OK"
       else s"$failures MISSING properties"}")
     spark.stop()

@@ -393,6 +393,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 0L)
   }
 
+  test("fastRowCount: footer metadata for bare scans, else count()") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scanstats")
+    val path = dir.resolve("t.parquet").toString
+    (0 until 57).toDF("i").repartition(3).write.parquet(path)
+    val df = s.read.parquet(path)
+    // bare scan and row-preserving projection: footers only
+    assert(ScanStats.fastRowCount(df) == 57L)
+    assert(ScanStats.fastRowCount(df.select(col("i") * 2)) == 57L)
+    // anything that can change the row count falls back to count()
+    assert(ScanStats.fastRowCount(df.where(col("i") >= 10)) == 47L)
+    assert(ScanStats.fastRowCount(Seq(1, 2, 3).toDF("x")) == 3L)
+  }
+
   test("centroid stats: exact per-dimension partial sums per label") {
     val s = spark
     import s.implicits._

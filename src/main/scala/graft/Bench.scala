@@ -22,6 +22,12 @@ object Bench {
       spark.range(100000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => }
+    // record machine load next to the numbers: past rounds' totals
+    // moved ±70% purely with co-tenant load, so cross-round
+    // comparisons need the contention context in the artifact itself
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -44,7 +50,10 @@ object Bench {
       "codegen" -> conf.get("spark.sql.codegen.wholeStage"))
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config}""")
+    val loadEnd = osBean.getSystemLoadAverage
+    val load = s"""{"start":$loadStart,"end":$loadEnd,"cores":${
+      Runtime.getRuntime.availableProcessors}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config,"load":$load}""")
     spark.stop()
   }
 }

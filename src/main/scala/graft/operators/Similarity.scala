@@ -157,6 +157,69 @@ object Similarity {
         col("l1_q"))
   }
 
+  /** IVF-style ANN search — the query path over the
+    * [[centroidStats]] index shape: score every per-label centroid
+    * against the query, probe the nearest `nprobe` labels, and
+    * re-rank ONLY their members by exact quantized cosine. Returns
+    * the top-k (id, dot) like [[cosineTopK]], but the corpus pass
+    * touches just the probed partitions — with label-partitioned
+    * storage the scan prunes to nprobe/n_labels of the data, which is
+    * the whole point of IVF at 100 TB.
+    *
+    * Determinism: centroid scoring needs no division by the member
+    * count — cosine(q, Σv/n) ≡ cosine(q, Σv) — so scores derive from
+    * the exact quantized component sums; products accumulate in
+    * DECIMAL(38,0) (s·qy can pass 2^63 at corpus scale) and convert
+    * to double only for ranking, with the label as tie-break —
+    * the [[cosineTopK]] pattern that already hash-matches DuckDB.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              labelCol: String, queryId: Long, k: Int,
+              nprobe: Int): DataFrame = {
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val qComps = q.select(posexplode(col("__qv")).as(Seq("dim", "x")))
+      .select(col("dim"), quant(col("x")).as("qy"))
+    // per-(label, dim) quantized sums aggregate map-side; the score
+    // join is against the (tiny, broadcast) query components
+    val dimSums = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), quant(col("x")).as("qx"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"))
+    val probes = dimSums.join(broadcast(qComps), Seq("dim"))
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("qy"))
+          .as("dot_c"),
+        sum(col("s").cast("decimal(38,0)") * col("s")).as("s2"))
+      .select(col("label"), (col("dot_c").cast("double") /
+        sqrt(col("s2").cast("double"))).as("__score"))
+      .orderBy(col("__score").desc, col("label").asc_nulls_first)
+      .limit(nprobe)
+      .select(col("label"))
+    // candidate scan: semi-join against the broadcast probe list
+    // (label-partitioned storage turns this into partition pruning),
+    // then the exact [[cosineTopK]] re-rank
+    val prepped = df.where(col(idCol) =!= queryId)
+      .select(col(idCol), col(labelCol).as("label"),
+        col(vecCol).as("__v"),
+        sqrt(dotQ(col(vecCol), col(vecCol)).cast("double")).as("__n"))
+      .join(broadcast(probes), Seq("label"), "left_semi")
+    val qn = q.select(col("__qv"),
+      sqrt(dotQ(col("__qv"), col("__qv")).cast("double")).as("__qn"))
+    val dot = dotQ(col("__v"), col("__qv"))
+    prepped.crossJoin(broadcast(qn))
+      .select(col(idCol), dot.as("dot"),
+        (dot.cast("double") / (col("__n") * col("__qn")))
+          .as("__cosine"))
+      .orderBy(col("__cosine").desc, col(idCol).asc_nulls_first)
+      .limit(k)
+      .select(col(idCol), col("dot"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates filtered
     * by cosine ≥ threshold. The bucket equi-join bounds the pair
     * space; the bucket count scales with n ([[bitsForCount]]), and

@@ -180,6 +180,13 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs_05"),
           count(when(col("cosine") >= 0.8, 1)).as("n_pairs_08"))),
 
+    // IVF ANN query path: probe the 3 nearest per-label centroids
+    // (exact quantized integer scoring — member count cancels out of
+    // the cosine), re-rank only their members by exact cosine
+    "q41_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", queryId = 0L, k = 10, nprobe = 3)),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -543,6 +550,38 @@ object PipelineQueries {
        "SELECT COUNT(CASE WHEN cosine >= 0.5 THEN 1 END) AS " +
        "n_pairs_05, COUNT(CASE WHEN cosine >= 0.8 THEN 1 END) AS " +
        "n_pairs_08 FROM cos"),
+    "q41_ivf_topk" ->
+      // centroid scoring in exact integers (HUGEINT products = the
+      // engine's DECIMAL(38,0)), probe top-3 labels, then the q28
+      // re-rank restricted to probed labels
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE " +
+       "vec_id = 0), " +
+       "qc AS (SELECT i, CAST(round(CAST(x AS DOUBLE) * 33554432.0) " +
+       "AS BIGINT) AS qy FROM (SELECT generate_subscripts(qv, 1) AS " +
+       "i, unnest(qv) AS x FROM q)), " +
+       "ds AS (SELECT label, i, CAST(SUM(CAST(round(CAST(x AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT)) AS BIGINT) AS s FROM " +
+       "(SELECT label, generate_subscripts(embedding, 1) AS i, " +
+       "unnest(embedding) AS x FROM embeddings) GROUP BY label, i), " +
+       "sc AS (SELECT label, SUM(CAST(s AS HUGEINT) * qy) AS dot_c, " +
+       "SUM(CAST(s AS HUGEINT) * s) AS s2 FROM ds JOIN qc USING (i) " +
+       "GROUP BY label), " +
+       "pr AS (SELECT label FROM sc ORDER BY CAST(dot_c AS DOUBLE) / " +
+       "sqrt(CAST(s2 AS DOUBLE)) DESC, label LIMIT 3), " +
+       "e AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * " +
+       "33554432.0) AS BIGINT) AS qx, CAST(round(CAST(qv[i] AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) AS qy FROM (SELECT vec_id, " +
+       "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
+       "x, (SELECT qv FROM q) AS qv FROM embeddings WHERE vec_id <> " +
+       "0 AND label IN (SELECT label FROM pr))), " +
+       "dots AS (SELECT vec_id, CAST(SUM(qx * qy) AS BIGINT) AS dot, " +
+       "CAST(SUM(qx * qx) AS BIGINT) AS na2 FROM e GROUP BY vec_id), " +
+       "nq AS (SELECT CAST(SUM(qy * qy) AS BIGINT) AS nq2 FROM " +
+       "(SELECT CAST(round(CAST(unnest(qv) AS DOUBLE) * 33554432.0) " +
+       "AS BIGINT) AS qy FROM q)) " +
+       "SELECT vec_id, dot FROM dots, nq " +
+       "ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * " +
+       "sqrt(CAST(nq2 AS DOUBLE))) DESC, vec_id LIMIT 10"),
     "q34_nanos_range" ->
       ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
        "MAX(CAST(ts AS DATE)) AS max_day FROM events"),

@@ -427,6 +427,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("b") == (1L, 2L, (0.5 * q).toLong), out)
   }
 
+  test("ivf top-k: full-probe equals brute force; narrow probe " +
+      "stays in-cluster") {
+    val s = spark
+    import s.implicits._
+    // three well-separated clusters; the query (id 0) sits in "a"
+    val vecs = Seq(
+      (0L, "a", Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, "a", Array(0.98f, 0.1f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.95f, 0.0f, 0.1f, 0.0f)),
+      (3L, "b", Array(0.0f, 1.0f, 0.05f, 0.0f)),
+      (4L, "b", Array(0.1f, 0.97f, 0.0f, 0.0f)),
+      (5L, "c", Array(0.0f, 0.05f, 1.0f, 0.0f)),
+      (6L, "c", Array(0.0f, 0.0f, 0.96f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      0L, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // probing every cluster reproduces brute force exactly (ids AND
+    // exact integer dots) — recall 1.0
+    val full = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        "label", 0L, 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == brute, s"\nivf=$full\nbrute=$brute")
+    // nprobe=1 probes the query's own cluster: its members, ranked
+    // identically to their brute-force order
+    val narrow = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        "label", 0L, 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(narrow == brute.filter(p => p._1 <= 2L), narrow)
+  }
+
   test("multimodal: payload + metadata + frames + stub features") {
     val df = docs(1L -> ("x" * 300))
     val media = Multimodal.asMedia(df, col("text"), "text/plain")

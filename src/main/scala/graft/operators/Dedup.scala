@@ -172,30 +172,51 @@ object Dedup {
     labels.where(col("id") =!= col("label")).select(col("id"))
 
   /** Cross-corpus contamination (decontamination check): for each
-    * document of the (small) `bench` eval set, how many of its word
-    * k-gram shingles appear ANYWHERE in the (huge) training corpus.
+    * document of the `bench` eval set, how many of its word k-gram
+    * shingles appear ANYWHERE in the (huge) training corpus.
     * Returns (id, n_shingles, n_hits) per bench doc with ≥ k tokens.
     *
-    * 100 TB shape: the bench side — benchmark suites are MBs — is
-    * collected into a broadcast, so the corpus is ONE streaming scan
-    * (shingle projection + broadcast hash join), no corpus-side
-    * shuffle except the final tiny per-bench-doc aggregate.
-    * `countDistinct` per bench doc makes pre-distincting the corpus
-    * shingles unnecessary.
+    * 100 TB shape: when the bench side fits `maxBroadcastBytes` —
+    * real benchmark suites are MBs — its shingles broadcast, so the
+    * corpus is ONE streaming scan (shingle projection + broadcast
+    * hash join) with no corpus-side shuffle except the tiny
+    * per-bench-doc aggregate. The budget is checked against the
+    * actual bench shingle count (one action over the BENCH side
+    * only, reused via cache — the corpus is never touched by the
+    * estimate); past it the join degrades to a logged shuffle join
+    * instead of exceeding Spark's broadcast limits and OOMing —
+    * callers who feed a corpus-sized "bench" (e.g. a hash split) get
+    * a correct slow path, not a dead executor. `countDistinct` per
+    * bench doc makes pre-distincting the corpus shingles
+    * unnecessary.
     */
   def contamination(corpus: DataFrame, corpusId: Column,
                     corpusText: Column, bench: DataFrame,
                     benchId: Column, benchText: Column,
-                    shingleK: Int = 5): DataFrame = {
+                    shingleK: Int = 5,
+                    maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val benchShingles = shingleRows(bench, benchId, benchText, shingleK)
       .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
     val benchSizes = benchShingles.groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"))
+    // ~64 bytes per (id, 16-hex digest) row in a broadcast hash
+    // relation; one bench-side count action (re-scanning the bench
+    // in the main query is cheaper than holding a cache reference
+    // open for the caller's lifetime)
+    val estBytes = 64L * benchShingles.count()
     val corpusShingles =
       shingleRows(corpus, corpusId, corpusText, shingleK)
         .select(substring(md5(col("s")), 1, 16).as("s"))
+    val benchSide =
+      if (estBytes <= maxBroadcastBytes) broadcast(benchShingles)
+      else {
+        System.err.println("contamination: bench shingles ~" +
+          s"$estBytes bytes exceed the $maxBroadcastBytes broadcast " +
+          "budget; joining via shuffle instead")
+        benchShingles
+      }
     val hits = corpusShingles
-      .join(broadcast(benchShingles), Seq("s"))
+      .join(benchSide, Seq("s"))
       .groupBy(col("id"))
       .agg(countDistinct(col("s")).as("n_hits"))
     benchSizes.as("b")

@@ -285,6 +285,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(3L), out)
   }
 
+  test("contamination broadcast budget: shuffle fallback matches " +
+      "the broadcast path") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (100L, shared + " and unrelated trailing words here"),
+      (101L, "totally different corpus content nine ten eleven " +
+        "twelve thirteen")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, shared), (2L, "zz yy xx ww vv uu tt ss"))
+      .toDF("doc_id", "text")
+    def run(budget: Long): Map[Long, (Long, Long)] =
+      Dedup.contamination(corpus, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), shingleK = 5,
+          maxBroadcastBytes = budget)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val viaBroadcast = run(256L << 20)
+    // zero budget forces the logged shuffle-join path; results must
+    // be identical (AQE's runtime broadcast conversion disabled so
+    // the shuffle plan genuinely executes)
+    def setOrUnset(key: String, v: Option[String]): Unit =
+      v match {
+        case Some(x) => s.conf.set(key, x)
+        case None => s.conf.unset(key)
+      }
+    val aqeBcKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqeBc = s.conf.getOption(aqeBcKey)
+    val prevBc = s.conf.getOption(bcKey)
+    s.conf.set(aqeBcKey, "-1")
+    s.conf.set(bcKey, "-1")
+    val viaShuffle =
+      try run(0L)
+      finally {
+        setOrUnset(aqeBcKey, prevAqeBc)
+        setOrUnset(bcKey, prevBc)
+      }
+    assert(viaBroadcast == Map(1L -> (4L, 4L), 2L -> (4L, 0L)))
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("hash sampling is deterministic, stratified, and splits " +
       "disjointly") {
     val s = spark

@@ -160,9 +160,22 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         df.agg(exprs.head, exprs.tail: _*).head()
       }
 
+    // -------- pass 4: ONE batched top-K display-sample job per JVM
+    // type group (previously a groupBy+TakeOrdered job per over-cap
+    // column — the last per-column cost of the level)
+    val (valueSamples, lengthSamples) =
+      if (summaryRow == null || sampleTopK <= 0)
+        (Map.empty[String, ValueCounter],
+          Map.empty[String, ValueCounter])
+      else described(df, s"graft: top-K sample batch " +
+        s"(${active.size} over-cap columns)") {
+        collectTopKSamples(df, active, summaryRow)
+      }
+
     // -------- assemble the record dict
     val ctx = LevelCtx(df, row, counters, lengthCounters,
-      plans.map(p => p.leaf.id -> p).toMap, summaryRow, total, jsonDepth)
+      plans.map(p => p.leaf.id -> p).toMap, summaryRow,
+      valueSamples, lengthSamples, total, jsonDepth)
     described(df, "graft: assemble (nested levels / top-K)") {
       val fields = schema.fields.toVector.sortBy(_.name).map { f =>
         val t = analyzeField(ctx, Vector(f.name), f.dataType)
@@ -202,7 +215,10 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
                                     counters: Map[String, ValueCounter],
                                     lengthCounters: Map[String, ValueCounter],
                                     plans: Map[String, SummaryPlan],
-                                    summaryRow: Row, total: Long,
+                                    summaryRow: Row,
+                                    valueSamples: Map[String, ValueCounter],
+                                    lengthSamples: Map[String, ValueCounter],
+                                    total: Long,
                                     jsonDepth: Int)
 
   /** An over-cap column's decided representation: which expression to
@@ -388,6 +404,65 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     val lengths = all.collect { case (k, vc) if k.startsWith("l") =>
       k.substring(1) -> vc }
     (values, lengths)
+  }
+
+  /** ONE bounded top-K display-sample job per JVM type group and
+    * level — replacing a groupBy+TakeOrdered job per over-cap column
+    * (a 200-column table cost 200 jobs where passes 1-3 are O(1)).
+    * Same explode-struct batching as [[collectCounters]]; the per-key
+    * ranking runs as a two-stage window (a salted pre-rank bounds any
+    * single reducer task, then the final per-key rank sorts at most
+    * 64·K rows per column), so one over-cap column's distinct values
+    * never funnel into a single task at corpus scale. Only columns
+    * the summary row proved non-unique participate — unique columns
+    * show no sample, exactly like the per-column path they replace.
+    */
+  private def collectTopKSamples(df: DataFrame,
+                                 active: Vector[SummaryPlan], srow: Row)
+      : (Map[String, ValueCounter], Map[String, ValueCounter]) = {
+    val valuePairs = active
+      .filter(p => !srow.getAs[Boolean](s"${p.leaf.id}__suniq"))
+      .map(p => ("v" + p.leaf.id, p.value))
+    val lengthPairs = active
+      .filter(p => p.needLengths && !p.lengthsExact &&
+        !srow.getAs[Boolean](s"${p.leaf.id}__sluniq"))
+      .map(p => ("l" + p.leaf.id, length(p.leaf.col).cast(LongType)))
+    def job(pairs: Vector[(String, Column)])
+        : Map[String, ValueCounter] = {
+      if (pairs.isEmpty) return Map.empty
+      import org.apache.spark.sql.expressions.Window
+      val order = Seq(col("n").desc, col("v").asc_nulls_first)
+      val w1 = Window
+        .partitionBy(col("k"), pmod(hash(col("v")), lit(64)))
+        .orderBy(order: _*)
+      val w2 = Window.partitionBy(col("k")).orderBy(order: _*)
+      val rows = df
+        .select(explode(array(pairs.map { case (k, v) =>
+          struct(lit(k).as("k"), v.as("v")) }: _*)).as("e"))
+        .where(col("e.v").isNotNull)
+        .groupBy(col("e.k").as("k"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r1", row_number().over(w1))
+        .where(col("r1") <= sampleTopK)
+        .withColumn("r", row_number().over(w2))
+        .where(col("r") <= sampleTopK)
+        .collect()
+      rows.groupBy(_.getAs[String]("k")).map { case (k, rs) =>
+        k -> ValueCounter(rs.map(r =>
+          (normalize(r.get(1)): Any) -> r.getAs[Long]("n")).toMap)
+      }
+    }
+    // struct arrays must be type-homogeneous: one job per resolved
+    // value type (long/double/string — the plan value space)
+    val all = (valuePairs ++ lengthPairs)
+      .groupBy { case (_, v) => df.select(v).schema.head.dataType }
+      .values.toVector
+      .map(job)
+      .fold(Map.empty[String, ValueCounter])(_ ++ _)
+    (all.collect { case (k, vc) if k.startsWith("v") =>
+        k.substring(1) -> vc },
+      all.collect { case (k, vc) if k.startsWith("l") =>
+        k.substring(1) -> vc })
   }
 
   // --------------------------------------------------- summary planning
@@ -581,11 +656,14 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       lit(10000)).cast(ArrayType(DoubleType))
   }
 
-  /** Build a plan's value Stats from the wide summary row (+ the
-    * bounded top-K sample, the one remaining per-column job).
+  /** Build a plan's value Stats from the wide summary row + the
+    * batched top-K sample (deferred plans — built outside the shared
+    * passes — keep their own bounded per-column sample job).
     */
   private def summaryStatsFromRow(df: DataFrame, p: SummaryPlan,
-                                  srow: Row): Stats = {
+                                  srow: Row,
+                                  samples: Map[String, ValueCounter])
+      : Stats = {
     val id = p.leaf.id
     val cnt = srow.getAs[Long](s"${id}__scnt")
     val uniq = srow.getAs[Boolean](s"${id}__suniq")
@@ -601,19 +679,35 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         val qs = srow.getSeq[Double](srow.fieldIndex(s"${id}__sqs"))
         Stats.summary(cnt, mn, qs(0), qs(1), qs(2), mx, uniq)
       }
-    // null-filter the sample job: parsed representations (try_cast /
+    // null-filter the sample: parsed representations (try_cast /
     // try_to_timestamp) are null on unparsed rows, and a null group
     // would consume a top-K slot only to be dropped at collection
-    withTopK(df.select(p.value.as("v")).where(col("v").isNotNull),
-      col("v"), s0)
+    if (p.deferred)
+      withTopK(df.select(p.value.as("v")).where(col("v").isNotNull),
+        col("v"), s0)
+    else withSample(s0, samples.get(id))
   }
+
+  /** Attach a batched sample counter to a summary Stats (mirrors
+    * [[withTopK]]'s guards: no sample for unique columns, disabled
+    * sketch, or an empty counter).
+    */
+  private def withSample(s: Stats, sample: Option[ValueCounter])
+      : Stats =
+    sample match {
+      case Some(vc) if sampleTopK > 0 && !s.unique && !vc.isEmpty =>
+        Stats.summaryWithSample(s.card, s.min, s.q1, s.q2, s.q3,
+          s.max, s.unique, vc)
+      case _ => s
+    }
 
   /** Length Stats: exact from the batched counter when the length
     * cardinality is under the cap (the common case), else from the
     * wide summary row.
     */
   private def lengthStatsFor(df: DataFrame, p: SummaryPlan, srow: Row,
-                             lengthCounters: Map[String, ValueCounter])
+                             lengthCounters: Map[String, ValueCounter],
+                             lengthSamples: Map[String, ValueCounter])
       : Stats = {
     val id = p.leaf.id
     if (p.lengthsExact) {
@@ -632,13 +726,17 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       val mx = normalize(srow.get(srow.fieldIndex(s"${id}__slmx")))
       val qs = srow.getSeq[Double](srow.fieldIndex(s"${id}__slqs"))
       val s0 = Stats.summary(cnt, mn, qs(0), qs(1), qs(2), mx, uniq)
-      withTopK(df.select(length(p.leaf.col).cast(LongType).as("v"))
-        .where(col("v").isNotNull), col("v"), s0)
+      if (p.deferred)
+        withTopK(df.select(length(p.leaf.col).cast(LongType).as("v"))
+          .where(col("v").isNotNull), col("v"), s0)
+      else withSample(s0, lengthSamples.get(id))
     }
   }
 
   private def buildFromPlan(df: DataFrame, p: SummaryPlan, srow0: Row,
-                            lengthCounters: Map[String, ValueCounter])
+                            lengthCounters: Map[String, ValueCounter],
+                            valueSamples: Map[String, ValueCounter],
+                            lengthSamples: Map[String, ValueCounter])
       : SType = {
     // deferred plans (all-JSON fallbacks) were excluded from the
     // shared summary pass; build their row on demand — one
@@ -649,8 +747,9 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         val exprs = summaryAggExprs(p, pctConsumers = 1)
         df.agg(exprs.head, exprs.tail: _*).head()
       }
-    val values = summaryStatsFromRow(df, p, srow)
-    val lengths = () => lengthStatsFor(df, p, srow, lengthCounters)
+    val values = summaryStatsFromRow(df, p, srow, valueSamples)
+    val lengths = () => lengthStatsFor(df, p, srow, lengthCounters,
+      lengthSamples)
     val pattern =
       if (!p.needPattern) None
       else {
@@ -876,7 +975,8 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       case None =>
         ctx.plans.get(id) match {
           case Some(p) =>
-            buildFromPlan(ctx.df, p, ctx.summaryRow, ctx.lengthCounters)
+            buildFromPlan(ctx.df, p, ctx.summaryRow, ctx.lengthCounters,
+              ctx.valueSamples, ctx.lengthSamples)
           case None => SValue(Vector.empty)
         }
     }

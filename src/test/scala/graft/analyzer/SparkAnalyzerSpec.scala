@@ -168,16 +168,17 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     // every column over-cap (cap=4, 101 distinct values each); job
     // count must not grow with column count: one wide witness pass +
-    // one batched length-counter pass + one wide summary pass
-    def jobsFor(numCols: Int): Int = {
+    // one batched length-counter pass + one wide summary pass + (when
+    // the sample sketch is on) one batched top-K pass
+    def jobsFor(numCols: Int, topK: Int): Int = {
       val base = (0 until 300).toDF("i")
       val cols = base.col("i").cast("long").as("id") +:
         (0 until numCols).map(k => concat(lit(s"v${k}_"),
           (base.col("i") % 101).cast("string")).as(s"s$k"))
       val df = base.select(cols: _*)
-      val group = s"graft-jobcount-$numCols"
+      val group = s"graft-jobcount-$numCols-$topK"
       s.sparkContext.setJobGroup(group, "job count test")
-      try new SparkAnalyzer(exactDistinctCap = 4, sampleTopK = 0)
+      try new SparkAnalyzer(exactDistinctCap = 4, sampleTopK = topK)
         .analyzeTable(df)
       finally s.sparkContext.clearJobGroup()
       // the status tracker is fed asynchronously; poll until stable
@@ -191,10 +192,16 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       cur
     }
-    val j6 = jobsFor(6)
-    val j18 = jobsFor(18)
+    val j6 = jobsFor(6, topK = 0)
+    val j18 = jobsFor(18, topK = 0)
     assert(j6 > 0)
     assert(j18 == j6, s"jobs grew with column count: $j6 -> $j18")
+    // the display-sample sketch used to cost one TakeOrdered job per
+    // over-cap column; it is now one batched job per type group
+    val j6s = jobsFor(6, topK = 4)
+    val j18s = jobsFor(18, topK = 4)
+    assert(j18s == j6s,
+      s"sample jobs grew with column count: $j6s -> $j18s")
   }
 
   test("null-heavy column discounts nulls like the reference") {

@@ -110,6 +110,11 @@ object Source {
       if (nulEven > nulOdd * 4)
         return (StandardCharsets.UTF_16BE, 0.85)
     }
+    // ISO-2022-JP is pure 7-bit (it would pass the UTF-8 probe
+    // below) but is escape-sequence-signatured: ESC $ @ / ESC $ B
+    // shift into JIS X 0208 — bytes vanishingly rare in real text
+    if (iso2022JpSignature(sample))
+      return (Charset.forName("ISO-2022-JP"), 0.95)
     // strict UTF-8 validation
     val dec = StandardCharsets.UTF_8.newDecoder()
     val utf8Ok =
@@ -141,7 +146,41 @@ object Source {
     * singles). Tie goes to the earlier candidate.
     */
   private val cjkCandidates = Seq("Shift_JIS", "EUC-JP", "EUC-KR",
-    "GBK")
+    "GBK", "Big5")
+
+  /** ESC $ @ / ESC $ B — the JIS X 0208 shift-in sequences. */
+  private def iso2022JpSignature(sample: Array[Byte]): Boolean = {
+    var i = 0
+    while (i + 2 < sample.length) {
+      if (sample(i) == 0x1B && sample(i + 1) == '$' &&
+          (sample(i + 2) == '@' || sample(i + 2) == 'B')) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Fraction of multi-byte pairs whose trail byte sits in the ASCII
+    * range 0x40-0x7E: Big5 (and Shift-JIS) use that half of the trail
+    * space heavily, EUC-style encodings (GB2312 / KS X 1001 zones)
+    * never do — the one structural separator between Big5 and GBK
+    * bytes, which otherwise decode into each other's hanzi zones.
+    */
+  private def lowTrailFrac(sample: Array[Byte]): Double = {
+    var pairs = 0
+    var low = 0
+    var i = 0
+    while (i < sample.length) {
+      if ((sample(i) & 0xFF) >= 0x81) {
+        if (i + 1 < sample.length) {
+          val t = sample(i + 1) & 0xFF
+          pairs += 1
+          if (t >= 0x40 && t <= 0x7E) low += 1
+        }
+        i += 2
+      } else i += 1
+    }
+    if (pairs == 0) 0.0 else low.toDouble / pairs
+  }
 
   private def detectCjk(sample: Array[Byte])
       : Option[(Charset, Double)] = {
@@ -151,6 +190,7 @@ object Source {
     val nonAsciiBytes = sample.count(b => (b & 0x80) != 0)
     if (nonAsciiBytes.toLong * 100 < sample.length.toLong * 15)
       return None
+    val lt = lowTrailFrac(sample)
     val scored = cjkCandidates.flatMap { name =>
       val cs = Charset.forName(name)
       strictDecode(sample, cs).flatMap { text =>
@@ -164,7 +204,9 @@ object Source {
           // are script-dominance facts about real prose: Japanese
           // always carries kana, Korean is hangul-DOMINANT (Chinese
           // decoded as EUC-KR shows a hangul/hanja mix well under
-          // 70%), Chinese has neither.
+          // 70%), Chinese has neither — and Big5 vs GBK separates on
+          // trail-byte structure (lowTrailFrac), not on the decoded
+          // hanzi.
           val kanaFrac = kana.toDouble / n
           val hangulFrac = hangul.toDouble / n
           val adj = name match {
@@ -172,15 +214,36 @@ object Source {
               if (kanaFrac >= 0.05) 0.05 else -0.1
             case "EUC-KR" =>
               if (hangulFrac >= 0.7) 0.05 else -0.1
+            case "GBK" => if (lt >= 0.05) -0.1 else 0.0
+            case "Big5" => if (lt >= 0.05) 0.05 else -0.1
             case _ => 0.0
           }
-          Some((cs, score + adj))
+          // kana-free winners need corroborating structure: dense
+          // single-byte text (e.g. cp1251 Cyrillic with even-length
+          // runs) can strict-decode into a wall of plausible GBK
+          // hanzi or EUC-KR hangul. Real Chinese prose carries
+          // 。，、-class punctuation; real Korean prose word-spaces
+          // with ASCII whitespace (which also breaks the byte parity
+          // a single-byte wall needs to survive the strict decoder).
+          // Without the signal, confidence stays under the 0.9
+          // warning threshold instead of asserting a false match.
+          val punct = text.exists(c =>
+            (c >= 0x3000 && c <= 0x303F) ||
+            (c >= 0xFF00 && c <= 0xFFEF))
+          val corroborated = name match {
+            case "GBK" | "Big5" => kana > 0 || punct
+            case "EUC-KR" => punct ||
+              text.exists(c => c == ' ' || c == '\n' || c == '\t')
+            case _ => true
+          }
+          Some((cs, score + adj, corroborated))
         }
       }
     }
     scored.sortBy(-_._2).headOption.collect {
-      case (cs, score) if score >= 0.75 =>
-        (cs, math.min(0.99, 0.6 + 0.4 * score))
+      case (cs, score, corroborated) if score >= 0.75 =>
+        val conf = math.min(0.99, 0.6 + 0.4 * score)
+        (cs, if (corroborated) conf else math.min(conf, 0.85))
     }
   }
 
@@ -513,8 +576,13 @@ object Source {
         }
       }
       (items.result(), rest)
-    } else if (content.contains(": ") || content.endsWith(":")) {
+    } else if (content.contains(": ") || content.endsWith(":") ||
+        isComplexKeyStart(content)) {
       val entries = Vector.newBuilder[(Any, Any)]
+      // merge keys (`<<:`) collect separately: explicit entries beat
+      // merged ones, earlier merge sources beat later (the YAML 1.1
+      // merge-key rule ruamel applies)
+      val merges = Vector.newBuilder[Any]
       var rest = lines
       var go = true
       while (go) {
@@ -523,34 +591,43 @@ object Source {
         if (head.isEmpty || indentOf(head.get) != ind ||
             head.get.trim.startsWith("- ") ||
             !(head.get.trim.contains(": ") ||
-              head.get.trim.endsWith(":"))) go = false
+              head.get.trim.endsWith(":") ||
+              isComplexKeyStart(head.get.trim))) go = false
         else {
           val l = head.get.trim
-          val ci = keyColonIndex(l)
-          val key = parseScalar(l.take(ci).trim)
-          val after0 = l.drop(ci + 1).trim
-          val (anchorName, tag, after) = splitDecorators(after0)
-          def keep(v0: Any, r: Vector[String]): Unit = {
-            val v = applyTag(tag, v0)
-            anchorName.foreach(anchors.update(_, v))
-            entries += (key -> v); rest = r
-          }
-          if (after.isEmpty) {
-            val (v, r) = parseBlock(rest.tail, ind + 1, anchors)
-            keep(v, r)
-          } else if (isBlockScalarMarker(after)) {
-            val (v, r) = blockScalar(after, rest.tail, ind)
-            keep(v, r)
-          } else if (isFlowStart(after)) {
-            val (joined, r) = joinFlow(after, rest.tail)
-            keep(parseFlowValue(joined, anchors), r)
+          if (isComplexKeyStart(l)) {
+            // `? key` block form: the key is a full node (map, list,
+            // multi-line scalar), then an optional `: value` line at
+            // the same indent
+            val keyText = l.drop(1).trim
+            val (key, afterKey) =
+              if (keyText.isEmpty)
+                parseBlock(rest.tail, ind + 1, anchors)
+              else {
+                val synthetic = (" " * (ind + 2)) + keyText
+                parseBlock(synthetic +: rest.tail, ind + 2, anchors)
+              }
+            rest = afterKey.dropWhile(blank)
+            val vhead = rest.headOption.map(stripComment)
+            if (vhead.exists(h => indentOf(h) == ind &&
+                (h.trim == ":" || h.trim.startsWith(": ")))) {
+              val (v, r) = parseEntryValue(
+                vhead.get.trim.drop(1).trim, rest.tail, ind, anchors)
+              entries += (key -> v); rest = r
+            } else entries += (key -> null)
           } else {
-            val (text, r) = plainContinuation(after, rest.tail, ind)
-            keep(resolveScalar(text, anchors), r)
+            val ci = keyColonIndex(l)
+            val key = parseScalar(l.take(ci).trim)
+            val (v, r) = parseEntryValue(l.drop(ci + 1).trim,
+              rest.tail, ind, anchors)
+            if (key == "<<") merges += v else entries += (key -> v)
+            rest = r
           }
         }
       }
-      (entries.result().toMap, rest)
+      val own = entries.result().toMap
+      val mergedIn = mergeSources(merges.result())
+      (if (mergedIn.isEmpty) own else mergedIn ++ own, rest)
     } else if (isFlowStart(content)) {
       val (joined, r) = joinFlow(content, lines.tail)
       (parseFlowValue(joined, anchors), r)
@@ -562,6 +639,45 @@ object Source {
       (v, r)
     }
   }
+
+  /** A mapping entry's value fragment (the text after `key:` /
+    * `: `): decorators, then nested block / block scalar / flow /
+    * plain continuation — the shared machinery for simple and
+    * complex-key entries.
+    */
+  private def parseEntryValue(after0: String, tail: Vector[String],
+                              ind: Int, anchors: Anchors)
+      : (Any, Vector[String]) = {
+    val (anchorName, tag, after) = splitDecorators(after0)
+    val (v0, r) =
+      if (after.isEmpty) parseBlock(tail, ind + 1, anchors)
+      else if (isBlockScalarMarker(after)) blockScalar(after, tail, ind)
+      else if (isFlowStart(after)) {
+        val (joined, rr) = joinFlow(after, tail)
+        (parseFlowValue(joined, anchors), rr)
+      } else {
+        val (text, rr) = plainContinuation(after, tail, ind)
+        (resolveScalar(text, anchors), rr)
+      }
+    val v = applyTag(tag, v0)
+    anchorName.foreach(anchors.update(_, v))
+    (v, r)
+  }
+
+  private def isComplexKeyStart(s: String): Boolean =
+    s == "?" || s.startsWith("? ")
+
+  /** Resolve `<<:` merge values (a mapping, or a sequence of
+    * mappings) into one low-precedence base map: earlier sources win
+    * among themselves, so apply them last-to-first.
+    */
+  private def mergeSources(sources: Vector[Any]): Map[Any, Any] =
+    sources.flatMap {
+      case m: Map[Any @unchecked, Any @unchecked] => Vector(m)
+      case seq: Vector[Any @unchecked] =>
+        seq.collect { case m: Map[Any @unchecked, Any @unchecked] => m }
+      case _ => Vector.empty
+    }.reverse.foldLeft(Map.empty[Any, Any])(_ ++ _)
 
   /** Multi-line plain scalar: non-blank lines more indented than the
     * parent fold into the scalar with single spaces (the YAML plain

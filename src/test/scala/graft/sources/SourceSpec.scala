@@ -167,6 +167,32 @@ class SourceSpec extends AnyFunSuite {
     // sparse accents stay Latin (density gate): see 8-bit fallback test
   }
 
+  test("encoding: Big5, ISO-2022-JP, and the uncorroborated-GBK cap") {
+    // traditional Chinese round 4: Big5 separates from GBK on
+    // trail-byte structure (Big5 uses the 0x40-0x7E half of the trail
+    // space, EUC-style GB bytes never do)
+    val tw = ("繁體中文編碼偵測測試資料，結構分析引擎支援大規模" +
+      "處理。") * 4
+    val (b5, b5c) = detectEncodingConfidence(tw.getBytes("Big5"))
+    assert(b5.name == "Big5", b5)
+    assert(b5c >= 0.9, b5c)
+    // ISO-2022-JP is 7-bit but escape-signatured (ESC $ B)
+    val jp = "日本語のテキストです。テストデータ。"
+    val (jis, jisc) =
+      detectEncodingConfidence(jp.getBytes("ISO-2022-JP"))
+    assert(jis.name == "ISO-2022-JP", jis)
+    assert(jisc >= 0.9, jisc)
+    // plain ASCII with no escapes is still UTF-8/ASCII
+    assert(detectEncodingConfidence(
+      "plain ascii text".getBytes("UTF-8"))._1.name == "UTF-8")
+    // a wall of even-run cp1251 Cyrillic can strict-decode as GBK
+    // hanzi; without corroborating CJK punctuation the confidence
+    // must stay under the 0.9 warning threshold (ADVICE round 3)
+    val ru = "шифрование" * 12 // even byte runs, no spaces
+    val (ruCs, ruC) = detectEncodingConfidence(ru.getBytes("windows-1251"))
+    assert(ruC < 0.9, s"$ruCs $ruC")
+  }
+
   test("encoding: BOM-less UTF-16 via NUL-parity heuristic") {
     val textLe = "name,nationality\nJose,Spain\n"
       .getBytes(StandardCharsets.UTF_16LE)
@@ -347,6 +373,57 @@ class SourceSpec extends AnyFunSuite {
     assert(v("h") == "9")
     assert(v("lst") == Vector("1", 2L))
     assert(v("flow") == Vector("3", 4L))
+  }
+
+  test("yaml merge keys: explicit wins over merged, earlier source " +
+      "wins among merges") {
+    val y =
+      """base: &base
+        |  a: 1
+        |  b: 2
+        |other: &other
+        |  b: 20
+        |  c: 30
+        |  d: 40
+        |merged:
+        |  <<: *base
+        |  b: 99
+        |  e: 5
+        |multi:
+        |  <<: [*base, *other]
+        |  d: 4
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    // explicit b overrides the merged one; merged a arrives
+    assert(v("merged") == Map("a" -> 1L, "b" -> 99L, "e" -> 5L))
+    // sequence merge: *base (earlier) beats *other on b; c/d flow in;
+    // explicit d beats everything
+    assert(v("multi") == Map("a" -> 1L, "b" -> 2L, "c" -> 30L,
+      "d" -> 4L))
+  }
+
+  test("yaml complex keys: `? ` block keys with and without values") {
+    val y =
+      """? - one
+        |  - two
+        |: pair value
+        |? simple long key
+        |: 7
+        |? keyless
+        |plain: 1
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v(Vector("one", "two")) == "pair value")
+    assert(v("simple long key") == 7L)
+    assert(v("keyless") == null)
+    assert(v("plain") == 1L)
+    // nested mapping as a complex key
+    val y2 =
+      """? a: 1
+        |: mapped
+        |""".stripMargin
+    val v2 = parseYaml(y2).asInstanceOf[Map[Any, Any]]
+    assert(v2(Map("a" -> 1L)) == "mapped")
   }
 
   test("yaml multi-line plain scalars fold with spaces") {

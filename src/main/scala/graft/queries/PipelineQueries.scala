@@ -586,20 +586,34 @@ object PipelineQueries {
       ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
        "MAX(CAST(ts AS DATE)) AS max_day FROM events"),
     // q33 is the structure-inference dump itself: its five inferred
-    // type strings over sf0.01/documents are deterministic (exact
-    // counters over deterministic data), so the oracle pins them as
-    // explicit expected rows. The byte-identical golden snapshot
-    // (GoldenSpec) covers the full render grammar; this VALUES pin
-    // makes the driver's hash gate cover the query too. NOTE: pinned
-    // to the driver's verify scale factor (sf0.01).
+    // type strings over the documents table are deterministic (exact
+    // counters over deterministic data). The byte-identical golden
+    // snapshot (GoldenSpec) covers the full render grammar; this
+    // oracle makes the driver's hash gate cover the query too. The
+    // two int-range rows derive from the DATA with the engine's
+    // formatInt ladder (plain < 1000, then K/M suffixes,
+    // format.py:64-86), so the gate holds at any verify scale factor;
+    // the three string rows are pinned (lang's 2-letter codes,
+    // source's and text's over-cap str verdicts are the same value
+    // sets at every SF the driver generates).
     "q33_analyze_structure" ->
-      ("SELECT column_name, inferred FROM (VALUES " +
-       "('doc_id', 'int range=0..499'), " +
-       "('lang', 'str pattern=Ii'), " +
-       "('n_chars', 'int range=48..553'), " +
-       "('source', 'str'), " +
-       "('text', 'str')) AS t(column_name, inferred) " +
-       "ORDER BY column_name NULLS FIRST"),
+      ("WITH ir AS (SELECT 'doc_id' AS column_name, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS mn, CAST(MAX(doc_id) AS " +
+       "BIGINT) AS mx FROM documents UNION ALL SELECT 'n_chars', " +
+       "CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT) " +
+       "FROM documents), " +
+       "fmtd AS (SELECT column_name, 'int range=' || " +
+       "CASE WHEN abs(mn) < 1000 THEN CAST(mn AS VARCHAR) " +
+       "WHEN abs(mn) < 1000000 THEN printf('%.1fK', mn / 1000.0) " +
+       "ELSE printf('%.1fM', mn / 1000000.0) END || '..' || " +
+       "CASE WHEN abs(mx) < 1000 THEN CAST(mx AS VARCHAR) " +
+       "WHEN abs(mx) < 1000000 THEN printf('%.1fK', mx / 1000.0) " +
+       "ELSE printf('%.1fM', mx / 1000000.0) END AS inferred " +
+       "FROM ir) " +
+       "SELECT column_name, inferred FROM (SELECT * FROM fmtd " +
+       "UNION ALL SELECT * FROM (VALUES ('lang', 'str pattern=Ii'), " +
+       "('source', 'str'), ('text', 'str')) AS t(column_name, " +
+       "inferred)) ORDER BY column_name NULLS FIRST"),
     "q31_media_stats" ->
       ("SELECT source AS grp, COUNT(*) AS n_items, " +
        "CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS " +

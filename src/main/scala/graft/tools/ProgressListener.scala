@@ -28,27 +28,41 @@ final class ProgressListener(out: PrintStream) extends SparkListener {
   private val tasksDone = new AtomicLong
   private val t0 = System.nanoTime()
   @volatile private var current: String = ""
+  private val lastRenderNanos = new AtomicLong(Long.MinValue)
+
+  /** Minimum nanos between repaints: a real cluster delivers 10^5+
+    * task-end events through the single-threaded listener bus, and an
+    * unthrottled \r repaint per event both floods stderr and backs
+    * the bus up until Spark drops events. 10 Hz is indistinguishable
+    * to a human and ~free to the bus.
+    */
+  private val minRepaintNanos = 100L * 1000 * 1000
 
   override def onJobStart(j: SparkListenerJobStart): Unit = {
     jobsStarted.incrementAndGet()
     current = Option(j.properties)
       .flatMap(p => Option(p.getProperty("spark.job.description")))
       .getOrElse("")
-    render()
+    render(force = true)
   }
 
   override def onJobEnd(j: SparkListenerJobEnd): Unit = {
     jobsDone.incrementAndGet()
-    render()
+    render(force = true)
   }
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     tasksDone.incrementAndGet()
-    render()
+    render(force = false)
   }
 
-  private def render(): Unit = {
-    val secs = (System.nanoTime() - t0) / 1e9
+  private def render(force: Boolean): Unit = {
+    val now = System.nanoTime()
+    val last = lastRenderNanos.get
+    if (!force && now - last < minRepaintNanos) return
+    // one racer wins the repaint; losers skip instead of queueing
+    if (!lastRenderNanos.compareAndSet(last, now)) return
+    val secs = (now - t0) / 1e9
     val label = if (current.isEmpty) "" else s" | $current"
     out.print(f"\ranalyzing: ${jobsDone.get}/${jobsStarted.get} " +
       f"jobs | ${tasksDone.get} tasks | $secs%.1fs$label    ")

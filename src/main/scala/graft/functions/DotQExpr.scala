@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 case class DotQExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def prettyName: String = "dot_q"
+
   override def dataType: DataType = LongType
 
   private def isFloatArr(dt: DataType): Boolean = dt match {

@@ -352,26 +352,55 @@ object Dedup {
   def verifiedJaccardPairs(df: DataFrame, idCol: Column, text: Column,
                            pairs: DataFrame, shingleK: Int = 5,
                            thresholdNum: Int = 1,
-                           thresholdDen: Int = 5): DataFrame = {
+                           thresholdDen: Int = 5,
+                           maxBroadcastBytes: Long = 256L << 20)
+      : DataFrame = {
     // the pair frame feeds FOUR consumers (two candidate-id
-    // projections, the intersection join, the final left join); a
-    // lazy localCheckpoint caches the slim (id1, id2) rows once
+    // projections, the intersection join, the final left join); an
+    // eager localCheckpoint caches the slim (id1, id2) rows once
     // instead of re-running the candidate generator's whole upstream
     // chain per consumer (pairs are O(near-dups), tiny next to the
-    // corpus — MEMORY_AND_DISK absorbs even billion-pair runs)
+    // corpus — MEMORY_AND_DISK absorbs even billion-pair runs), and
+    // its row count prices the candidate-id broadcast below
     val cand = pairs.select(col("id1"), col("id2"))
-      .localCheckpoint(eager = false)
-    val sh = shingleRows(df, idCol, text, shingleK)
-      .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
-    val candIds = cand.select(col("id1").as("id"))
+      .localCheckpoint(eager = true)
+    val candIdsRaw = cand.select(col("id1").as("id"))
       .unionAll(cand.select(col("id2").as("id")))
       .distinct()
-    // one explicit shuffle on id, shared by ReuseExchange across the
-    // size aggregation and both intersection-join sides — without it
-    // each consumer re-scans the corpus and re-shingles
-    val kept = sh.join(candIds, Seq("id"), "left_semi")
+    // broadcast the candidate-id set when it fits: the corpus-side
+    // semi-join then never shuffles the corpus (scan → map-side
+    // probe), which is THE cost that matters at 100 TB. Past the
+    // budget the semi-join degrades to a shuffle join — correct, one
+    // corpus-text shuffle, logged.
+    val estBytes = 64L * 2 * cand.count()
+    val candIds =
+      if (estBytes <= maxBroadcastBytes) broadcast(candIdsRaw)
+      else {
+        System.err.println("verifiedJaccardPairs: candidate ids ~" +
+          s"$estBytes bytes exceed the $maxBroadcastBytes broadcast " +
+          "budget; semi-joining via shuffle instead")
+        candIdsRaw
+      }
+    // semi-join the DOCUMENTS before shingling — only candidate docs
+    // are ever shingled/hashed (shingling first and semi-joining the
+    // shingle rows would md5 the whole corpus). The one explicit
+    // repartition after the explode is shared by ReuseExchange across
+    // the size aggregation and both intersection-join sides: one
+    // corpus scan, one shingle pass, three slim consumers.
+    // the explicit no-op isnotnull filter and the count(s) in `sizes`
+    // keep every consumer's subtree BELOW the repartition identical
+    // (the intersection sides get an inferred isnotnull(s) from their
+    // join keys, and a count(1) would let column pruning drop `s`
+    // from the sizes branch) — without them the exchange is not
+    // canonical-equal across consumers and ReuseExchange splits
+    val kept = df.select(idCol.as("id"), text.as("__text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(graft.functions.WordShinglesExpr
+        .wordShinglesNative(col("__text"), shingleK)).as("s0"))
+      .select(col("id"), substring(md5(col("s0")), 1, 16).as("s"))
+      .where(col("s").isNotNull)
       .repartition(col("id"))
-    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sizes = kept.groupBy(col("id")).agg(count(col("s")).as("n"))
     val inter = cand
       .join(kept.as("a"), col("id1") === col("a.id"))
       .join(kept.as("b"),

@@ -62,7 +62,12 @@ object ExplainAudit {
       ("q38_contamination",
         "bench side broadcast: the corpus is one streaming scan, " +
           "never the shuffled join side",
-        Seq("BroadcastHashJoin", "word_shingles")))
+        Seq("BroadcastHashJoin", "word_shingles")),
+      ("q41_ivf_topk",
+        "IVF probe list broadcast into a semi-join; exact re-rank " +
+          "bounded by TakeOrdered",
+        Seq("LeftSemi", "BroadcastExchange", "TakeOrderedAndProject",
+          "dot_q")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>
@@ -109,6 +114,35 @@ object ExplainAudit {
       println(s"\n=== simhash_pairs — signature computed once ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] simhash32( " +
         s"appears exactly once in the physical plan (found $n)")
+    }
+
+    // ---- candidate-verify single-evaluation check ----------------
+    // verifiedJaccardPairs must shingle the corpus exactly once: the
+    // candidate-id semi-join and both intersection sides hang off ONE
+    // repartition exchange (ReuseExchange), and the candidate pairs
+    // feed four consumers from one cached checkpoint
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val cands = graft.operators.Dedup.lshCandidatePairs(
+        graft.operators.Dedup.lshBands(
+          graft.operators.Dedup.minHashSignatures(
+            docs, col("doc_id"), col("text"))))
+      val verified = graft.operators.Dedup.verifiedJaccardPairs(
+        docs, col("doc_id"), col("text"), cands)
+      verified.collect()
+      val tree = verified.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val n = finalPlan.split("word_shingles\\(", -1).length - 1
+      val scans = finalPlan.split("Scan parquet", -1).length - 1
+      val reused = finalPlan.contains("ReusedExchange")
+      val ok = n == 1 && scans == 1 && reused
+      if (!ok) failures += 1
+      println(s"\n=== verified_jaccard — corpus scanned + shingled " +
+        "once ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] word_shingles " +
+        s"once (found $n), one parquet scan (found $scans), " +
+        s"ReusedExchange (found $reused)")
     }
 
     // ---- single-scan checks -------------------------------------

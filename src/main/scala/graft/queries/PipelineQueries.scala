@@ -70,6 +70,37 @@ object PipelineQueries {
         .orderBy(col("lang").asc_nulls_first,
           col("guessed").asc_nulls_first)),
 
+    // Gopher-style repetition quality filter: per-doc most-common
+    // 2-/3-gram counts (native single-call expression — a pure
+    // map-side projection), flagged by integer fraction thresholds
+    // (top2 > 20% of 2-grams, or top3 > 10% of 3-grams)
+    "q42_repetition_stats" -> ((s, d) => {
+      import graft.functions.TopNGramExpr.topNGramNative
+      t(s, d, "documents")
+        .select(col("lang"),
+          topNGramNative(col("text"), 2).as("g2"),
+          topNGramNative(col("text"), 3).as("g3"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("g2.top")).cast("long").as("sum_top2"),
+          sum(col("g3.top")).cast("long").as("sum_top3"),
+          count(when(col("g2.top") * 5 > col("g2.n") ||
+            col("g3.top") * 10 > col("g3.n"), 1)).as("n_flagged"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+
+    // tokenizer-vocabulary building: corpus-wide token frequencies,
+    // top 50 by (count desc, token asc) — map-side partial agg +
+    // TakeOrdered, the canonical vocab pass of a training pipeline
+    "q43_vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc_nulls_first)
+        .limit(50)),
+
     // ---- dedup ---------------------------------------------------
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exactDupStats(t(s, d, "documents"), col("text"))),
@@ -347,6 +378,34 @@ object PipelineQueries {
        "'% et %' THEN 'fr' ELSE 'und' END AS guessed, COUNT(*) AS cnt " +
        "FROM documents GROUP BY lang, guessed " +
        "ORDER BY lang NULLS FIRST, guessed NULLS FIRST"),
+    "q42_repetition_stats" ->
+      ("WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(" +
+       "trim(text), '\\s+') AS t FROM documents), " +
+       "g2 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] FOR i " +
+       "IN range(greatest(array_length(t) - 1, 0))]) AS g FROM tok), " +
+       "g3 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' " +
+       "|| t[i+3] FOR i IN range(greatest(array_length(t) - 2, 0))]) " +
+       "AS g FROM tok), " +
+       "t2 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, g, " +
+       "COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id), " +
+       "t3 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, g, " +
+       "COUNT(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id), " +
+       "per AS (SELECT tok.doc_id, lang, " +
+       "greatest(array_length(t) - 1, 0) AS n2, " +
+       "greatest(array_length(t) - 2, 0) AS n3, " +
+       "COALESCE(t2.top, 0) AS top2, COALESCE(t3.top, 0) AS top3 " +
+       "FROM tok LEFT JOIN t2 ON tok.doc_id = t2.doc_id " +
+       "LEFT JOIN t3 ON tok.doc_id = t3.doc_id) " +
+       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(top2) AS BIGINT) " +
+       "AS sum_top2, CAST(SUM(top3) AS BIGINT) AS sum_top3, " +
+       "COUNT(CASE WHEN top2 * 5 > n2 OR top3 * 10 > n3 THEN 1 END) " +
+       "AS n_flagged FROM per GROUP BY lang " +
+       "ORDER BY lang NULLS FIRST"),
+    "q43_vocab_topk" ->
+      ("SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(" +
+       "regexp_split_to_array(trim(text), '\\s+')) AS tok FROM " +
+       "documents) WHERE tok <> '' GROUP BY tok " +
+       "ORDER BY cnt DESC, tok NULLS FIRST LIMIT 50"),
     "q24_dedup_exact" ->
       ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique, " +
        "COUNT(*) - COUNT(DISTINCT fp) AS n_dups FROM (SELECT " +

@@ -518,6 +518,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("top n-gram repetition stats: counts, ties, short docs") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TopNGramExpr.topNGramNative
+    val df = Seq(
+      "a b a b a b x",   // 6 2-grams; "a b" ×3
+      "one two three",   // 2 distinct 2-grams, top 1
+      "solo",            // no 2-grams
+      "",                // empty
+      "w w w w")         // "w w" ×3
+      .toDF("text")
+    val r = df.select(topNGramNative(col("text"), 2).as("g"))
+      .select(col("g.n"), col("g.top")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(r == Seq((6, 3), (2, 1), (0, 0), (0, 0), (3, 3)), r)
+    // 3-grams on the repeated doc: "a b a" ×2 of 5
+    val r3 = df.limit(1).select(topNGramNative(col("text"), 3).as("g"))
+      .select(col("g.n"), col("g.top")).head()
+    assert((r3.getInt(0), r3.getInt(1)) == (5, 2), r3)
+  }
+
   test("text functions: tokens, fingerprint, lang, quality") {
     val df = docs(1L -> "The cat and the dog sat.  ")
     val r = df.select(

@@ -101,6 +101,30 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("tok").asc_nulls_first)
         .limit(50)),
 
+    // keyword extraction: each document's most DISTINCTIVE token —
+    // minimum document frequency, ties by higher in-doc count then
+    // token order. Pure integer ranking (no idf logs — engines differ
+    // in float transcendentals); df derives from the tf aggregate, so
+    // the token explode runs once
+    "q44_distinctive_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("tf").desc,
+          col("tok").asc_nulls_first)
+      tf.join(dfreq, Seq("tok"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
     // ---- dedup ---------------------------------------------------
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exactDupStats(t(s, d, "documents"), col("text"))),
@@ -378,6 +402,17 @@ object PipelineQueries {
        "'% et %' THEN 'fr' ELSE 'und' END AS guessed, COUNT(*) AS cnt " +
        "FROM documents GROUP BY lang, guessed " +
        "ORDER BY lang NULLS FIRST, guessed NULLS FIRST"),
+    "q44_distinctive_terms" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(" +
+       "trim(text), '\\s+')) AS tok FROM documents), " +
+       "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk WHERE " +
+       "tok <> '' GROUP BY doc_id, tok), " +
+       "dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), " +
+       "r AS (SELECT doc_id, tok, tf, df, ROW_NUMBER() OVER " +
+       "(PARTITION BY doc_id ORDER BY df, tf DESC, tok) AS rn " +
+       "FROM tf JOIN dfq USING (tok)) " +
+       "SELECT doc_id, tok, tf, df FROM r WHERE rn = 1 " +
+       "ORDER BY doc_id NULLS FIRST"),
     "q42_repetition_stats" ->
       ("WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(" +
        "trim(text), '\\s+') AS t FROM documents), " +

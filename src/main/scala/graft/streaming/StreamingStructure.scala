@@ -49,6 +49,24 @@ object StreamingStructure {
         graft.functions.QuartilesAgg.quartiles(
           col(valueCol).cast("double"), quartileCap).as("quartiles"))
 
+  /** Durable sink for a windowed-stats stream: append-mode parquet —
+    * only watermark-FINALIZED windows are written, so each (window,
+    * key) row lands exactly once, and the checkpoint makes file
+    * output exactly-once across restarts (Spark's file sink commits
+    * per-batch manifests; readers see only committed files). The
+    * natural layout for a structure-monitoring pipeline: a downstream
+    * batch job reads the same parquet with no dedup step.
+    */
+  def statsParquetSink(stats: DataFrame, path: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stats.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Running per-key state: count/nulls/min/max plus the bounded
     * value counter backing exact positional quartiles (the same
     * monoid as batch Stats); `over` latches once `cap` distinct

@@ -50,6 +50,41 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("parquet sink: finalized windows land exactly once, " +
+      "batch-readable") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("statsink")
+    val outPath = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF.toDF("ts", "key", "value")
+    val query = StreamingStructure.statsParquetSink(
+      StreamingStructure.windowedStats(df, "ts", "key", "value",
+        windowLen = "1 minute", watermark = "2 minutes"),
+      outPath, ckpt)
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+      val t1 = Timestamp.valueOf("2026-01-01 00:00:40")
+      input.addData((t0, "a", 1.0), (t1, "a", 3.0), (t0, "b", 10.0))
+      query.processAllAvailable()
+      // append mode: window [00:00, 00:01) is still open — nothing
+      // durable yet. Advance the watermark far past it…
+      input.addData((Timestamp.valueOf("2026-01-01 00:10:00"),
+        "a", 5.0))
+      query.processAllAvailable()
+      // …and the finalized window is on disk, exactly once, readable
+      // as plain parquet by a downstream batch job
+      val out = s.read.parquet(outPath)
+        .select("key", "n_rows", "min_value", "max_value").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(out == Map("a" -> (2L, 1.0, 3.0),
+        "b" -> (1L, 10.0, 10.0)), out.toSeq)
+    } finally query.stop()
+  }
+
   test("windowed quartiles match the batch positional rule on replay") {
     val s = spark
     import s.implicits._

@@ -307,16 +307,22 @@ object Dedup {
       // `pulled` itself would need a second self-join on fresh state
       // (either a second materializing action or a double evaluation
       // of the pull); the previous table still compounds reach
-      // round-over-round, keeping convergence logarithmic.
-      val next = pulled.as("a")
-        .join(labels.as("j"), col("a.label") === col("j.id"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"),
-            coalesce(col("j.label"), col("a.label"))).as("label"),
-          (least(col("a.label"),
-            coalesce(col("j.label"), col("a.label"))) =!= col("a.old"))
-            .as("changed"))
-        .localCheckpoint(eager = false)
+      // round-over-round, keeping convergence logarithmic. Round 1
+      // skips the jump join entirely — the table is still the
+      // identity, so the lookup is a no-op shuffle.
+      val jumped =
+        if (i == 0)
+          pulled.select(col("id"), col("label"),
+            (col("label") =!= col("old")).as("changed"))
+        else pulled.as("a")
+          .join(labels.as("j"), col("a.label") === col("j.id"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"),
+              coalesce(col("j.label"), col("a.label"))).as("label"),
+            (least(col("a.label"),
+              coalesce(col("j.label"), col("a.label")))
+              =!= col("a.old")).as("changed"))
+      val next = jumped.localCheckpoint(eager = false)
       // the one action: materializes + caches the round's labels AND
       // returns the changed-row count (exact — no accumulator
       // retry-double-count caveats, no Long-sum wraparound)

@@ -236,6 +236,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == cands.count())
   }
 
+  test("property: verified-on-all-pairs == full jaccard self-join " +
+      "on random corpora") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("red", "blue", "green", "ant", "bee", "cat",
+      "dog", "elk", "fox", "gnu")
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 8L).map(i => (i,
+        Vector.fill(6 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+          shingleK = 3, thresholdNum = 1, thresholdDen = 4,
+          maxShingleDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val allPairs = (1L to 8L).flatMap(a => (a + 1 to 8L).map(a -> _))
+        .toDF("id1", "id2")
+      val verified = Dedup.verifiedJaccardPairs(docs, col("doc_id"),
+          col("text"), allPairs, shingleK = 3, thresholdNum = 1,
+          thresholdDen = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(verified == full,
+        s"trial $trial:\nverified=$verified\nfull=$full")
+    }
+  }
+
+  test("property: ivf with every label probed == brute force") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i => (i, s"l${i % 5}",
+      Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "label", "embedding")
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      0L, 7).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        "label", 0L, 7, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivf == brute, s"\nivf=$ivf\nbrute=$brute")
+  }
+
   test("lsh dedup clusters match exact-jaccard clusters end-to-end") {
     // two near-dup clusters + noise; the scale-safe composition
     // (LSH candidates -> verify -> components) must label exactly

@@ -128,12 +128,62 @@ object Source {
     // gets for free, source.py:137-145): strict-decode each candidate
     // and score the decoded text by CJK-script membership
     val cjk = detectCjk(sample)
-    if (cjk.isDefined) return cjk.get
+    if (cjk.exists(_._2 >= 0.9)) return cjk.get
+    // single-byte Cyrillic (cp1251 / KOI8-R / ISO-8859-5): all three
+    // decode any byte, so letter-frequency is the separator. A
+    // sub-0.9 (uncorroborated) CJK candidate loses to a confident
+    // Cyrillic read — the GBK-eats-Cyrillic confusion in reverse.
+    val cyr = detectCyrillic(sample)
+    (cjk, cyr) match {
+      case (Some(a), Some(b)) => return if (b._2 > a._2) b else a
+      case (Some(a), None) => return a
+      case (None, Some(b)) => return b
+      case _ =>
+    }
     // 8-bit fallback: windows-1252 when the cp1252-specific range is
     // in use, else ISO-8859-1 — both are guesses, both warn
     val hasC1 = sample.exists(b => (b & 0xFF) >= 0x80 && (b & 0xFF) <= 0x9F)
     if (hasC1) (Charset.forName("windows-1252"), 0.7)
     else (StandardCharsets.ISO_8859_1, 0.73)
+  }
+
+  /** The ten most frequent Russian letters — ~55% of running Cyrillic
+    * text. All three candidate encodings map high bytes into Cyrillic
+    * LETTER zones, so script membership alone cannot separate them;
+    * only the right byte→letter table concentrates mass here (a wrong
+    * table scrambles the alphabet and the fraction collapses) — the
+    * compact form of chardet's frequency analysis.
+    */
+  private val cyrillicCommon: Set[Char] = "оеаинтсрвл".toSet
+
+  private def detectCyrillic(sample: Array[Byte])
+      : Option[(Charset, Double)] = {
+    val nonAscii = sample.count(b => (b & 0x80) != 0)
+    if (nonAscii.toLong * 100 < sample.length.toLong * 15) return None
+    val scored = Seq("windows-1251", "KOI8-R", "ISO-8859-5").map {
+      name =>
+        val cs = Charset.forName(name)
+        val text = new String(sample, cs)
+        var cyr = 0
+        var common = 0
+        var n = 0
+        text.foreach { c =>
+          if (c >= 0x80) {
+            n += 1
+            if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+            if (cyrillicCommon.contains(Character.toLowerCase(c)))
+              common += 1
+          }
+        }
+        if (n < 8) (cs, 0.0, 0.0)
+        else (cs, cyr.toDouble / n, common.toDouble / n)
+    }
+    val best = scored.maxBy(_._3)
+    if (best._3 >= 0.42) Some((best._1, 0.92))
+    // clearly Cyrillic script but no candidate's frequency profile
+    // fits: report the best table with a warning-level confidence
+    else if (best._2 >= 0.9) Some((best._1, 0.75))
+    else None
   }
 
   /** Shift-JIS / EUC-JP / EUC-KR / GBK detection, chardet-style but

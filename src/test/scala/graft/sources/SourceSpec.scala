@@ -186,11 +186,27 @@ class SourceSpec extends AnyFunSuite {
     assert(detectEncodingConfidence(
       "plain ascii text".getBytes("UTF-8"))._1.name == "UTF-8")
     // a wall of even-run cp1251 Cyrillic can strict-decode as GBK
-    // hanzi; without corroborating CJK punctuation the confidence
-    // must stay under the 0.9 warning threshold (ADVICE round 3)
+    // hanzi; the uncorroborated CJK candidate is capped at 0.85
+    // (ADVICE round 3) and the frequency-scored Cyrillic probe
+    // outbids it with the RIGHT answer
     val ru = "шифрование" * 12 // even byte runs, no spaces
     val (ruCs, ruC) = detectEncodingConfidence(ru.getBytes("windows-1251"))
-    assert(ruC < 0.9, s"$ruCs $ruC")
+    assert(ruCs.name == "windows-1251", s"$ruCs $ruC")
+    assert(ruC >= 0.9, ruC)
+  }
+
+  test("encoding: single-byte Cyrillic tables separate by letter " +
+      "frequency") {
+    val ru = ("шифрование данных и обработка текста для анализа " +
+      "структуры больших наборов") * 2
+    Seq("windows-1251", "KOI8-R", "ISO-8859-5").foreach { enc =>
+      val (cs, conf) = detectEncodingConfidence(ru.getBytes(enc))
+      assert(cs.name == enc, s"$enc -> $cs ($conf)")
+      assert(conf >= 0.9, s"$enc confidence $conf")
+    }
+    // the latin-1 accent fixture stays under the density gate (see
+    // the 8-bit fallback test) — no Cyrillic false positives on
+    // accented European text
   }
 
   test("encoding: BOM-less UTF-16 via NUL-parity heuristic") {

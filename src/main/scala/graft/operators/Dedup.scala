@@ -455,6 +455,23 @@ object Dedup {
       maxIter)
   }
 
+  /** One-call fuzzy deduplication — the whole pipeline a corpus
+    * consumer wants: [[lshDedupClusters]] labels near-duplicate
+    * clusters, [[dedupDropList]] keeps the smallest id per cluster,
+    * and the corpus anti-joins the (slim, broadcastable-after-AQE)
+    * drop list. Returns the deduplicated corpus with its original
+    * schema; unclustered documents pass through untouched.
+    */
+  def deduplicate(df: DataFrame, idCol: Column, text: Column,
+                  shingleK: Int = 5, thresholdNum: Int = 1,
+                  thresholdDen: Int = 5): DataFrame = {
+    val drops = dedupDropList(lshDedupClusters(df, idCol, text,
+        shingleK = shingleK, thresholdNum = thresholdNum,
+        thresholdDen = thresholdDen))
+      .withColumnRenamed("id", "__drop_id")
+    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  }
+
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.
     * Threshold num/den (e.g. 1/5 for 0.2) applied in integer form:
     * den·inter ≥ num·union — no floating point.

@@ -304,6 +304,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"\nlsh=$lshLabels\nexact=$exactLabels")
   }
 
+  test("deduplicate: one call keeps one representative per cluster") {
+    val base1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val df = docs(
+      1L -> base1, 2L -> (base1 + " x"), 3L -> (base1 + " x y"),
+      4L -> base2, 5L -> (base2 + " z"),
+      6L -> (1 to 30).map(i => s"noise$i").mkString(" "))
+    val kept = Dedup.deduplicate(df, col("doc_id"), col("text"),
+        thresholdNum = 1, thresholdDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} -> representative 1; {4,5} -> 4; 6 untouched
+    assert(kept == Set(1L, 4L, 6L), kept)
+    // schema passes through unchanged
+    assert(Dedup.deduplicate(df, col("doc_id"), col("text"))
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("contamination: per-eval-doc shingle overlap vs a corpus") {
     val s = spark
     import s.implicits._

@@ -220,6 +220,66 @@ object Similarity {
       .select(col(idCol), col("dot"))
   }
 
+  /** Batch IVF ANN — [[ivfTopK]] for a SET of query vectors, the
+    * shape a pipeline actually runs (dedup-against-index, retrieval
+    * for a training batch): every query probes its own nearest
+    * `nprobe` centroids (one window over the tiny (query, label)
+    * score frame), the corpus joins the broadcast probe list once —
+    * fan-out is Σ probed-partition sizes, the standard IVF batch
+    * cost, never |queries| × corpus — and per-query top-k comes from
+    * a bounded window. Returns (qid, vec_id, dot, rank).
+    */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queries: DataFrame,
+                   qidCol: String, qvecCol: String,
+                   k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).as("__qv"),
+      dotQ(col(qvecCol), col(qvecCol)).as("__qn2"))
+    val qComps = q.select(col("qid"),
+        posexplode(col("__qv")).as(Seq("dim", "x")))
+      .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
+    val dimSums = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), quant(col("x")).as("qx"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__sc").desc, col("label").asc_nulls_first)
+    val probes = dimSums.join(broadcast(qComps), Seq("dim"))
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("qy"))
+          .as("dot_c"),
+        sum(col("s").cast("decimal(38,0)") * col("s")).as("s2"))
+      .select(col("qid"), col("label"),
+        (col("dot_c").cast("double") /
+          sqrt(col("s2").cast("double"))).as("__sc"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("label"))
+    val cands = df.select(col(idCol).as("vec_id"),
+        col(labelCol).as("label"), col(vecCol).as("__v"),
+        dotQ(col(vecCol), col(vecCol)).as("__n2"))
+      .join(broadcast(probes), Seq("label"))
+      .where(col("vec_id") =!= col("qid"))
+    val dot = dotQ(col("__v"), col("__qv"))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("vec_id").asc_nulls_first)
+    cands.join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"), dot.as("dot"),
+        (dot.cast("double") /
+          (sqrt(col("__n2").cast("double")) *
+           sqrt(col("__qn2").cast("double")))).as("__cos"))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rank"))
+      .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates filtered
     * by cosine ≥ threshold. The bucket equi-join bounds the pair
     * space; the bucket count scales with n ([[bitsForCount]]), and

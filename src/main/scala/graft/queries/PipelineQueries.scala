@@ -242,6 +242,16 @@ object PipelineQueries {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         "label", queryId = 0L, k = 10, nprobe = 3)),
 
+    // batch IVF: every query vector (here vec_id < 3) probes its own
+    // nprobe centroids; one corpus join against the broadcast probe
+    // list, per-query top-k by bounded windows
+    "q45_ivf_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopKBatch(emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    }),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -676,6 +686,44 @@ object PipelineQueries {
        "SELECT vec_id, dot FROM dots, nq " +
        "ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * " +
        "sqrt(CAST(nq2 AS DOUBLE))) DESC, vec_id LIMIT 10"),
+    "q45_ivf_batch" ->
+      ("WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM " +
+       "embeddings WHERE vec_id < 3), " +
+       "qc AS (SELECT qid, i, CAST(round(CAST(x AS DOUBLE) * " +
+       "33554432.0) AS BIGINT) AS qy FROM (SELECT qid, " +
+       "generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM qs)), " +
+       "ds AS (SELECT label, i, CAST(SUM(CAST(round(CAST(x AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT)) AS BIGINT) AS s FROM " +
+       "(SELECT label, generate_subscripts(embedding, 1) AS i, " +
+       "unnest(embedding) AS x FROM embeddings) GROUP BY label, i), " +
+       "sc AS (SELECT qid, label, SUM(CAST(s AS HUGEINT) * qy) AS " +
+       "dot_c, SUM(CAST(s AS HUGEINT) * s) AS s2 FROM ds JOIN qc " +
+       "USING (i) GROUP BY qid, label), " +
+       "pr AS (SELECT qid, label FROM (SELECT qid, label, " +
+       "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY CAST(dot_c AS " +
+       "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
+       "sc) WHERE rn <= 2), " +
+       "cand AS (SELECT pr.qid, e.vec_id, e.embedding FROM " +
+       "embeddings e JOIN pr ON e.label = pr.label WHERE e.vec_id " +
+       "<> pr.qid), " +
+       "px AS (SELECT c.qid, c.vec_id, CAST(round(CAST(x AS DOUBLE) " +
+       "* 33554432.0) AS BIGINT) AS qx, CAST(round(CAST(q.qv[i] AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) AS qy FROM (SELECT qid, " +
+       "vec_id, generate_subscripts(embedding, 1) AS i, " +
+       "unnest(embedding) AS x FROM cand) c JOIN qs q ON c.qid = " +
+       "q.qid), " +
+       "dots AS (SELECT qid, vec_id, CAST(SUM(qx * qy) AS BIGINT) " +
+       "AS dot, CAST(SUM(qx * qx) AS BIGINT) AS na2 FROM px " +
+       "GROUP BY qid, vec_id), " +
+       "nq AS (SELECT qid, CAST(SUM(qy * qy) AS BIGINT) AS nq2 FROM " +
+       "qc GROUP BY qid), " +
+       "r AS (SELECT dots.qid, vec_id, dot, ROW_NUMBER() OVER " +
+       "(PARTITION BY dots.qid ORDER BY CAST(dot AS DOUBLE) / " +
+       "(sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nq2 AS DOUBLE))) " +
+       "DESC, vec_id) AS rank FROM dots JOIN nq ON dots.qid = " +
+       "nq.qid) " +
+       "SELECT qid, vec_id, dot, rank FROM r WHERE rank <= 5 " +
+       "ORDER BY qid NULLS FIRST, rank NULLS FIRST"),
     "q34_nanos_range" ->
       ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
        "MAX(CAST(ts AS DATE)) AS max_day FROM events"),

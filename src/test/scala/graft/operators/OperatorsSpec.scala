@@ -278,6 +278,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "label", 0L, 7, nprobe = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ivf == brute, s"\nivf=$ivf\nbrute=$brute")
+    // the batch form with a single query reproduces the single-query
+    // path (and therefore brute force) exactly
+    val batch = Similarity.ivfTopKBatch(vecs, "vec_id", "embedding",
+        "label", vecs.where(col("vec_id") === 0L), "vec_id",
+        "embedding", k = 7, nprobe = 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("dot"))).toSeq
+    assert(batch == brute, s"\nbatch=$batch\nbrute=$brute")
   }
 
   test("lsh dedup clusters match exact-jaccard clusters end-to-end") {

@@ -47,4 +47,36 @@ object Sampling {
       s"bucket must be in [0, $of): $bucket")
     df.where(pmod(hash32(key), lit(of.toLong)) === bucket.toLong)
   }
+
+  /** Deterministic sequence packing — the shard-and-pack step before
+    * training: rows shard by key hash (a reproducible global
+    * shuffle), order within each shard by (hash, key), and fill
+    * fixed-token-budget bins by cumulative offset — a row whose
+    * running START offset falls in [k·budget, (k+1)·budget) packs
+    * into bin k. Returns the input plus (shard, bin) columns.
+    *
+    * Scale shape: one shuffle on shard, one window per shard (the
+    * cumulative sum — each shard's rows stream through one sort,
+    * shard count chosen to bound shard size), nothing corpus-global.
+    * Every assignment is a pure function of the key set, so re-runs,
+    * engines, and partitionings agree — ablations can cite
+    * (shard, bin) coordinates.
+    */
+  def packBins(df: DataFrame, key: Column, tokens: Column,
+               numShards: Int, tokenBudget: Long): DataFrame = {
+    require(numShards > 0 && tokenBudget > 0,
+      s"need positive shards/budget: $numShards/$tokenBudget")
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(key)
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h").asc, key.asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("__start",
+        sum(tokens.cast("long")).over(w) - tokens.cast("long"))
+      .withColumn("bin", (col("__start") / tokenBudget).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard", "__start")
+  }
 }

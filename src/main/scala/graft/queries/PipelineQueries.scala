@@ -212,6 +212,23 @@ object PipelineQueries {
             .as("n_fully_contained"))
     }),
 
+    // sequence packing: deterministic shard (hash) + token-budget
+    // bins (windowed cumulative offset) — the shard-and-pack step
+    // before training; per-(shard, bin) fill summary
+    "q46_pack_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("ntok"))
+      Sampling.packBins(docs, col("doc_id"), col("ntok"),
+          numShards = 4, tokenBudget = 1000L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("sum_tokens"))
+        .orderBy(col("shard").asc_nulls_first,
+          col("bin").asc_nulls_first)
+    }),
+
     // ---- similarity search ---------------------------------------
     "q28_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id",
@@ -686,6 +703,18 @@ object PipelineQueries {
        "SELECT vec_id, dot FROM dots, nq " +
        "ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * " +
        "sqrt(CAST(nq2 AS DOUBLE))) DESC, vec_id LIMIT 10"),
+    "q46_pack_bins" ->
+      ("WITH t AS (SELECT doc_id, CAST(array_length(" +
+       "regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS " +
+       "ntok, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
+       "8) AS BIGINT) AS h FROM documents), " +
+       "c AS (SELECT h % 4 AS shard, ntok, SUM(ntok) OVER " +
+       "(PARTITION BY h % 4 ORDER BY h, doc_id ROWS UNBOUNDED " +
+       "PRECEDING) - ntok AS strt FROM t) " +
+       "SELECT shard, strt // 1000 AS bin, COUNT(*) AS n_docs, " +
+       "CAST(SUM(ntok) AS BIGINT) AS sum_tokens FROM c " +
+       "GROUP BY shard, bin ORDER BY shard NULLS FIRST, " +
+       "bin NULLS FIRST"),
     "q45_ivf_batch" ->
       ("WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM " +
        "embeddings WHERE vec_id < 3), " +

@@ -424,6 +424,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ > 0), sizes)
   }
 
+  test("pack bins: budgeted offset binning, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // one shard: rows order by hash; every doc is 30 tokens, budget
+    // 100 → starts 0,30,…,270 → bins of 4,3,3 docs
+    val df = (1L to 10L).map(i => (i, 30L)).toDF("doc_id", "ntok")
+    val bins = Sampling.packBins(df, col("doc_id"), col("ntok"),
+        numShards = 1, tokenBudget = 100L)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(0L -> 4L, 1L -> 3L, 2L -> 3L), bins)
+    // same assignment regardless of input partitioning
+    val once = Sampling.packBins(df, col("doc_id"), col("ntok"), 4,
+        100L).select("doc_id", "shard", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+    val again = Sampling.packBins(df.repartition(7), col("doc_id"),
+        col("ntok"), 4, 100L).select("doc_id", "shard", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(once == again)
+  }
+
   test("simhash: null-text docs are absent (oracle parity)") {
     val s = spark
     import s.implicits._

@@ -185,6 +185,15 @@ object PipelineQueries {
         .crossJoin(sizes.agg(max(col("sz")).as("max_cluster_size")))
     }),
 
+    // the one-call dedup pipeline end-to-end: cluster -> drop list ->
+    // anti-joined corpus; summary of what survives
+    "q47_deduplicate" -> ((s, d) =>
+      Dedup.deduplicate(t(s, d, "documents"), col("doc_id"),
+          col("text"), shingleK = 5, thresholdNum = 1,
+          thresholdDen = 5)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))),
+
     // reproducible subsampling: same rows on every run / engine /
     // partitioning (md5 hash-space threshold, not a seeded RNG)
     "q37_hash_sample" -> ((s, d) =>
@@ -397,6 +406,42 @@ object PipelineQueries {
         .mkString(", ") +
       s" FROM $src GROUP BY vec_id), $bitsSql"
 
+  /** The q40/q47 shared chain: MinHash signature + band CTEs (the
+    * q26 family), capped band buckets → candidate pairs → exact
+    * Jaccard on the candidates only (plain shingles — no df cap; the
+    * cap guards the full self-join, which this path never does) →
+    * recursive transitive closure (the q36 pattern) → labels.
+    */
+  private val lshClusterCtes: String =
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+    minhashSigCte + minhashBandsCte +
+    ", hotb AS (SELECT band, key FROM bands GROUP BY band, key " +
+    "HAVING COUNT(*) > 10000)" +
+    ", kb AS (SELECT doc_id, band, key FROM bands b WHERE NOT " +
+    "EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND " +
+    "h.key = b.key))" +
+    ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+    "FROM kb a JOIN kb b ON a.band = b.band AND a.key = b.key " +
+    "AND a.doc_id < b.doc_id)" +
+    ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+    ", vsz AS (SELECT doc_id, COUNT(*) AS n FROM shd " +
+    "GROUP BY doc_id)" +
+    ", itr AS (SELECT id1, id2, COUNT(*) AS inter FROM cand " +
+    "JOIN shd a ON a.doc_id = id1 JOIN shd b ON b.doc_id = id2 " +
+    "AND b.s = a.s GROUP BY id1, id2)" +
+    ", nd AS (SELECT c.id1, c.id2 FROM cand c JOIN vsz sa ON " +
+    "c.id1 = sa.doc_id JOIN vsz sb ON c.id2 = sb.doc_id LEFT JOIN " +
+    "itr i ON c.id1 = i.id1 AND c.id2 = i.id2 WHERE " +
+    "COALESCE(i.inter, 0) * 5 >= (sa.n + sb.n - " +
+    "COALESCE(i.inter, 0)))" +
+    ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
+    "SELECT id2, id1 FROM nd)" +
+    ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
+    ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
+    "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
+    ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
+    "GROUP BY id)"
+
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
@@ -517,44 +562,17 @@ object PipelineQueries {
        "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
        "(SELECT MAX(sz) FROM sizes) AS max_cluster_size"),
     "q40_lsh_dedup_clusters" ->
-      // MinHash signature + band CTEs (the q26 family), then:
-      // capped band buckets → candidate pairs → exact Jaccard on the
-      // candidates only (plain shingles — no df cap; the cap exists
-      // to guard the full self-join, which this path never does) →
-      // recursive transitive closure (the q36 pattern)
-      ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-       minhashSigCte + minhashBandsCte +
-       ", hotb AS (SELECT band, key FROM bands GROUP BY band, key " +
-       "HAVING COUNT(*) > 10000)" +
-       ", kb AS (SELECT doc_id, band, key FROM bands b WHERE NOT " +
-       "EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND " +
-       "h.key = b.key))" +
-       ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
-       "FROM kb a JOIN kb b ON a.band = b.band AND a.key = b.key " +
-       "AND a.doc_id < b.doc_id)" +
-       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
-       ", vsz AS (SELECT doc_id, COUNT(*) AS n FROM shd " +
-       "GROUP BY doc_id)" +
-       ", itr AS (SELECT id1, id2, COUNT(*) AS inter FROM cand " +
-       "JOIN shd a ON a.doc_id = id1 JOIN shd b ON b.doc_id = id2 " +
-       "AND b.s = a.s GROUP BY id1, id2)" +
-       ", nd AS (SELECT c.id1, c.id2 FROM cand c JOIN vsz sa ON " +
-       "c.id1 = sa.doc_id JOIN vsz sb ON c.id2 = sb.doc_id LEFT JOIN " +
-       "itr i ON c.id1 = i.id1 AND c.id2 = i.id2 WHERE " +
-       "COALESCE(i.inter, 0) * 5 >= (sa.n + sb.n - " +
-       "COALESCE(i.inter, 0)))" +
-       ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
-       "SELECT id2, id1 FROM nd)" +
-       ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
-       ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
-       "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
-       ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
-       "GROUP BY id)" +
+      (lshClusterCtes +
        ", sizes AS (SELECT label, COUNT(*) AS sz FROM labels " +
        "GROUP BY label) " +
        "SELECT (SELECT COUNT(*) FROM labels) AS n_clustered_docs, " +
        "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
        "(SELECT MAX(sz) FROM sizes) AS max_cluster_size"),
+    "q47_deduplicate" ->
+      (lshClusterCtes +
+       " SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS " +
+       "sum_ids FROM documents WHERE doc_id NOT IN " +
+       "(SELECT id FROM labels WHERE id <> label)"),
     "q37_hash_sample" ->
       ("SELECT source, COUNT(*) AS n_sampled FROM documents " +
        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +

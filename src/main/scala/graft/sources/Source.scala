@@ -926,9 +926,17 @@ object Source {
 
     private def map(): Map[Any, Any] = {
       pos += 1 // {
-      val b = Map.newBuilder[Any, Any]
+      val b = Vector.newBuilder[(Any, Any)]
+      val merges = Vector.newBuilder[Any]
+      // merge keys apply in flow context too (same precedence rule
+      // as block mappings: explicit > earlier merge source > later)
+      def result(): Map[Any, Any] = {
+        val own = b.result().toMap
+        val merged = mergeSources(merges.result())
+        if (merged.isEmpty) own else merged ++ own
+      }
       skipWs()
-      if (!eof && s.charAt(pos) == '}') { pos += 1; return b.result() }
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return result() }
       while (true) {
         skipWs()
         val k = s.charAt(pos) match {
@@ -939,17 +947,18 @@ object Source {
         require(!eof && s.charAt(pos) == ':',
           s"expected : in flow map at $pos")
         pos += 1
-        b += (k -> value())
+        val v = value()
+        if (k == "<<") merges += v else b += (k -> v)
         skipWs()
         require(!eof, "unterminated flow map")
         s.charAt(pos) match {
           case ',' => pos += 1
-          case '}' => pos += 1; return b.result()
+          case '}' => pos += 1; return result()
           case c => throw new IllegalArgumentException(
             s"expected , or } in flow map, got $c")
         }
       }
-      b.result()
+      result()
     }
 
     private def seq(): Vector[Any] = {

@@ -416,6 +416,15 @@ class SourceSpec extends AnyFunSuite {
     // explicit d beats everything
     assert(v("multi") == Map("a" -> 1L, "b" -> 2L, "c" -> 30L,
       "d" -> 4L))
+    // merge keys work in FLOW mappings too, same precedence
+    val vf = parseYaml(
+      """base: &base
+        |  a: 1
+        |  b: 2
+        |flowmerged: {<<: *base, b: 9, c: 3}
+        |""".stripMargin).asInstanceOf[Map[Any, Any]]
+    assert(vf("flowmerged") == Map("a" -> 1L, "b" -> 9L, "c" -> 3L),
+      vf)
   }
 
   test("yaml complex keys: `? ` block keys with and without values") {

@@ -489,18 +489,46 @@ object Dedup {
     * persist at scale. The two self-join sides are identical subplans,
     * so Spark's ReuseExchange evaluates their shuffle once; the size
     * aggregation re-scans — two scans total, no cached state to leak.
+    *
+    * **Pair-volume guard**: the self-join materializes exactly
+    * Σ df·(df−1)/2 candidate rows over under-cap shingles — the df cap
+    * bounds each term but not the sum, so a corpus of many mid-df
+    * shingles is still quadratic death. Before launching the join,
+    * that sum is priced exactly (integer arithmetic, DECIMAL
+    * accumulation — no overflow) from the df aggregate in one
+    * pre-flight job; past `maxPairRows` the call REFUSES with a
+    * pointer to [[lshDedupClusters]] — the candidate-bounded scale
+    * path — rather than silently routing there (LSH is probabilistic;
+    * an exact baseline must not change semantics under load). Same
+    * pricing pattern as the broadcast budgets in [[contamination]].
     */
   def jaccardPairs(df: DataFrame, idCol: Column, text: Column,
                    shingleK: Int = 5, thresholdNum: Int = 1,
                    thresholdDen: Int = 5,
-                   maxShingleDf: Long = 10000L): DataFrame = {
+                   maxShingleDf: Long = 10000L,
+                   maxPairRows: Long = 2000000000L): DataFrame = {
     // join/aggregate on a 16-hex-char digest of the shingle
     // (identical md5 in the oracle): far smaller shuffle keys than raw
     // shingle strings
     val exploded = shingleRows(df, idCol, text, shingleK)
       .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
-    val hot = exploded.groupBy(col("s"))
+    val dfAgg = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
+    val priced = dfAgg
+      .agg(sum(when(col("df") <= maxShingleDf,
+        expr("CAST(df * (df - 1) DIV 2 AS DECIMAL(38,0))")))
+        .as("pair_rows"))
+      .first().getDecimal(0)
+    if (priced != null &&
+        priced.compareTo(java.math.BigDecimal.valueOf(maxPairRows)) > 0)
+      throw new IllegalStateException(
+        s"jaccardPairs: shingle self-join would materialize $priced " +
+        s"candidate pair rows (> budget $maxPairRows). This exact " +
+        "all-pairs baseline is quadratic in shingle document " +
+        "frequency; use Dedup.lshDedupClusters / " +
+        "verifiedJaccardPairs (candidate-bounded, same threshold " +
+        "semantics) at this scale, or raise maxPairRows explicitly.")
+    val hot = dfAgg
       .where(col("df") > maxShingleDf)
       .select(col("s"))
     val kept = exploded.join(broadcast(hot), Seq("s"), "left_anti")

@@ -75,7 +75,14 @@ object Sampling {
       .withColumn("__shard", pmod(col("__h"), lit(numShards.toLong)))
       .withColumn("__start",
         sum(tokens.cast("long")).over(w) - tokens.cast("long"))
-      .withColumn("bin", (col("__start") / tokenBudget).cast("long"))
+      // floor division in exact Long arithmetic: `/` would go through
+      // a double (ulp loss past 2^53 cumulative tokens), and `div`
+      // alone truncates toward zero where DuckDB's `//` floors.
+      // Subtracting pmod first makes the operand an exact multiple,
+      // where truncation and floor agree — exact for any sign.
+      .withColumn("bin",
+        expr(s"(__start - pmod(__start, ${tokenBudget}L)) " +
+          s"div ${tokenBudget}L"))
       .withColumn("shard", col("__shard"))
       .drop("__h", "__shard", "__start")
   }

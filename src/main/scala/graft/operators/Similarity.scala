@@ -274,7 +274,10 @@ object Similarity {
         (dot.cast("double") /
           (sqrt(col("__n2").cast("double")) *
            sqrt(col("__qn2").cast("double")))).as("__cos"))
-      .withColumn("rank", row_number().over(wk))
+      // long rank: row_number() is int32, but every engine's
+      // ROW_NUMBER (and the oracle's) is 64-bit — keep the output
+      // schema exactly typed for hash comparison
+      .withColumn("rank", row_number().over(wk).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("dot"), col("rank"))
       .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)

@@ -729,7 +729,8 @@ object PipelineQueries {
        "c AS (SELECT h % 4 AS shard, ntok, SUM(ntok) OVER " +
        "(PARTITION BY h % 4 ORDER BY h, doc_id ROWS UNBOUNDED " +
        "PRECEDING) - ntok AS strt FROM t) " +
-       "SELECT shard, strt // 1000 AS bin, COUNT(*) AS n_docs, " +
+       "SELECT shard, CAST(strt // 1000 AS BIGINT) AS bin, " +
+       "COUNT(*) AS n_docs, " +
        "CAST(SUM(ntok) AS BIGINT) AS sum_tokens FROM c " +
        "GROUP BY shard, bin ORDER BY shard NULLS FIRST, " +
        "bin NULLS FIRST"),

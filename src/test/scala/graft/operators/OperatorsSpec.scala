@@ -79,6 +79,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop == uncapped)
   }
 
+  test("jaccard pair-volume guard refuses past the budget, is a " +
+      "no-op under it") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docs(1L -> base, 2L -> (base + " lambda"),
+      3L -> "one two three four five six seven eight nine ten")
+    // the two near-dup docs share shingles, so Σ df·(df−1)/2 > 1:
+    // a budget of 1 must refuse before the self-join launches
+    val e = intercept[IllegalStateException] {
+      Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+        shingleK = 5, thresholdNum = 1, thresholdDen = 2,
+        maxPairRows = 1L)
+    }
+    assert(e.getMessage.contains("lshDedupClusters"), e.getMessage)
+    // under the budget: identical results to the default path
+    val guarded = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      shingleK = 5, thresholdNum = 1, thresholdDen = 2,
+      maxPairRows = 1000000L).collect()
+    assert(guarded.length == 1)
+    assert(guarded.head.getAs[Long]("id1") == 1L &&
+      guarded.head.getAs[Long]("id2") == 2L)
+  }
+
   test("minhash LSH: identical docs collide on every band") {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val df = docs(1L -> text, 2L -> text,
@@ -445,6 +467,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2))).toSet
     assert(once == again)
+  }
+
+  test("pack bins: exact past 2^53 cumulative tokens") {
+    val s = spark
+    import s.implicits._
+    // second row's start offset is 2^53+1 — a value a double cannot
+    // represent. With budget 1 the bin equals the offset, so any
+    // double round-trip in the bin arithmetic loses the +1.
+    val big = (1L << 53) + 1L
+    val df = Seq((1L, big), (2L, big)).toDF("doc_id", "ntok")
+    val bins = Sampling.packBins(df, col("doc_id"), col("ntok"),
+        numShards = 1, tokenBudget = 1L)
+      .select("bin").collect().map(_.getLong(0)).sorted
+    assert(bins.sameElements(Array(0L, big)), bins.toSeq)
   }
 
   test("simhash: null-text docs are absent (oracle parity)") {

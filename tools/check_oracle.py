@@ -46,8 +46,17 @@ for name, sql in sorted(oracle.items()):
         scols = sorted(sdf.columns)
         srows = [tuple(norm(v) for v in row)
                  for row in sdf[scols].itertuples(index=False)]
+        odt = [str(t) for t in odf[ocols].dtypes] if ocols == scols else []
+        sdt = [str(t) for t in sdf[scols].dtypes] if ocols == scols else []
         if ocols != scols:
             print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+            n_fail += 1
+        elif odt != sdt:
+            # the driver's hash gate hashes typed values: a DuckDB
+            # float64/object(Decimal) vs Spark int64 mismatches even
+            # when values compare equal (3.0 == 3). Be as strict here.
+            bad = [(c, o, s) for c, o, s in zip(ocols, odt, sdt) if o != s]
+            print(f"FAIL {name}: dtype mismatch {bad}")
             n_fail += 1
         elif orows != srows:
             diff = next((i, a, b) for i, (a, b)

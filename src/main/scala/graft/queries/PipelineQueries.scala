@@ -202,16 +202,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("source").asc_nulls_first)),
 
-    // decontamination: a deterministic 1/20 hash split plays the eval
-    // set; per-eval-doc shingle overlap against the rest of the
-    // corpus (broadcast bench side — no corpus shuffle)
+    // decontamination: a FIXED-SIZE eval suite (the 20 hash-smallest
+    // docs — deterministic, engine-portable) against the rest of the
+    // corpus. A constant-size bench is the shape contamination()'s
+    // broadcast fast path is built for: eval suites stay MBs while
+    // the corpus grows, so this query exercises the production path
+    // (a corpus-fraction bench would instead trip the shuffle
+    // fallback guard at scale)
     "q38_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cut = col("doc_id")
-      val bench = docs.where(
-        Sampling.hash32(cut) * 20 < lit(4294967296L))
-      val corpus = docs.where(
-        Sampling.hash32(cut) * 20 >= lit(4294967296L))
+      val bench = docs
+        .orderBy(Sampling.hash32(col("doc_id")).asc,
+          col("doc_id").asc)
+        .limit(20)
+      val benchIds = bench.select(col("doc_id").as("__bench_id"))
+      val corpus = docs.join(broadcast(benchIds),
+        col("doc_id") === col("__bench_id"), "left_anti")
       Dedup.contamination(corpus, col("doc_id"), col("text"),
           bench, col("doc_id"), col("text"), shingleK = 5)
         .agg(count(lit(1)).as("n_bench_docs"),
@@ -583,9 +589,10 @@ object PipelineQueries {
        ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
        ", hv AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id " +
        "AS VARCHAR)), 1, 8) AS BIGINT) AS h FROM documents)" +
-       ", bench AS (SELECT doc_id FROM hv WHERE h * 20 < 4294967296)" +
-       ", corpus AS (SELECT doc_id FROM hv WHERE h * 20 >= " +
-       "4294967296)" +
+       ", bench AS (SELECT doc_id FROM hv ORDER BY h, doc_id " +
+       "LIMIT 20)" +
+       ", corpus AS (SELECT doc_id FROM hv WHERE doc_id NOT IN " +
+       "(SELECT doc_id FROM bench))" +
        ", bsh AS (SELECT shd.doc_id, s FROM shd JOIN bench " +
        "USING (doc_id))" +
        ", csh AS (SELECT DISTINCT s FROM shd JOIN corpus " +

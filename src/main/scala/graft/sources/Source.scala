@@ -129,11 +129,12 @@ object Source {
     // and score the decoded text by CJK-script membership
     val cjk = detectCjk(sample)
     if (cjk.exists(_._2 >= 0.9)) return cjk.get
-    // single-byte Cyrillic (cp1251 / KOI8-R / ISO-8859-5): all three
-    // decode any byte, so letter-frequency is the separator. A
-    // sub-0.9 (uncorroborated) CJK candidate loses to a confident
-    // Cyrillic read — the GBK-eats-Cyrillic confusion in reverse.
-    val cyr = detectCyrillic(sample)
+    // single-byte script families (Cyrillic, Greek, Hebrew, Arabic,
+    // Thai, Turkish): every 8-bit table decodes any byte, so
+    // letter-frequency is the separator. A sub-0.9 (uncorroborated)
+    // CJK candidate loses to a confident single-byte read — the
+    // GBK-eats-dense-8-bit-text confusion in reverse.
+    val cyr = detectSingleByteScript(sample)
     (cjk, cyr) match {
       case (Some(a), Some(b)) => return if (b._2 > a._2) b else a
       case (Some(a), None) => return a
@@ -147,43 +148,137 @@ object Source {
     else (StandardCharsets.ISO_8859_1, 0.73)
   }
 
-  /** The ten most frequent Russian letters — ~55% of running Cyrillic
-    * text. All three candidate encodings map high bytes into Cyrillic
-    * LETTER zones, so script membership alone cannot separate them;
-    * only the right byte→letter table concentrates mass here (a wrong
-    * table scrambles the alphabet and the fraction collapses) — the
-    * compact form of chardet's frequency analysis.
+  /** A single-byte script family: candidate byte→char tables, the
+    * script's Unicode letter zone, and its most-frequent letters
+    * (~half of running text in that language). Every 8-bit table
+    * decodes every byte into ITS OWN letter zone, so script
+    * membership alone separates nothing; only the right table lines
+    * the bytes up with the language's letter-frequency profile (a
+    * wrong table scrambles the alphabet and the common-letter
+    * fraction collapses) — the compact form of chardet's frequency
+    * analysis, which is what the reference delegates to
+    * (source.py:137-145).
     */
-  private val cyrillicCommon: Set[Char] = "оеаинтсрвл".toSet
+  private final case class ScriptFamily(charsets: Seq[String],
+      blockLo: Int, blockHi: Int, common: Set[Char],
+      commonThresh: Double)
 
-  private def detectCyrillic(sample: Array[Byte])
+  private val scriptFamilies = Seq(
+    // ten most frequent Russian letters ≈ 55% of running text
+    ScriptFamily(Seq("windows-1251", "KOI8-R", "ISO-8859-5"),
+      0x0400, 0x04FF, "оеаинтсрвл".toSet, 0.42),
+    // Greek (incl. final sigma): tonos accents are stripped by the
+    // NFD pass below — every Greek word carries one accented vowel,
+    // and ISO-8859-7/cp1253 store them precomposed. The two tables
+    // lay lowercase Greek out identically, so they are separable
+    // only on rarer uppercase-accented positions; either answer
+    // decodes running text correctly (chardet has the same merge).
+    ScriptFamily(Seq("ISO-8859-7", "windows-1253"),
+      0x0370, 0x03FF, "αοιετσνηυρς".toSet, 0.42),
+    // Hebrew: no case, niqqud rare in modern text
+    ScriptFamily(Seq("windows-1255"), 0x0590, 0x05FF,
+      "יוהאלמרתבש".toSet, 0.40),
+    // Arabic: contextual glyph forms share codepoints, harakat rare
+    ScriptFamily(Seq("windows-1256"), 0x0600, 0x06FF,
+      "اليمونرتبة".toSet, 0.40),
+    // Thai: vowel signs / tone marks are separate in-block chars
+    // diluting the letter mass — lower threshold
+    ScriptFamily(Seq("TIS-620"), 0x0E00, 0x0E7F,
+      "านรอกเงมยว".toSet, 0.35))
+
+  /** Strip combining marks so precomposed accents (Greek tonos,
+    * Cyrillic breve) match their base letters in the common sets.
+    */
+  private def baseLetters(text: String): String = {
+    val d = java.text.Normalizer.normalize(text,
+      java.text.Normalizer.Form.NFD)
+    d.filter(c => c < 0x0300 || c > 0x036F)
+  }
+
+  /** Turkish-specific letters: the six positions where ISO-8859-9
+    * (Latin-5) differs from Latin-1, plus the shared öüçâîû the
+    * language also uses. cp1252-family accent text (French é,
+    * German äß) never concentrates on this set, and the
+    * Latin-5-specific letters (dotless ı above all — the most
+    * frequent non-ASCII letter in Turkish) never appear in it.
+    */
+  private val turkishSpecific: Set[Char] = "ğışĞİŞ".toSet
+  private val turkishLetters: Set[Char] =
+    turkishSpecific ++ "öüçâîûÖÜÇÂÎÛ".toSet
+
+  private def detectSingleByteScript(sample: Array[Byte])
       : Option[(Charset, Double)] = {
     val nonAscii = sample.count(b => (b & 0x80) != 0)
-    if (nonAscii.toLong * 100 < sample.length.toLong * 15) return None
-    val scored = Seq("windows-1251", "KOI8-R", "ISO-8859-5").map {
-      name =>
-        val cs = Charset.forName(name)
-        val text = new String(sample, cs)
-        var cyr = 0
-        var common = 0
-        var n = 0
-        text.foreach { c =>
-          if (c >= 0x80) {
-            n += 1
-            if (c >= 0x0400 && c <= 0x04FF) cyr += 1
-            if (cyrillicCommon.contains(Character.toLowerCase(c)))
-              common += 1
-          }
+    // (1) non-Latin families: their scripts have no ASCII letters,
+    // so real text is non-ASCII-DENSE (~85% for letter text with
+    // ASCII spaces). The high gate is also what keeps mostly-ASCII
+    // Turkish out of the Greek tables: Latin-5 ü/ı/ç decode onto
+    // common Greek vowels with a perfect block score, and only
+    // density separates the two shapes.
+    val dense =
+      nonAscii.toLong * 100 >= sample.length.toLong * 40
+    val scored = if (!dense) Seq.empty else for {
+      fam <- scriptFamilies
+      name <- fam.charsets
+      cs <- scala.util.Try(Charset.forName(name)).toOption
+    } yield {
+      val text = baseLetters(new String(sample, cs))
+      var block = 0
+      var common = 0
+      var n = 0
+      text.foreach { c =>
+        if (c >= 0x80) {
+          n += 1
+          if (c >= fam.blockLo && c <= fam.blockHi) block += 1
+          if (fam.common.contains(Character.toLowerCase(c)))
+            common += 1
         }
-        if (n < 8) (cs, 0.0, 0.0)
-        else (cs, cyr.toDouble / n, common.toDouble / n)
+      }
+      if (n < 8) (cs, 0.0, 0.0)
+      // ratio to the family threshold makes families with different
+      // letter-mass profiles comparable on one scale
+      else (cs, block.toDouble / n,
+        common.toDouble / n / fam.commonThresh)
     }
-    val best = scored.maxBy(_._3)
-    if (best._3 >= 0.42) Some((best._1, 0.92))
-    // clearly Cyrillic script but no candidate's frequency profile
-    // fits: report the best table with a warning-level confidence
-    else if (best._2 >= 0.9) Some((best._1, 0.75))
-    else None
+    // confident = frequency profile fits AND essentially every
+    // non-ASCII char is in-script. The block demand is the
+    // tie-breaker between tables: the RIGHT one maps running text
+    // entirely into its script zone, while a coincidental frequency
+    // fit through the wrong family leaks chars outside the block
+    // (measured: Thai through cp1253 reaches ratio 1.15 but only
+    // block 0.81; through TIS-620 it is 1.11 / 1.00).
+    val qualified = scored.filter(s => s._3 >= 1.0 && s._2 >= 0.95)
+    if (qualified.nonEmpty)
+      return Some((qualified.maxBy(_._3)._1, 0.92))
+    // (2) Turkish: mostly-ASCII Latin text — its own density gate.
+    // Demand the profile AND real mass on the Latin-5-specific
+    // letters, which European cp1252 accents cannot produce.
+    if (nonAscii.toLong * 100 >= sample.length.toLong * 4 &&
+        nonAscii >= 8) {
+      scala.util.Try(Charset.forName("ISO-8859-9")).toOption
+        .foreach { cs =>
+          val text = new String(sample, cs)
+          var tr = 0
+          var spec = 0
+          var n = 0
+          text.foreach { c =>
+            if (c >= 0x80) {
+              n += 1
+              if (turkishLetters.contains(c)) tr += 1
+              if (turkishSpecific.contains(c)) spec += 1
+            }
+          }
+          if (n >= 8 && tr.toDouble / n >= 0.85 &&
+              spec.toDouble / n >= 0.2)
+            return Some((cs, 0.92))
+        }
+    }
+    // (3) clearly single-script 8-bit text but no table's frequency
+    // profile fits: report the best block membership with a
+    // warning-level confidence
+    if (scored.isEmpty) None
+    else Some(scored.maxBy(_._2)).filter(_._2 >= 0.9)
+      .map(b => (b._1, 0.75))
   }
 
   /** Shift-JIS / EUC-JP / EUC-KR / GBK detection, chardet-style but

@@ -209,6 +209,55 @@ class SourceSpec extends AnyFunSuite {
     // accented European text
   }
 
+  test("encoding: Greek, Hebrew, Arabic, Thai single-byte tables " +
+      "via letter frequency") {
+    // family-correct with ≥0.9 confidence AND the detected table
+    // decodes the bytes back to the original text (ISO-8859-7 and
+    // cp1253 lay lowercase Greek out identically, so asserting the
+    // exact table would be over-constrained — chardet merges them
+    // the same way)
+    val fixtures = Seq(
+      ("η επεξεργασία δεδομένων και η ανάλυση κειμένου για " +
+        "μεγάλα σύνολα εγγράφων", Seq("ISO-8859-7", "windows-1253")),
+      ("עיבוד נתונים וניתוח טקסט עבור מערכות גדולות של מידע " +
+        "וכלים לניתוח מבנה", Seq("windows-1255")),
+      ("معالجة البيانات وتحليل النصوص للمجموعات الكبيرة من " +
+        "المعلومات والوثائق", Seq("windows-1256")),
+      ("การประมวลผลข้อมูลและการวิเคราะห์ข้อความสำหรับชุดข้อมูลขนาดใหญ่",
+        Seq("TIS-620")))
+    fixtures.foreach { case (text, encs) =>
+      encs.foreach { enc =>
+        val bytes = text.getBytes(enc)
+        // fixture sanity: the text must round-trip its own encoding
+        assert(new String(bytes, enc) == text, s"fixture lossy: $enc")
+        val (cs, conf) = detectEncodingConfidence(bytes)
+        assert(encs.contains(cs.name), s"$enc -> $cs ($conf)")
+        assert(conf >= 0.9, s"$enc confidence $conf")
+        assert(new String(bytes, cs) == text,
+          s"$enc detected as $cs but decodes differently")
+      }
+    }
+  }
+
+  test("encoding: Turkish ISO-8859-9 via Latin-5-specific letters; " +
+      "no false positives on cp1252 accents") {
+    val tr = ("büyük veri kümeleri için metin işleme ve yapısal " +
+      "çözümleme çalışması ışığında") * 2
+    val (cs, conf) = detectEncodingConfidence(tr.getBytes("ISO-8859-9"))
+    assert(cs.name == "ISO-8859-9", s"$cs ($conf)")
+    assert(conf >= 0.9, conf)
+    // French/German accent text must NOT read as Turkish: é/ä/ß
+    // never land on the Latin-5-specific letters
+    val fr = ("la qualité des données est évaluée à chaque étape " +
+      "de la chaîne de traitement complète") * 2
+    val (fcs, _) = detectEncodingConfidence(fr.getBytes("ISO-8859-1"))
+    assert(fcs.name != "ISO-8859-9", fcs)
+    val de = ("die Qualität der Daten wird in jedem Schritt geprüft " +
+      "und zusammengeführt größtenteils") * 2
+    val (dcs, _) = detectEncodingConfidence(de.getBytes("ISO-8859-1"))
+    assert(dcs.name != "ISO-8859-9", dcs)
+  }
+
   test("encoding: BOM-less UTF-16 via NUL-parity heuristic") {
     val textLe = "name,nationality\nJose,Spain\n"
       .getBytes(StandardCharsets.UTF_16LE)

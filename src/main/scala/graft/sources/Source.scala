@@ -1101,7 +1101,32 @@ object Source {
     }
   }
 
-  /** YAML core-schema scalar resolution. */
+  /** YAML 1.1 sexagesimal number forms (`1:30:00` = 5400), which
+    * ruamel — and therefore the reference (source.py:242-248) —
+    * resolves as ints/floats: sign, base-60 digit groups (later
+    * groups capped at 59), optional fraction on the last group.
+    */
+  private val sexagesimalInt =
+    "[-+]?[0-9][0-9_]*(:[0-5]?[0-9])+".r
+  private val sexagesimalFloat =
+    "[-+]?[0-9][0-9_]*(:[0-5]?[0-9])+\\.[0-9_]*".r
+
+  private def parseSexagesimal(t: String): Any = {
+    val neg = t.startsWith("-")
+    val body = t.stripPrefix("-").stripPrefix("+").replace("_", "")
+    val parts = body.split(':')
+    if (body.contains('.')) {
+      val v = parts.foldLeft(0.0)((acc, p) => acc * 60 + p.toDouble)
+      if (neg) -v else v
+    } else {
+      val v = parts.foldLeft(0L)((acc, p) => acc * 60 + p.toLong)
+      if (neg) -v else v
+    }
+  }
+
+  /** YAML core-schema scalar resolution (plus the 1.1 sexagesimals
+    * ruamel keeps accepting).
+    */
   def parseScalar(s: String): Any = {
     val t = s.trim
     if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
@@ -1111,6 +1136,9 @@ object Source {
       case "" | "~" | "null" | "Null" | "NULL" => null
       case "true" | "True" | "TRUE" => true
       case "false" | "False" | "FALSE" => false
+      case _ if sexagesimalInt.matches(t) ||
+          sexagesimalFloat.matches(t) =>
+        parseSexagesimal(t)
       case _ =>
         try t.toLong
         catch {

@@ -412,6 +412,29 @@ class SourceSpec extends AnyFunSuite {
     assert(v("after") == 2L)
   }
 
+  test("yaml 1.1 sexagesimal scalars resolve like ruamel") {
+    val y =
+      """a: 1:30:00
+        |b: -2:15
+        |c: +0:59
+        |d: 190:20:30.5
+        |e: 1:60
+        |f: 12:34:56:78
+        |g: "1:30:00"
+        |""".stripMargin
+    val v = parseYaml(y).asInstanceOf[Map[Any, Any]]
+    assert(v("a") == 5400L)
+    assert(v("b") == -135L)
+    assert(v("c") == 59L)
+    assert(v("d") == 190.0 * 3600 + 20 * 60 + 30.5)
+    // 60 in a later group is out of range — stays a string
+    assert(v("e") == "1:60")
+    // 78 > 59 likewise
+    assert(v("f") == "12:34:56:78")
+    // quoting always suppresses resolution
+    assert(v("g") == "1:30:00")
+  }
+
   test("yaml tags: core-schema coercions, unknown tags ignored") {
     val y =
       """a: !!str 5

@@ -36,9 +36,12 @@ import graft.core._
   *    of scheduler round-trips as a 2-column one); only the optional
   *    bounded top-K sample sketch remains a per-column TakeOrdered job.
   *  - **Nested data = projections, not re-scans** — struct fields are
-  *    analyzed in the parent's wide agg via dotted columns; arrays and
-  *    maps cost one `explode` projection per level (filter/column
-  *    pruning pushed to the parquet scan by Catalyst).
+  *    analyzed in the parent's wide agg via dotted columns; ALL of a
+  *    level's scalar-element arrays and map keys/values fold into ONE
+  *    tagged `explode(concat(...))` frame analyzed by a single
+  *    recursive level, and all array/map length stats ride one shared
+  *    batch — k sibling collections cost the same jobs as one
+  *    (filter/column pruning pushed to the parquet scan by Catalyst).
   *
   * Driver memory holds only config + counters under the cap + the
   * result ADT.
@@ -87,22 +90,39 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     SList(Stats.fromCounter(ValueCounter(Map((1L: Any) -> 1L))), dict)
   }
 
-  /** Analyze one nesting level (a relation of records). */
+  /** Analyze one nesting level (a relation of records).
+    *
+    * `srcTagged` marks the merged sibling-explode frame built by
+    * [[analyzeNestedBatch]]: a `__src` column names each row's source
+    * slot and every other column is null outside its own slot's rows.
+    * In that mode each leaf's row total is its slot's row count
+    * (aggregated in the same pass-1 job), so null-fraction decisions
+    * see exactly the rows the per-column explode would have produced.
+    */
   private def analyzeLevel(df: DataFrame,
-                           jsonDepth: Int = 0): SType = {
+                           jsonDepth: Int = 0,
+                           srcTagged: Boolean = false): SType = {
     val schema = df.schema
     if (schema.isEmpty) return SDict(
       Stats.fromCounter(ValueCounter(Map((0L: Any) -> 1L))), Vector.empty)
 
     // -------- pass 1: one wide aggregation over every leaf column
     val leaves = collectLeaves(schema)
-    val aggExprs = leaves.flatMap(l => wideAggExprs(l)) :+
-      count(lit(1)).as("__total")
+      .filterNot(l => srcTagged && l.path == Vector("__src"))
+    val slotTotals =
+      if (!srcTagged) Seq.empty
+      else leaves.map(l => count(when(col("__src") === l.path.head,
+        1)).as(s"${l.id}__tot"))
+    val aggExprs = leaves.flatMap(l => wideAggExprs(l)) ++
+      slotTotals :+ count(lit(1)).as("__total")
     val row = described(df, s"graft: witness pass " +
       s"(${leaves.size} columns)") {
       df.agg(aggExprs.head, aggExprs.tail: _*).head()
     }
     val total = row.getAs[Long]("__total")
+    val totalFor: String => Long =
+      if (!srcTagged) _ => total
+      else id => row.getAs[Long](s"${id}__tot")
 
     // -------- plan: decide every over-cap column's representation from
     // the pass-1 witnesses (driver-side, no jobs)
@@ -129,7 +149,7 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     }
     val counterIds = counterCols.map(_.id).toSet
     val plans = leaves.filterNot(l => counterIds(l.id))
-      .flatMap(l => planSummary(l, row, total, jsonDepth))
+      .flatMap(l => planSummary(l, row, totalFor(l.id), jsonDepth))
     // all-JSON columns will recurse instead; keep their fallback
     // plans out of the shared passes
     val active = plans.filterNot(_.deferred)
@@ -172,15 +192,48 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
         collectTopKSamples(df, active, summaryRow)
       }
 
+    // -------- pass 5: batched same-level nested content. All
+    // array/map LENGTH columns ride one shared counter-or-summary
+    // batch on this frame, and every scalar-element explode (array
+    // items, map keys, map values) folds into ONE tagged-explode
+    // frame analyzed by a single recursive level — so k sibling
+    // arrays cost the same jobs as one (previously k explode passes
+    // of 2-6 jobs each).
+    val nestedLeaves = collectNested(schema)
+    val nestedLengths =
+      if (nestedLeaves.isEmpty) Map.empty[String, Stats]
+      else described(df, s"graft: nested lengths batch " +
+        s"(${nestedLeaves.size} columns)") {
+        batchedLengthStats(df, nestedLeaves.map(l => l.id -> l.col))
+      }
+    val slots = nestedLeaves.flatMap { l =>
+      l.dataType match {
+        case ArrayType(et, _) if isScalarType(et) =>
+          Vector((l.id + SlotItems, l.col, et))
+        case MapType(kt, vt, _) =>
+          (if (isScalarType(kt))
+            Vector((l.id + SlotKeys, map_keys(l.col), kt))
+          else Vector.empty) ++
+          (if (isScalarType(vt))
+            Vector((l.id + SlotVals, map_values(l.col), vt))
+          else Vector.empty)
+        case _ => Vector.empty
+      }
+    }
+    val nestedItems = analyzeNestedBatch(df, slots, jsonDepth)
+
     // -------- assemble the record dict
     val ctx = LevelCtx(df, row, counters, lengthCounters,
       plans.map(p => p.leaf.id -> p).toMap, summaryRow,
-      valueSamples, lengthSamples, total, jsonDepth)
+      valueSamples, lengthSamples, total, totalFor, jsonDepth,
+      nestedLengths, nestedItems)
     described(df, "graft: assemble (nested levels / top-K)") {
-      val fields = schema.fields.toVector.sortBy(_.name).map { f =>
-        val t = analyzeField(ctx, Vector(f.name), f.dataType)
-        SDictField(SField(f.name, total, optional = false), t)
-      }
+      val fields = schema.fields.toVector
+        .filterNot(f => srcTagged && f.name == "__src")
+        .sortBy(_.name).map { f =>
+          val t = analyzeField(ctx, Vector(f.name), f.dataType)
+          SDictField(SField(f.name, total, optional = false), t)
+        }
       SDict(Stats.fromCounter(ValueCounter(Map(
         (schema.fields.length.toLong: Any) -> total))), fields)
     }
@@ -219,7 +272,19 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
                                     valueSamples: Map[String, ValueCounter],
                                     lengthSamples: Map[String, ValueCounter],
                                     total: Long,
-                                    jsonDepth: Int)
+                                    /** Per-leaf row total: the level
+                                      * total normally; the leaf's own
+                                      * slot count on the merged
+                                      * sibling-explode frame.
+                                      */
+                                    totalFor: String => Long,
+                                    jsonDepth: Int,
+                                    /** Pass-5 results: Stats for every
+                                      * array/map length column, SType
+                                      * for every scalar slot.
+                                      */
+                                    nestedLengths: Map[String, Stats],
+                                    nestedItems: Map[String, SType])
 
   /** An over-cap column's decided representation: which expression to
     * aggregate in the wide summary pass, the count its rank-aligned
@@ -265,6 +330,34 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     case _: ArrayType | _: MapType | _: StructType | BinaryType => false
     case _ => true
   }
+
+  /** Array/map columns at this level (descending struct fields), the
+    * inputs of the pass-5 nested batch.
+    */
+  private def collectNested(schema: StructType): Vector[Leaf] = {
+    def walk(prefix: Vector[String], dt: DataType): Vector[Leaf] =
+      dt match {
+        case s: StructType =>
+          s.fields.toVector.flatMap(f => walk(prefix :+ f.name,
+            f.dataType))
+        case a: ArrayType => Vector(Leaf(prefix, a))
+        case m: MapType => Vector(Leaf(prefix, m))
+        case _ => Vector.empty
+      }
+    schema.fields.toVector.flatMap(f => walk(Vector(f.name), f.dataType))
+  }
+
+  private def isScalarType(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case _ => true
+  }
+
+  /** Slot-key suffixes for the pass-5 merged explode (NUL-separated
+    * like leaf ids, so they can never collide with a field name).
+    */
+  private val SlotItems = "\u0000__items"
+  private val SlotKeys = "\u0000__keys"
+  private val SlotVals = "\u0000__vals"
 
   // ----------------------------------------------------- wide agg pass
 
@@ -427,42 +520,50 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       .filter(p => p.needLengths && !p.lengthsExact &&
         !srow.getAs[Boolean](s"${p.leaf.id}__sluniq"))
       .map(p => ("l" + p.leaf.id, length(p.leaf.col).cast(LongType)))
-    def job(pairs: Vector[(String, Column)])
-        : Map[String, ValueCounter] = {
-      if (pairs.isEmpty) return Map.empty
-      import org.apache.spark.sql.expressions.Window
-      val order = Seq(col("n").desc, col("v").asc_nulls_first)
-      val w1 = Window
-        .partitionBy(col("k"), pmod(hash(col("v")), lit(64)))
-        .orderBy(order: _*)
-      val w2 = Window.partitionBy(col("k")).orderBy(order: _*)
-      val rows = df
-        .select(explode(array(pairs.map { case (k, v) =>
-          struct(lit(k).as("k"), v.as("v")) }: _*)).as("e"))
-        .where(col("e.v").isNotNull)
-        .groupBy(col("e.k").as("k"), col("e.v").as("v"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("r1", row_number().over(w1))
-        .where(col("r1") <= sampleTopK)
-        .withColumn("r", row_number().over(w2))
-        .where(col("r") <= sampleTopK)
-        .collect()
-      rows.groupBy(_.getAs[String]("k")).map { case (k, rs) =>
-        k -> ValueCounter(rs.map(r =>
-          (normalize(r.get(1)): Any) -> r.getAs[Long]("n")).toMap)
-      }
-    }
     // struct arrays must be type-homogeneous: one job per resolved
     // value type (long/double/string — the plan value space)
     val all = (valuePairs ++ lengthPairs)
       .groupBy { case (_, v) => df.select(v).schema.head.dataType }
       .values.toVector
-      .map(job)
+      .map(pairs => batchedTopK(df, pairs))
       .fold(Map.empty[String, ValueCounter])(_ ++ _)
     (all.collect { case (k, vc) if k.startsWith("v") =>
         k.substring(1) -> vc },
       all.collect { case (k, vc) if k.startsWith("l") =>
         k.substring(1) -> vc })
+  }
+
+  /** ONE bounded top-K job for a batch of same-typed (key, value)
+    * columns: explode-struct groupBy, then a two-stage window (a
+    * salted pre-rank bounds any single reducer task, the final
+    * per-key rank sorts at most 64·K rows per column). Callers must
+    * pass type-homogeneous pairs (struct arrays demand it).
+    */
+  private def batchedTopK(df: DataFrame,
+                          pairs: Vector[(String, Column)])
+      : Map[String, ValueCounter] = {
+    if (pairs.isEmpty) return Map.empty
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("n").desc, col("v").asc_nulls_first)
+    val w1 = Window
+      .partitionBy(col("k"), pmod(hash(col("v")), lit(64)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("k")).orderBy(order: _*)
+    val rows = df
+      .select(explode(array(pairs.map { case (k, v) =>
+        struct(lit(k).as("k"), v.as("v")) }: _*)).as("e"))
+      .where(col("e.v").isNotNull)
+      .groupBy(col("e.k").as("k"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r1", row_number().over(w1))
+      .where(col("r1") <= sampleTopK)
+      .withColumn("r", row_number().over(w2))
+      .where(col("r") <= sampleTopK)
+      .collect()
+    rows.groupBy(_.getAs[String]("k")).map { case (k, rs) =>
+      k -> ValueCounter(rs.map(r =>
+        (normalize(r.get(1)): Any) -> r.getAs[Long]("n")).toMap)
+    }
   }
 
   // --------------------------------------------------- summary planning
@@ -779,22 +880,32 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
       SDict(Stats.fromCounter(ValueCounter(Map(
         (s.fields.length.toLong: Any) -> cnt))), fields)
     case ArrayType(et, _) =>
-      // one extra projection job per array level (explode); Catalyst
-      // prunes the scan to this column only
-      val c = Leaf(path, dt).col
-      val lengthsDf = ctx.df.select(size(c).as("n")).where(col("n") >= 0)
-      val lengths = counterOrSummary(lengthsDf, "n")
-      val items = ctx.df.select(explode(c).as("item"))
-      val itemType = analyzeNested(items, et, ctx.jsonDepth)
+      // lengths + scalar items come from the pass-5 level batches;
+      // only struct/nested elements still explode per column (they
+      // recurse into full sub-levels of their own)
+      val leaf = Leaf(path, dt)
+      val lengths = ctx.nestedLengths(leaf.id)
+      val itemType = ctx.nestedItems.get(leaf.id + SlotItems) match {
+        case Some(t) => t
+        case None =>
+          val items = ctx.df.select(explode(leaf.col).as("item"))
+          analyzeNested(items, et, ctx.jsonDepth)
+      }
       SList(lengths, itemType)
     case MapType(kt, vt, _) =>
-      val c = Leaf(path, dt).col
-      val lengthsDf = ctx.df.select(size(c).as("n")).where(col("n") >= 0)
-      val lengths = counterOrSummary(lengthsDf, "n")
-      val keys = analyzeNested(ctx.df.select(explode(map_keys(c))
-        .as("item")), kt, ctx.jsonDepth)
-      val values = analyzeNested(ctx.df.select(explode(map_values(c))
-        .as("item")), vt, ctx.jsonDepth)
+      val leaf = Leaf(path, dt)
+      val c = leaf.col
+      val lengths = ctx.nestedLengths(leaf.id)
+      val keys = ctx.nestedItems.get(leaf.id + SlotKeys) match {
+        case Some(t) => t
+        case None => analyzeNested(ctx.df.select(explode(map_keys(c))
+          .as("item")), kt, ctx.jsonDepth)
+      }
+      val values = ctx.nestedItems.get(leaf.id + SlotVals) match {
+        case Some(t) => t
+        case None => analyzeNested(ctx.df.select(explode(map_values(c))
+          .as("item")), vt, ctx.jsonDepth)
+      }
       SDict(lengths, Vector(SDictField(keys, values)))
     case other =>
       assembleScalar(ctx, Leaf(path, other))
@@ -830,51 +941,134 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     }
   }
 
-  /** Exact counter when cheap, else percentile-backed summary (used by
-    * the array/map length paths, which aggregate their own exploded
-    * frames).
+  /** Pass 5a: ONE tagged-explode frame for every scalar slot at a
+    * level (array items, map keys, map values). Each source array
+    * contributes structs carrying a `__src` tag and its value in its
+    * own slot field (null elsewhere); a single `explode(concat(...))`
+    * generator unions them, and ONE recursive [[analyzeLevel]] in
+    * `srcTagged` mode analyzes every slot through the same O(1)
+    * batched passes — where k sibling arrays previously cost k
+    * separate explode levels. Aggregates skip the cross-slot nulls,
+    * and the per-slot totals from pass 1 keep null-fraction decisions
+    * identical to the per-column explode they replace.
     */
-  private def counterOrSummary(df: DataFrame, colName: String): Stats = {
-    val c = col(colName)
-    val r = df.agg(count(c).as("cnt"),
-      approx_count_distinct(c).as("adist")).head()
-    val cnt = r.getAs[Long]("cnt")
-    if (cnt == 0) return Stats.fromCounter(
-      ValueCounter(Map((0L: Any) -> 1L)))
-    if (r.getAs[Long]("adist") <= exactDistinctCap) {
-      val rows = df.groupBy(c).agg(count(lit(1)).as("n")).collect()
-      Stats.fromCounter(ValueCounter(rows.map(row =>
-        (normalize(row.get(0)): Any) -> row.getAs[Long]("n")).toMap))
-    } else summaryStats(df, c, cnt)
+  private def analyzeNestedBatch(df: DataFrame,
+      slots: Vector[(String, Column, DataType)],
+      jsonDepth: Int): Map[String, SType] = {
+    if (slots.isEmpty) return Map.empty
+    val names = slots.indices.map(i => s"__s$i")
+    val structT = StructType(
+      StructField("__src", StringType, nullable = false) +:
+        slots.zip(names).map { case ((_, _, et), nm) =>
+          StructField(nm, et, nullable = true) })
+    val arrT = ArrayType(structT)
+    val tagged = slots.zipWithIndex.map { case ((_, arr, _), i) =>
+      // null source arrays must not null the whole concat
+      coalesce(transform(arr, x => struct(
+        lit(names(i)).as("__src") +: slots.indices.map { j =>
+          (if (j == i) x
+           else lit(null).cast(slots(j)._3)).as(names(j))
+        }: _*)), array().cast(arrT))
+    }
+    val merged = df
+      .select(explode(
+        if (tagged.size == 1) tagged.head
+        else concat(tagged: _*)).as("__e"))
+      .select(col("__e.__src").as("__src") +:
+        names.map(nm => col(s"__e.$nm").as(nm)): _*)
+    val dict = analyzeLevel(merged, jsonDepth, srcTagged = true)
+    val byName: Map[String, SType] = dict match {
+      case d: SDict => d.content.map(f =>
+        f.key.asInstanceOf[SField].value.toString -> f.value).toMap
+      case _ => Map.empty
+    }
+    slots.zipWithIndex.map { case ((key, _, _), i) =>
+      key -> byName.getOrElse(names(i), SValue(Vector.empty))
+    }.toMap
   }
 
-  /** Exact positional quartiles for over-cap numeric columns (see
-    * [[quartileExpr]]). Non-numeric (string) columns get min/max only,
-    * quartiles pinned to min.
+  /** Pass 5b: length Stats for every array/map column at a level in
+    * a FIXED number of jobs (previously 2-3 jobs per column via a
+    * per-column counter-or-summary): one wide count/distinct/min/max
+    * agg, one explode-struct counter job for the under-cap columns,
+    * one wide quartile agg for the over-cap ones (exact-percentile
+    * buffers share the executor cap across columns, like pass 3),
+    * plus the shared bounded top-K job when samples are on.
     */
-  private def summaryStats(df: DataFrame, c: Column, n: Long): Stats = {
-    val numeric = df.select(c).schema.head.dataType
-      .isInstanceOf[NumericType]
-    if (!numeric) {
-      val r = df.agg(min(c).as("mn"), max(c).as("mx"),
-        count(c).as("cnt"),
-        (approx_count_distinct(c) >= (count(c) * 98 / 100))
-          .as("uniq")).head()
-      val mn = normalize(r.get(0))
-      return withTopK(df, c, Stats.summary(r.getAs[Long]("cnt"), mn,
-        mn, mn, mn, normalize(r.get(1)),
-        unique = r.getAs[Boolean]("uniq")))
-    }
-    val r = df.agg(
-      min(c).as("mn"), max(c).as("mx"),
-      quartileExpr(c, n).as("qs"),
-      count(c).as("cnt"),
-      (approx_count_distinct(c) >= (count(c) * 98 / 100))
-        .as("uniq")).head()
-    val qs = r.getSeq[Double](2)
-    withTopK(df, c, Stats.summary(r.getAs[Long]("cnt"),
-      normalize(r.get(0)), qs(0), qs(1), qs(2), normalize(r.get(1)),
-      unique = r.getAs[Boolean]("uniq")))
+  private def batchedLengthStats(df: DataFrame,
+      cols: Vector[(String, Column)]): Map[String, Stats] = {
+    if (cols.isEmpty) return Map.empty
+    val names = cols.indices.map(i => s"__n$i").toVector
+    val frame = df.select(cols.zip(names).map { case ((_, c), nm) =>
+      size(c).cast(LongType).as(nm) }: _*)
+    val aggs = names.flatMap(nm => Seq(
+      count(col(nm)).as(s"${nm}_cnt"),
+      approx_count_distinct(col(nm)).as(s"${nm}_adist"),
+      min(col(nm)).as(s"${nm}_min"),
+      max(col(nm)).as(s"${nm}_max")))
+    val row = frame.agg(aggs.head, aggs.tail: _*).head()
+    def cnt(nm: String) = row.getAs[Long](s"${nm}_cnt")
+    def adist(nm: String) = row.getAs[Long](s"${nm}_adist")
+
+    val under = names.filter(nm =>
+      cnt(nm) > 0 && adist(nm) <= exactDistinctCap)
+    val counters: Map[String, ValueCounter] =
+      if (under.isEmpty) Map.empty
+      else frame
+        .select(explode(array(under.map(nm =>
+          struct(lit(nm).as("k"), col(nm).as("v"))): _*)).as("e"))
+        .where(col("e.v").isNotNull)
+        .groupBy(col("e.k").as("k"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getAs[String]("k")).map { case (k, rs) =>
+          k -> ValueCounter(rs.map(r =>
+            (normalize(r.get(1)): Any) -> r.getAs[Long]("c")).toMap)
+        }
+
+    val over = names.filter(nm =>
+      cnt(nm) > 0 && adist(nm) > exactDistinctCap)
+    val overRow: Row =
+      if (over.isEmpty) null
+      else {
+        val oAggs = over.flatMap(nm => Seq(
+          quartileExpr(col(nm), cnt(nm), pctConsumers = over.size)
+            .as(s"${nm}_qs"),
+          (approx_count_distinct(col(nm)) >=
+            (count(col(nm)) * 98 / 100)).as(s"${nm}_uniq")))
+        frame.agg(oAggs.head, oAggs.tail: _*).head()
+      }
+    val nonUnique = over.filter(nm =>
+      !overRow.getAs[Boolean](s"${nm}_uniq"))
+    val samples: Map[String, ValueCounter] =
+      if (sampleTopK <= 0 || nonUnique.isEmpty) Map.empty
+      else batchedTopK(frame,
+        nonUnique.map(nm => nm -> col(nm)).toVector)
+
+    cols.zip(names).map { case ((id, _), nm) =>
+      val stats =
+        if (cnt(nm) == 0)
+          Stats.fromCounter(ValueCounter(Map((0L: Any) -> 1L)))
+        else if (under.contains(nm))
+          Stats.fromCounter(counters.getOrElse(nm, ValueCounter(
+            Map((0L: Any) -> 1L))))
+        else {
+          val mn = normalize(row.get(row.fieldIndex(s"${nm}_min")))
+          val mx = normalize(row.get(row.fieldIndex(s"${nm}_max")))
+          val qs = overRow.getSeq[Double](
+            overRow.fieldIndex(s"${nm}_qs"))
+          val uniq = overRow.getAs[Boolean](s"${nm}_uniq")
+          val s0 = Stats.summary(cnt(nm), mn, qs(0), qs(1), qs(2),
+            mx, uniq)
+          samples.get(nm) match {
+            case Some(counter) if !counter.isEmpty =>
+              Stats.summaryWithSample(s0.card, s0.min, s0.q1, s0.q2,
+                s0.q3, s0.max, s0.unique, counter)
+            case _ => s0
+          }
+        }
+      id -> stats
+    }.toMap
   }
 
   /** Attach the bounded top-K most-common sketch to a summary Stats:
@@ -937,9 +1131,10 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     val id = leaf.id
     val row = ctx.row
     val cnt = row.getAs[Long](s"${id}__cnt")
-    val nulls = ctx.total - cnt
+    val total = ctx.totalFor(id)
+    val nulls = total - cnt
     if (cnt == 0) return SValue(Vector.empty)
-    if (ctx.total > 0 && nulls.toDouble / ctx.total > config.nullThreshold)
+    if (total > 0 && nulls.toDouble / total > config.nullThreshold)
       return SValue(Vector.empty)
 
     // Spark-first extension beyond the reference: a string column

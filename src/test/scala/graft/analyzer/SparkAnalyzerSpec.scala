@@ -204,6 +204,73 @@ class SparkAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sample jobs grew with column count: $j6s -> $j18s")
   }
 
+  test("sibling arrays/maps batch: jobs(k) == jobs(1) per level") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // k sibling scalar arrays + their lengths previously cost k
+    // explode levels of 2-6 jobs each; the pass-5 batches pin the
+    // level's job count constant in k
+    def jobsFor(numArrays: Int): Int = {
+      val base = (0 until 200).toDF("i")
+      val cols = base.col("i").cast("long").as("id") +:
+        (0 until numArrays).map(k => array(
+          concat(lit(s"a${k}_"), (base.col("i") % 7).cast("string")),
+          concat(lit(s"b${k}_"), (base.col("i") % 5).cast("string"))
+        ).as(s"xs$k"))
+      val df = base.select(cols: _*)
+      val group = s"graft-nested-jobcount-$numArrays"
+      s.sparkContext.setJobGroup(group, "nested job count test")
+      try new SparkAnalyzer().analyzeTable(df)
+      finally s.sparkContext.clearJobGroup()
+      def count() =
+        s.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = count()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = count(); spins += 1
+      }
+      cur
+    }
+    val j1 = jobsFor(1)
+    val j6 = jobsFor(6)
+    assert(j1 > 0)
+    assert(j6 == j1, s"jobs grew with sibling array count: $j1 -> $j6")
+  }
+
+  test("distributed and in-memory analyzers agree on sibling " +
+      "arrays and maps") {
+    val s = spark
+    import s.implicits._
+    val n = 60
+    // variable lengths: same-length rows would read as TUPLES in the
+    // in-memory analyzer (per-position types), a different shape
+    def ints(i: Int) = (0 to i % 3).map(j => (i + j).toLong)
+    def strs(i: Int) = (0 to (i + 1) % 2).map(j => s"cat${(i + j) % 5}")
+    val df = (0 until n).map { i =>
+      (i.toLong, ints(i), strs(i),
+       Map(s"k${i % 3}" -> (i % 10).toLong))   // map str -> int
+    }.toDF("id", "xs", "ys", "m")
+    val sparkTypes = columnTypes(new SparkAnalyzer().analyzeTable(df))
+    val rows: Vector[Any] = (0 until n).toVector.map { i =>
+      Map[Any, Any]("id" -> i.toLong,
+        "xs" -> ints(i).toVector, "ys" -> strs(i).toVector)
+    }
+    val treeTypes = columnTypes(new TreeAnalyzer().analyze(rows))
+    // arrays must agree exactly with the in-memory reference path
+    Seq("id", "xs", "ys").foreach { name =>
+      assert(treeTypes(name) == sparkTypes(name),
+        s"column $name: tree=${treeTypes(name)} " +
+          s"spark=${sparkTypes(name)}")
+    }
+    // the MapType column keeps the schema-driven key→value form (the
+    // in-memory analyzer sees dynamic dicts and splits per key — a
+    // different input shape, not comparable here)
+    assert(sparkTypes("m").contains("str pattern=k"), sparkTypes("m"))
+    assert(sparkTypes("m").contains("int range=0..9"), sparkTypes("m"))
+  }
+
   test("null-heavy column discounts nulls like the reference") {
     val s = spark
     import s.implicits._

@@ -283,6 +283,78 @@ object Similarity {
       .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  /** Deterministic spherical k-means — the self-contained IVF index
+    * build: learns a (id, label) partition assignment so [[ivfTopK]]
+    * / [[ivfTopKBatch]] need no pre-existing label column.
+    *
+    * Engine-portable by construction (an unrolled DuckDB oracle
+    * reproduces it bit-for-bit):
+    *  - seeds = the `k` hash-smallest ids (md5, the [[graft.operators.Sampling.hash32]]
+    *    idiom), labeled 0..k-1 in hash order — no RNG anywhere;
+    *  - assignment maximizes cosine(v, centroid). Cosine needs NO
+    *    division by member count (cos(v, Σw/n) ≡ cos(v, Σw)), so
+    *    centroids stay EXACT quantized integer component sums; the
+    *    score converts to double only for ranking, ties broken by
+    *    label — the [[ivfTopK]] probe pattern that already
+    *    hash-matches DuckDB;
+    *  - Lloyd iterations are fixed-count (no data-dependent stop, so
+    *    the unrolled oracle stays in lockstep).
+    *
+    * Scale shape: per iteration, ONE corpus-component scan joined to
+    * the BROADCAST centroid table (k·dims slim rows), partial-agg
+    * reduced to n·k (id, label) score rows, then a per-id window
+    * argmax; new centroid sums aggregate map-side on (label, dim).
+    * O(n·k·d) arithmetic per round — the standard Lloyd cost — with
+    * nothing corpus-sized ever collected or broadcast. Labels
+    * checkpoint each round (slim n-row frame) so lineage stays flat.
+    * A cluster that loses every member vanishes (standard Lloyd
+    * degeneracy; harmless for IVF bucketing).
+    */
+  def kmeansLabels(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k/$iters")
+    import org.apache.spark.sql.expressions.Window
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val comps = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), quant(col("x")).as("qx"))
+    val hashOrder = Seq(Sampling.hash32(col("id")).asc,
+      col("id").asc_nulls_first)
+    val seeds = df
+      .select(col(idCol).as("id"))
+      .orderBy(hashOrder: _*)
+      .limit(k)
+      .select(col("id"), (row_number().over(
+        Window.orderBy(hashOrder: _*)) - 1).cast("long").as("label"))
+    var labels = seeds.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // exact integer centroid sums for the current assignment
+      val centroids = comps.join(labels, Seq("id"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qx")).as("s"))
+      val norms = centroids.groupBy(col("label"))
+        .agg(sum(col("s").cast("decimal(38,0)") * col("s"))
+          .as("s2"))
+      val wid = Window.partitionBy(col("id"))
+        .orderBy(col("__sc").desc, col("label").asc_nulls_first)
+      labels = comps
+        .join(broadcast(centroids), Seq("dim"))
+        .groupBy(col("id"), col("label"))
+        .agg(sum(col("qx").cast("decimal(38,0)") * col("s"))
+          .as("dot"))
+        .join(broadcast(norms), Seq("label"))
+        .select(col("id"), col("label"),
+          (col("dot").cast("double") /
+            sqrt(col("s2").cast("double"))).as("__sc"))
+        .withColumn("__rn", row_number().over(wid))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates filtered
     * by cosine ≥ threshold. The bucket equi-join bounds the pair
     * space; the bucket count scales with n ([[bitsForCount]]), and

@@ -284,6 +284,18 @@ object PipelineQueries {
         k = 5, nprobe = 2)
     }),
 
+    // self-contained IVF index build: deterministic spherical
+    // k-means (hash-smallest seeds, exact integer centroid sums,
+    // cosine assignment — no RNG, no division), 2 fixed Lloyd
+    // rounds; per-learned-label membership summary
+    "q48_kmeans" -> ((s, d) =>
+      Similarity.kmeansLabels(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 4, iters = 2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("id")).as("min_vec_id"))
+        .orderBy(col("label").asc_nulls_first)),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -741,6 +753,46 @@ object PipelineQueries {
        "CAST(SUM(ntok) AS BIGINT) AS sum_tokens FROM c " +
        "GROUP BY shard, bin ORDER BY shard NULLS FIRST, " +
        "bin NULLS FIRST"),
+    "q48_kmeans" ->
+      // the 2 fixed Lloyd rounds unrolled: seeds = 4 hash-smallest
+      // ids; centroids = exact quantized integer component sums;
+      // assignment = max cosine(v, centroid sums) with double only
+      // for ranking, label tie-break — in lockstep with kmeansLabels
+      ("WITH hv AS (SELECT vec_id, CAST('0x' || " +
+       "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+       "FROM embeddings), " +
+       "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY " +
+       "h, vec_id) - 1 AS BIGINT) AS label FROM hv ORDER BY h, " +
+       "vec_id LIMIT 4), " +
+       "qc AS (SELECT vec_id, i AS dim, CAST(round(CAST(x AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) AS qx FROM (SELECT " +
+       "vec_id, generate_subscripts(embedding, 1) AS i, " +
+       "unnest(embedding) AS x FROM embeddings)), " +
+       "c0 AS (SELECT s.label, qc.dim, CAST(SUM(qx) AS BIGINT) AS " +
+       "cs FROM qc JOIN seeds s USING (vec_id) GROUP BY 1, 2), " +
+       "n0 AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+       "FROM c0 GROUP BY 1), " +
+       "sc1 AS (SELECT qc.vec_id, c0.label, SUM(CAST(qx AS " +
+       "HUGEINT) * cs) AS dot FROM qc JOIN c0 ON qc.dim = c0.dim " +
+       "GROUP BY 1, 2), " +
+       "a1 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
+       "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
+       "FROM sc1 JOIN n0 USING (label)) WHERE rn = 1), " +
+       "c1 AS (SELECT a1.label, qc.dim, CAST(SUM(qx) AS BIGINT) AS " +
+       "cs FROM qc JOIN a1 USING (vec_id) GROUP BY 1, 2), " +
+       "n1 AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+       "FROM c1 GROUP BY 1), " +
+       "sc2 AS (SELECT qc.vec_id, c1.label, SUM(CAST(qx AS " +
+       "HUGEINT) * cs) AS dot FROM qc JOIN c1 ON qc.dim = c1.dim " +
+       "GROUP BY 1, 2), " +
+       "a2 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
+       "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
+       "FROM sc2 JOIN n1 USING (label)) WHERE rn = 1) " +
+       "SELECT label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
+       "min_vec_id FROM a2 GROUP BY label ORDER BY label " +
+       "NULLS FIRST"),
     "q45_ivf_batch" ->
       ("WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM " +
        "embeddings WHERE vec_id < 3), " +

@@ -628,6 +628,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(narrow == brute.filter(p => p._1 <= 2L), narrow)
   }
 
+  test("kmeans labels: separates clusters, deterministic, and " +
+      "feeds full-probe IVF == brute force") {
+    val s = spark
+    import s.implicits._
+    // two well-separated directions; no label column anywhere
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.95f, 0.0f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.05f, 0.0f)),
+      (4L, Array(0.1f, 0.97f, 0.0f, 0.0f)),
+      (5L, Array(0.05f, 0.96f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val labels = Similarity.kmeansLabels(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val m = labels.collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 6, m)
+    // members of each direction share a label; directions differ
+    assert(m(0L) == m(1L) && m(1L) == m(2L), m)
+    assert(m(3L) == m(4L) && m(4L) == m(5L), m)
+    assert(m(0L) != m(3L), m)
+    // deterministic under repartitioning
+    val again = Similarity.kmeansLabels(vecs.repartition(5),
+        "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == m)
+    // the learned index serves IVF: probing every learned cluster
+    // reproduces brute force exactly, no fixture label needed
+    val indexed = vecs.join(labels.withColumnRenamed("id", "vec_id"),
+      Seq("vec_id"))
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      0L, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+        "label", 0L, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == brute, s"\nivf=$full\nbrute=$brute")
+  }
+
   test("multimodal: payload + metadata + frames + stub features") {
     val df = docs(1L -> ("x" * 300))
     val media = Multimodal.asMedia(df, col("text"), "text/plain")

@@ -59,6 +59,26 @@ object TextFunctions {
       .cast("decimal(18,6)")
   }
 
+  /** PII-pattern occurrence counts — the scan a corpus runs before
+    * release (emails, IPv4 literals, phone-shaped digit runs,
+    * SSN-shaped triples). Non-overlapping match counts via
+    * `regexp_count`; the character classes are shared Java-regex /
+    * RE2 syntax so DuckDB's `regexp_extract_all` counts identically.
+    * Detection only — redaction composes as a `regexp_replace` over
+    * the same patterns.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "phones" -> "\\+?[0-9][0-9 -]{7,}[0-9]",
+    "ssns" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Struct of per-pattern PII counts for one document. */
+  def piiStats(text: Column): Column =
+    struct(PiiPatterns.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
+    }: _*)
+
   /** Marker-word language guess (n-gram heuristic, LIKE-based so the
     * DuckDB oracle is byte-identical). Ordered first-match ladder.
     */

@@ -284,6 +284,42 @@ object PipelineQueries {
         k = 5, nprobe = 2)
     }),
 
+    // corpus-typicality quality score, the LM-free perplexity proxy:
+    // a document built from corpus-common tokens scores high, a
+    // rare-token outlier low. Exact integers throughout — per
+    // (source, token) counts, global token mass via a window over
+    // the vocab-sized aggregate (no corpus re-scan, no join), then
+    // Σ c·global per source.
+    "q49_typicality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, d, "documents").select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      val st = tok.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      st.withColumn("gc",
+          sum(col("c")).over(Window.partitionBy(col("t"))))
+        .groupBy(col("source"))
+        .agg(sum(col("c") * col("gc")).cast("long").as("typicality"),
+          sum(col("c")).cast("long").as("n_tokens"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
+    // PII release scan: per-source counts of email / IPv4 / phone /
+    // SSN-shaped matches (a pure projection + aggregation — one
+    // corpus scan, map-side partials). The synthetic corpus is
+    // PII-free, so the oracle pins the zero counts; the pattern
+    // correctness is pinned by unit fixtures with real-shaped PII.
+    "q50_pii_scan" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          TextFunctions.piiStats(col("text")).as("p"))
+        .groupBy(col("source"))
+        .agg(sum(col("p.n_emails")).cast("long").as("n_emails"),
+          sum(col("p.n_ipv4")).cast("long").as("n_ipv4"),
+          sum(col("p.n_phones")).cast("long").as("n_phones"),
+          sum(col("p.n_ssns")).cast("long").as("n_ssns"))
+        .orderBy(col("source").asc_nulls_first)),
+
     // self-contained IVF index build: deterministic spherical
     // k-means (hash-smallest seeds, exact integer centroid sums,
     // cosine assignment — no RNG, no division), 2 fixed Lloyd
@@ -753,6 +789,29 @@ object PipelineQueries {
        "CAST(SUM(ntok) AS BIGINT) AS sum_tokens FROM c " +
        "GROUP BY shard, bin ORDER BY shard NULLS FIRST, " +
        "bin NULLS FIRST"),
+    "q49_typicality" ->
+      ("WITH tok AS (SELECT source, unnest(regexp_split_to_array(" +
+       "trim(text), '\\s+')) AS t FROM documents), " +
+       "st AS (SELECT source, t, COUNT(*) AS c FROM tok " +
+       "GROUP BY 1, 2), " +
+       "g AS (SELECT source, c, SUM(c) OVER (PARTITION BY t) AS gc " +
+       "FROM st) " +
+       "SELECT source, CAST(SUM(c * gc) AS BIGINT) AS typicality, " +
+       "CAST(SUM(c) AS BIGINT) AS n_tokens FROM g GROUP BY source " +
+       "ORDER BY source NULLS FIRST"),
+    "q50_pii_scan" ->
+      ("SELECT source, " +
+       "CAST(SUM(len(regexp_extract_all(text, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS " +
+       "BIGINT) AS n_emails, " +
+       "CAST(SUM(len(regexp_extract_all(text, " +
+       "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))) AS " +
+       "BIGINT) AS n_ipv4, " +
+       "CAST(SUM(len(regexp_extract_all(text, " +
+       "'\\+?[0-9][0-9 -]{7,}[0-9]'))) AS BIGINT) AS n_phones, " +
+       "CAST(SUM(len(regexp_extract_all(text, " +
+       "'[0-9]{3}-[0-9]{2}-[0-9]{4}'))) AS BIGINT) AS n_ssns " +
+       "FROM documents GROUP BY source ORDER BY source NULLS FIRST"),
     "q48_kmeans" ->
       // the 2 fixed Lloyd rounds unrolled: seeds = 4 hash-smallest
       // ids; centroids = exact quantized integer component sums;

@@ -719,6 +719,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("sw") == 2) // "the" (second) + "and"; "The" cap
     assert(r.getAs[java.math.BigDecimal]("q").doubleValue >= 0.0)
   }
+
+  test("pii stats: counts real-shaped matches, zero on clean text") {
+    val pii = "mail a@b.com and c.d@e.org, host 10.0.0.1, " +
+      "call +1 555 123 4567, ssn 123-45-6789"
+    val df = docs(1L -> pii, 2L -> "clean text with no sensitive data")
+    val rows = df.select(col("doc_id"),
+        graft.functions.TextFunctions.piiStats(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_emails"), col("p.n_ipv4"),
+        col("p.n_phones"), col("p.n_ssns"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // note the SSN also matches the loose phone shape — detection
+    // counters are independent, not exclusive
+    assert(rows(1L) == ((2L, 1L, 2L, 1L)), rows(1L))
+    assert(rows(2L) == ((0L, 0L, 0L, 0L)), rows(2L))
+  }
 }
 
 /** Custom Catalyst TypedImperativeAggregate spec. */

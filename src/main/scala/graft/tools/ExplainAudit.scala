@@ -67,7 +67,16 @@ object ExplainAudit {
         "IVF probe list broadcast into a semi-join; exact re-rank " +
           "bounded by TakeOrdered",
         Seq("LeftSemi", "BroadcastExchange", "TakeOrderedAndProject",
-          "dot_q")))
+          "dot_q")),
+      ("q49_typicality",
+        "typicality: global token mass as a window over the " +
+          "vocab-sized aggregate (partial agg first, no corpus " +
+          "re-scan or self-join)",
+        Seq("HashAggregate", "Window")),
+      ("q50_pii_scan",
+        "PII scan: pure codegen'd projection + partial aggregation " +
+          "(one corpus pass)",
+        Seq("WholeStageCodegen", "HashAggregate", "regexp_count")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>
@@ -152,7 +161,8 @@ object ExplainAudit {
     // explicit bucket repartition is shared via ReuseExchange by
     // every downstream consumer. (The previous shape burned one full
     // corpus scan just to size the bucket space.)
-    Seq("q29_lsh_buckets", "q30_cosine_near_dups").foreach { name =>
+    Seq("q29_lsh_buckets", "q30_cosine_near_dups",
+        "q49_typicality", "q50_pii_scan").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val tree = df.queryExecution.executedPlan.treeString

@@ -309,6 +309,13 @@ object Similarity {
     * checkpoint each round (slim n-row frame) so lineage stays flat.
     * A cluster that loses every member vanishes (standard Lloyd
     * degeneracy; harmless for IVF bucketing).
+    *
+    * The broadcast centroid table is k·dims rows (~16 bytes each):
+    * IVF-typical k ≈ √n with d ≤ 4096 stays well inside broadcast
+    * budgets (k=65536·d=1024 ≈ 1 GB is the practical ceiling). For
+    * larger index fan-outs build hierarchically — a coarse k here,
+    * then one refinement per coarse cell over its members — which
+    * also cuts the Lloyd cost from n·k to n·(k₁+k/k₁).
     */
   def kmeansLabels(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 2): DataFrame = {

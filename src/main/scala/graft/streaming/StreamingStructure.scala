@@ -67,6 +67,29 @@ object StreamingStructure {
       .outputMode("append")
       .start()
 
+  /** Streaming exact deduplication — the ingest-side twin of
+    * [[graft.operators.Dedup.exactDupStats]]: keep the FIRST arrival
+    * of each canonical text fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]] — md5 of the
+    * lowercased, whitespace-collapsed form, the same digest the batch
+    * dedup and the DuckDB oracle use) and drop later copies.
+    *
+    * State is bounded by the watermark: `dropDuplicatesWithinWatermark`
+    * keeps a fingerprint only until the event-time watermark passes
+    * it, so a corpus-sized ingest never accumulates corpus-sized
+    * state — duplicates arriving within the watermark horizon (the
+    * crawler-recrawl / mirror-burst case) dedup exactly, older
+    * re-arrivals are the batch pipeline's job
+    * ([[graft.operators.Dedup.deduplicate]] downstream).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("__fp",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Running per-key state: count/nulls/min/max plus the bounded
     * value counter backing exact positional quartiles (the same
     * monoid as batch Stats); `over` latches once `cap` distinct

@@ -50,6 +50,34 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming dedup: first arrival kept, in-watermark copies " +
+      "dropped, fingerprint-canonical") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF.toDF("ts", "doc_id", "text")
+    val query = StreamingStructure
+      .dedupStream(df, "ts", "text", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+      val t1 = Timestamp.valueOf("2026-01-01 00:01:00")
+      input.addData(
+        (t0, 1L, "The quick brown fox"),
+        (t1, 2L, "the  quick   BROWN fox"), // same canonical form
+        (t1, 3L, "an entirely different document"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      // doc 2 is a canonical duplicate of doc 1 within the watermark
+      assert(ids.sameElements(Array(1L, 3L)), ids.toSeq)
+      // the fingerprint working column does not leak into the output
+      assert(!spark.table("dedup").columns.contains("__fp"))
+    } finally query.stop()
+  }
+
   test("parquet sink: finalized windows land exactly once, " +
       "batch-readable") {
     val s = spark

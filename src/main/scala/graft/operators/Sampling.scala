@@ -48,6 +48,81 @@ object Sampling {
     df.where(pmod(hash32(key), lit(of.toLong)) === bucket.toLong)
   }
 
+  /** Keep at most `quota` rows per group, chosen deterministically:
+    * the quota hash-smallest keys (ties broken by the key itself), so
+    * every run, engine, and partitioning selects the same rows — the
+    * per-domain cap step of corpus curation ("at most N documents per
+    * source") with ablation-stable membership.
+    *
+    * Scale shape — the naive form is `row_number() OVER (PARTITION BY
+    * group ORDER BY hash)` then `rn <= quota`, which sorts EVERY group
+    * in full; one web-scale domain means one task sorting billions of
+    * rows. Instead:
+    *
+    *   1. per-group counts (map-side partial agg; output is
+    *      #groups rows, tiny);
+    *   2. a per-group hash cutoff from the uniformity of `hash32`:
+    *      keeping `h < ceil(2^32·target/cnt)` with
+    *      `target = quota + 8·sqrt(quota) + 32` leaves ~target
+    *      expected survivors, and the +8σ margin makes fewer-than-
+    *      quota survivors vanishingly unlikely;
+    *   3. one verification action: per-group survivor counts vs
+    *      `min(quota, cnt)` — on the (never-observed) shortfall the
+    *      margin widens 8× and re-verifies, degrading to "keep all"
+    *      (the exact naive form) after three attempts;
+    *   4. the row_number window runs only over survivors — every
+    *      group's window input is ~target rows regardless of corpus
+    *      size.
+    *
+    * Correctness is exact, not approximate: survivors are a down-set
+    * in hash order (strict `<`, so hash-ties never split), hence the
+    * global quota-smallest rows per group are all survivors once the
+    * verified count reaches `min(quota, cnt)`. Three column-pruned
+    * corpus scans (counts, verify, final) replace the giant-group
+    * sort; the cutoff join broadcasts #groups rows.
+    */
+  def quotaSample(df: DataFrame, group: Column, key: Column,
+                  quota: Int): DataFrame = {
+    require(quota >= 0, s"quota must be non-negative: $quota")
+    if (quota == 0) return df.limit(0)
+    import org.apache.spark.sql.expressions.Window
+    val full = 4294967296L // 2^32: above every hash32 value
+    val tagged = df.withColumn("__h", hash32(key))
+      .withColumn("__g", group)
+    val cnts = tagged.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+    val target = quota.toDouble + 8.0 * math.sqrt(quota.toDouble) + 32.0
+
+    def survivors(widen: Double): DataFrame = {
+      val cutoffs = cnts.select(col("__g").as("__g2"),
+        when(col("__cnt") <= quota || lit(widen) >= lit(512.0), lit(full))
+          .otherwise(least(lit(full),
+            ceil(lit(target * widen) / col("__cnt") * lit(full.toDouble))
+              .cast("long"))).as("__cutoff"))
+      tagged.join(broadcast(cutoffs), col("__g") <=> col("__g2"))
+        .where(col("__h") < col("__cutoff"))
+        .drop("__g2", "__cutoff")
+    }
+
+    // widen 1 -> 8 -> 64 -> 512 (the last forces cutoff = 2^32, the
+    // exact keep-all fallback, so the loop always terminates green)
+    val widen = Iterator(1.0, 8.0, 64.0, 512.0).find { w =>
+      w >= 512.0 || {
+        val short = survivors(w).groupBy(col("__g"))
+          .agg(count(lit(1)).as("__scnt"))
+          .join(cnts, Seq("__g"))
+          .where(col("__scnt") < least(lit(quota.toLong), col("__cnt")))
+        short.isEmpty
+      }
+    }.get
+
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__h").asc, key.asc_nulls_first)
+    survivors(widen)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__h", "__g", "__rn")
+  }
+
   /** Deterministic sequence packing — the shard-and-pack step before
     * training: rows shard by key hash (a reproducible global
     * shuffle), order within each shard by (hash, key), and fill

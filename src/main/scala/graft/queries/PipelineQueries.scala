@@ -320,6 +320,17 @@ object PipelineQueries {
           sum(col("p.n_ssns")).cast("long").as("n_ssns"))
         .orderBy(col("source").asc_nulls_first)),
 
+    // per-domain quota cap: at most 7 docs per source, the 7
+    // hash-smallest doc_ids — deterministic membership (same rows
+    // every run/engine/partitioning). The operator prefilters by a
+    // count-derived hash cutoff so the row_number window never sorts
+    // a full group; the oracle is the naive full window.
+    "q51_quota_sample" -> ((s, d) =>
+      Sampling.quotaSample(t(s, d, "documents"), col("source"),
+          col("doc_id"), quota = 7)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source").asc_nulls_first, col("doc_id").asc)),
+
     // self-contained IVF index build: deterministic spherical
     // k-means (hash-smallest seeds, exact integer centroid sums,
     // cosine assignment — no RNG, no division), 2 fixed Lloyd
@@ -812,6 +823,12 @@ object PipelineQueries {
        "CAST(SUM(len(regexp_extract_all(text, " +
        "'[0-9]{3}-[0-9]{2}-[0-9]{4}'))) AS BIGINT) AS n_ssns " +
        "FROM documents GROUP BY source ORDER BY source NULLS FIRST"),
+    "q51_quota_sample" ->
+      ("SELECT source, doc_id FROM (SELECT source, doc_id, " +
+       "ROW_NUMBER() OVER (PARTITION BY source ORDER BY " +
+       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS " +
+       "BIGINT), doc_id) AS rn FROM documents) " +
+       "WHERE rn <= 7 ORDER BY source NULLS FIRST, doc_id"),
     "q48_kmeans" ->
       // the 2 fixed Lloyd rounds unrolled: seeds = 4 hash-smallest
       // ids; centroids = exact quantized integer component sums;

@@ -76,7 +76,12 @@ object ExplainAudit {
       ("q50_pii_scan",
         "PII scan: pure codegen'd projection + partial aggregation " +
           "(one corpus pass)",
-        Seq("WholeStageCodegen", "HashAggregate", "regexp_count")))
+        Seq("WholeStageCodegen", "HashAggregate", "regexp_count")),
+      ("q51_quota_sample",
+        "per-group quota: count-derived hash cutoff joined as a " +
+          "broadcast; the row_number window sorts only cutoff " +
+          "survivors, never a full group",
+        Seq("BroadcastHashJoin", "Window", "HashAggregate")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>

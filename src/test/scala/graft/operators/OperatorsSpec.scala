@@ -446,6 +446,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ > 0), sizes)
   }
 
+  test("quota sample: exact per-group cap, matches the naive window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups: one 500-row group, one 40-row, one under quota,
+    // plus a null group — the prefilter path must agree with the
+    // naive full-sort form on all of them
+    val df = ((0 until 500).map(i => (i.toLong, "big")) ++
+      (500 until 540).map(i => (i.toLong, "mid")) ++
+      (540 until 543).map(i => (i.toLong, "tiny")) ++
+      (543 until 560).map(i => (i.toLong, null: String)))
+      .toDF("doc_id", "source")
+    val naive = df
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(Sampling.hash32(col("doc_id")).asc, col("doc_id"))))
+      .where(col("__rn") <= 5).drop("__rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = Sampling.quotaSample(df, col("source"), col("doc_id"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    // under-quota groups keep every row
+    assert(got.count(_._2 == "tiny") == 3)
+    // partitioning-independent membership
+    val again = Sampling.quotaSample(df.repartition(7), col("source"),
+        col("doc_id"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == naive)
+    // quota 0 selects nothing
+    assert(Sampling.quotaSample(df, col("source"), col("doc_id"), 0)
+      .count() == 0L)
+  }
+
   test("pack bins: budgeted offset binning, partitioning-independent") {
     val s = spark
     import s.implicits._

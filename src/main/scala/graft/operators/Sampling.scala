@@ -48,6 +48,43 @@ object Sampling {
     df.where(pmod(hash32(key), lit(of.toLong)) === bucket.toLong)
   }
 
+  /** Per-group hash sampling rates — the data-mixing step of corpus
+    * curation: each domain/source is kept at its own rate (e.g.
+    * temperature-scaled mixing weights computed offline), groups not
+    * named fall back to `default`, and membership is the same
+    * deterministic hash down-set as [[hashSample]], so a row kept at
+    * rate 1/4 is also kept at every rate above 1/4 — nested samples,
+    * ablation-stable across runs, engines, and partitionings.
+    *
+    * Scale shape: the rate lookup is a map literal
+    * (`element_at(typedLit(...))`), so even thousands of groups stay a
+    * pure codegen'd projection + filter — no join, no shuffle, no
+    * broadcast; the filter sits directly on the scan. Rates are exact
+    * integer fractions compared by cross-multiplication (hash·den <
+    * num·2^32): no float thresholds, no engine-specific rounding —
+    * the same predicate is expressible verbatim in the SQL oracle.
+    */
+  def mixtureSample(df: DataFrame, group: Column, key: Column,
+                    rates: Map[String, (Long, Long)],
+                    default: (Long, Long) = (1L, 1L)): DataFrame = {
+    (rates.view.mapValues(Some(_)).toMap + ("(default)" -> None))
+      .foreach { case (g, r) =>
+        val (num, den) = r.getOrElse(default)
+        require(den > 0 && num >= 0 && num <= den,
+          s"rate for $g must be a fraction in [0, 1]: $num/$den")
+        // hash32 < 2^32 and den ≤ 2^30 keep hash·den < 2^62 — no
+        // silent Long overflow flipping the predicate
+        require(den <= (1L << 30),
+          s"denominator for $g above 2^30 would overflow: $den")
+      }
+    val numMap = typedLit(rates.map { case (g, (n, _)) => g -> n })
+    val denMap = typedLit(rates.map { case (g, (_, d)) => g -> d })
+    val g = group.cast("string")
+    val num = coalesce(element_at(numMap, g), lit(default._1))
+    val den = coalesce(element_at(denMap, g), lit(default._2))
+    df.where(hash32(key) * den < num * lit(4294967296L))
+  }
+
   /** Keep at most `quota` rows per group, chosen deterministically:
     * the quota hash-smallest keys (ties broken by the key itself), so
     * every run, engine, and partitioning selects the same rows — the

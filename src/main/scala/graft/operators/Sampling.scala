@@ -67,15 +67,18 @@ object Sampling {
   def mixtureSample(df: DataFrame, group: Column, key: Column,
                     rates: Map[String, (Long, Long)],
                     default: (Long, Long) = (1L, 1L)): DataFrame = {
-    (rates.view.mapValues(Some(_)).toMap + ("(default)" -> None))
-      .foreach { case (g, r) =>
-        val (num, den) = r.getOrElse(default)
+    // validate the group rates and the default SEPARATELY (merging
+    // them into one name-keyed map would let a group literally named
+    // like the sentinel shadow its own rate past validation)
+    (rates.toSeq.map { case (g, r) => (s"group $g", r) } :+
+        (("default", default)))
+      .foreach { case (what, (num, den)) =>
         require(den > 0 && num >= 0 && num <= den,
-          s"rate for $g must be a fraction in [0, 1]: $num/$den")
+          s"rate for $what must be a fraction in [0, 1]: $num/$den")
         // hash32 < 2^32 and den ≤ 2^30 keep hash·den < 2^62 — no
         // silent Long overflow flipping the predicate
         require(den <= (1L << 30),
-          s"denominator for $g above 2^30 would overflow: $den")
+          s"denominator for $what above 2^30 would overflow: $den")
       }
     val numMap = typedLit(rates.map { case (g, (n, _)) => g -> n })
     val denMap = typedLit(rates.map { case (g, (_, d)) => g -> d })
@@ -144,11 +147,9 @@ object Sampling {
     // exact keep-all fallback, so the loop always terminates green)
     val widen = Iterator(1.0, 8.0, 64.0, 512.0).find { w =>
       w >= 512.0 || {
-        val short = survivors(w).groupBy(col("__g"))
+        val scnts = survivors(w).groupBy(col("__g").as("__g3"))
           .agg(count(lit(1)).as("__scnt"))
-          .join(cnts, Seq("__g"))
-          .where(col("__scnt") < least(lit(quota.toLong), col("__cnt")))
-        short.isEmpty
+        quotaShortfall(cnts, scnts, quota).isEmpty
       }
     }.get
 
@@ -159,6 +160,21 @@ object Sampling {
       .where(col("__rn") <= quota)
       .drop("__h", "__g", "__rn")
   }
+
+  /** The [[quotaSample]] verification predicate: groups whose
+    * survivor count fell short of `min(quota, cnt)`. Driven from the
+    * FULL group-count side (`cnts`) with a null-safe left join, so a
+    * null-keyed group and a group with ZERO survivors are both
+    * visible as shortfalls — a survivor-side inner join would let
+    * either escape detection and silently under-fill its quota.
+    * `cnts` carries (__g, __cnt); `scnts` carries (__g3, __scnt).
+    */
+  private[operators] def quotaShortfall(cnts: DataFrame,
+                                        scnts: DataFrame,
+                                        quota: Int): DataFrame =
+    cnts.join(scnts, col("__g") <=> col("__g3"), "left")
+      .where(coalesce(col("__scnt"), lit(0L)) <
+        least(lit(quota.toLong), col("__cnt")))
 
   /** Deterministic sequence packing — the shard-and-pack step before
     * training: rows shard by key hash (a reproducible global

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType, TimestampType}
 
 /** Temporal operators over event streams: as-of joins (latest-state
   * lookup) and gap-based sessionization — the feature-engineering
@@ -11,12 +13,19 @@ import org.apache.spark.sql.functions._
   * Both are single-shuffle window shapes: one hash exchange on the
   * key, one per-key time sort, no range explosion and no per-row
   * probing. A pathologically hot key serializes into one task's sort
-  * (the same bound as any keyed window); pre-splitting such keys by a
-  * coarse time bucket restores parallelism at the cost of boundary
-  * stitching, and is deliberately left to the caller — the operators
-  * themselves never materialize more than the unioned input.
+  * (the same bound as any keyed window); [[asOfJoin]]'s `timeBuckets`
+  * option restores parallelism for hot keys by pre-splitting each key
+  * into coarse time buckets and stitching the boundary state, at the
+  * cost of one pre-flight min/max action.
   */
 object Temporal {
+
+  private val asOfTempCols =
+    Seq("__ts", "__side", "__l", "__r", "__m", "__rts", "__bkt")
+
+  private def integralType(dt: org.apache.spark.sql.types.DataType) =
+    dt == LongType || dt == IntegerType || dt == ShortType ||
+      dt == ByteType
 
   /** As-of join: for each left row, the single most recent right row
     * with the same key and `rightTs` ≤ `leftTs` (inclusive). The
@@ -34,26 +43,48 @@ object Temporal {
     * (DuckDB/QuestDB semantics: `l.key = r.key AND l.ts >= r.ts`,
     * latest match wins, unmatched left rows keep nulls).
     *
-    * Right rows with a null timestamp never match (as in the SQL
-    * predicate); left rows with a null timestamp match nothing. If
-    * several right rows share (key, ts), which one wins is
-    * tie-broken only by the window order — pre-aggregate the right
-    * side to unique (key, ts) for deterministic output (SQL ASOF has
-    * the same caveat).
+    * Null semantics follow the SQL predicate exactly: a null key
+    * never matches (right rows with any null key are dropped; left
+    * rows with a null key pass through unmatched — plain `=`, not
+    * null-safe `<=>`). Right rows with a null timestamp never match;
+    * left rows with a null timestamp match nothing. If several right
+    * rows share (key, ts), which one wins is tie-broken only by the
+    * window order — pre-aggregate the right side to unique (key, ts)
+    * for deterministic output (SQL ASOF has the same caveat).
     *
     * @param tolerance max allowed `leftTs - rightTs` (same units as
-    *   the timestamp columns); matches older than this null out.
+    *   the timestamp columns, which must then be integral); matches
+    *   older than this null out.
+    * @param timeBuckets split each key's window into this many coarse
+    *   time buckets (integral timestamps only). The per-(key, bucket)
+    *   windows carry the latest right row from earlier buckets as a
+    *   stitched boundary state row, so one hot key sorts in parallel
+    *   across `timeBuckets` tasks instead of serializing into one.
+    *   Costs one pre-flight min/max action over the column-pruned
+    *   union; results are identical to the unbucketed form. 1 = off.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               timeBuckets: Int = 1): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(timeBuckets >= 1, s"timeBuckets must be >= 1: $timeBuckets")
     val payload = right.columns
       .filterNot(keys.contains).filterNot(_ == rightTs).toSeq
     require(payload.nonEmpty, "right side has no payload columns")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload collides with left columns: $collisions")
+    val tempHits = asOfTempCols.toSet
+      .intersect((left.columns ++ right.columns).toSet)
+    require(tempHits.isEmpty,
+      s"input columns collide with as-of temp names: $tempHits")
+    val lTsType = left.schema(leftTs).dataType
+    val rTsType = right.schema(rightTs).dataType
+    if (tolerance.isDefined || timeBuckets > 1)
+      require(integralType(lTsType) && integralType(rTsType),
+        "tolerance/timeBuckets need integral timestamp columns, got " +
+          s"$lTsType/$rTsType")
 
     val leftCols = left.columns.toSeq
     val lStruct = struct(leftCols.map(left(_)): _*)
@@ -66,20 +97,34 @@ object Temporal {
       keys.map(left(_)) ++ Seq(left(leftTs).as("__ts"),
         lit(1).as("__side"), lStruct.as("__l"),
         lit(null).cast(rType).as("__r")): _*)
+    // a null key never matches (plain `=` semantics): null-key right
+    // rows are dropped here, so the window partition a null-key LEFT
+    // row lands in contains no right rows and it passes through
+    // unmatched — without this filter, partitionBy would group null
+    // keys together and match them against each other
     val rightU = right
-      .where(right(rightTs).isNotNull)
+      .where(right(rightTs).isNotNull &&
+        keys.map(right(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(right(_)) ++ Seq(right(rightTs).as("__ts"),
           lit(0).as("__side"), lit(null).cast(lType).as("__l"),
           rStruct.as("__r")): _*)
 
+    val (unioned, partCols) =
+      if (timeBuckets == 1) (leftU.unionByName(rightU), keys)
+      else (bucketStitch(leftU, rightU, keys, timeBuckets),
+        keys :+ "__bkt")
+
     // right (__side 0) sorts before left (__side 1) at equal ts, so
     // the running last() makes the match inclusive; null left ts
     // sorts first (nulls-first asc) and therefore sees no right rows
-    val w = Window.partitionBy(keys.map(col): _*)
+    // (boundary-state rows from bucket stitching use __side -1 with a
+    // null ts, but live in non-null bucket partitions that no null-ts
+    // left row ever joins)
+    val w = Window.partitionBy(partCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedRaw = leftU.unionByName(rightU)
+    val matchedRaw = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
     val matched = tolerance match {
@@ -92,11 +137,77 @@ object Temporal {
         payload.map(c => col(s"__m.`$c`").as(c)): _*)
   }
 
+  /** The hot-key pre-split: assign every row a coarse time bucket
+    * (equal-width over the observed ts range) and stitch each
+    * (key, bucket) with ONE boundary-state row — the latest right row
+    * from all earlier buckets, tagged `__side = -1` with a null ts so
+    * it sorts before everything real in the bucket. The carry
+    * derivation windows over at most 2·timeBuckets slim rows per key
+    * (one per-bucket right summary + one per-bucket left marker), so
+    * no step re-introduces a full per-key sort.
+    */
+  private def bucketStitch(leftU: DataFrame, rightU: DataFrame,
+                           keys: Seq[String],
+                           timeBuckets: Int): DataFrame = {
+    val u = leftU.unionByName(rightU)
+    // pre-flight bounds: one action over a column-pruned projection
+    val bounds = u.agg(min(col("__ts")).as("mn"),
+      max(col("__ts")).as("mx")).head()
+    if (bounds.isNullAt(0))
+      // no non-null timestamps anywhere: every row lands in the null
+      // bucket and matches nothing, same as the unbucketed form
+      return u.withColumn("__bkt", lit(null).cast("long"))
+    val mn = bounds.getLong(0)
+    val mx = bounds.getLong(1)
+    val width = math.max(1L, (mx - mn) / timeBuckets + 1L)
+    // exact integral floor division (operands are non-negative):
+    // `/` on longs routes through a double, which mis-rounds once a
+    // nano-timestamp range passes 2^53
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("__bkt",
+        expr(s"(CAST(__ts AS BIGINT) - ${mn}L) div ${width}L"))
+
+    val lB = withBucket(leftU)
+    val rB = withBucket(rightU)
+    // per-(key, bucket) latest right row (rows are unique per (key,
+    // ts) up to the documented tie caveat, so max_by is the window's
+    // last()); left markers record which buckets need a carry
+    val lb = rB.groupBy((keys.map(col) :+ col("__bkt")): _*)
+      .agg(max_by(col("__r"), col("__ts")).as("__lr"),
+        lit(1).as("__tag"))
+    val needed = lB.where(col("__ts").isNotNull)
+      .select((keys.map(col) :+ col("__bkt")): _*).distinct()
+      .withColumn("__lr",
+        lit(null).cast(lb.schema("__lr").dataType))
+      .withColumn("__tag", lit(0))
+    // carry-in for a marker at bucket b = last per-bucket right
+    // summary at any bucket < b (markers sort before summaries within
+    // a bucket, so the running last() never sees the same bucket's
+    // own right rows)
+    val wc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bkt").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = needed.unionByName(lb)
+      .withColumn("__carry",
+        last(col("__lr"), ignoreNulls = true).over(wc))
+      .where(col("__tag") === 0 && col("__carry").isNotNull)
+      .select(keys.map(col) ++ Seq(
+        lit(null).cast(lB.schema("__ts").dataType).as("__ts"),
+        lit(-1).as("__side"),
+        lit(null).cast(lB.schema("__l").dataType).as("__l"),
+        col("__carry").as("__r"), col("__bkt")): _*)
+    lB.unionByName(rB).unionByName(carries)
+  }
+
   /** Gap-based sessionization: per key, a new session starts at the
     * first event and whenever the gap since the previous event
-    * exceeds `gap` (same units as `ts` — nanos for the events table).
-    * Adds a 0-based `session` index per key; every input column
-    * passes through. Deterministic given unique (key, ts) pairs.
+    * exceeds `gap` (same units as `ts`: nanos for the events table's
+    * long-nanos column; microseconds for a TimestampType column,
+    * which is compared via `unix_micros`). Adds a 0-based `session`
+    * index per key; every input column passes through. Deterministic
+    * given unique (key, ts) pairs — and the per-key session COUNT is
+    * deterministic even with ties, since tied timestamps always gap
+    * by zero.
     *
     * Single-shuffle window shape: `lag` and the running sum share one
     * (key, ts) sort — Catalyst collapses both window functions into
@@ -106,10 +217,20 @@ object Temporal {
   def sessionize(df: DataFrame, key: String, ts: String,
                  gap: Long): DataFrame = {
     require(gap >= 0, s"gap must be non-negative: $gap")
+    require(!df.columns.contains("session"),
+      "input already has a 'session' column")
+    val tsType = df.schema(ts).dataType
+    val tsNum = tsType match {
+      case TimestampType => unix_micros(col(ts))
+      case t if integralType(t) => col(ts)
+      case other => throw new IllegalArgumentException(
+        s"sessionize needs an integral or timestamp ts column, got " +
+          s"$other — cast explicitly to define the gap unit")
+    }
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc)
-    val prev = lag(col(ts), 1).over(w)
+    val prev = lag(tsNum, 1).over(w)
     val isNew = when(prev.isNull ||
-      col(ts) - prev > lit(gap), 1L).otherwise(0L)
+      tsNum - prev > lit(gap), 1L).otherwise(0L)
     df.withColumn("session",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)) - lit(1L))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity,
+  Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -342,6 +343,52 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_vectors"),
           min(col("id")).as("min_vec_id"))
         .orderBy(col("label").asc_nulls_first)),
+
+    // as-of join: every event picks up the latest signup state (the
+    // signup events aggregated to unique (user, ts)) at or before its
+    // own timestamp — DuckDB's native ASOF LEFT JOIN is the oracle,
+    // so the union-window implementation is pinned against a second
+    // engine's as-of semantics (inclusive match, latest wins,
+    // unmatched keeps nulls). Summed state ids are exact integers.
+    "q52_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val state = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("state_id"))
+      Temporal.asOfJoin(ev, state, Seq("user_id"), "ts", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("state_id")).as("n_matched"),
+          sum(col("state_id")).cast("long").as("sum_state"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // gap sessionization over the event stream (30-minute gap in
+    // nanos — ts reads as long nanos under nanosAsLong, the oracle
+    // views the same column as TIMESTAMP_NS via epoch_ns): per-user
+    // session and event counts, exact integers. Session COUNTS are
+    // tie-safe (tied timestamps gap by zero), so the oracle needs no
+    // unique-(key, ts) assumption.
+    "q53_sessionize" -> ((s, d) =>
+      Temporal.sessionize(t(s, d, "events"), "user_id", "ts",
+          gap = 1800000000000L)
+        .groupBy(col("user_id"))
+        .agg((max(col("session")) + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id").asc_nulls_first)),
+
+    // data mixing: per-source sampling rates (named sources at their
+    // own rates, the long tail at the default) — the same md5
+    // hash-space predicate as q37, so membership is deterministic,
+    // nested across rates, and expressible verbatim in SQL
+    "q54_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(t(s, d, "documents"), col("source"),
+          col("doc_id"),
+          rates = Map("src0" -> ((1L, 2L)), "src1" -> ((1L, 4L))),
+          default = (1L, 8L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("source").asc_nulls_first)),
 
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
@@ -910,6 +957,31 @@ object PipelineQueries {
     "q34_nanos_range" ->
       ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
        "MAX(CAST(ts AS DATE)) AS max_day FROM events"),
+    "q52_asof_join" ->
+      ("SELECT event_type, COUNT(*) AS n_events, COUNT(state_id) AS " +
+       "n_matched, CAST(SUM(state_id) AS BIGINT) AS sum_state FROM " +
+       "(SELECT l.event_type, r.state_id FROM events l ASOF LEFT " +
+       "JOIN (SELECT user_id, ts, MAX(event_id) AS state_id FROM " +
+       "events WHERE event_type = 'signup' GROUP BY user_id, ts) r " +
+       "ON l.user_id = r.user_id AND l.ts >= r.ts) " +
+       "GROUP BY event_type ORDER BY event_type NULLS FIRST"),
+    "q53_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events), " +
+       "l AS (SELECT user_id, tsn, LAG(tsn) OVER (PARTITION BY " +
+       "user_id ORDER BY tsn) AS prev FROM e), " +
+       "s AS (SELECT user_id, CASE WHEN prev IS NULL OR tsn - prev > " +
+       "1800000000000 THEN 1 ELSE 0 END AS isnew FROM l) " +
+       "SELECT user_id, CAST(SUM(isnew) AS BIGINT) AS n_sessions, " +
+       "COUNT(*) AS n_events FROM s GROUP BY user_id " +
+       "ORDER BY user_id NULLS FIRST"),
+    "q54_mixture_sample" ->
+      ("SELECT source, COUNT(*) AS n_sampled FROM (SELECT source, " +
+       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS " +
+       "BIGINT) AS h FROM documents) " +
+       "WHERE h * (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 4 " +
+       "ELSE 8 END) < (CASE source WHEN 'src0' THEN 1 WHEN 'src1' " +
+       "THEN 1 ELSE 1 END) * 4294967296 " +
+       "GROUP BY source ORDER BY source NULLS FIRST"),
     // q33 is the structure-inference dump itself: its five inferred
     // type strings over the documents table are deterministic (exact
     // counters over deterministic data). The byte-identical golden

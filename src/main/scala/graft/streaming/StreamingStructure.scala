@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
 
 /** Structured-streaming form of the structure summary: the same
   * per-column statistics the batch analyzer computes, maintained
@@ -89,6 +90,109 @@ object StreamingStructure {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** One (doc, band) row of the streaming near-dup filter: `collided`
+    * is true when the band bucket was already claimed by an
+    * earlier-arriving document.
+    */
+  final case class NearDupVerdict(id: Long, band: Int,
+                                  collided: Boolean)
+
+  /** Streaming NEAR-duplicate filtering — the ingest-side twin of
+    * [[graft.operators.Dedup.lshDedupClusters]], reusing the same
+    * native MinHash signature and band derivation
+    * ([[graft.functions.MinHashExpr]], the
+    * [[graft.operators.Dedup.lshBands]] key layout), so a replayed
+    * stream sees bit-identical band keys to the batch pipeline.
+    *
+    * Shape: signature + band explode are pure projections (stream-
+    * safe); the only state is one claimer id per OCCUPIED band
+    * bucket, sharded by (band, key) — the natural 100 TB partition,
+    * since bucket claims need no cross-bucket coordination. Within a
+    * micro-batch, ties resolve to the smallest id (deterministic
+    * replay). A document drops when ANY of its bands was claimed by
+    * another document — candidate = duplicate, the standard
+    * ingest-time approximation (a bloom-filter-grade filter): batch
+    * dedup verifies candidates by exact Jaccard before dropping,
+    * so the stream is strictly more aggressive on LSH false
+    * positives; run [[graft.operators.Dedup.deduplicate]] downstream
+    * for the verified decision. On fixtures where candidates are
+    * true near-dups the two agree exactly (spec-pinned), because
+    * band claims chain arrivals the same way connected components
+    * chain edges.
+    *
+    * `idleTimeout` bounds state like [[runningStats]]: a bucket
+    * unclaimed-against for that long is evicted (re-arrivals beyond
+    * the horizon are the batch pipeline's job, as with
+    * [[dedupStream]]).
+    */
+  def nearDupBandVerdicts(spark: SparkSession, df: DataFrame,
+                          idCol: String, textCol: String,
+                          numHashes: Int = 64, bandSize: Int = 4,
+                          shingleK: Int = 5,
+                          idleTimeout: Option[String] =
+                            Some("1 hour"))
+      : Dataset[NearDupVerdict] = {
+    import spark.implicits._
+    require(numHashes % 4 == 0 && numHashes % bandSize == 0,
+      s"need 4 | numHashes and bandSize | numHashes: " +
+        s"$numHashes/$bandSize")
+    val b = numHashes / bandSize
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.MinHashExpr.minHashNative(col(textCol),
+        shingleK, numHashes / 4).as("sig"))
+    // the lshBands key layout verbatim: band key = concatenated
+    // 8-hex-char hashes of the band's rows
+    val keys = transform(sequence(lit(0), lit(b - 1)), i =>
+      concat((0 until bandSize).map(r =>
+        element_at(col("sig"), i * bandSize + r + 1)): _*))
+    val bands = sigs
+      .select(col("id"), posexplode(keys).as(Seq("band", "key")))
+      .where(col("key").isNotNull)
+      .select(col("band"), col("key"), col("id"))
+      .as[(Int, String, Long)]
+    val timeoutConf = idleTimeout match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, NearDupVerdict](
+        OutputMode.Append, timeoutConf) {
+        (key: (Int, String), rows: Iterator[(Int, String, Long)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // smallest id claims an unclaimed bucket (deterministic
+            // within a micro-batch); a re-arrival of the claimer
+            // itself is not a collision (exact-replay idempotence)
+            val sorted = rows.map(_._3).toArray.sorted
+            val claimer = state.getOption.getOrElse(sorted.head)
+            if (!state.exists) state.update(claimer)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            sorted.iterator.map(id =>
+              NearDupVerdict(id, key._1, id != claimer))
+          }
+      }
+  }
+
+  /** Per-document verdict over [[nearDupBandVerdicts]]: `is_dup` is
+    * true when any band collided. All of a document's bands arrive in
+    * its own micro-batch, so the Update-mode output is final as of
+    * that batch. Documents too short to shingle produce no bands and
+    * no verdict — they are trivially unique; union them back as kept.
+    */
+  def nearDupStream(spark: SparkSession, df: DataFrame,
+                    idCol: String, textCol: String,
+                    numHashes: Int = 64, bandSize: Int = 4,
+                    shingleK: Int = 5,
+                    idleTimeout: Option[String] = Some("1 hour"))
+      : DataFrame =
+    nearDupBandVerdicts(spark, df, idCol, textCol, numHashes,
+        bandSize, shingleK, idleTimeout)
+      .groupBy(col("id"))
+      .agg(max(col("collided")).as("is_dup"))
 
   /** Running per-key state: count/nulls/min/max plus the bounded
     * value counter backing exact positional quartiles (the same

@@ -180,6 +180,48 @@ object ExplainAudit {
         s"in the final adaptive plan (found $n)")
     }
 
+    // ---- no-global-window check ----------------------------------
+    // no query may plan a Window with an EMPTY partitionSpec (a
+    // single-task global sort of the window input — the one shape
+    // that silently serializes a corpus-sized frame at scale). The
+    // k-row seed labeler in kmeansLabels uses a constant partition
+    // key precisely so this invariant is checkable suite-wide.
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.window.WindowExec
+      def emptyPartWindows(p: SparkPlan): Int = {
+        var n = 0
+        def walk(q: SparkPlan): Unit = {
+          q match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case s: QueryStageExec => walk(s.plan)
+            case w: WindowExec if w.partitionSpec.isEmpty => n += 1
+            case _ =>
+          }
+          q.children.foreach(walk)
+        }
+        walk(p)
+        n
+      }
+      val windowed = Seq("q44_distinctive_terms", "q45_ivf_batch",
+        "q48_kmeans", "q49_typicality", "q51_quota_sample",
+        "q52_asof_join", "q53_sessionize")
+      var found = 0
+      windowed.foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        found += emptyPartWindows(df.queryExecution.executedPlan)
+      }
+      val ok = found == 0
+      if (!ok) failures += 1
+      println(s"\n=== window partitioning — no empty partitionSpec ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] zero global " +
+        s"windows across ${windowed.size} window-heavy queries " +
+        s"(found $found)")
+    }
+
     println(s"\nplan audit: ${if (failures == 0) "all checks OK"
       else s"$failures MISSING properties"}")
     spark.stop()

@@ -229,4 +229,54 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last.getAs[Double]("max") == 9.0)
     } finally query.stop()
   }
+
+  test("streaming near-dup filter matches batch lshDedupClusters " +
+      "drop decisions on a replayed fixture") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    // the OperatorsSpec near-dup corpus: two clusters + noise, ids
+    // in arrival order (candidates here ARE true near-dups, so the
+    // unverified stream filter and the verified batch path agree)
+    val base1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      1L -> base1, 2L -> (base1 + " x"), 3L -> (base1 + " x y"),
+      4L -> base2, 5L -> (base2 + " z"),
+      6L -> (1 to 30).map(i => s"noise$i").mkString(" "))
+    val batchKept = graft.operators.Dedup.deduplicate(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        thresholdNum = 1, thresholdDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L, 4L, 6L), batchKept)
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF.toDF("doc_id", "text")
+    // lifetime state in the test (as with runningStats): a
+    // processing-time timeout makes the no-data timeout batches spin
+    // under MemoryStream + processAllAvailable
+    val query = StreamingStructure
+      .nearDupStream(spark, df, "doc_id", "text",
+        idleTimeout = None)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("update").start()
+    try {
+      // replay across micro-batches: within-batch collisions (1 vs
+      // 2), cross-batch collisions (3 vs 1/2, 5 vs 4), noise doc
+      input.addData(docs(0), docs(1), docs(3))
+      query.processAllAvailable()
+      input.addData(docs(2), docs(4), docs(5))
+      query.processAllAvailable()
+      val verdicts = spark.table("neardup").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup"))
+        .toMap
+      assert(verdicts.size == 6, verdicts)
+      val streamKept = verdicts.collect {
+        case (id, dup) if !dup => id
+      }.toSet
+      assert(streamKept == batchKept,
+        s"\nstream=$streamKept\nbatch=$batchKept")
+    } finally query.stop()
+  }
 }

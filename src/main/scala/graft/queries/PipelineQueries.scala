@@ -377,6 +377,38 @@ object PipelineQueries {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id").asc_nulls_first)),
 
+    // the q52 as-of join through the hot-key pre-split path
+    // (timeBuckets = 8): per-(key, bucket) windows stitched with one
+    // carried boundary-state row must reproduce the unbucketed result
+    // EXACTLY — the oracle is the same native ASOF JOIN, so the
+    // stitching is pinned by the driver gate, not just the spec
+    "q55_asof_bucketed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val state = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("state_id"))
+      Temporal.asOfJoin(ev, state, Seq("user_id"), "ts", "ts",
+          timeBuckets = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("state_id")).as("n_matched"),
+          sum(col("state_id")).cast("long").as("sum_state"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // hierarchical k-means through the grouped-refinement machinery
+    // (per-cell seed windows, (cell, dim) centroid joins): with one
+    // coarse cell the refinement IS the flat algorithm, so q48's
+    // unrolled DuckDB oracle pins the hierarchical code path
+    // bit-for-bit through the driver gate
+    "q56_kmeans_hier" -> ((s, d) =>
+      Similarity.kmeansLabelsHierarchical(t(s, d, "embeddings"),
+          "vec_id", "embedding", kCoarse = 1, kPerCell = 4, iters = 2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("id")).as("min_vec_id"))
+        .orderBy(col("label").asc_nulls_first)),
+
     // data mixing: per-source sampling rates (named sources at their
     // own rates, the long tail at the default) — the same md5
     // hash-space predicate as q37, so membership is deterministic,
@@ -553,6 +585,63 @@ object PipelineQueries {
     "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
     ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
     "GROUP BY id)"
+
+  /** The as-of oracle, shared by q52 (unbucketed) and q55 (hot-key
+    * time-bucket pre-split): the two engine paths must agree with
+    * DuckDB's native ASOF semantics — and therefore with each other.
+    */
+  private val asofSql =
+    "SELECT event_type, COUNT(*) AS n_events, COUNT(state_id) AS " +
+    "n_matched, CAST(SUM(state_id) AS BIGINT) AS sum_state FROM " +
+    "(SELECT l.event_type, r.state_id FROM events l ASOF LEFT " +
+    "JOIN (SELECT user_id, ts, MAX(event_id) AS state_id FROM " +
+    "events WHERE event_type = 'signup' GROUP BY user_id, ts) r " +
+    "ON l.user_id = r.user_id AND l.ts >= r.ts) " +
+    "GROUP BY event_type ORDER BY event_type NULLS FIRST"
+
+  /** The k-means oracle — the 2 fixed Lloyd rounds unrolled: seeds =
+    * 4 hash-smallest ids; centroids = exact quantized integer
+    * component sums; assignment = max cosine(v, centroid sums) with
+    * double only for ranking, label tie-break — in lockstep with
+    * kmeansLabels. Shared by q48 (flat) and q56 (hierarchical with
+    * one coarse cell, which degenerates to the flat algorithm).
+    */
+  private val kmeansSql =
+    "WITH hv AS (SELECT vec_id, CAST('0x' || " +
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+    "FROM embeddings), " +
+    "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY " +
+    "h, vec_id) - 1 AS BIGINT) AS label FROM hv ORDER BY h, " +
+    "vec_id LIMIT 4), " +
+    "qc AS (SELECT vec_id, i AS dim, CAST(round(CAST(x AS " +
+    "DOUBLE) * 33554432.0) AS BIGINT) AS qx FROM (SELECT " +
+    "vec_id, generate_subscripts(embedding, 1) AS i, " +
+    "unnest(embedding) AS x FROM embeddings)), " +
+    "c0 AS (SELECT s.label, qc.dim, CAST(SUM(qx) AS BIGINT) AS " +
+    "cs FROM qc JOIN seeds s USING (vec_id) GROUP BY 1, 2), " +
+    "n0 AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+    "FROM c0 GROUP BY 1), " +
+    "sc1 AS (SELECT qc.vec_id, c0.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qc JOIN c0 ON qc.dim = c0.dim " +
+    "GROUP BY 1, 2), " +
+    "a1 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
+    "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
+    "FROM sc1 JOIN n0 USING (label)) WHERE rn = 1), " +
+    "c1 AS (SELECT a1.label, qc.dim, CAST(SUM(qx) AS BIGINT) AS " +
+    "cs FROM qc JOIN a1 USING (vec_id) GROUP BY 1, 2), " +
+    "n1 AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+    "FROM c1 GROUP BY 1), " +
+    "sc2 AS (SELECT qc.vec_id, c1.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qc JOIN c1 ON qc.dim = c1.dim " +
+    "GROUP BY 1, 2), " +
+    "a2 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
+    "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
+    "FROM sc2 JOIN n1 USING (label)) WHERE rn = 1) " +
+    "SELECT label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
+    "min_vec_id FROM a2 GROUP BY label ORDER BY label " +
+    "NULLS FIRST"
 
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" ->
@@ -876,46 +965,10 @@ object PipelineQueries {
        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS " +
        "BIGINT), doc_id) AS rn FROM documents) " +
        "WHERE rn <= 7 ORDER BY source NULLS FIRST, doc_id"),
-    "q48_kmeans" ->
-      // the 2 fixed Lloyd rounds unrolled: seeds = 4 hash-smallest
-      // ids; centroids = exact quantized integer component sums;
-      // assignment = max cosine(v, centroid sums) with double only
-      // for ranking, label tie-break — in lockstep with kmeansLabels
-      ("WITH hv AS (SELECT vec_id, CAST('0x' || " +
-       "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
-       "FROM embeddings), " +
-       "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY " +
-       "h, vec_id) - 1 AS BIGINT) AS label FROM hv ORDER BY h, " +
-       "vec_id LIMIT 4), " +
-       "qc AS (SELECT vec_id, i AS dim, CAST(round(CAST(x AS " +
-       "DOUBLE) * 33554432.0) AS BIGINT) AS qx FROM (SELECT " +
-       "vec_id, generate_subscripts(embedding, 1) AS i, " +
-       "unnest(embedding) AS x FROM embeddings)), " +
-       "c0 AS (SELECT s.label, qc.dim, CAST(SUM(qx) AS BIGINT) AS " +
-       "cs FROM qc JOIN seeds s USING (vec_id) GROUP BY 1, 2), " +
-       "n0 AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
-       "FROM c0 GROUP BY 1), " +
-       "sc1 AS (SELECT qc.vec_id, c0.label, SUM(CAST(qx AS " +
-       "HUGEINT) * cs) AS dot FROM qc JOIN c0 ON qc.dim = c0.dim " +
-       "GROUP BY 1, 2), " +
-       "a1 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
-       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
-       "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
-       "FROM sc1 JOIN n0 USING (label)) WHERE rn = 1), " +
-       "c1 AS (SELECT a1.label, qc.dim, CAST(SUM(qx) AS BIGINT) AS " +
-       "cs FROM qc JOIN a1 USING (vec_id) GROUP BY 1, 2), " +
-       "n1 AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
-       "FROM c1 GROUP BY 1), " +
-       "sc2 AS (SELECT qc.vec_id, c1.label, SUM(CAST(qx AS " +
-       "HUGEINT) * cs) AS dot FROM qc JOIN c1 ON qc.dim = c1.dim " +
-       "GROUP BY 1, 2), " +
-       "a2 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
-       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
-       "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
-       "FROM sc2 JOIN n1 USING (label)) WHERE rn = 1) " +
-       "SELECT label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
-       "min_vec_id FROM a2 GROUP BY label ORDER BY label " +
-       "NULLS FIRST"),
+    "q48_kmeans" -> kmeansSql,
+    // the grouped-refinement path with one coarse cell IS the flat
+    // algorithm — the same unrolled oracle pins it
+    "q56_kmeans_hier" -> kmeansSql,
     "q45_ivf_batch" ->
       ("WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM " +
        "embeddings WHERE vec_id < 3), " +
@@ -957,14 +1010,8 @@ object PipelineQueries {
     "q34_nanos_range" ->
       ("SELECT COUNT(ts) AS n_ts, MIN(CAST(ts AS DATE)) AS min_day, " +
        "MAX(CAST(ts AS DATE)) AS max_day FROM events"),
-    "q52_asof_join" ->
-      ("SELECT event_type, COUNT(*) AS n_events, COUNT(state_id) AS " +
-       "n_matched, CAST(SUM(state_id) AS BIGINT) AS sum_state FROM " +
-       "(SELECT l.event_type, r.state_id FROM events l ASOF LEFT " +
-       "JOIN (SELECT user_id, ts, MAX(event_id) AS state_id FROM " +
-       "events WHERE event_type = 'signup' GROUP BY user_id, ts) r " +
-       "ON l.user_id = r.user_id AND l.ts >= r.ts) " +
-       "GROUP BY event_type ORDER BY event_type NULLS FIRST"),
+    "q52_asof_join" -> asofSql,
+    "q55_asof_bucketed" -> asofSql,
     "q53_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events), " +
        "l AS (SELECT user_id, tsn, LAG(tsn) OVER (PARTITION BY " +

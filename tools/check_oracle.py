@@ -9,6 +9,7 @@ columns by name, compare row-by-row values. Prints PASS/FAIL per query.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -17,9 +18,13 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for tbl in ("region nation customer supplier part orders lineitem "
             "events documents embeddings").split():
+    # driver testdata is one file per table; GenScale soak output is a
+    # Spark directory of part files — accept both layouts
+    path = f"{sfdir}/{tbl}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
     con.execute(
-        f"CREATE VIEW {tbl} AS SELECT * FROM "
-        f"read_parquet('{sfdir}/{tbl}.parquet')")
+        f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')")
 
 with open(f"{outdir}/oracle_sql.json") as f:
     oracle = json.load(f)

@@ -151,8 +151,9 @@ object Temporal {
                            timeBuckets: Int): DataFrame = {
     val u = leftU.unionByName(rightU)
     // pre-flight bounds: one action over a column-pruned projection
-    val bounds = u.agg(min(col("__ts")).as("mn"),
-      max(col("__ts")).as("mx")).head()
+    // (cast to long so narrower integral ts types read back uniformly)
+    val bounds = u.agg(min(col("__ts").cast("long")).as("mn"),
+      max(col("__ts").cast("long")).as("mx")).head()
     if (bounds.isNullAt(0))
       // no non-null timestamps anywhere: every row lands in the null
       // bucket and matches nothing, same as the unbucketed form

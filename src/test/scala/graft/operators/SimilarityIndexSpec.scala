@@ -101,4 +101,43 @@ class SimilarityIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
     assert(batch(Some(loaded.centroids)) == batch(None))
   }
+
+  test("label-partitioned corpus + persisted centroids: the IVF " +
+      "candidate scan partition-prunes") {
+    // the 100 TB serving shape: corpus stored partitioned by the
+    // learned label, centroids from the persisted index — the probe
+    // semi-join must reach the scan as a PARTITION filter (dynamic
+    // partition pruning), so a query touches nprobe partitions, not
+    // the corpus
+    val s = spark
+    val index = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpart").toString
+    vecs.join(index.labels.withColumnRenamed("id", "vec_id"),
+        Seq("vec_id"))
+      .write.partitionBy("label").parquet(s"$dir/corpus")
+    val corpus = s.read.parquet(s"$dir/corpus")
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      "label", 0L, 5, nprobe = 2, centroids = Some(index.centroids))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pruning pinned on the executed plan: the candidate scan (the
+    // one excluding the query row) carries a dynamic-pruning
+    // partition filter
+    val scanLines = out.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Scan parquet"))
+    val candidateScans = scanLines.filter(_.contains("NOT (vec_id"))
+    assert(candidateScans.nonEmpty, scanLines.mkString("\n"))
+    assert(candidateScans.forall(_.contains("dynamicpruning")),
+      candidateScans.mkString("\n"))
+    // and the pruned path returns exactly what the unpartitioned
+    // frame returns
+    val indexed = vecs.join(
+      index.labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+    val expect = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+        "label", 0L, 5, nprobe = 2, centroids = Some(index.centroids))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == expect, s"\npruned=$rows\nflat=$expect")
+  }
 }

@@ -135,6 +135,13 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tolBucketed = matches(Temporal.asOfJoin(left, right, Seq("k"),
       "ts", "ts", tolerance = Some(5L), timeBuckets = 7))
     assert(tolBucketed == tolBase)
+    // narrower integral ts types: the pre-flight bounds read back
+    // uniformly as long
+    val bucketedInt = matches(Temporal.asOfJoin(
+      left.withColumn("ts", col("ts").cast("int")),
+      right.withColumn("ts", col("ts").cast("int")),
+      Seq("k"), "ts", "ts", timeBuckets = 5))
+    assert(bucketedInt == base)
   }
 
   test("sessionize: gap boundary is exclusive, per-key 0-based index") {

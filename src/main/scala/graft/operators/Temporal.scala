@@ -210,10 +210,12 @@ object Temporal {
     * deterministic even with ties, since tied timestamps always gap
     * by zero.
     *
-    * Single-shuffle window shape: `lag` and the running sum share one
-    * (key, ts) sort — Catalyst collapses both window functions into
-    * one Window exec, so sessionizing a trillion-event table costs
-    * exactly one exchange + one per-key sort.
+    * Single-shuffle window shape: the running sum depends on `lag`'s
+    * output, so they plan as two Window execs — but both share the
+    * same (key) partitioning and (key, ts) order, so the second
+    * pipelines over the first's sorted output: sessionizing a
+    * trillion-event table still costs exactly one exchange + one
+    * per-key sort (ExplainAudit pins 1 hash exchange, 1 sort).
     */
   def sessionize(df: DataFrame, key: String, ts: String,
                  gap: Long): DataFrame = {

@@ -149,13 +149,53 @@ object StreamingStructure {
     val bands = sigs
       .select(col("id"), posexplode(keys).as(Seq("band", "key")))
       .where(col("key").isNotNull)
-      .select(col("band"), col("key"), col("id"))
+    claimVerdicts(spark, bands, idleTimeout)
+  }
+
+  /** The SimHash twin of [[nearDupBandVerdicts]]: band keys are the
+    * 32/bands-bit slices of the native 32-bit SimHash
+    * ([[graft.functions.SimHashExpr]], the
+    * [[graft.operators.Dedup.simHashCandidatePairs]] layout) — a
+    * document within Hamming distance < bands of an earlier one
+    * shares at least one slice (pigeonhole) and drops. Same claim
+    * state, same caveats as the MinHash form.
+    */
+  def simHashNearDupBandVerdicts(spark: SparkSession, df: DataFrame,
+                                 idCol: String, textCol: String,
+                                 bands: Int = 4,
+                                 idleTimeout: Option[String] =
+                                   Some("1 hour"))
+      : Dataset[NearDupVerdict] = {
+    require(bands > 0 && 32 % bands == 0, s"bands must divide 32: $bands")
+    val bits = 32 / bands
+    val mask = (1L << bits) - 1
+    val sims = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.SimHashExpr.simHashNative(col(textCol))
+          .as("simhash"))
+    val keys = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+        .cast("string")): _*)
+    val banded = sims.select(col("id"),
+      posexplode(keys).as(Seq("band", "key")))
+    claimVerdicts(spark, banded, idleTimeout)
+  }
+
+  /** The shared band-bucket claim state: one claimer id per occupied
+    * (band, key) bucket, smallest id wins within a micro-batch.
+    */
+  private def claimVerdicts(spark: SparkSession, bands: DataFrame,
+                            idleTimeout: Option[String])
+      : Dataset[NearDupVerdict] = {
+    import spark.implicits._
+    val typed = bands
+      .select(col("band").cast("int"), col("key"), col("id"))
       .as[(Int, String, Long)]
     val timeoutConf = idleTimeout match {
       case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
       case None => GroupStateTimeout.NoTimeout
     }
-    bands.groupByKey(r => (r._1, r._2))
+    typed.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, NearDupVerdict](
         OutputMode.Append, timeoutConf) {
         (key: (Int, String), rows: Iterator[(Int, String, Long)],

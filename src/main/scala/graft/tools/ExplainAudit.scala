@@ -81,7 +81,14 @@ object ExplainAudit {
         "per-group quota: count-derived hash cutoff joined as a " +
           "broadcast; the row_number window sorts only cutoff " +
           "survivors, never a full group",
-        Seq("BroadcastHashJoin", "Window", "HashAggregate")))
+        Seq("BroadcastHashJoin", "Window", "HashAggregate")),
+      ("q52_asof_join",
+        "as-of join: the union-window form — one keyed Window over " +
+          "the tagged union, no per-row probe join",
+        Seq("Window", "Union")),
+      ("q53_sessionize",
+        "sessionize: lag + running-sum in one keyed Window exec",
+        Seq("Window")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>
@@ -178,6 +185,37 @@ object ExplainAudit {
       println(s"\n=== $name — corpus scanned exactly once ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] one parquet scan " +
         s"in the final adaptive plan (found $n)")
+    }
+
+    // ---- temporal window-shape checks ----------------------------
+    // the temporal operators promise ONE keyed sort. q52: the as-of
+    // union windows exactly once. q53: lag + running-sum plan as two
+    // dependent Window execs, but both ride ONE hash exchange and
+    // ONE sort (the second pipelines over the first's sorted
+    // output); the only other exchange is the query's output orderBy
+    // (rangepartitioning).
+    Seq(("q52_asof_join", 1, -1, -1),
+        ("q53_sessionize", 2, 1, 1)).foreach {
+      case (name, wantWin, wantExch, wantSort) =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val tree = df.queryExecution.executedPlan.treeString
+        val finalPlan = tree.split("== Initial Plan ==")(0)
+        def count(pat: String) =
+          finalPlan.split(pat, -1).length - 1
+        val nWin = count("\\bWindow ")
+        val nExch = count("Exchange hashpartitioning")
+        // operator-internal sorts only (the output orderBy's global
+        // range sort is not the operator's cost)
+        val nSort = count("Sort \\[") - count("rangepartitioning")
+        val ok = nWin == wantWin &&
+          (wantExch < 0 || nExch == wantExch) &&
+          (wantSort < 0 || nSort == wantSort)
+        if (!ok) failures += 1
+        println(s"\n=== $name — window shape ===")
+        println(f"  [${if (ok) "OK" else "MISS"}%-4s] Window=$nWin " +
+          s"(want $wantWin), hashExchange=$nExch (want $wantExch), " +
+          s"keyedSort=$nSort (want $wantSort)")
     }
 
     // ---- no-global-window check ----------------------------------

@@ -279,4 +279,38 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"\nstream=$streamKept\nbatch=$batchKept")
     } finally query.stop()
   }
+
+  test("streaming simhash near-dup: close hashes drop across " +
+      "batches, far docs survive") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "and keeps running through the quiet field all day long"
+    val far = "completely different words nine eight seven six " +
+      "five four three two one zero alpha beta gamma delta"
+    // batch expectation from the same fixture: 1-2 are simhash band
+    // candidates, 3 is not (SimHashBandsSpec pins this)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF.toDF("doc_id", "text")
+    val query = StreamingStructure
+      .simHashNearDupBandVerdicts(spark, df, "doc_id", "text",
+        idleTimeout = None)
+      .groupBy(col("id")).agg(max(col("collided")).as("is_dup"))
+      .writeStream.format("memory").queryName("simdup")
+      .outputMode("update").start()
+    try {
+      input.addData(1L -> base)
+      query.processAllAvailable()
+      input.addData(2L -> (base + " extra"), 3L -> far)
+      query.processAllAvailable()
+      val verdicts = spark.table("simdup").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup"))
+        .toMap
+      assert(verdicts(1L) == false, verdicts)
+      assert(verdicts(2L) == true, verdicts)  // shares a band slice
+      assert(verdicts(3L) == false, verdicts) // no shared slice
+    } finally query.stop()
+  }
 }

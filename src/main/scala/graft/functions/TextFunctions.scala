@@ -36,6 +36,46 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** ASCII-folded canonical form for substring fingerprinting:
+    * [[normalized]] with every char outside `[a-z0-9 ]` replaced by
+    * `_`. Two reasons: (1) MOSS-style fingerprint matching is
+    * deliberately punctuation/markup-insensitive, so folding is a
+    * feature, not a loss; (2) it pins the alphabet to single-byte
+    * ASCII, making `substr`/`ord` position-and-value identical across
+    * engines (multi-byte code points are where Spark's UTF8String and
+    * other engines' grapheme/byte indexing could quietly disagree).
+    */
+  def asciiCanon(text: Column): Column =
+    regexp_replace(normalized(text), "[^a-z0-9 ]", "_")
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS algorithm): Rabin–Karp rolling hashes of all
+    * character k-grams of [[asciiCanon]], then the minimum hash of
+    * each w-wide window of consecutive k-gram hashes; the distinct
+    * minima (sorted) are the document's fingerprint set. Guarantee:
+    * any shared substring of length >= w+k-1 between two documents
+    * yields at least one shared fingerprint, so fingerprint-set
+    * overlap is a complete detector for long verbatim overlap
+    * (quotes, mirrors, boilerplate) at ~1/w the storage of full
+    * k-gram shingles.
+    *
+    * One O(n) JVM call per document via the native
+    * [[WinnowFpExpr]] (rolling hash + monotonic-deque window minima)
+    * — a pure codegen'd projection, no explode, no shuffle, no UDF.
+    * The hash is the Horner recurrence `h = (h·257 + ord(c)) mod
+    * (2^31-1)` with a mod at every step, so the SQL oracle runs the
+    * textually identical exact-long arithmetic.
+    *
+    * Documents shorter than k+w-1 canon chars (no complete window,
+    * including null text) get an empty fingerprint array.
+    */
+  def winnowFingerprints(text: Column, k: Int = 16,
+                         w: Int = 8): Column = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1: k=$k, w=$w")
+    coalesce(WinnowFpExpr.winnowNative(text.cast("string"), k, w),
+      typedLit(Array.empty[Long]))
+  }
+
   /** Punctuation character count (sentence-level quality signal). */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", ""))

@@ -163,6 +163,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing fingerprint rows: (id, fps) with `fps` the sorted
+    * distinct [[graft.functions.TextFunctions.winnowFingerprints]] of
+    * each document — the persistable fingerprint index (store next to
+    * the corpus; overlap queries then never re-hash the text).
+    */
+  def winnowDocFps(df: DataFrame, idCol: Column, text: Column,
+                   k: Int = 16, w: Int = 8): DataFrame =
+    df.select(idCol.as("id"),
+      TextFunctions.winnowFingerprints(text, k, w).as("fps"))
+
+  /** Verbatim-overlap near-duplicate pairs by shared winnowing
+    * fingerprints: doc pairs sharing at least `minShared` fingerprint
+    * values, with the shared count as the overlap strength. By the
+    * winnowing guarantee every pair sharing a substring of length
+    * >= w+k-1 surfaces here — quote/mirror/boilerplate detection that
+    * MinHash (bag-of-shingles resemblance) is blind to at low overall
+    * Jaccard.
+    *
+    * Scale shape: identical to the LSH band joins — explode to slim
+    * (id, fp) rows, drop fingerprints shared by more than
+    * `maxBucketSize` docs (ubiquitous boilerplate would re-create the
+    * quadratic join; a fingerprint in k docs contributes k² rows) via
+    * the shared broadcast anti-join guard, then one equi-join on the
+    * fingerprint reusing the guard's (band, key) partitioning, and a
+    * partial-agg count per pair. Never queries corpus × corpus.
+    */
+  def winnowPairs(df: DataFrame, idCol: Column, text: Column,
+                  k: Int = 16, w: Int = 8, minShared: Int = 3,
+                  maxBucketSize: Long = 10000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val rows = winnowDocFps(df, idCol, text, k, w)
+      .select(col("id"), lit(0).as("band"),
+        explode(col("fps")).as("key"))
+    val kept = dropHotBuckets(rows, maxBucketSize)
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** The drop list a dedup pipeline applies after clustering: every
     * non-representative member (label ≠ id; the representative is the
     * cluster's smallest id, deterministic across runs). Anti-join the

@@ -422,6 +422,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("source").asc_nulls_first)),
 
+    // winnowing (MOSS) fingerprint density per source: the rolling
+    // k-gram hash + window-min selection pinned value-for-value — the
+    // oracle runs the textually identical Horner recurrence (mod at
+    // every step keeps both engines in exact long arithmetic)
+    "q57_winnow_fp" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          size(TextFunctions.winnowFingerprints(col("text"),
+            k = 8, w = 4)).cast("long").as("nfp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nfp")).cast("long").as("total_fps"),
+          min(col("nfp")).as("min_fps"),
+          max(col("nfp")).as("max_fps"))
+        .orderBy(col("source").asc_nulls_first)),
+
+    // verbatim-overlap near-dup pairs by shared winnowing
+    // fingerprints (>= 23-char shared substrings, >= 3 shared
+    // fingerprint values): the hot-bucket-capped fingerprint
+    // equi-join — never corpus x corpus
+    "q58_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(t(s, d, "documents"), col("doc_id"),
+          col("text"), k = 16, w = 8, minShared = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("shared")), lit(0L)).cast("long")
+            .as("sum_shared"),
+          coalesce(max(col("shared")), lit(0L)).cast("long")
+            .as("max_shared"))),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -482,6 +511,27 @@ object PipelineQueries {
         .orderBy(col("source").asc_nulls_first)
     })
   )
+
+  /** Winnowing fingerprint CTE: the same Horner recurrence as
+    * `TextFunctions.winnowFingerprints` — mod at every step, so both
+    * engines run the identical exact-long arithmetic; list
+    * comprehensions keep it one row per document (no position
+    * explosion).
+    */
+  private def winnowCte(k: Int, w: Int): String = {
+    val horner = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 257 + ord(substr(t, CAST(i+$j+1 AS INT), 1))) % " +
+        "2147483647)"
+    }
+    "WITH norm AS (SELECT doc_id, source, regexp_replace(" +
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), " +
+    "'[^a-z0-9 ]', '_', 'g') AS t FROM documents), " +
+    s"kh AS (SELECT doc_id, source, [$horner FOR i IN " +
+    s"range(greatest(length(t) - ${k - 1}, 0))] AS hs FROM norm), " +
+    s"fp AS (SELECT doc_id, source, CASE WHEN len(hs) >= $w THEN " +
+    s"list_distinct([list_min(hs[i+1:i+$w]) FOR i IN " +
+    s"range(len(hs) - ${w - 1})]) ELSE [] END AS fps FROM kh)"
+  }
 
   private val shingleCte =
     "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), " +
@@ -1029,6 +1079,25 @@ object PipelineQueries {
        "ELSE 8 END) < (CASE source WHEN 'src0' THEN 1 WHEN 'src1' " +
        "THEN 1 ELSE 1 END) * 4294967296 " +
        "GROUP BY source ORDER BY source NULLS FIRST"),
+    "q57_winnow_fp" ->
+      (winnowCte(8, 4) +
+       " SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(fps)) AS " +
+       "BIGINT) AS total_fps, CAST(MIN(len(fps)) AS BIGINT) AS " +
+       "min_fps, CAST(MAX(len(fps)) AS BIGINT) AS max_fps FROM fp " +
+       "GROUP BY source ORDER BY source NULLS FIRST"),
+    "q58_winnow_pairs" ->
+      (winnowCte(16, 8) +
+       ", fpx AS (SELECT doc_id, unnest(fps) AS fp FROM fp), " +
+       "ok AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) <= " +
+       "10000), " +
+       "kept AS (SELECT doc_id, fp FROM fpx WHERE fp IN (SELECT fp " +
+       "FROM ok)), " +
+       "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS " +
+       "shared FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < " +
+       "b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 3) " +
+       "SELECT COUNT(*) AS n_pairs, CAST(COALESCE(SUM(shared), 0) " +
+       "AS BIGINT) AS sum_shared, CAST(COALESCE(MAX(shared), 0) AS " +
+       "BIGINT) AS max_shared FROM pr"),
     // q33 is the structure-inference dump itself: its five inferred
     // type strings over the documents table are deterministic (exact
     // counters over deterministic data). The byte-identical golden

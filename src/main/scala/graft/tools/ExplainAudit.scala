@@ -88,7 +88,15 @@ object ExplainAudit {
         Seq("Window", "Union")),
       ("q53_sessionize",
         "sessionize: lag + running-sum in one keyed Window exec",
-        Seq("Window")))
+        Seq("Window")),
+      ("q57_winnow_fp",
+        "winnowing fingerprints: one native O(n) call per doc, a " +
+          "pure projection feeding partial aggregation",
+        Seq("winnow_fingerprints", "HashAggregate")),
+      ("q58_winnow_pairs",
+        "fingerprint pair join: hot-bucket broadcast anti-join, " +
+          "self-join sides share one exchange (one corpus scan)",
+        Seq("LeftAnti", "ReusedExchange", "winnow_fingerprints")))
 
     var failures = 0
     checks.foreach { case (name, what, expects) =>

@@ -200,6 +200,87 @@ object Temporal {
     lB.unionByName(rB).unionByName(carries)
   }
 
+  /** Interval (range) join: every left row paired with every right
+    * interval of the same key containing its timestamp —
+    * `l.key = r.key AND r.start <= l.ts <= r.end`, both bounds
+    * inclusive. The "which windows does this event fall in" primitive
+    * (ad attribution, maintenance windows, session enrichment) that a
+    * naive theta-join plans as a per-key cross product (or a
+    * BroadcastNestedLoopJoin that dies when neither side is small).
+    *
+    * Scale shape: quantize time into `bucketWidth`-wide buckets;
+    * each interval explodes to the buckets it overlaps, each left row
+    * belongs to exactly ONE bucket, and the join becomes a plain
+    * (key, bucket) equi-join + residual bounds filter — shuffled,
+    * partial-aggregated, AQE-skew-handled like any hash join, never
+    * corpus × corpus. Because a left row meets an interval only in
+    * the left row's own bucket, no pair dedup step is needed.
+    * Truncating division is monotonic, so coverage holds for negative
+    * timestamps too.
+    *
+    * Guard: one column-pruned pre-flight action prices the explosion
+    * (max buckets an interval spans) and REFUSES past
+    * `maxBucketsPerInterval` with a pointer to a wider `bucketWidth`
+    * — a mis-sized width multiplies the right side silently
+    * otherwise. Degenerate (end < start) and null-key/null-bound
+    * intervals match nothing; null-ts left rows match nothing (the
+    * SQL predicate's semantics).
+    *
+    * @param bucketWidth bucket size in the timestamp's own integral
+    *   units; choose ~ the typical interval span, so intervals
+    *   explode to a handful of buckets.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, startCol: String, endCol: String,
+                bucketWidth: Long,
+                maxBucketsPerInterval: Long = 4096L): DataFrame = {
+    require(keys.nonEmpty, "range join needs at least one key column")
+    require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
+    val collisions = right.columns.toSet.intersect(left.columns.toSet)
+      .diff(keys.toSet)
+    require(collisions.isEmpty,
+      s"right columns collide with left columns: $collisions")
+    require(!left.columns.contains("__bkt") &&
+      !right.columns.contains("__bkt"),
+      "input columns collide with range-join temp name __bkt")
+    require(integralType(left.schema(leftTs).dataType) &&
+      integralType(right.schema(startCol).dataType) &&
+      integralType(right.schema(endCol).dataType),
+      "range join needs integral ts/start/end columns — cast " +
+        "timestamps explicitly to define the bucket unit")
+
+    // `div` (exact integral floor-toward-zero division; `/` on longs
+    // routes through a double and mis-rounds past 2^53)
+    def bucketOf(c: String): Column =
+      expr(s"CAST(`$c` AS BIGINT) div ${bucketWidth}L")
+
+    val r = right.where(
+      keys.map(right(_).isNotNull).reduce(_ && _) &&
+        right(startCol).isNotNull && right(endCol).isNotNull &&
+        right(endCol) >= right(startCol))
+
+    // pre-flight explosion pricing over a two-column projection
+    val worst = r
+      .agg(max(bucketOf(endCol) - bucketOf(startCol) + lit(1L)))
+      .head()
+    val maxSpan = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(maxSpan <= maxBucketsPerInterval,
+      s"an interval spans $maxSpan buckets of width $bucketWidth " +
+        s"(> maxBucketsPerInterval = $maxBucketsPerInterval): raise " +
+        "bucketWidth toward the typical interval span, or raise the " +
+        "cap if the explosion is priced in")
+
+    val rb = r.withColumn("__bkt",
+      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
+    val lb = left.where(left(leftTs).isNotNull &&
+        keys.map(left(_).isNotNull).reduce(_ && _))
+      .withColumn("__bkt", bucketOf(leftTs))
+    lb.join(rb, keys :+ "__bkt")
+      .where(col(leftTs) >= col(startCol) &&
+        col(leftTs) <= col(endCol))
+      .drop("__bkt")
+  }
+
   /** Gap-based sessionization: per key, a new session starts at the
     * first event and whenever the gap since the previous event
     * exceeds `gap` (same units as `ts`: nanos for the events table's

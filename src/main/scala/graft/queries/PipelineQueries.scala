@@ -451,6 +451,29 @@ object PipelineQueries {
           coalesce(max(col("shared")), lit(0L)).cast("long")
             .as("max_shared"))),
 
+    // interval containment: every event joined to the 1-day windows
+    // opened by its user's signups — the bucketed equi-join
+    // (bucketWidth = window span, so each interval explodes to <= 2
+    // buckets) must reproduce DuckDB's plain inequality join exactly,
+    // inclusive bounds and all
+    "q59_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"))
+      val iv = t(s, d, "events")
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + lit(86400000000000L)).as("win_end"),
+          col("event_id").as("win_id"))
+      Temporal.rangeJoin(ev, iv, Seq("user_id"), "ts",
+          "win_start", "win_end", bucketWidth = 86400000000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("win_id")).cast("long").as("sum_win"),
+          min(col("event_id")).as("min_event"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -1098,6 +1121,16 @@ object PipelineQueries {
        "SELECT COUNT(*) AS n_pairs, CAST(COALESCE(SUM(shared), 0) " +
        "AS BIGINT) AS sum_shared, CAST(COALESCE(MAX(shared), 0) AS " +
        "BIGINT) AS max_shared FROM pr"),
+    "q59_range_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, " +
+       "event_type FROM events), " +
+       "iv AS (SELECT user_id, tsn AS s, tsn + 86400000000000 AS e, " +
+       "event_id AS win_id FROM ev WHERE event_type = 'signup') " +
+       "SELECT ev.event_type, COUNT(*) AS n_pairs, CAST(SUM(win_id) " +
+       "AS BIGINT) AS sum_win, MIN(ev.event_id) AS min_event " +
+       "FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.tsn >= " +
+       "iv.s AND ev.tsn <= iv.e " +
+       "GROUP BY ev.event_type ORDER BY ev.event_type NULLS FIRST"),
     // q33 is the structure-inference dump itself: its five inferred
     // type strings over the documents table are deterministic (exact
     // counters over deterministic data). The byte-identical golden

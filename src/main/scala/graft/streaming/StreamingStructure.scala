@@ -91,6 +91,32 @@ object StreamingStructure {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming gap sessionization — the ingest-side twin of
+    * [[graft.operators.Temporal.sessionize]], via Spark's NATIVE
+    * `session_window` (merging event-time session state in the state
+    * store, bounded by the watermark): one row per closed (key,
+    * session) with the session bounds and event count. State scales
+    * with OPEN sessions per key, not with history; sessions emit in
+    * append mode once the watermark passes their close — exactly the
+    * "user activity sessions at ingest" shape.
+    *
+    * Boundary convention matches the batch operator exactly:
+    * `session_window` merges sessions whose windows TOUCH (an event
+    * at `last + gap` still merges), the same inclusive rule as the
+    * batch SQL `lag` convention (`diff > gap` starts a new session) —
+    * so a replayed stream reproduces the batch session partition 1:1,
+    * exact-boundary gaps included (both spec-pinned).
+    */
+  def sessionStats(df: DataFrame, tsCol: String, keyCol: String,
+                   gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol).as("key"),
+        session_window(col(tsCol), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_event"),
+        max(col(tsCol)).as("last_event"))
+
   /** One (doc, band) row of the streaming near-dup filter: `collided`
     * is true when the band bucket was already claimed by an
     * earlier-arriving document.

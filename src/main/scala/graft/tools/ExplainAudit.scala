@@ -226,6 +226,27 @@ object ExplainAudit {
           s"keyedSort=$nSort (want $wantSort)")
     }
 
+    // ---- range-join shape check ----------------------------------
+    // the bucketed interval join must plan as a HASH equi-join on
+    // (key, bucket) — never a BroadcastNestedLoopJoin / cartesian
+    // re-derivation of the theta-join it replaces
+    locally {
+      val df = graft.SparkEntry.queries("q59_range_join")(spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val nested = finalPlan.contains("NestedLoop") ||
+        finalPlan.contains("Cartesian")
+      val hashJoin = finalPlan.contains("HashJoin") ||
+        finalPlan.contains("SortMergeJoin")
+      val ok = !nested && hashJoin
+      if (!ok) failures += 1
+      println(s"\n=== q59_range_join — bucketed equi-join shape ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] hash/merge join " +
+        s"(found $hashJoin) and no nested-loop/cartesian " +
+        s"(found nested=$nested)")
+    }
+
     // ---- no-global-window check ----------------------------------
     // no query may plan a Window with an EMPTY partitionSpec (a
     // single-task global sort of the window input — the one shape

@@ -182,6 +182,83 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Temporal.sessionize(strTs, "k", "ts", 10L)
     }
   }
+
+  // ---- rangeJoin ---------------------------------------------------
+
+  private def rjLeft: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Some("a"), Some(10L)),   // == start: inclusive
+      (2L, Some("a"), Some(20L)),   // == end: inclusive
+      (3L, Some("a"), Some(15L)),   // inside two overlapping windows
+      (4L, Some("a"), Some(21L)),   // just past end
+      (5L, Some("b"), Some(15L)),   // right key match only
+      (6L, None, Some(15L)),        // null key matches nothing
+      (7L, Some("a"), None),        // null ts matches nothing
+      (8L, Some("a"), Some(-25L)))  // negative-ts bucket coverage
+      .toDF("id", "k", "ts")
+  }
+
+  private def rjRight: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (Some("a"), Some(10L), Some(20L), "w1"),
+      (Some("a"), Some(14L), Some(16L), "w2"),  // overlaps w1
+      (Some("b"), Some(0L), Some(100L), "w3"),
+      (Some("a"), Some(30L), Some(25L), "w4"),  // end < start: dropped
+      (None, Some(0L), Some(100L), "w5"),       // null key: dropped
+      (Some("a"), None, Some(9L), "w6"),        // null bound: dropped
+      (Some("a"), Some(-30L), Some(-20L), "w7")) // negative window
+      .toDF("k", "ws", "we", "win")
+  }
+
+  private def rjPairs(bucketWidth: Long): Set[(Long, String)] =
+    Temporal.rangeJoin(rjLeft, rjRight, Seq("k"), "ts", "ws", "we",
+        bucketWidth)
+      .select(col("id"), col("win")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private val rjExpected = Set(
+    1L -> "w1", 2L -> "w1", 3L -> "w1", 3L -> "w2", 5L -> "w3",
+    8L -> "w7")
+
+  test("rangeJoin: inclusive containment, nulls and degenerate " +
+      "windows never match, negative ts covered") {
+    assert(rjPairs(bucketWidth = 7L) == rjExpected)
+  }
+
+  test("rangeJoin agrees with the naive theta-join at any bucket " +
+      "width") {
+    val naive = rjLeft.as("l").join(rjRight.as("r"),
+        col("l.k") === col("r.k") && col("l.ts") >= col("r.ws") &&
+          col("l.ts") <= col("r.we"))
+      .select(col("l.id"), col("r.win")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(naive == rjExpected) // fixture sanity
+    for (w <- Seq(1L, 3L, 1000L)) assert(rjPairs(w) == rjExpected,
+      s"bucketWidth $w diverges from the theta-join")
+  }
+
+  test("rangeJoin guard refuses an under-sized bucketWidth") {
+    val e = intercept[IllegalArgumentException] {
+      rjPairs(bucketWidth = 7L) // fine
+      Temporal.rangeJoin(rjLeft, rjRight, Seq("k"), "ts", "ws", "we",
+        bucketWidth = 1L, maxBucketsPerInterval = 10L)
+    }
+    assert(e.getMessage.contains("bucketWidth"))
+  }
+
+  test("rangeJoin rejects colliding non-key columns") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((Some("a"), Some(0L), Some(1L), 9L))
+      .toDF("k", "ws", "we", "ts") // 'ts' collides with left
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(rjLeft, bad, Seq("k"), "ts", "ws", "we", 10L)
+    }
+  }
 }
 
 /** Mixture-rate sampling and the quota-sample shortfall detector. */

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, max}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -311,6 +312,88 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(verdicts(1L) == false, verdicts)
       assert(verdicts(2L) == true, verdicts)  // shares a band slice
       assert(verdicts(3L) == false, verdicts) // no shared slice
+    } finally query.stop()
+  }
+
+  test("streaming sessions match batch sessionize on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) =
+      Timestamp.valueOf(s"2026-01-01 00:0${sec / 60}:${
+        f"${sec % 60}%02d"}")
+    // gaps never land exactly on the 30 s boundary, so both
+    // conventions agree (the boundary itself is pinned below)
+    val events = Seq(
+      ("a", ts(0)), ("a", ts(10)), ("a", ts(100)), // 2 sessions
+      ("b", ts(5)))                                // 1 session
+    val input = MemoryStream[(String, Timestamp)]
+    val query = StreamingStructure
+      .sessionStats(input.toDF.toDF("user", "ts"), "ts", "user",
+        gap = "30 seconds", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every session close so all
+      // sessions finalize and emit (the flush key's own session
+      // stays open and is excluded from the comparison)
+      input.addData(("zz", ts(500)))
+      query.processAllAvailable()
+      val streamed = spark.table("sess").collect()
+        .filter(_.getAs[String]("key") != "zz")
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("n_events")))
+        .groupBy(_._1)
+        .map { case (k, v) => k -> (v.length, v.map(_._2).sum) }
+      val batch = graft.operators.Temporal
+        .sessionize(events.toDF("user", "ts"), "user", "ts",
+          gap = 30000000L) // 30 s in the micros the batch op compares
+        .groupBy(col("user"))
+        .agg((max(col("session")) + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .collect()
+        .map(r => r.getAs[String]("user") ->
+          (r.getAs[Long]("n_sessions").toInt,
+            r.getAs[Long]("n_events"))).toMap
+      assert(streamed == batch,
+        s"stream $streamed vs batch $batch")
+      assert(batch == Map("a" -> (2, 3L), "b" -> (1, 1L)))
+    } finally query.stop()
+  }
+
+  test("session boundary: a gap of exactly `gap` merges in stream " +
+      "AND batch; one past splits in both") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t30 = Timestamp.valueOf("2026-01-01 00:00:30")
+    val t61 = Timestamp.valueOf("2026-01-01 00:01:01") // 31 s later
+    val events = Seq(("c", t0), ("c", t30), ("c", t61))
+    val input = MemoryStream[(String, Timestamp)]
+    val query = StreamingStructure
+      .sessionStats(input.toDF.toDF("user", "ts"), "ts", "user",
+        gap = "30 seconds", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessb")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      input.addData(("zz", Timestamp.valueOf("2026-01-01 00:10:00")))
+      query.processAllAvailable()
+      // touching windows merge: {t0, t30} one session, t61 a new one
+      val cs = spark.table("sessb").collect()
+        .filter(_.getAs[String]("key") == "c")
+        .map(_.getAs[Long]("n_events")).sorted.toSeq
+      assert(cs == Seq(1L, 2L), cs)
+      // batch lag convention (diff > gap) partitions identically
+      val nb = graft.operators.Temporal
+        .sessionize(events.toDF("user", "ts"), "user", "ts",
+          gap = 30000000L)
+        .groupBy(col("session")).count().collect()
+        .map(_.getAs[Long]("count")).sorted.toSeq
+      assert(nb == Seq(1L, 2L), nb)
     } finally query.stop()
   }
 }

@@ -546,4 +546,201 @@ object Similarity {
            sqrt(col("b.n2").cast("double")))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // ==== Product quantization ======================================
+
+  /** Per-subspace codebook training — the learning step of product
+    * quantization (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", IEEE TPAMI 2011): the `dims`
+    * components split into `m` contiguous subspaces of dims/m each,
+    * and every subspace learns its own `ksub`-way spherical-k-means
+    * codebook over the sub-vectors. Returns one (id, sub, label)
+    * assignment row per vector per subspace.
+    *
+    * All `m` Lloyd recurrences run inside the SAME distributed jobs
+    * — `sub` rides the existing grouping keys, so training cost is
+    * one [[kmeansLabels]] pass regardless of `m` (scoring compares
+    * each component against its own subspace's ksub centroids:
+    * n·d·ksub terms per round, identical to flat k-means at k=ksub).
+    * Determinism is inherited wholesale: the ksub hash-smallest ids
+    * seed EVERY subspace (labels 0..ksub-1 in hash order), centroid
+    * sums stay exact quantized integers, cosine argmax breaks ties
+    * label-asc, iterations are fixed-count — so an unrolled SQL
+    * oracle reproduces every code bit-for-bit.
+    */
+  def pqAssign(df: DataFrame, idCol: String, vecCol: String,
+               dims: Int, m: Int, ksub: Int,
+               iters: Int = 2): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    require(ksub > 0 && iters >= 0,
+      s"need ksub > 0, iters >= 0: $ksub/$iters")
+    val dsub = dims / m
+    import org.apache.spark.sql.expressions.Window
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val comps = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
+        .as("sub"), col("dim"), quant(col("x")).as("qx"))
+    val hashOrder = Seq(Sampling.hash32(col("id")).asc,
+      col("id").asc_nulls_first)
+    // the same ksub seed vectors label every subspace (their
+    // sub-vector slices differ per subspace, which is all the
+    // diversity Lloyd needs; one seed list keeps the oracle small)
+    val seeds = df
+      .select(col(idCol).as("id"))
+      .orderBy(hashOrder: _*)
+      .limit(ksub)
+      .select(col("id"), (row_number().over(Window
+        .partitionBy(lit(1)).orderBy(hashOrder: _*)) - 1)
+        .cast("long").as("label"))
+      .select(col("id"), explode(sequence(lit(0L), lit(m - 1L)))
+        .as("sub"), col("label"))
+    var labels = seeds.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // exact integer centroid sums per (sub, label, dim); a dim
+      // belongs to exactly one sub, so (label, dim) is already
+      // unique — sub rides along for the norm grouping
+      val centroids = comps.join(labels, Seq("id", "sub"))
+        .groupBy(col("sub"), col("label"), col("dim"))
+        .agg(sum(col("qx")).as("cs"))
+      val norms = centroids.groupBy(col("sub"), col("label"))
+        .agg(sum(col("cs").cast("decimal(38,0)") * col("cs"))
+          .as("s2"))
+      val wid = Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("__sc").desc, col("label").asc_nulls_first)
+      labels = comps
+        .join(broadcast(centroids), Seq("sub", "dim"))
+        .groupBy(col("id"), col("sub"), col("label"))
+        .agg(sum(col("qx").cast("decimal(38,0)") * col("cs"))
+          .as("dot"))
+        .join(broadcast(norms), Seq("sub", "label"))
+        .select(col("id"), col("sub"), col("label"),
+          (col("dot").cast("double") /
+            sqrt(col("s2").cast("double"))).as("__sc"))
+        .withColumn("__rn", row_number().over(wid))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("sub"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Collapse a [[pqAssign]] assignment to one compact code word per
+    * vector: (id, codes) with `codes(s)` = the subspace-s label. THIS
+    * is the stored representation — m small integers (one byte each
+    * at the standard ksub=256) instead of d floats, a 4·d/m-fold
+    * compression (64× at d=1024, m=64) that turns a 100 TB float
+    * corpus into a scan-friendly ~1.6 TB code table.
+    */
+  def pqCodes(assign: DataFrame): DataFrame =
+    assign.groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("sub"), col("label")))),
+        s => s.getField("label")).as("codes"))
+
+  /** Final codebook table for a trained assignment: per (sub, label)
+    * the exact integer centroid component sums and the member count
+    * — (sub, label, dim, cs, n), m·ksub·(d/m) slim rows total,
+    * independent of corpus size (the PQ analogue of [[IvfIndex]]'s
+    * centroid table; persist alongside the codes).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, m: Int, assign: DataFrame): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    val dsub = dims / m
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val comps = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
+        .as("sub"), col("dim"), quant(col("x")).as("qx"))
+    val counts = assign.groupBy(col("sub"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    comps.join(assign, Seq("id", "sub"))
+      .groupBy(col("sub"), col("label"), col("dim"))
+      .agg(sum(col("qx")).as("cs"))
+      .join(broadcast(counts), Seq("sub", "label"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: rank the corpus
+    * by approximate cosine between each query and the RECONSTRUCTED
+    * vector x̂ (per subspace, the centroid its code names), reading
+    * ONLY the code table. Returns (qid, vec_id, rank), rank ≤ k per
+    * query, self excluded.
+    *
+    * Scale shape — the whole point of PQ: the scan is a pure
+    * codegen'd PROJECTION over the codes table against two broadcast
+    * lookup literals (per-query numerator terms q·ĉ and the
+    * query-independent ĉ·ĉ norm terms — |queries|·m·ksub doubles,
+    * built from one tiny codebook×query aggregation). No join, no
+    * shuffle, no float arrays touched: each row costs 2m map lookups
+    * + a fixed-order double sum, then a per-query top-k window over
+    * scored rows. Compose with IVF labels to prune the scan to
+    * probed partitions.
+    *
+    * Engine-portable determinism: every LUT double is produced by
+    * the exact-integer → double pipeline (decimal sums, one
+    * division), the per-row score sums its m terms in FIXED subspace
+    * order (left fold, matching the oracle's unrolled t0+t1+…), and
+    * ties break by vec_id — so rankings hash-match the SQL oracle.
+    */
+  def pqTopKAdc(codes: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                dims: Int, m: Int, k: Int): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    val dsub = dims / m
+    import org.apache.spark.sql.expressions.Window
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val qComps = queries.select(col(qidCol).as("qid"),
+        posexplode(col(qvecCol)).as(Seq("dim", "x")))
+      .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
+    // numerator LUT: t(qid, sub, label) = (Σ_dim qy·cs) / n — the
+    // decimal-sum → double cast path the oracle mirrors in HUGEINT
+    val numRows = codebooks.join(qComps, Seq("dim"))
+      .groupBy(col("qid"), col("sub"), col("label"), col("n"))
+      .agg(sum(col("qy").cast("decimal(38,0)") * col("cs"))
+        .as("dot"))
+      .select(col("qid"), col("sub"), col("label"),
+        (col("dot").cast("double") / col("n").cast("double"))
+          .as("t"))
+      .collect()
+    // norm LUT: w(sub, label) = (Σ_dim cs²) / n² = |ĉ_sub|²
+    val normRows = codebooks
+      .groupBy(col("sub"), col("label"), col("n"))
+      .agg(sum(col("cs").cast("decimal(38,0)") * col("cs"))
+        .as("ss"))
+      .select(col("sub"), col("label"),
+        (col("ss").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("w"))
+      .collect()
+    val numMap = numRows.map(r => s"${r.getLong(0)}:${r.getLong(1)}:${
+        r.getLong(2)}" -> r.getDouble(3)).toMap
+    val normMap = normRows.map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}" -> r.getDouble(2)).toMap
+    val numLit = typedLit(numMap)
+    val normLit = typedLit(normMap)
+    val qids = queries.select(col(qidCol).as("qid"))
+    def code(s: Int): Column = element_at(col("codes"), s + 1)
+    val numTerms = (0 until m).map(s => element_at(numLit,
+      concat_ws(":", col("qid"), lit(s.toLong), code(s))))
+    val normTerms = (0 until m).map(s => element_at(normLit,
+      concat_ws(":", lit(s.toLong), code(s))))
+    val score = numTerms.reduceLeft(_ + _) /
+      sqrt(normTerms.reduceLeft(_ + _))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("__adc").desc, col("id").asc_nulls_first)
+    codes.crossJoin(broadcast(qids))
+      .where(col("id") =!= col("qid"))
+      .withColumn("__adc", score)
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id").as("vec_id"), col("rank"))
+      .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
+  }
 }

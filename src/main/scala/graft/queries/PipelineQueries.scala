@@ -474,6 +474,35 @@ object PipelineQueries {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
+    // PQ codebook training census: one row per (subspace, code) with
+    // member count and smallest member — pins every per-subspace
+    // Lloyd step (shared seeds, integer centroid sums, argmax
+    // tie-breaks) against the unrolled per-subspace recurrence
+    "q60_pq_codes" -> ((s, d) =>
+      Similarity.pqAssign(t(s, d, "embeddings"), "vec_id",
+          "embedding", dims = 64, m = 4, ksub = 4, iters = 2)
+        .groupBy(col("sub"), col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("id")).as("min_vec_id"))
+        .orderBy(col("sub").asc_nulls_first,
+          col("label").asc_nulls_first)),
+
+    // ADC top-5 for three queries over the PQ-coded corpus: the
+    // broadcast-LUT projection scan must reproduce the oracle's
+    // join-and-pivot formulation term-for-term (fixed-order double
+    // sums, vec_id tie-breaks)
+    "q61_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val assign = Similarity.pqAssign(emb, "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 4, iters = 2)
+      val codes = Similarity.pqCodes(assign)
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = 4, assign)
+      Similarity.pqTopKAdc(codes, books,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        dims = 64, m = 4, k = 5)
+    }),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -715,6 +744,95 @@ object PipelineQueries {
     "SELECT label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
     "min_vec_id FROM a2 GROUP BY label ORDER BY label " +
     "NULLS FIRST"
+
+  // the per-subspace PQ recurrence: kmeansSql with a `sub` column
+  // threaded through every step (m=4 subspaces of 16 dims over the
+  // 64-dim embeddings, ksub=4 codes, 2 Lloyd rounds, the same
+  // hash-smallest seed ids labeling every subspace)
+  private val pqPrefix =
+    "WITH hv AS (SELECT vec_id, CAST('0x' || " +
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+    "FROM embeddings), " +
+    "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY " +
+    "h, vec_id) - 1 AS BIGINT) AS label FROM hv ORDER BY h, " +
+    "vec_id LIMIT 4), " +
+    "sseeds AS (SELECT vec_id, s.sub, label FROM seeds, " +
+    "(SELECT unnest(range(4)) AS sub) s), " +
+    "qc AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, " +
+    "i AS dim, CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS " +
+    "BIGINT) AS qx FROM (SELECT vec_id, " +
+    "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
+    "x FROM embeddings)), " +
+    "c0 AS (SELECT a.sub, a.label, qc.dim, CAST(SUM(qx) AS " +
+    "BIGINT) AS cs FROM qc JOIN sseeds a ON qc.vec_id = a.vec_id " +
+    "AND qc.sub = a.sub GROUP BY 1, 2, 3), " +
+    "n0 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM c0 GROUP BY 1, 2), " +
+    "sc1 AS (SELECT qc.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qc JOIN c0 c ON qc.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "a1 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM sc1 JOIN n0 USING (sub, label)) WHERE rn = 1), " +
+    "c1 AS (SELECT a.sub, a.label, qc.dim, CAST(SUM(qx) AS " +
+    "BIGINT) AS cs FROM qc JOIN a1 a ON qc.vec_id = a.vec_id " +
+    "AND qc.sub = a.sub GROUP BY 1, 2, 3), " +
+    "n1 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM c1 GROUP BY 1, 2), " +
+    "sc2 AS (SELECT qc.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qc JOIN c1 c ON qc.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "a2 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM sc2 JOIN n1 USING (sub, label)) WHERE rn = 1)"
+
+  private val pqCodesSql = pqPrefix + " " +
+    "SELECT sub, label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
+    "min_vec_id FROM a2 GROUP BY sub, label ORDER BY sub NULLS " +
+    "FIRST, label NULLS FIRST"
+
+  // ADC: final codebooks from a2, numerator/norm lookup terms as
+  // HUGEINT-sum → DOUBLE → one division (the engine's decimal →
+  // double path), then a per-(query, vector) pivot so the four
+  // subspace terms add in FIXED order t0+t1+t2+t3 — double addition
+  // is order-sensitive and the engine folds left in subspace order
+  private val pqAdcSql = pqPrefix + ", " +
+    "cb AS (SELECT a.sub, a.label, qc.dim, CAST(SUM(qx) AS " +
+    "BIGINT) AS cs FROM qc JOIN a2 a ON qc.vec_id = a.vec_id " +
+    "AND qc.sub = a.sub GROUP BY 1, 2, 3), " +
+    "cn AS (SELECT sub, label, COUNT(*) AS n FROM a2 " +
+    "GROUP BY 1, 2), " +
+    "nm AS (SELECT cb.sub, cb.label, CAST(SUM(CAST(cs AS HUGEINT) " +
+    "* cs) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) " +
+    "AS w FROM cb JOIN cn USING (sub, label) GROUP BY cb.sub, " +
+    "cb.label, n), " +
+    "tn AS (SELECT q.vec_id AS qid, cb.sub, cb.label, " +
+    "CAST(SUM(CAST(qx AS HUGEINT) * cs) AS DOUBLE) / CAST(n AS " +
+    "DOUBLE) AS t FROM qc q JOIN cb ON q.dim = cb.dim JOIN cn ON " +
+    "cb.sub = cn.sub AND cb.label = cn.label WHERE q.vec_id < 3 " +
+    "GROUP BY 1, 2, 3, n), " +
+    "pv AS (SELECT tn.qid, a.vec_id, " +
+    "MAX(CASE WHEN a.sub = 0 THEN t END) AS t0, " +
+    "MAX(CASE WHEN a.sub = 1 THEN t END) AS t1, " +
+    "MAX(CASE WHEN a.sub = 2 THEN t END) AS t2, " +
+    "MAX(CASE WHEN a.sub = 3 THEN t END) AS t3 " +
+    "FROM a2 a JOIN tn ON a.sub = tn.sub AND a.label = tn.label " +
+    "GROUP BY 1, 2), " +
+    "wv AS (SELECT a.vec_id, " +
+    "MAX(CASE WHEN a.sub = 0 THEN w END) AS w0, " +
+    "MAX(CASE WHEN a.sub = 1 THEN w END) AS w1, " +
+    "MAX(CASE WHEN a.sub = 2 THEN w END) AS w2, " +
+    "MAX(CASE WHEN a.sub = 3 THEN w END) AS w3 " +
+    "FROM a2 a JOIN nm ON a.sub = nm.sub AND a.label = nm.label " +
+    "GROUP BY 1), " +
+    "r AS (SELECT qid, pv.vec_id, ROW_NUMBER() OVER (PARTITION BY " +
+    "qid ORDER BY (t0 + t1 + t2 + t3) / sqrt(w0 + w1 + w2 + w3) " +
+    "DESC, pv.vec_id) AS rank FROM pv JOIN wv ON pv.vec_id = " +
+    "wv.vec_id WHERE pv.vec_id <> qid) " +
+    "SELECT qid, vec_id, rank FROM r WHERE rank <= 5 " +
+    "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" ->
@@ -1039,6 +1157,8 @@ object PipelineQueries {
        "BIGINT), doc_id) AS rn FROM documents) " +
        "WHERE rn <= 7 ORDER BY source NULLS FIRST, doc_id"),
     "q48_kmeans" -> kmeansSql,
+    "q60_pq_codes" -> pqCodesSql,
+    "q61_pq_adc" -> pqAdcSql,
     // the grouped-refinement path with one coarse cell IS the flat
     // algorithm — the same unrolled oracle pins it
     "q56_kmeans_hier" -> kmeansSql,

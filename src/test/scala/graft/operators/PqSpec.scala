@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: per-subspace codebook training, code words,
+  * and the ADC broadcast-LUT scan.
+  */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // 12 vectors in 8 dims: four orthogonal patterns x three exact
+  // copies each; every per-subspace cluster stays PURE (all member
+  // sub-vectors identical), so PQ reconstruction is exact and ADC
+  // must reproduce the exact cosine ranking
+  private val patterns = Seq(
+    Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+    Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+    Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+    Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+
+  private def fixture: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until 12).map(i => (i.toLong, patterns(i % 4)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqAssign with m = 1 IS flat kmeansLabels") {
+    val flat = Similarity.kmeansLabels(fixture, "vec_id",
+        "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqAssign(fixture, "vec_id", "embedding",
+        dims = 8, m = 1, ksub = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq == flat)
+  }
+
+  test("codes are deterministic under repartitioning") {
+    def codes(df: DataFrame): Map[Long, Seq[Long]] =
+      Similarity.pqCodes(Similarity.pqAssign(df, "vec_id",
+          "embedding", dims = 8, m = 2, ksub = 4, iters = 2))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val a = codes(fixture)
+    val b = codes(fixture.repartition(7))
+    assert(a == b)
+    assert(a.values.forall(_.length == 2)) // one code per subspace
+  }
+
+  test("ADC on pure clusters reproduces the exact cosine ranking") {
+    val df = fixture
+    // ksub = n: every vector seeds, each cluster's members share one
+    // exact sub-vector value -> reconstruction is exact
+    val assign = Similarity.pqAssign(df, "vec_id", "embedding",
+      dims = 8, m = 2, ksub = 12, iters = 1)
+    val codes = Similarity.pqCodes(assign)
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      dims = 8, m = 2, assign)
+    val s = spark
+    import s.implicits._
+    val qv = Array(1f, 0.5f, 0f, 0f, 1f, 0.5f, 0f, 0f)
+    val queries = Seq((999L, qv)).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopKAdc(codes, books, queries, "vec_id",
+        "embedding", dims = 8, m = 2, k = 12)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // exact cosine on the quantized ints, ties by vec_id — the same
+    // ranking ADC must produce when reconstruction is exact
+    def cos(v: Array[Float]): Double = {
+      val q = qv.map(x => math.round(x.toDouble * 33554432.0))
+      val w = v.map(x => math.round(x.toDouble * 33554432.0))
+      val dot = q.zip(w).map { case (a, b) => a * b }.sum.toDouble
+      dot / (math.sqrt(q.map(a => a * a).sum.toDouble) *
+        math.sqrt(w.map(a => a * a).sum.toDouble))
+    }
+    val want = (0 until 12)
+      .map(i => (i.toLong, cos(patterns(i % 4))))
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), r) => (id, r + 1L) }
+    assert(got.toSeq == want)
+    // and the ranking is the intended one: p0 copies, then p1's
+    assert(got.take(6).map(_._1).toSeq == Seq(0L, 4L, 8L, 1L, 5L, 9L))
+  }
+
+  test("pqAssign rejects dims not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqAssign(fixture, "vec_id", "embedding",
+        dims = 8, m = 3, ksub = 2)
+    }
+  }
+}

@@ -48,6 +48,48 @@ object Sampling {
     df.where(pmod(hash32(key), lit(of.toLong)) === bucket.toLong)
   }
 
+  /** Deterministic shard id in [0, numShards): the 32-bit hash space
+    * cut into `numShards` equal ranges, `shard = h·S >> 32` — exact
+    * integer arithmetic (h < 2^32 and S ≤ 2^20 keep the product
+    * under 2^52), the same range-of-hash-space idiom as
+    * [[hashSample]], so a row's shard is a pure function of its key:
+    * stable across runs, engines, partitionings, and CLUSTER SIZES
+    * (re-running the export on 10 or 1000 executors moves no row).
+    * Because shards are hash RANGES, shard s of an S-shard export is
+    * the union of shards 2s and 2s+1 of a 2S-shard export — resharding
+    * refines, never reshuffles. Null keys get a null shard (surface
+    * them, don't hide them in shard 0). Shards are balanced in
+    * expectation for distinct keys; duplicate keys land together by
+    * design (a key's rows belong in one shard).
+    */
+  def shardAssign(key: Column, numShards: Int): Column = {
+    require(numShards > 0 && numShards <= (1 << 20),
+      s"numShards must be in [1, 2^20]: $numShards")
+    shiftright(hash32(key) * lit(numShards.toLong), 32)
+  }
+
+  /** Reproducible training-data export: write `df` as `numShards`
+    * hash-range shards (`<path>/shard=N/`), each shard one sorted
+    * parquet file — the "shuffle once, globally, deterministically"
+    * step before sequence packing / epoch streaming, without any
+    * global sort: rows route to their [[shardAssign]] range (one
+    * shuffle on the shard id), and each shard sorts locally by
+    * (hash, key) — a deterministic pseudo-random order WITHIN the
+    * shard too, so readers consuming shards round-robin see a stable
+    * global permutation. At 100 TB / 10k shards that is 10 GB per
+    * sort task, spill-friendly, with no single-task bottleneck
+    * anywhere.
+    */
+  def writeShards(df: DataFrame, key: Column, numShards: Int,
+                  path: String): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column")
+    df.withColumn("shard", shardAssign(key, numShards))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), hash32(key), key)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Per-group hash sampling rates — the data-mixing step of corpus
     * curation: each domain/source is kept at its own rate (e.g.
     * temperature-scaled mixing weights computed offline), groups not

@@ -503,6 +503,22 @@ object PipelineQueries {
         dims = 64, m = 4, k = 5)
     }),
 
+    // hash-range shard census: per shard the row count, hash-range
+    // bounds, and a content checksum — pins the reproducible-export
+    // routing (shard = h·16 >> 32) against the identical SQL
+    // arithmetic; the writer itself is spec-tested (one sorted file
+    // per shard, membership == this assignment)
+    "q62_shard_census" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Sampling.shardAssign(col("doc_id"), 16).as("shard"),
+          Sampling.hash32(col("doc_id")).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+        .orderBy(col("shard").asc_nulls_first)),
+
     // nanosecond-timestamp column (read as long nanos under
     // nanosAsLong): conversion to calendar dates must agree with
     // DuckDB's native TIMESTAMP_NS view of the same column
@@ -1159,6 +1175,14 @@ object PipelineQueries {
     "q48_kmeans" -> kmeansSql,
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
+    "q62_shard_census" ->
+      ("WITH hd AS (SELECT doc_id, CAST('0x' || " +
+       "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+       "FROM documents) " +
+       "SELECT (h * 16) // 4294967296 AS shard, COUNT(*) AS n_docs, " +
+       "MIN(h) AS min_h, MAX(h) AS max_h, CAST(SUM(doc_id) AS " +
+       "BIGINT) AS sum_id FROM hd GROUP BY shard " +
+       "ORDER BY shard NULLS FIRST"),
     // the grouped-refinement path with one coarse cell IS the flat
     // algorithm — the same unrolled oracle pins it
     "q56_kmeans_hier" -> kmeansSql,

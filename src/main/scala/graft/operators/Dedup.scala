@@ -191,11 +191,35 @@ object Dedup {
     */
   def winnowPairs(df: DataFrame, idCol: Column, text: Column,
                   k: Int = 16, w: Int = 8, minShared: Int = 3,
-                  maxBucketSize: Long = 10000L): DataFrame = {
+                  maxBucketSize: Long = 10000L,
+                  maxPairRows: Long = 2000000000L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     val rows = winnowDocFps(df, idCol, text, k, w)
       .select(col("id"), lit(0).as("band"),
         explode(col("fps")).as("key"))
+    // the shared-count join materializes Σ df·(df−1)/2 rows over the
+    // surviving fingerprints — exact for overlap strength, quadratic
+    // in boilerplate document frequency. Price it pre-flight (the
+    // same DECIMAL pricing as [[jaccardPairs]]; the df aggregate is
+    // one pass over the slim (id, fp) rows) and REFUSE past budget:
+    // a corpus-wide boilerplate fingerprint under a too-generous
+    // `maxBucketSize` multiplies the join silently otherwise. The sf1
+    // soak measured the real shape: max df ≈ 2 754 from replicated
+    // boilerplate → 1.1×10⁸ pair rows from 3×10⁶ fingerprint rows.
+    val priced = rows.groupBy(col("key"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(when(col("df") <= maxBucketSize,
+        expr("CAST(df * (df - 1) DIV 2 AS DECIMAL(38,0))")))
+        .as("pair_rows"))
+      .first().getDecimal(0)
+    if (priced != null &&
+        priced.compareTo(java.math.BigDecimal.valueOf(maxPairRows)) > 0)
+      throw new IllegalStateException(
+        s"winnowPairs: fingerprint self-join would materialize " +
+        s"$priced pair rows (> budget $maxPairRows). Lower " +
+        "maxBucketSize to drop corpus-wide boilerplate fingerprints " +
+        "(they dominate the quadratic term and carry no pair-specific " +
+        "signal), or raise maxPairRows explicitly.")
     val kept = dropHotBuckets(rows, maxBucketSize)
     val a = kept.as("a")
     val b = kept.as("b")

@@ -125,6 +125,23 @@ class FingerprintSpec extends AnyFunSuite with BeforeAndAfterAll {
       k = 16, w = 8, minShared = 1).count() == 6L)
   }
 
+  test("winnowPairs refuses past the priced pair-row budget") {
+    val boiler = "shared boilerplate sentence appearing everywhere " +
+      "in this tiny corpus of documents"
+    val df = docs((1L to 4L).map(i => i -> s"doc $i says: $boiler"): _*)
+    val e = intercept[IllegalStateException] {
+      Dedup.winnowPairs(df, col("doc_id"), col("text"),
+        k = 16, w = 8, minShared = 1, maxPairRows = 1L)
+    }
+    assert(e.getMessage.contains("maxBucketSize"))
+    // fingerprints over the bucket cap do not count toward the price
+    // (they are dropped before the join) — cap 1 drops everything,
+    // so even budget 1 passes
+    assert(Dedup.winnowPairs(df, col("doc_id"), col("text"),
+      k = 16, w = 8, minShared = 1, maxBucketSize = 1L,
+      maxPairRows = 1L).isEmpty)
+  }
+
   test("fingerprints are partitioning-independent") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota",

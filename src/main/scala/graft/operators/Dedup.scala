@@ -539,6 +539,105 @@ object Dedup {
     df.join(drops, idCol === col("__drop_id"), "left_anti")
   }
 
+  /** LSH candidate pairs of a NEW batch against an EXISTING corpus —
+    * the incremental-crawl screen: band buckets join new-vs-old ONLY,
+    * so the already-deduplicated corpus never self-pairs, and the
+    * per-bucket fan-out is new·old (each side hot-bucket capped,
+    * ≤ cap²) instead of (old+new)². At a 100 TB corpus with a
+    * daily-batch delta that is the difference between a delta-sized
+    * job and a full re-dedup. Returns distinct (new_id, old_id).
+    */
+  def lshPairsAgainst(corpus: DataFrame, corpusId: Column,
+                      corpusText: Column, newDf: DataFrame,
+                      newId: Column, newText: Column,
+                      numHashes: Int = 64, bandSize: Int = 4,
+                      shingleK: Int = 5,
+                      maxBucketSize: Long = 10000L): DataFrame = {
+    val oldKept = dropHotBuckets(lshBands(minHashSignatures(corpus,
+      corpusId, corpusText, numHashes, shingleK), numHashes,
+      bandSize), maxBucketSize)
+    val newKept = dropHotBuckets(lshBands(minHashSignatures(newDf,
+      newId, newText, numHashes, shingleK), numHashes,
+      bandSize), maxBucketSize)
+    newKept.as("n")
+      .join(oldKept.as("o"), col("n.band") === col("o.band") &&
+        col("n.key") === col("o.key"))
+      .select(col("n.id").as("new_id"), col("o.id").as("old_id"))
+      .distinct()
+  }
+
+  /** Incremental one-call deduplication: the NEW batch minus exact
+    * and near-duplicates of the corpus AND of itself — the
+    * continuous-ingest twin of [[deduplicate]].
+    *
+    * Semantics: an exact md5-fingerprint pass drops batch rows whose
+    * text already exists in the corpus and keeps the smallest id per
+    * batch-internal fingerprint (this also catches sub-shingle short
+    * documents that LSH cannot see). Then the verified near-dup
+    * graph is built ONLY from pairs touching the batch
+    * ([[lshPairsAgainst]] for new-vs-old, [[lshCandidatePairs]] for
+    * new-vs-new): a cluster containing ANY corpus document drops all
+    * its batch members (the corpus already represents it); a
+    * batch-only cluster keeps its smallest id, exactly like
+    * [[deduplicate]]. With an empty corpus this IS [[deduplicate]]
+    * plus the exact-fingerprint pass.
+    *
+    * Requires globally unique ids across corpus and batch. Scale
+    * shape: the corpus is touched by exactly one signature projection
+    * + one fingerprint projection (both map-side) and the
+    * candidate-restricted verify scan — never shuffled in full,
+    * never self-joined.
+    */
+  def deduplicateAgainst(corpus: DataFrame, corpusId: Column,
+                         corpusText: Column, newDf: DataFrame,
+                         newId: Column, newText: Column,
+                         numHashes: Int = 64, bandSize: Int = 4,
+                         shingleK: Int = 5, thresholdNum: Int = 1,
+                         thresholdDen: Int = 5,
+                         maxBucketSize: Long = 10000L,
+                         maxIter: Int = 25): DataFrame = {
+    // exact pass: corpus fingerprints are slim distinct digests; the
+    // within-batch keep is an aggregation, not a window (no giant
+    // group sorts when a batch carries mass duplicates)
+    val oldFps = corpus.select(md5(corpusText).as("__fp")).distinct()
+    val minPerFp = newDf
+      .select(newId.as("__mid"), md5(newText).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col("__mid")).as("__keep"))
+    val exactKept = newDf
+      .join(minPerFp, md5(newText) === col("__fp") &&
+        newId === col("__keep"), "left_semi")
+      .join(oldFps, md5(newText) === col("__fp"), "left_anti")
+    // near-dup pass: candidates touching the batch only
+    val candOld = lshPairsAgainst(corpus, corpusId, corpusText,
+        exactKept, newId, newText, numHashes, bandSize, shingleK,
+        maxBucketSize)
+      .select(col("new_id").as("id1"), col("old_id").as("id2"))
+    val candNew = lshCandidatePairs(lshBands(minHashSignatures(
+      exactKept, newId, newText, numHashes, shingleK), numHashes,
+      bandSize), maxBucketSize)
+    val cands = candNew.unionByName(candOld).distinct()
+    val unionDf = corpus
+      .select(corpusId.as("id"), corpusText.as("text"))
+      .unionByName(exactKept.select(newId.as("id"),
+        newText.as("text")))
+    val verified = verifiedJaccardPairs(unionDf, col("id"),
+      col("text"), cands, shingleK, thresholdNum, thresholdDen)
+    val labels = connectedComponents(
+      verified.select(col("id1"), col("id2")), maxIter)
+    // cluster verdicts: any corpus member -> drop every batch member;
+    // batch-only -> keep the smallest id (the label)
+    val withOld = labels.join(corpus.select(corpusId.as("id"),
+      lit(true).as("__is_old")), Seq("id"), "left")
+    val labHasOld = withOld.groupBy(col("label"))
+      .agg(max(coalesce(col("__is_old"), lit(false)))
+        .as("__has_old"))
+    val dropNew = withOld.where(col("__is_old").isNull)
+      .join(labHasOld, Seq("label"))
+      .where(col("__has_old") || col("id") =!= col("label"))
+      .select(col("id").as("__drop_id"))
+    exactKept.join(dropNew, newId === col("__drop_id"), "left_anti")
+  }
+
   /** N-gram Jaccard near-duplicate pairs via shingle equi-join.
     * Threshold num/den (e.g. 1/5 for 0.2) applied in integer form:
     * den·inter ≥ num·union — no floating point.

@@ -503,6 +503,24 @@ object PipelineQueries {
         dims = 64, m = 4, k = 5)
     }),
 
+    // incremental dedup screen: hash-split the documents into a 20%
+    // "new batch" and an 80% "existing corpus", and census the
+    // new-vs-old LSH band collisions — the delta-dedup candidate
+    // generator that never self-pairs the corpus
+    "q63_dedup_against" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val isNew = pmod(Sampling.hash32(col("doc_id")), lit(5L)) === 0L
+      val pairs = Dedup.lshPairsAgainst(
+        docs.where(!isNew), col("doc_id"), col("text"),
+        docs.where(isNew), col("doc_id"), col("text"))
+      pairs.groupBy(col("new_id")).agg(count(lit(1)).as("n_old"))
+        .agg(count(lit(1)).as("n_flagged"),
+          coalesce(sum(col("n_old")), lit(0L)).cast("long")
+            .as("total_cands"),
+          coalesce(max(col("n_old")), lit(0L)).cast("long")
+            .as("max_cands"))
+    }),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -628,6 +646,32 @@ object PipelineQueries {
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
     s", bands AS ($selects)"
+  }
+
+  /** One side of the delta-dedup oracle: the full shingle → salted
+    * MinHash → band CTE chain over `documents WHERE pred`, suffixed
+    * with `tag` so two sides coexist in one WITH clause.
+    */
+  private def minhashSideCtes(tag: String, pred: String): String = {
+    val mins = (0 until 16).flatMap { salt =>
+      (0 until 4).map { slice =>
+        val idx = salt * 4 + slice + 1
+        s"MIN(substr(md5(s || '#$salt'), ${slice * 8 + 1}, 8)) AS mh$idx"
+      }
+    }.mkString(", ")
+    val bandSelects = (0 until 16).map { b =>
+      val key = (1 to 4).map(i => s"mh${b * 4 + i}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig$tag"
+    }.mkString(" UNION ALL ")
+    s"tok$tag AS (SELECT doc_id, regexp_split_to_array(trim(text), " +
+    s"'\\s+') AS t FROM documents WHERE $pred), " +
+    s"sh$tag AS (SELECT DISTINCT doc_id, unnest([t[i+1] || ' ' || " +
+    "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] FOR " +
+    s"i IN range(greatest(array_length(t) - 4, 0))]) AS s FROM " +
+    s"tok$tag), " +
+    s"sig$tag AS (SELECT doc_id, $mins FROM sh$tag GROUP BY " +
+    s"doc_id), " +
+    s"bands$tag AS ($bandSelects)"
   }
 
   /** round-half-away quantization identical in both engines. */
@@ -1175,6 +1219,20 @@ object PipelineQueries {
     "q48_kmeans" -> kmeansSql,
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
+    "q63_dedup_against" -> {
+      val h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
+        "8) AS BIGINT) % 5"
+      "WITH " + minhashSideCtes("n", s"$h = 0") + ", " +
+      minhashSideCtes("o", s"$h <> 0") + ", " +
+      "pr AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS " +
+      "old_id FROM bandsn n JOIN bandso o ON n.band = o.band AND " +
+      "n.key = o.key), " +
+      "per AS (SELECT new_id, COUNT(*) AS n_old FROM pr GROUP BY " +
+      "new_id) " +
+      "SELECT COUNT(*) AS n_flagged, CAST(COALESCE(SUM(n_old), 0) " +
+      "AS BIGINT) AS total_cands, CAST(COALESCE(MAX(n_old), 0) AS " +
+      "BIGINT) AS max_cands FROM per"
+    },
     "q62_shard_census" ->
       ("WITH hd AS (SELECT doc_id, CAST('0x' || " +
        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +

@@ -247,6 +247,60 @@ object ExplainAudit {
         s"(found nested=$nested)")
     }
 
+    // ---- delta-dedup join shape check ----------------------------
+    // the new-vs-old band-bucket join must be a hash/merge equi-join
+    // — never a nested-loop/cartesian pairing of the two corpora
+    locally {
+      val df = graft.SparkEntry.queries("q63_dedup_against")(spark,
+        sfDir)
+      df.collect()
+      // the FULL tree (final + AQE-initial): at audit scale the
+      // runtime plan can collapse the empty pair join to a local
+      // relation, but the statically-chosen join type is still
+      // visible in the initial plan — pin that it is a hash/merge
+      // equi-join and that no nested-loop/cartesian appears anywhere
+      val tree = df.queryExecution.executedPlan.treeString
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val hashJoin = tree.contains("HashJoin") ||
+        tree.contains("SortMergeJoin")
+      val ok = !nested && hashJoin
+      if (!ok) failures += 1
+      println(s"\n=== q63_dedup_against — band-bucket equi-join ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] hash/merge join " +
+        s"(found $hashJoin) and no nested-loop/cartesian " +
+        s"(found nested=$nested)")
+    }
+
+    // ---- PQ ADC scan shape check ---------------------------------
+    // the ADC serving scan (codes + prebuilt codebooks) must be a
+    // pure projection: its only joins are the broadcast query
+    // fan-out — NO shuffled join anywhere, and the only shuffles are
+    // the per-query top-k window and the final presentation sort
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val assign = graft.operators.Similarity.pqAssign(emb, "vec_id",
+        "embedding", dims = 64, m = 4, ksub = 4, iters = 1)
+      val codes = graft.operators.Similarity.pqCodes(assign)
+        .localCheckpoint(true) // freeze: training is not the scan
+      val books = graft.operators.Similarity.pqCodebooks(emb,
+        "vec_id", "embedding", dims = 64, m = 4, assign)
+      val scan = graft.operators.Similarity.pqTopKAdc(codes, books,
+        emb.where(col("vec_id") < 2), "vec_id", "embedding",
+        dims = 64, m = 4, k = 3)
+      scan.collect()
+      val finalPlan = scan.queryExecution.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
+      val shuffledJoin = finalPlan.contains("SortMergeJoin") ||
+        finalPlan.contains("ShuffledHashJoin")
+      val ok = !shuffledJoin
+      if (!ok) failures += 1
+      println(s"\n=== PQ ADC scan — join-free scoring projection ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] no shuffled " +
+        s"join in the serving scan (found shuffled=$shuffledJoin)")
+    }
+
     // ---- no-global-window check ----------------------------------
     // no query may plan a Window with an EMPTY partitionSpec (a
     // single-task global sort of the window input — the one shape

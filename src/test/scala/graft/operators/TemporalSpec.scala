@@ -250,6 +250,37 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("bucketWidth"))
   }
 
+  test("rangeJoin == theta-join on seeded random fixtures at " +
+      "random bucket widths") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 4) {
+      val left = (1 to 60).map { i =>
+        (i.toLong, rnd.nextInt(3).toString,
+          rnd.nextLong() % 500L) // negatives included
+      }.toDF("id", "k", "ts")
+      val right = (1 to 25).map { i =>
+        val st = rnd.nextLong() % 400L
+        (rnd.nextInt(3).toString, st,
+          st + rnd.nextInt(120) - 10L, // ~8% degenerate end < start
+          s"w$i")
+      }.toDF("k", "ws", "we", "win")
+      val naive = left.as("l").join(right.as("r"),
+          col("l.k") === col("r.k") && col("l.ts") >= col("r.ws") &&
+            col("l.ts") <= col("r.we"))
+        .select(col("l.id"), col("r.win")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val w = 1L + rnd.nextInt(200)
+      val got = Temporal.rangeJoin(left, right, Seq("k"), "ts",
+          "ws", "we", bucketWidth = w)
+        .select(col("id"), col("win")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == naive, s"round $round width $w")
+      assert(naive.nonEmpty, s"round $round fixture degenerate")
+    }
+  }
+
   test("rangeJoin rejects colliding non-key columns") {
     val s = spark
     import s.implicits._

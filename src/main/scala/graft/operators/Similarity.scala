@@ -692,8 +692,21 @@ object Similarity {
                 dims: Int, m: Int, k: Int): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"dims must split evenly into m subspaces: dims=$dims m=$m")
-    val dsub = dims / m
-    import org.apache.spark.sql.expressions.Window
+    val score = adcScore(codebooks, queries, qidCol, qvecCol, m)
+    val qids = queries.select(col(qidCol).as("qid"))
+    adcRank(codes.crossJoin(broadcast(qids)), score, k)
+  }
+
+  /** The ADC score column for a (qid, codes) frame: two broadcast
+    * LUT literals built from one tiny codebook×query aggregation,
+    * then 2m lookups + FIXED-ORDER double sums per row (left fold ==
+    * the oracle's unrolled t0+t1+…). Every LUT double comes from the
+    * exact-integer decimal-sum → double cast path, so scores are
+    * bit-identical to the SQL oracle's.
+    */
+  private def adcScore(codebooks: DataFrame, queries: DataFrame,
+                       qidCol: String, qvecCol: String,
+                       m: Int): Column = {
     val quant = (x: Column) =>
       round(x.cast("double") * 33554432.0).cast("long")
     val qComps = queries.select(col(qidCol).as("qid"),
@@ -719,28 +732,81 @@ object Similarity {
           (col("n").cast("double") * col("n").cast("double")))
           .as("w"))
       .collect()
-    val numMap = numRows.map(r => s"${r.getLong(0)}:${r.getLong(1)}:${
-        r.getLong(2)}" -> r.getDouble(3)).toMap
-    val normMap = normRows.map(r =>
-      s"${r.getLong(0)}:${r.getLong(1)}" -> r.getDouble(2)).toMap
-    val numLit = typedLit(numMap)
-    val normLit = typedLit(normMap)
-    val qids = queries.select(col(qidCol).as("qid"))
+    val numLit = typedLit(numRows.map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}" ->
+        r.getDouble(3)).toMap)
+    val normLit = typedLit(normRows.map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}" -> r.getDouble(2)).toMap)
     def code(s: Int): Column = element_at(col("codes"), s + 1)
     val numTerms = (0 until m).map(s => element_at(numLit,
       concat_ws(":", col("qid"), lit(s.toLong), code(s))))
     val normTerms = (0 until m).map(s => element_at(normLit,
       concat_ws(":", lit(s.toLong), code(s))))
-    val score = numTerms.reduceLeft(_ + _) /
-      sqrt(normTerms.reduceLeft(_ + _))
+    numTerms.reduceLeft(_ + _) / sqrt(normTerms.reduceLeft(_ + _))
+  }
+
+  /** Per-query ADC top-k over a scored (qid, id, codes) frame:
+    * self excluded, ties by vec_id, rank ≤ k.
+    */
+  private def adcRank(cands: DataFrame, score: Column,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wk = Window.partitionBy(col("qid"))
       .orderBy(col("__adc").desc, col("id").asc_nulls_first)
-    codes.crossJoin(broadcast(qids))
+    cands
       .where(col("id") =!= col("qid"))
       .withColumn("__adc", score)
       .withColumn("rank", row_number().over(wk).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("id").as("vec_id"), col("rank"))
       .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  /** IVF + PQ — the production ANN serving composition at 100 TB:
+    * the corpus lives as PQ code words partitioned by IVF cell, a
+    * query scores the (slim, prebuilt) centroid table to pick its
+    * `nprobe` cells, and the ADC projection scans ONLY the probed
+    * cells' codes — sublinear candidates × 2m-lookup scoring, no
+    * float array ever read at query time. (Codes here encode the raw
+    * vectors, not centroid residuals — the residual-free IVFPQ
+    * variant; with label-partitioned storage the probe join becomes
+    * partition pruning.)
+    *
+    * Determinism composes from the pieces: probes use the exact
+    * integer centroid sums and label tie-breaks of [[ivfTopKBatch]];
+    * scoring uses [[pqTopKAdc]]'s fixed-order LUT doubles — so
+    * results hash-match the SQL oracle, and with nprobe ≥ the cell
+    * count this is EXACTLY [[pqTopKAdc]] (spec-pinned).
+    */
+  def ivfPqTopK(codes: DataFrame, codebooks: DataFrame,
+                ivfLabels: DataFrame, ivfCentroids: DataFrame,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                dims: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    require(nprobe > 0, s"nprobe must be > 0: $nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val qComps = queries.select(col(qidCol).as("qid"),
+        posexplode(col(qvecCol)).as(Seq("dim", "x")))
+      .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__sc").desc, col("label").asc_nulls_first)
+    val probes = ivfCentroids.join(broadcast(qComps), Seq("dim"))
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("qy"))
+          .as("dot_c"),
+        sum(col("s").cast("decimal(38,0)") * col("s")).as("s2"))
+      .select(col("qid"), col("label"),
+        (col("dot_c").cast("double") /
+          sqrt(col("s2").cast("double"))).as("__sc"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("label"))
+    val score = adcScore(codebooks, queries, qidCol, qvecCol, m)
+    val cands = codes.join(ivfLabels, Seq("id"))
+      .join(broadcast(probes), Seq("label"))
+    adcRank(cands, score, k)
   }
 }

@@ -521,6 +521,23 @@ object PipelineQueries {
             .as("max_cands"))
     }),
 
+    // IVF + PQ serving composition: probe 2 of 4 IVF cells per
+    // query, ADC-rank only the probed cells' code words — the
+    // sublinear-candidates × no-float-reads production ANN shape
+    "q64_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val assign = Similarity.pqAssign(emb, "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 4, iters = 2)
+      val codes = Similarity.pqCodes(assign)
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = 4, assign)
+      val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Similarity.ivfPqTopK(codes, books, idx.labels, idx.centroids,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        dims = 64, m = 4, k = 5, nprobe = 2)
+    }),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -858,7 +875,7 @@ object PipelineQueries {
   // double path), then a per-(query, vector) pivot so the four
   // subspace terms add in FIXED order t0+t1+t2+t3 — double addition
   // is order-sensitive and the engine folds left in subspace order
-  private val pqAdcSql = pqPrefix + ", " +
+  private val pqAdcCtes =
     "cb AS (SELECT a.sub, a.label, qc.dim, CAST(SUM(qx) AS " +
     "BIGINT) AS cs FROM qc JOIN a2 a ON qc.vec_id = a.vec_id " +
     "AND qc.sub = a.sub GROUP BY 1, 2, 3), " +
@@ -886,12 +903,79 @@ object PipelineQueries {
     "MAX(CASE WHEN a.sub = 2 THEN w END) AS w2, " +
     "MAX(CASE WHEN a.sub = 3 THEN w END) AS w3 " +
     "FROM a2 a JOIN nm ON a.sub = nm.sub AND a.label = nm.label " +
-    "GROUP BY 1), " +
+    "GROUP BY 1)"
+
+  private val pqAdcSql = pqPrefix + ", " + pqAdcCtes + ", " +
     "r AS (SELECT qid, pv.vec_id, ROW_NUMBER() OVER (PARTITION BY " +
     "qid ORDER BY (t0 + t1 + t2 + t3) / sqrt(w0 + w1 + w2 + w3) " +
     "DESC, pv.vec_id) AS rank FROM pv JOIN wv ON pv.vec_id = " +
     "wv.vec_id WHERE pv.vec_id <> qid) " +
     "SELECT qid, vec_id, rank FROM r WHERE rank <= 5 " +
+    "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
+
+  /** The flat-kmeans recurrence (kmeansSql's chain) with every CTE
+    * name suffixed, so it can coexist with the PQ chain in one WITH
+    * clause (the IVF side of the IVF+PQ oracle).
+    */
+  private def kmeansCtes(x: String): String =
+    s"hv$x AS (SELECT vec_id, CAST('0x' || " +
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+    "FROM embeddings), " +
+    s"seeds$x AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY " +
+    "h, vec_id) - 1 AS BIGINT) AS label FROM hv" + x +
+    " ORDER BY h, vec_id LIMIT 4), " +
+    s"qc$x AS (SELECT vec_id, i AS dim, CAST(round(CAST(x AS " +
+    "DOUBLE) * 33554432.0) AS BIGINT) AS qx FROM (SELECT " +
+    "vec_id, generate_subscripts(embedding, 1) AS i, " +
+    "unnest(embedding) AS x FROM embeddings)), " +
+    s"c0$x AS (SELECT s.label, q.dim, CAST(SUM(qx) AS BIGINT) AS " +
+    s"cs FROM qc$x q JOIN seeds$x s USING (vec_id) GROUP BY 1, 2), " +
+    s"n0$x AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+    s"FROM c0$x GROUP BY 1), " +
+    s"sc1$x AS (SELECT q.vec_id, c.label, SUM(CAST(qx AS " +
+    s"HUGEINT) * cs) AS dot FROM qc$x q JOIN c0$x c ON q.dim = " +
+    "c.dim GROUP BY 1, 2), " +
+    s"a1$x AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
+    "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
+    s"FROM sc1$x JOIN n0$x USING (label)) WHERE rn = 1), " +
+    s"c1$x AS (SELECT a.label, q.dim, CAST(SUM(qx) AS BIGINT) AS " +
+    s"cs FROM qc$x q JOIN a1$x a USING (vec_id) GROUP BY 1, 2), " +
+    s"n1$x AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+    s"FROM c1$x GROUP BY 1), " +
+    s"sc2$x AS (SELECT q.vec_id, c.label, SUM(CAST(qx AS " +
+    s"HUGEINT) * cs) AS dot FROM qc$x q JOIN c1$x c ON q.dim = " +
+    "c.dim GROUP BY 1, 2), " +
+    s"a2$x AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
+    "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
+    s"FROM sc2$x JOIN n1$x USING (label)) WHERE rn = 1)"
+
+  // IVF+PQ: the PQ ADC pivot restricted to the cells each query
+  // probes — centroid sums from the IVF chain's FINAL assignment
+  // (buildIvfIndex's table), probe scoring identical to q45's, then
+  // the q61 ranking over probed candidates only
+  private val ivfPqSql = pqPrefix + ", " + pqAdcCtes + ", " +
+    kmeansCtes("v") + ", " +
+    "cv AS (SELECT a.label, q.dim, CAST(SUM(qx) AS BIGINT) AS s " +
+    "FROM qcv q JOIN a2v a USING (vec_id) GROUP BY 1, 2), " +
+    "scv AS (SELECT q.vec_id AS qid, cv.label, SUM(CAST(s AS " +
+    "HUGEINT) * qx) AS dot_c, SUM(CAST(s AS HUGEINT) * s) AS s2 " +
+    "FROM cv JOIN qcv q ON cv.dim = q.dim WHERE q.vec_id < 3 " +
+    "GROUP BY 1, 2), " +
+    "prv AS (SELECT qid, label FROM (SELECT qid, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY CAST(dot_c AS " +
+    "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
+    "scv) WHERE rn <= 2), " +
+    "cnd AS (SELECT prv.qid, a.vec_id FROM a2v a JOIN prv ON " +
+    "a.label = prv.label), " +
+    "rv AS (SELECT pv.qid, pv.vec_id, ROW_NUMBER() OVER " +
+    "(PARTITION BY pv.qid ORDER BY (t0 + t1 + t2 + t3) / " +
+    "sqrt(w0 + w1 + w2 + w3) DESC, pv.vec_id) AS rank FROM pv " +
+    "JOIN wv ON pv.vec_id = wv.vec_id JOIN cnd ON pv.qid = " +
+    "cnd.qid AND pv.vec_id = cnd.vec_id WHERE pv.vec_id <> " +
+    "pv.qid) " +
+    "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
   val oracleSql: Map[String, String] = Map(
@@ -1219,6 +1303,7 @@ object PipelineQueries {
     "q48_kmeans" -> kmeansSql,
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
+    "q64_ivfpq_topk" -> ivfPqSql,
     "q63_dedup_against" -> {
       val h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
         "8) AS BIGINT) % 5"

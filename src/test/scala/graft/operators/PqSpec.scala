@@ -96,6 +96,46 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.take(6).map(_._1).toSeq == Seq(0L, 4L, 8L, 1L, 5L, 9L))
   }
 
+  test("ivfPqTopK with all cells probed IS pqTopKAdc; fewer probes " +
+      "return a candidate-restricted ranking") {
+    val df = fixture
+    val assign = Similarity.pqAssign(df, "vec_id", "embedding",
+      dims = 8, m = 2, ksub = 12, iters = 1)
+    val codes = Similarity.pqCodes(assign)
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      dims = 8, m = 2, assign)
+    val idx = Similarity.buildIvfIndex(df, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val s = spark
+    import s.implicits._
+    val queries = Seq(
+      (100L, Array(1f, 0.5f, 0f, 0f, 1f, 0.5f, 0f, 0f)),
+      (101L, Array(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    val full = rows(Similarity.ivfPqTopK(codes, books, idx.labels,
+      idx.centroids, queries, "vec_id", "embedding",
+      dims = 8, m = 2, k = 12, nprobe = 3))
+    val flat = rows(Similarity.pqTopKAdc(codes, books, queries,
+      "vec_id", "embedding", dims = 8, m = 2, k = 12))
+    assert(full == flat) // probe-all == brute ADC
+    val probed = Similarity.ivfPqTopK(codes, books, idx.labels,
+      idx.centroids, queries, "vec_id", "embedding",
+      dims = 8, m = 2, k = 12, nprobe = 1)
+    // one probed cell: every result comes from that cell, ranks are
+    // contiguous from 1, and the restricted ranking preserves the
+    // full ADC order on its candidate subset
+    val byQ = rows(probed).groupBy(_._1)
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_._3).sorted == (1L to rs.length).toSeq)
+      val fullOrder = full.filter(_._1 == q).sortBy(_._3).map(_._2)
+      val subset = rs.sortBy(_._3).map(_._2)
+      assert(fullOrder.filter(subset.contains) == subset, s"qid $q")
+    }
+  }
+
   test("pqAssign rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Similarity.pqAssign(fixture, "vec_id", "embedding",

@@ -762,6 +762,37 @@ object Similarity {
       .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  /** A persisted PQ index: the (id, codes) word table and the
+    * (sub, label, dim, cs, n) codebooks — everything [[pqTopKAdc]] /
+    * [[ivfPqTopK]] need, so serving never re-trains or re-reads
+    * float arrays. The codes table is m small ints per vector (the
+    * compressed corpus); the codebook table is m·ksub·(d/m) slim
+    * rows regardless of corpus size.
+    */
+  final case class PqIndex(codes: DataFrame, codebooks: DataFrame)
+
+  /** Train and assemble the PQ index in one call. */
+  def buildPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   dims: Int, m: Int, ksub: Int,
+                   iters: Int = 2): PqIndex = {
+    val assign = pqAssign(df, idCol, vecCol, dims, m, ksub, iters)
+    PqIndex(pqCodes(assign),
+      pqCodebooks(df, idCol, vecCol, dims, m, assign))
+  }
+
+  /** Persist both PQ tables (overwrite). */
+  def writePqIndex(index: PqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codebooks.write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+  }
+
+  /** Reload a persisted PQ index for serving. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebooks"))
+
   /** IVF + PQ — the production ANN serving composition at 100 TB:
     * the corpus lives as PQ code words partitioned by IVF cell, a
     * query scores the (slim, prebuilt) centroid table to pick its

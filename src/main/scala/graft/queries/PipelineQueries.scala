@@ -538,6 +538,34 @@ object PipelineQueries {
         dims = 64, m = 4, k = 5, nprobe = 2)
     }),
 
+    // the curation pipeline END-TO-END: near-dup dedup -> quality
+    // floor -> per-source mixture rates -> token-budget packing, all
+    // four operators composed in one plan; the oracle chains the
+    // same four SQL derivations, so any cross-operator interaction
+    // bug (schema drift, row leakage, hash reuse) breaks the hash
+    "q65_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val deduped = Dedup.deduplicate(docs, col("doc_id"),
+        col("text"))
+      val qual = deduped.where(
+        TextFunctions.qualityScore(col("text")) >=
+          lit(new java.math.BigDecimal("0.250000")))
+      val mixed = Sampling.mixtureSample(qual, col("source"),
+        col("doc_id"),
+        rates = Map("src0" -> ((1L, 2L)), "src1" -> ((1L, 4L))),
+        default = (1L, 8L))
+      val withTok = mixed.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long")
+          .as("ntok"))
+      Sampling.packBins(withTok, col("doc_id"), col("ntok"),
+          numShards = 4, tokenBudget = 1000L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("sum_tokens"))
+        .orderBy(col("shard").asc_nulls_first,
+          col("bin").asc_nulls_first)
+    }),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -1304,6 +1332,36 @@ object PipelineQueries {
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
     "q64_ivfpq_topk" -> ivfPqSql,
+    "q65_curation_pipeline" ->
+      (lshClusterCtes +
+       ", kept AS (SELECT doc_id, source, text FROM documents " +
+       "WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> " +
+       "label))" +
+       ", qv AS (SELECT doc_id, source, text FROM (SELECT doc_id, " +
+       "source, text, CAST((1.0 - LEAST(np / GREATEST(nc, 1.0) * " +
+       "10, 1.0)) * LEAST(nt / 100.0, 1.0) * LEAST((nc / " +
+       "GREATEST(nt, 1.0)) / 8.0, 1.0) AS DECIMAL(18,6)) AS q " +
+       "FROM (SELECT doc_id, source, text, CAST(array_length(" +
+       "regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS " +
+       "nt, CAST(length(regexp_replace(text, '[^.!?,;:]', '', " +
+       "'g')) AS DOUBLE) AS np, CAST(length(text) AS DOUBLE) AS " +
+       "nc FROM kept)) WHERE q >= CAST(0.25 AS DECIMAL(18,6)))" +
+       ", mx AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+       "source, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+       "1, 8) AS BIGINT) AS h FROM qv) WHERE h * (CASE source " +
+       "WHEN 'src0' THEN 2 WHEN 'src1' THEN 4 ELSE 8 END) < " +
+       "4294967296)" +
+       ", tt AS (SELECT doc_id, CAST(array_length(" +
+       "regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS " +
+       "ntok, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+       "1, 8) AS BIGINT) AS h FROM mx)" +
+       ", cc AS (SELECT h % 4 AS shard, ntok, SUM(ntok) OVER " +
+       "(PARTITION BY h % 4 ORDER BY h, doc_id ROWS UNBOUNDED " +
+       "PRECEDING) - ntok AS strt FROM tt) " +
+       "SELECT shard, CAST(strt // 1000 AS BIGINT) AS bin, " +
+       "COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
+       "sum_tokens FROM cc GROUP BY shard, bin " +
+       "ORDER BY shard NULLS FIRST, bin NULLS FIRST"),
     "q63_dedup_against" -> {
       val h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
         "8) AS BIGINT) % 5"

@@ -136,6 +136,26 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("persisted PQ index serves identically to a rebuilt one") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqindex").toString
+    val index = Similarity.buildPqIndex(fixture, "vec_id",
+      "embedding", dims = 8, m = 2, ksub = 12, iters = 1)
+    Similarity.writePqIndex(index, dir)
+    val loaded = Similarity.readPqIndex(s, dir)
+    assert(loaded.codes.count() == 12)
+    val queries = Seq((999L,
+      Array(1f, 0.5f, 0f, 0f, 1f, 0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def rows(ix: Similarity.PqIndex) =
+      Similarity.pqTopKAdc(ix.codes, ix.codebooks, queries,
+          "vec_id", "embedding", dims = 8, m = 2, k = 12)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(loaded) == rows(index))
+  }
+
   test("pqAssign rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Similarity.pqAssign(fixture, "vec_id", "embedding",

@@ -762,6 +762,31 @@ object Similarity {
       .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  /** One-call embedding-level deduplication — the cosine twin of
+    * [[graft.operators.Dedup.deduplicate]]: LSH-bucketed near-dup
+    * pairs at `threshold` ([[cosineNearDupPairs]] — bucket count
+    * scales with n, hot buckets dropped), connected components over
+    * the pair graph, keep the smallest id per cluster, anti-join the
+    * drop list. Returns the deduplicated frame with its original
+    * schema; singletons pass through untouched. Completes the
+    * one-call family: exact (`Dedup.deduplicate`'s fingerprint
+    * pass), text near-dup (LSH+verify), and embedding near-dup all
+    * share the same clusters→representative→anti-join tail.
+    */
+  def deduplicateEmbeddings(df: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double = 0.8,
+                            targetPerBucket: Long = 128L,
+                            maxBucketSize: Long = 10000L,
+                            maxIter: Int = 25): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold,
+      targetPerBucket, maxBucketSize)
+    val labels = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("id1"), col("id2")), maxIter)
+    val drops = graft.operators.Dedup.dedupDropList(labels)
+      .withColumnRenamed("id", "__drop_id")
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** A persisted PQ index: the (id, codes) word table and the
     * (sub, label, dim, cs, n) codebooks — everything [[pqTopKAdc]] /
     * [[ivfPqTopK]] need, so serving never re-trains or re-reads

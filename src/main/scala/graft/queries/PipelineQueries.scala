@@ -566,6 +566,17 @@ object PipelineQueries {
           col("bin").asc_nulls_first)
     }),
 
+    // one-call embedding dedup census (cosine >= 0.8 clusters ->
+    // smallest-id representative): degenerate at sf0.01 (the
+    // synthetic embeddings have no near-dups — q30 counts 0 pairs)
+    // but live at the sf1 soak's replicated embeddings; the spec
+    // carries the cluster semantics on controlled fixtures
+    "q66_dedup_embeddings" -> ((s, d) =>
+      Similarity.deduplicateEmbeddings(t(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.8)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).cast("long").as("sum_ids"))),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -1332,6 +1343,37 @@ object PipelineQueries {
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
     "q64_ivfpq_topk" -> ivfPqSql,
+    "q66_dedup_embeddings" ->
+      ("WITH RECURSIVE eb0 AS (SELECT e.vec_id, e.embedding, " +
+       "b.bucket FROM embeddings e JOIN (" + bucketSql(unnestEmb) +
+       ") b ON e.vec_id = b.vec_id), " +
+       "eb AS (SELECT * FROM eb0 WHERE bucket IN (SELECT bucket " +
+       "FROM eb0 GROUP BY bucket HAVING COUNT(*) <= 10000)), " +
+       "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+       "a.embedding AS ea, b.embedding AS eb2 FROM eb a JOIN eb b " +
+       "ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+       "dots AS (SELECT id1, id2, CAST(SUM(x * y) AS BIGINT) AS " +
+       "dot, CAST(SUM(x * x) AS BIGINT) AS na2, CAST(SUM(y * y) " +
+       "AS BIGINT) AS nb2 FROM (SELECT id1, id2, " +
+       "CAST(round(CAST(x0 AS DOUBLE) * 33554432.0) AS BIGINT) AS " +
+       "x, CAST(round(CAST(eb2[i] AS DOUBLE) * 33554432.0) AS " +
+       "BIGINT) AS y FROM (SELECT id1, id2, " +
+       "generate_subscripts(ea, 1) AS i, unnest(ea) AS x0, eb2 " +
+       "FROM pairs)) GROUP BY id1, id2), " +
+       "nd AS (SELECT id1, id2 FROM dots WHERE CAST(dot AS " +
+       "DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS " +
+       "DOUBLE))) >= 0.8), " +
+       "edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
+       "SELECT id2, id1 FROM nd), " +
+       "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+       "reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
+       "reach.id, e.dst FROM reach JOIN edges e ON e.src = " +
+       "reach.r), " +
+       "labels AS (SELECT id, MIN(r) AS label FROM reach " +
+       "GROUP BY id) " +
+       "SELECT COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS " +
+       "sum_ids FROM embeddings WHERE vec_id NOT IN " +
+       "(SELECT id FROM labels WHERE id <> label)"),
     "q65_curation_pipeline" ->
       (lshClusterCtes +
        ", kept AS (SELECT doc_id, source, text FROM documents " +

@@ -156,6 +156,27 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(loaded) == rows(index))
   }
 
+  test("deduplicateEmbeddings keeps one representative per cosine " +
+      "cluster and passes singletons through") {
+    val s = spark
+    import s.implicits._
+    // three copies of each orthogonal pattern (cosine 1 within a
+    // pattern, 0 across) plus one singleton
+    val rows = (0 until 12).map(i => (i.toLong, patterns(i % 4))) :+
+      (99L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.deduplicateEmbeddings(df, "vec_id",
+        "embedding", threshold = 0.8, targetPerBucket = 1000L)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // smallest id per pattern cluster + the singleton
+    assert(kept == Set(0L, 1L, 2L, 3L, 99L))
+    // a threshold above every cross-copy cosine keeps everything
+    val all = Similarity.deduplicateEmbeddings(df, "vec_id",
+        "embedding", threshold = 1.1)
+      .count()
+    assert(all == 13L)
+  }
+
   test("pqAssign rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Similarity.pqAssign(fixture, "vec_id", "embedding",

@@ -362,6 +362,32 @@ class StreamingStructureSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("rangeJoin composes with a streaming left side (stream-" +
+      "static interval enrichment)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val right = Seq(("a", 10L, 20L, "w1"), ("a", 14L, 16L, "w2"),
+      ("b", 0L, 100L, "w3")).toDF("k", "ws", "we", "win")
+    val input = MemoryStream[(Long, String, Long)]
+    // the bucketed equi-join + residual filter is a plain stream-
+    // static join: works unchanged on an unbounded left side (the
+    // pre-flight explosion pricing touches only the static right)
+    val joined = graft.operators.Temporal.rangeJoin(
+      input.toDF.toDF("id", "k", "ts"), right, Seq("k"), "ts",
+      "ws", "we", bucketWidth = 7L)
+    val query = joined.writeStream.format("memory")
+      .queryName("rjstream").outputMode("append").start()
+    try {
+      input.addData((1L, "a", 15L), (2L, "a", 21L), (3L, "b", 50L))
+      query.processAllAvailable()
+      val got = spark.table("rjstream")
+        .select(col("id"), col("win")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set(1L -> "w1", 1L -> "w2", 3L -> "w3"))
+    } finally query.stop()
+  }
+
   test("session boundary: a gap of exactly `gap` merges in stream " +
       "AND batch; one past splits in both") {
     val s = spark

@@ -689,9 +689,22 @@ object Similarity {
     */
   def pqTopKAdc(codes: DataFrame, codebooks: DataFrame,
                 queries: DataFrame, qidCol: String, qvecCol: String,
-                dims: Int, m: Int, k: Int): DataFrame = {
+                dims: Int, m: Int, k: Int,
+                maxScanRows: Long = 2000000000L): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    // the exhaustive scan materializes |codes| × |queries| scored
+    // rows — linear per query, but a fat query batch multiplies the
+    // whole code table silently. Price it with two cheap counts (the
+    // query side is LUT-collected anyway) and REFUSE past budget,
+    // pointing at the sublinear path.
+    val scanRows = BigInt(codes.count()) * BigInt(queries.count())
+    if (scanRows > BigInt(maxScanRows))
+      throw new IllegalStateException(
+        s"pqTopKAdc: exhaustive ADC scan would materialize " +
+        s"$scanRows scored rows (> budget $maxScanRows). Batch the " +
+        "queries, raise maxScanRows explicitly, or use ivfPqTopK — " +
+        "the IVF-pruned serving path scans only probed cells.")
     val score = adcScore(codebooks, queries, qidCol, qvecCol, m)
     val qids = queries.select(col(qidCol).as("qid"))
     adcRank(codes.crossJoin(broadcast(qids)), score, k)
@@ -732,30 +745,63 @@ object Similarity {
           (col("n").cast("double") * col("n").cast("double")))
           .as("w"))
       .collect()
+    // integer LUT keys — the per-row lookup is pure long arithmetic
+    // (no string allocation in the serving hot loop): inner key
+    // sub·ksubN + label < K = m·ksubN, outer key qid·K + inner.
+    // ksubN is taken from the codebooks actually present, and the
+    // collected qids are bounds-checked so qid·K can never overflow
+    // (fails loudly at LUT-build time, not wrongly per row).
+    val ksubN = (normRows.map(_.getLong(1)) :+ 0L).max + 1L
+    val kSpan = m.toLong * ksubN
+    numRows.foreach { r =>
+      val qid = r.getLong(0)
+      require(math.abs(qid) < (Long.MaxValue - kSpan) / kSpan,
+        s"qid $qid too large for integer LUT keys (m=$m ksub=$ksubN)")
+    }
     val numLit = typedLit(numRows.map(r =>
-      s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}" ->
+      (r.getLong(0) * kSpan + r.getLong(1) * ksubN + r.getLong(2)) ->
         r.getDouble(3)).toMap)
     val normLit = typedLit(normRows.map(r =>
-      s"${r.getLong(0)}:${r.getLong(1)}" -> r.getDouble(2)).toMap)
-    def code(s: Int): Column = element_at(col("codes"), s + 1)
+      (r.getLong(0) * ksubN + r.getLong(1)) -> r.getDouble(2)).toMap)
+    def code(s: Int): Column =
+      element_at(col("codes"), s + 1).cast("long")
     val numTerms = (0 until m).map(s => element_at(numLit,
-      concat_ws(":", col("qid"), lit(s.toLong), code(s))))
+      col("qid").cast("long") * lit(kSpan) +
+        (lit(s.toLong * ksubN) + code(s))))
     val normTerms = (0 until m).map(s => element_at(normLit,
-      concat_ws(":", lit(s.toLong), code(s))))
+      lit(s.toLong * ksubN) + code(s)))
     numTerms.reduceLeft(_ + _) / sqrt(normTerms.reduceLeft(_ + _))
   }
 
   /** Per-query ADC top-k over a scored (qid, id, codes) frame:
     * self excluded, ties by vec_id, rank ≤ k.
+    *
+    * Two-stage SALTED top-k — the corpus-sized window is partitioned
+    * by (qid, hash(id) mod [[AdcRankSalts]]), so no single task ever
+    * sorts a query's full candidate set (for the exhaustive ADC scan
+    * that set is the whole code table; for IVF+PQ a hot probed cell).
+    * Stage 1 keeps ≤ k rows per salt in parallel; stage 2 ranks the
+    * surviving ≤ k·salts rows per query. Output is IDENTICAL to the
+    * single-window formulation: the order (score desc, id asc) is
+    * total, so any row in the global top-k has fewer than k rows
+    * above it overall — hence fewer than k in its own salt group —
+    * and survives stage 1 (spec-pinned salted == unsalted).
     */
-  private def adcRank(cands: DataFrame, score: Column,
-                      k: Int): DataFrame = {
+  private[graft] val AdcRankSalts = 32
+  private[graft] def adcRank(cands: DataFrame, score: Column,
+                             k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wk = Window.partitionBy(col("qid"))
-      .orderBy(col("__adc").desc, col("id").asc_nulls_first)
+    val ord = Seq(col("__adc").desc, col("id").asc_nulls_first)
+    val wSalt = Window.partitionBy(col("qid"), col("__salt"))
+      .orderBy(ord: _*)
+    val wk = Window.partitionBy(col("qid")).orderBy(ord: _*)
     cands
       .where(col("id") =!= col("qid"))
       .withColumn("__adc", score)
+      .withColumn("__salt",
+        pmod(Sampling.hash32(col("id")), lit(AdcRankSalts.toLong)))
+      .withColumn("__prank", row_number().over(wSalt))
+      .where(col("__prank") <= k)
       .withColumn("rank", row_number().over(wk).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("id").as("vec_id"), col("rank"))

@@ -299,6 +299,34 @@ object ExplainAudit {
       println(s"\n=== PQ ADC scan — join-free scoring projection ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] no shuffled " +
         s"join in the serving scan (found shuffled=$shuffledJoin)")
+      // the window that consumes the corpus-sized scored scan must be
+      // SALTED (partitioned by qid AND salt) — a bare per-qid window
+      // there is a single-task sort of the whole code table per
+      // query. Walk to the DEEPEST WindowExec (the one closest to the
+      // scan) and require >= 2 partition expressions.
+      locally {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.window.WindowExec
+        var deepest: Option[Int] = None
+        def walk(q: SparkPlan): Unit = {
+          q match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case s: QueryStageExec => walk(s.plan)
+            case w: WindowExec =>
+              deepest = Some(w.partitionSpec.size)
+            case _ =>
+          }
+          q.children.foreach(walk)
+        }
+        walk(scan.queryExecution.executedPlan)
+        val saltedOk = deepest.exists(_ >= 2)
+        if (!saltedOk) failures += 1
+        println(f"  [${if (saltedOk) "OK" else "MISS"}%-4s] the " +
+          "corpus-facing rank window is salted (deepest WindowExec " +
+          s"partition keys = ${deepest.getOrElse(0)}, want >= 2)")
+      }
     }
 
     // ---- no-global-window check ----------------------------------

@@ -177,6 +177,55 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all == 13L)
   }
 
+  test("salted two-stage adcRank == the single-window top-k") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 2 queries x 400 candidates with many EXACT score ties (score =
+    // id mod 7), so ids spread across every salt bucket and the
+    // tie-break path (score desc, id asc) is exercised across salt
+    // group boundaries — the case a buggy two-stage cut would break
+    val cands = (0 until 2).flatMap(q => (0 until 400).map(i =>
+        (q.toLong, i.toLong, (i % 7).toDouble)))
+      .toDF("qid", "id", "sc")
+    val got = Similarity.adcRank(cands, col("sc"), k = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sc").desc, col("id").asc_nulls_first)
+    val want = cands.where(col("id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 9)
+      .select(col("qid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(r => (r._1, r._3))
+    assert(got == want)
+  }
+
+  test("pqTopKAdc refuses a scan past maxScanRows, pointing at the " +
+      "IVF-pruned path") {
+    val df = fixture
+    val assign = Similarity.pqAssign(df, "vec_id", "embedding",
+      dims = 8, m = 2, ksub = 4, iters = 1)
+    val codes = Similarity.pqCodes(assign)
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      dims = 8, m = 2, assign)
+    val s = spark
+    import s.implicits._
+    val queries = Seq((999L,
+      Array(1f, 0.5f, 0f, 0f, 1f, 0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // 12 codes x 1 query = 12 scored rows > budget 11 -> refuse
+    val ex = intercept[IllegalStateException] {
+      Similarity.pqTopKAdc(codes, books, queries, "vec_id",
+        "embedding", dims = 8, m = 2, k = 3, maxScanRows = 11L)
+    }
+    assert(ex.getMessage.contains("ivfPqTopK"))
+    // at the default budget the same call serves fine
+    assert(Similarity.pqTopKAdc(codes, books, queries, "vec_id",
+      "embedding", dims = 8, m = 2, k = 3).count() == 3L)
+  }
+
   test("pqAssign rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Similarity.pqAssign(fixture, "vec_id", "embedding",

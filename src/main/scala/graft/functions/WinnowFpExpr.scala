@@ -20,10 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine to engine, bit for bit.
   *
   * Canon = trim → lower → collapse `\s+` to one space → every char
-  * outside `[a-z0-9 ]` becomes `_` (the same regexes as
-  * [[TextFunctions.asciiCanon]]; single-byte alphabet keeps
-  * `substr`/`ord` identical across engines). Documents with fewer
-  * than k+w-1 canon chars (no complete window) return an empty array.
+  * outside `[a-z0-9 ]` becomes `_`, with the ORACLE ENGINE'S exact
+  * semantics, not Java's: trim strips spaces ONLY (Java `trim` eats
+  * every char ≤ U+0020), lowercase is the per-codepoint SIMPLE
+  * Unicode mapping (`Character.toLowerCase(int)` — locale-free, 1:1,
+  * matching utf8proc; Java `String.toLowerCase` is locale-sensitive
+  * and 1:many, e.g. Turkish U+0130), and `\s` is RE2's
+  * `[\t\n\f\r ]` (Java's adds \x0B). A text with a leading tab, a
+  * vertical tab, or a non-ASCII uppercase char canons identically in
+  * both engines — the single-byte output alphabet then keeps
+  * `substr`/`ord` identical too. Documents with fewer than k+w-1
+  * canon chars (no complete window) return an empty array.
   */
 case class WinnowFpExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -55,9 +62,38 @@ object WinnowFpExpr {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
+  /** The oracle-exact canon (see class doc): one pass over code
+    * points — space-only trim, simple per-codepoint lowercase, RE2
+    * whitespace collapse, `_` for everything outside `[a-z0-9 ]`.
+    */
+  def canon(s0: String): String = {
+    var lo = 0
+    var hi = s0.length
+    while (lo < hi && s0.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s0.charAt(hi - 1) == ' ') hi -= 1
+    val sb = new java.lang.StringBuilder(hi - lo)
+    var pendingWs = false
+    var i = lo
+    while (i < hi) {
+      val cp0 = s0.codePointAt(i)
+      i += Character.charCount(cp0)
+      val cp = Character.toLowerCase(cp0)
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+          cp == '\r') {
+        pendingWs = true
+      } else {
+        if (pendingWs) { sb.append(' '); pendingWs = false }
+        if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9'))
+          sb.append(cp.toChar)
+        else sb.append('_')
+      }
+    }
+    if (pendingWs) sb.append(' ')
+    sb.toString
+  }
+
   def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val t = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
-      .replaceAll("[^a-z0-9 ]", "_")
+    val t = canon(s.toString)
     val n = t.length
     if (n < k + w - 1) return Empty
 

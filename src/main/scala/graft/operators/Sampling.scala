@@ -84,8 +84,13 @@ object Sampling {
                   path: String): Unit = {
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column")
+    // range-partition on the shard id (not hash): hashing the shard
+    // id collides shards into the same task balls-in-bins style
+    // (several full shards in one task, others empty); ranging gives
+    // ~one shard per task. Shard CONTENT is unaffected either way —
+    // each shard still lands wholly in one task and one file.
     df.withColumn("shard", shardAssign(key, numShards))
-      .repartition(numShards, col("shard"))
+      .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), hash32(key), key)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

@@ -1409,8 +1409,22 @@ object PipelineQueries {
         "8) AS BIGINT) % 5"
       "WITH " + minhashSideCtes("n", s"$h = 0") + ", " +
       minhashSideCtes("o", s"$h <> 0") + ", " +
+      // per-side hot-bucket caps, mirroring lshPairsAgainst's
+      // dropHotBuckets on EACH side (q58/q66 convention); inert at
+      // sf0.01 but load-bearing the first time a band bucket tops
+      // the cap at larger scale
+      "hotn AS (SELECT band, key FROM bandsn GROUP BY band, key " +
+      "HAVING COUNT(*) > 10000), " +
+      "hoto AS (SELECT band, key FROM bandso GROUP BY band, key " +
+      "HAVING COUNT(*) > 10000), " +
+      "kn AS (SELECT doc_id, band, key FROM bandsn b WHERE NOT " +
+      "EXISTS (SELECT 1 FROM hotn h WHERE h.band = b.band AND " +
+      "h.key = b.key)), " +
+      "ko AS (SELECT doc_id, band, key FROM bandso b WHERE NOT " +
+      "EXISTS (SELECT 1 FROM hoto h WHERE h.band = b.band AND " +
+      "h.key = b.key)), " +
       "pr AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS " +
-      "old_id FROM bandsn n JOIN bandso o ON n.band = o.band AND " +
+      "old_id FROM kn n JOIN ko o ON n.band = o.band AND " +
       "n.key = o.key), " +
       "per AS (SELECT new_id, COUNT(*) AS n_old FROM pr GROUP BY " +
       "new_id) " +

@@ -35,12 +35,27 @@ class FingerprintSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  /** The ORACLE's canon, formulated independently of the engine's
+    * single-pass version: space-only trim (DuckDB `trim`), simple
+    * per-codepoint lowercase (utf8proc `lower`), RE2's `\s` class
+    * spelled out (`[\t\n\f\r ]` — no \x0B), then the `_` fold.
+    */
+  private def duckCanon(text: String): String = {
+    val trimmed = text.dropWhile(_ == ' ')
+      .reverse.dropWhile(_ == ' ').reverse
+    val sb = new java.lang.StringBuilder(trimmed.length)
+    trimmed.codePoints().forEach(cp =>
+      sb.appendCodePoint(Character.toLowerCase(cp)))
+    sb.toString
+      .replaceAll("[\\t\\n\\f\\r ]+", " ")
+      .replaceAll("[^a-z0-9 ]", "_")
+  }
+
   /** The same algorithm in plain Scala: canon, Horner rolling hashes
     * of k-grams (mod at every step), window-min, distinct, sorted.
     */
   private def refFps(text: String, k: Int, w: Int): Seq[Long] = {
-    val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
-      .replaceAll("[^a-z0-9 ]", "_")
+    val t = duckCanon(text)
     if (t.length < k + w - 1) Seq.empty
     else {
       val hs = (0 to t.length - k).map { i =>
@@ -68,6 +83,32 @@ class FingerprintSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (s <- samples; (k, w) <- Seq((8, 4), (16, 8), (4, 2)))
       assert(engineFps(s, k, w) == refFps(s, k, w),
         s"mismatch for k=$k w=$w text='$s'")
+  }
+
+  test("canon matches the oracle engine's semantics at the edges " +
+      "Java strings get wrong") {
+    import graft.functions.WinnowFpExpr.canon
+    // leading/trailing tabs and newlines survive trim (space-only)
+    // and collapse to ONE space — Java trim would eat them
+    assert(canon("\tHello\nWorld ") == " hello world")
+    assert(canon("\n\nabc") == " abc")
+    assert(canon("abc\t") == "abc ")
+    // vertical tab is NOT RE2 whitespace -> '_', not collapsed
+    assert(canon("a\u000bb") == "a_b")
+    // non-ASCII uppercase: simple lowercase first, then the fold;
+    // Turkish dotted capital I maps 1:1 to 'i' (Java's full
+    // lowercasing emits i + combining dot and shifts every k-gram)
+    assert(canon("İstanbul ÉCOLE") == "istanbul _cole")
+    // Kelvin sign simple-lowercases to ASCII 'k'
+    assert(canon("273K") == "273k")
+    // all-whitespace input canons to a single space
+    assert(canon(" \n ") == " ")
+    // and the engine expression agrees with the independent oracle
+    // mirror end-to-end on exactly these shapes
+    for (t <- Seq("\tshared sentence with a leading tab here ok!",
+        "a\u000bvertical tab breaks the run but not the gram wall",
+        "İSTANBUL ÉCOLE sentence with non-ascii capitals"))
+      assert(engineFps(t, 8, 4) == refFps(t, 8, 4), s"text='$t'")
   }
 
   test("documents shorter than k+w-1 canon chars get empty sets") {

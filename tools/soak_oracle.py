@@ -45,15 +45,21 @@ for name, sql in sorted(oracle.items()):
         continue
     timer.cancel()
     try:
+        # rows are sorted before comparing (the column reorder makes
+        # tuples comparable), so queries without a total ORDER BY
+        # can't spuriously FAIL on row order
+        # key=repr gives a total order even with None/mixed types
         ocols = sorted(odf.columns)
-        orows = [tuple(norm(v) for v in row)
-                 for row in odf[ocols].itertuples(index=False)]
+        orows = sorted((tuple(norm(v) for v in row)
+                        for row in odf[ocols].itertuples(index=False)),
+                       key=repr)
         sdf = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
         ).fetchdf()
         scols = sorted(sdf.columns)
-        srows = [tuple(norm(v) for v in row)
-                 for row in sdf[scols].itertuples(index=False)]
+        srows = sorted((tuple(norm(v) for v in row)
+                        for row in sdf[scols].itertuples(index=False)),
+                       key=repr)
         if ocols != scols:
             print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
             n_fail += 1

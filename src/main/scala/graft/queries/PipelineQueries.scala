@@ -25,6 +25,41 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed location of q67's persisted serving index; the oracle SQL
+    * reads the same path, so it must be a compile-time constant.
+    */
+  private val ServingIndexDir = "/tmp/graft_serving_index"
+
+  /** Build-and-persist the PQ + IVF index for `sfDir` unless the
+    * on-disk copy was already built from exactly this directory (a
+    * marker file records the source). q64's parameters (dims=64,
+    * m=4, ksub=4, IVF k=4, iters=2), so the two queries pin the same
+    * composition — one timed with training, one serving-only.
+    */
+  private def ensureServingIndex(s: SparkSession, d: String): String = {
+    val dir = ServingIndexDir
+    val marker = java.nio.file.Paths.get(dir, "_built_from")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == d
+    if (!fresh) {
+      val emb = t(s, d, "embeddings")
+      val assign = Similarity.pqAssign(emb, "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 4, iters = 2)
+      Similarity.writePqIndex(Similarity.PqIndex(
+        Similarity.pqCodes(assign),
+        Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          dims = 64, m = 4, assign)), s"$dir/pq")
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb,
+        "vec_id", "embedding", k = 4, iters = 2), s"$dir/ivf")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(marker,
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------
     "q21_token_stats" -> ((s, d) =>
@@ -577,6 +612,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("vec_id")).cast("long").as("sum_ids"))),
 
+    // SERVING-ONLY IVF+PQ top-k over the PERSISTED index tables —
+    // the latency the bench should track for the production ANN
+    // path (q64 times training + serving together). The index is
+    // built once per sf directory and cached on disk; repeat runs
+    // (and the bench's best-of-N) exercise pure probe + ADC scan
+    // over parquet. The oracle reads the SAME persisted tables.
+    "q67_pq_serving" -> ((s, d) => {
+      val dir = ensureServingIndex(s, d)
+      val pq = Similarity.readPqIndex(s, s"$dir/pq")
+      val ivf = Similarity.readIvfIndex(s, s"$dir/ivf")
+      Similarity.ivfPqTopK(pq.codes, pq.codebooks, ivf.labels,
+        ivf.centroids, t(s, d, "embeddings").where(col("vec_id") < 3),
+        "vec_id", "embedding", dims = 64, m = 4, k = 5, nprobe = 2)
+    }),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -1017,7 +1067,69 @@ object PipelineQueries {
     "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
+  /** Serving-only oracle: re-derives the IVF+PQ top-k from the SAME
+    * persisted index tables q67 reads (no re-training) — 0-based
+    * dims, codes arrays unnested back to assignment rows, then the
+    * ivfPqSql probe/pivot/rank tail verbatim.
+    */
+  private val pqServingSql = {
+    val p = ServingIndexDir
+    "WITH qc AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS " +
+    "sub, i - 1 AS dim, CAST(round(CAST(x AS DOUBLE) * 33554432.0) " +
+    "AS BIGINT) AS qx FROM (SELECT vec_id, " +
+    "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
+    "x FROM embeddings WHERE vec_id < 3)), " +
+    s"cb AS (SELECT * FROM read_parquet('$p/pq/codebooks/" +
+    "*.parquet')), " +
+    s"cw AS (SELECT * FROM read_parquet('$p/pq/codes/*.parquet')), " +
+    "a2 AS (SELECT id AS vec_id, CAST(generate_subscripts(codes, " +
+    "1) - 1 AS BIGINT) AS sub, unnest(codes) AS label FROM cw), " +
+    s"lb AS (SELECT * FROM read_parquet('$p/ivf/labels/" +
+    "*.parquet')), " +
+    s"cv AS (SELECT * FROM read_parquet('$p/ivf/centroids/" +
+    "*.parquet')), " +
+    "nm AS (SELECT cb.sub, cb.label, CAST(SUM(CAST(cs AS HUGEINT) " +
+    "* cs) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) " +
+    "AS w FROM cb GROUP BY cb.sub, cb.label, n), " +
+    "tn AS (SELECT q.vec_id AS qid, cb.sub, cb.label, " +
+    "CAST(SUM(CAST(qx AS HUGEINT) * cs) AS DOUBLE) / CAST(n AS " +
+    "DOUBLE) AS t FROM qc q JOIN cb ON q.dim = cb.dim GROUP BY " +
+    "1, 2, 3, n), " +
+    "scv AS (SELECT q.vec_id AS qid, cv.label, SUM(CAST(s AS " +
+    "HUGEINT) * qx) AS dot_c, SUM(CAST(s AS HUGEINT) * s) AS s2 " +
+    "FROM cv JOIN qc q ON cv.dim = q.dim GROUP BY 1, 2), " +
+    "prv AS (SELECT qid, label FROM (SELECT qid, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY CAST(dot_c AS " +
+    "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
+    "scv) WHERE rn <= 2), " +
+    "cnd AS (SELECT prv.qid, lb.id AS vec_id FROM lb JOIN prv ON " +
+    "lb.label = prv.label), " +
+    "pv AS (SELECT tn.qid, a.vec_id, " +
+    "MAX(CASE WHEN a.sub = 0 THEN t END) AS t0, " +
+    "MAX(CASE WHEN a.sub = 1 THEN t END) AS t1, " +
+    "MAX(CASE WHEN a.sub = 2 THEN t END) AS t2, " +
+    "MAX(CASE WHEN a.sub = 3 THEN t END) AS t3 " +
+    "FROM a2 a JOIN tn ON a.sub = tn.sub AND a.label = tn.label " +
+    "GROUP BY 1, 2), " +
+    "wv AS (SELECT a.vec_id, " +
+    "MAX(CASE WHEN a.sub = 0 THEN w END) AS w0, " +
+    "MAX(CASE WHEN a.sub = 1 THEN w END) AS w1, " +
+    "MAX(CASE WHEN a.sub = 2 THEN w END) AS w2, " +
+    "MAX(CASE WHEN a.sub = 3 THEN w END) AS w3 " +
+    "FROM a2 a JOIN nm ON a.sub = nm.sub AND a.label = nm.label " +
+    "GROUP BY 1), " +
+    "rv AS (SELECT pv.qid, pv.vec_id, ROW_NUMBER() OVER " +
+    "(PARTITION BY pv.qid ORDER BY (t0 + t1 + t2 + t3) / " +
+    "sqrt(w0 + w1 + w2 + w3) DESC, pv.vec_id) AS rank FROM pv " +
+    "JOIN wv ON pv.vec_id = wv.vec_id JOIN cnd ON pv.qid = " +
+    "cnd.qid AND pv.vec_id = cnd.vec_id WHERE pv.vec_id <> " +
+    "pv.qid) " +
+    "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
+    "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q67_pq_serving" -> pqServingSql,
     "q21_token_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
        "total_tokens, MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens " +

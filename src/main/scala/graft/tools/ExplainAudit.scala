@@ -356,7 +356,7 @@ object ExplainAudit {
       }
       val windowed = Seq("q44_distinctive_terms", "q45_ivf_batch",
         "q48_kmeans", "q49_typicality", "q51_quota_sample",
-        "q52_asof_join", "q53_sessionize")
+        "q52_asof_join", "q53_sessionize", "q67_pq_serving")
       var found = 0
       windowed.foreach { name =>
         val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall@k quality gate for the ANN family — the number the
+  * determinism oracles can't see. Every CORRECTNESS row for
+  * q41/q45/q61/q64/q67 proves the engine reproduces ITS OWN ranking
+  * bit-for-bit; this suite measures how close that ranking is to the
+  * brute-force cosine truth on a non-degenerate clustered fixture,
+  * and pins floors so a quality regression (bad seeding, a broken
+  * LUT, a probe bug that still happens to be deterministic) fails
+  * loudly.
+  *
+  * Fixture: 8 well-separated unit-ish centers in 16 dims, 20 members
+  * per center with deterministic Gaussian jitter (fixed seed 42), so
+  * IVF pruning is meaningful (cells ≈ clusters) and PQ reconstruction
+  * is lossy but informative — recall is neither 0 nor trivially 1.
+  *
+  * Measured curve at the pinned seeds (k=10, PQ m=4 ksub=16, IVF
+  * k=8, 2 Lloyd iters, 8 queries = one member per cluster):
+  * see the assertions — exhaustive ADC (the PQ-quantization ceiling),
+  * then ivfPqTopK at nprobe ∈ {1, 2, 8=all}.
+  */
+class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val Dims = 16
+  private val Clusters = 8
+  private val PerCluster = 20
+  private val K = 10
+
+  /** Deterministic clustered corpus: center c lives on axes
+    * (2c, 2c+1) of the 16-dim space plus Gaussian jitter everywhere;
+    * floats rounded to 3 decimals so quantization is exact.
+    */
+  private def mkCorpus(): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    val centers = (0 until Clusters).map { c =>
+      val v = Array.fill(Dims)(0.0)
+      v(2 * c % Dims) = 1.0
+      v((2 * c + 1) % Dims) = 0.5
+      v
+    }
+    (0 until Clusters * PerCluster).map { i =>
+      val c = i % Clusters
+      val v = centers(c).map { x =>
+        math.rint((x + rnd.nextGaussian() * 0.15) * 1000.0) / 1000.0
+      }
+      (i.toLong, v.map(_.toFloat))
+    }
+  }
+
+  private lazy val corpusRows = mkCorpus()
+
+  private lazy val corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    corpusRows.toDF("vec_id", "embedding").localCheckpoint(true)
+  }
+
+  // one query per cluster: members 0..7 are one-per-center by the
+  // i % Clusters layout
+  private lazy val queryIds: Seq[Long] = (0L until Clusters.toLong)
+
+  private lazy val queries: DataFrame = {
+    val s = spark
+    import s.implicits._
+    corpusRows.filter(r => queryIds.contains(r._1))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+  }
+
+  /** Brute-force cosine truth, self excluded (cosineTopK's own
+    * convention, shared by the ADC rankers).
+    */
+  private lazy val truth: Map[Long, Set[Long]] =
+    queryIds.map { q =>
+      q -> Similarity.cosineTopK(corpus, "vec_id", "embedding", q, K)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+
+  private lazy val pq =
+    Similarity.buildPqIndex(corpus, "vec_id", "embedding",
+      dims = Dims, m = 4, ksub = 16, iters = 2)
+
+  private lazy val ivf =
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      k = Clusters, iters = 2)
+
+  /** Mean recall@K of an (qid, vec_id, rank) ANN result vs truth. */
+  private def recallOf(ann: DataFrame): Double = {
+    val got = ann.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    queryIds.map { q =>
+      truth(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble /
+        truth(q).size
+    }.sum / queryIds.size
+  }
+
+  test("recall@10: exhaustive ADC ceiling and the ivfPqTopK curve " +
+      "hold their pinned floors") {
+    val adc = recallOf(Similarity.pqTopKAdc(pq.codes, pq.codebooks,
+      queries, "vec_id", "embedding", dims = Dims, m = 4, k = K))
+    val curve = Seq(1, 2, Clusters).map { np =>
+      np -> recallOf(Similarity.ivfPqTopK(pq.codes, pq.codebooks,
+        ivf.labels, ivf.centroids, queries, "vec_id", "embedding",
+        dims = Dims, m = 4, k = K, nprobe = np))
+    }.toMap
+    info(f"recall@10 ADC-exhaustive (PQ ceiling): $adc%.4f")
+    curve.toSeq.sortBy(_._1).foreach { case (np, r) =>
+      info(f"recall@10 ivfPqTopK nprobe=$np: $r%.4f")
+    }
+    // nprobe=all scans every cell, so the only loss left is PQ
+    // quantization — identical to the exhaustive ADC scan
+    assert(curve(Clusters) == adc,
+      "nprobe=all must equal the exhaustive ADC recall")
+    // pinned floors at the fixed seeds — measured 0.6000 / 0.4875 /
+    // 0.5750 / 0.6000; the fixture is fully deterministic so the
+    // floors sit just under the measured values. The 0.60 ceiling is
+    // the raw-vector PQ quantization loss at m=4/ksub=16 — the
+    // headroom the residual IVFPQ encoding exists to reclaim.
+    assert(adc >= 0.59, s"PQ ceiling regressed: $adc")
+    assert(curve(1) >= 0.48, s"nprobe=1 recall regressed: ${curve(1)}")
+    assert(curve(2) >= curve(1),
+      "more probes must not lose recall on this fixture")
+    assert(curve(Clusters) >= curve(2),
+      "probe-all must top the curve on this fixture")
+  }
+}

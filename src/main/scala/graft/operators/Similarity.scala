@@ -887,6 +887,22 @@ object Similarity {
     require(m > 0 && dims % m == 0,
       s"dims must split evenly into m subspaces: dims=$dims m=$m")
     require(nprobe > 0, s"nprobe must be > 0: $nprobe")
+    val probes = ivfProbes(ivfCentroids, queries, qidCol, qvecCol,
+      nprobe)
+    val score = adcScore(codebooks, queries, qidCol, qvecCol, m)
+    val cands = codes.join(ivfLabels, Seq("id"))
+      .join(broadcast(probes), Seq("label"))
+    adcRank(cands, score, k)
+  }
+
+  /** The (qid, label) probe list: each query's `nprobe` best IVF
+    * cells by exact-integer centroid cosine, label-asc tie-breaks —
+    * [[ivfTopKBatch]]'s probe scoring, shared by both IVF+PQ serving
+    * paths.
+    */
+  private def ivfProbes(ivfCentroids: DataFrame, queries: DataFrame,
+                        qidCol: String, qvecCol: String,
+                        nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quant = (x: Column) =>
       round(x.cast("double") * 33554432.0).cast("long")
@@ -895,7 +911,7 @@ object Similarity {
       .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__sc").desc, col("label").asc_nulls_first)
-    val probes = ivfCentroids.join(broadcast(qComps), Seq("dim"))
+    ivfCentroids.join(broadcast(qComps), Seq("dim"))
       .groupBy(col("qid"), col("label"))
       .agg(sum(col("s").cast("decimal(38,0)") * col("qy"))
           .as("dot_c"),
@@ -906,8 +922,286 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nprobe)
       .select(col("qid"), col("label"))
-    val score = adcScore(codebooks, queries, qidCol, qvecCol, m)
-    val cands = codes.join(ivfLabels, Seq("id"))
+  }
+
+  // ---- residual IVFPQ (Jégou et al., TPAMI'11 §IV: encode the
+  // ---- residual x − c(x) against the coarse centroid, not x) ------
+
+  /** Per-cell ROUNDED integer centroids: mu(cell, dim) =
+    * round-half-away-from-zero(s / n) on the same 2^25 quantization
+    * grid as the vectors. Rounding to the grid keeps residuals
+    * y = qx − mu in the SAME ~2^26 integer range as the raw
+    * components — so every downstream product fits the existing
+    * decimal(38,0) discipline at any corpus size (an unrounded
+    * rational centroid would scale products by the cell count), and
+    * the formula is pure integer arithmetic ((2|s| + n) div (2n),
+    * sign restored), reproducible verbatim in the SQL oracle.
+    */
+  private[graft] def ivfRoundedCentroids(ivfLabels: DataFrame,
+      ivfCentroids: DataFrame): DataFrame = {
+    val counts = ivfLabels.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    ivfCentroids.select(col("label").as("cell"), col("dim"),
+        col("s"))
+      .join(broadcast(counts), Seq("cell"))
+      .select(col("cell"), col("dim"),
+        expr("CASE WHEN s >= 0 THEN (2*s + n) div (2*n) " +
+          "ELSE -((-2*s + n) div (2*n)) END").as("mu"))
+  }
+
+  /** Residual components (id, cell, sub, dim, y): y = qx − mu, the
+    * integer residual of each component against its cell's rounded
+    * centroid.
+    */
+  private def residualComps(df: DataFrame, idCol: String,
+      vecCol: String, dims: Int, m: Int, ivfLabels: DataFrame,
+      ivfCentroids: DataFrame): DataFrame = {
+    val dsub = dims / m
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val mu = ivfRoundedCentroids(ivfLabels, ivfCentroids)
+    df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
+        .as("sub"), col("dim"), quant(col("x")).as("qx"))
+      .join(ivfLabels.select(col("id"), col("label").as("cell")),
+        Seq("id"))
+      .join(broadcast(mu), Seq("cell", "dim"))
+      .select(col("id"), col("cell"), col("sub"), col("dim"),
+        (col("qx") - col("mu")).as("y"))
+  }
+
+  /** Residual PQ training — [[pqAssign]] run on residuals with
+    * PER-CELL codebooks (the "local codebook" IVFPQ variant): each
+    * IVF cell trains its own ksub residual clusters per subspace, all
+    * cells and subspaces in the SAME distributed jobs (cell and sub
+    * ride the grouping keys — never a per-cell loop, exactly like
+    * [[kmeansLabelsHierarchical]]'s refinement). Seeds are the ksub
+    * hash-smallest ids PER CELL; centroid sums are exact integers;
+    * argmax ties break label-asc; iterations are fixed-count — the
+    * whole recurrence unrolls into the SQL oracle.
+    *
+    * Why residuals: a raw-vector codebook spends its ksub codes
+    * spanning the whole space; after IVF, every vector in a cell
+    * shares the cell centroid, so coding x − c(x) spends the same
+    * bits on the (much smaller) within-cell spread — the recall gap
+    * RecallSpec measures. Returns (id, sub, label); compose with
+    * [[pqCodes]] for the stored words.
+    */
+  def pqAssignResidual(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, m: Int, ksub: Int,
+                       ivfLabels: DataFrame, ivfCentroids: DataFrame,
+                       iters: Int = 2): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    require(ksub > 0 && iters >= 0,
+      s"need ksub > 0, iters >= 0: $ksub/$iters")
+    import org.apache.spark.sql.expressions.Window
+    val comps = residualComps(df, idCol, vecCol, dims, m, ivfLabels,
+      ivfCentroids)
+    val cells = ivfLabels.select(col("id"), col("label").as("cell"))
+    val hashOrder = Seq(Sampling.hash32(col("id")).asc,
+      col("id").asc_nulls_first)
+    val wseed = Window.partitionBy(col("cell")).orderBy(hashOrder: _*)
+    val seeds = cells
+      .withColumn("__rn", row_number().over(wseed))
+      .where(col("__rn") <= ksub)
+      .select(col("id"), col("cell"),
+        (col("__rn") - 1).cast("long").as("label"))
+      .select(col("id"), col("cell"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"),
+        col("label"))
+    var labels = seeds.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val cents = comps
+        .join(labels.select(col("id"), col("sub"), col("label")),
+          Seq("id", "sub"))
+        .groupBy(col("cell"), col("sub"), col("label"), col("dim"))
+        .agg(sum(col("y")).as("zs"))
+      val norms = cents.groupBy(col("cell"), col("sub"), col("label"))
+        .agg(sum(col("zs").cast("decimal(38,0)") * col("zs"))
+          .as("s2"))
+      // a zero-norm residual cluster (EVERY member sits exactly on
+      // the rounded cell centroid — routine for near-duplicate
+      // cells) has no cosine direction: its score is NULL and it
+      // ranks below every defined score (NULLS LAST, then label-asc
+      // — in a fully-pure cell all scores are NULL and label 0 wins,
+      // whose centroid is the exact shared residual, so
+      // reconstruction stays exact). The oracle mirrors the CASE.
+      val wid = Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("__sc").desc_nulls_last,
+          col("label").asc_nulls_first)
+      labels = comps
+        .join(broadcast(cents), Seq("cell", "sub", "dim"))
+        .groupBy(col("id"), col("cell"), col("sub"), col("label"))
+        .agg(sum(col("y").cast("decimal(38,0)") * col("zs"))
+          .as("dot"))
+        .join(broadcast(norms), Seq("cell", "sub", "label"))
+        .select(col("id"), col("cell"), col("sub"), col("label"),
+          when(col("s2") === 0, lit(null).cast("double"))
+            .otherwise(col("dot").cast("double") /
+              sqrt(col("s2").cast("double"))).as("__sc"))
+        .withColumn("__rn", row_number().over(wid))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("cell"), col("sub"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("sub"), col("label"))
+  }
+
+  /** Residual codebook table for a trained assignment: per
+    * (cell, sub, label, dim) the exact integer residual-centroid sum
+    * `zs` and the member count `nm` — k·m·ksub·(d/m) slim rows, the
+    * residual analogue of [[pqCodebooks]] (reconstruction is
+    * x̂ = mu + ẑ/nm per component; persist alongside the codes and
+    * the IVF index).
+    */
+  def pqCodebooksResidual(df: DataFrame, idCol: String,
+      vecCol: String, dims: Int, m: Int, ivfLabels: DataFrame,
+      ivfCentroids: DataFrame, assign: DataFrame): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    val comps = residualComps(df, idCol, vecCol, dims, m, ivfLabels,
+      ivfCentroids)
+    val withCells = comps.join(assign, Seq("id", "sub"))
+    val counts = withCells.where(col("dim") % lit(dims / m) === 0)
+      .groupBy(col("cell"), col("sub"), col("label"))
+      .agg(count(lit(1)).as("nm"))
+    withCells
+      .groupBy(col("cell"), col("sub"), col("label"), col("dim"))
+      .agg(sum(col("y")).as("zs"))
+      .join(broadcast(counts), Seq("cell", "sub", "label"))
+  }
+
+  /** The residual-ADC score for a (qid, label=cell, codes) candidate
+    * frame: per probed (query, cell, subspace, code) the numerator
+    * term q·x̂ = (Σ qy·mu) + (Σ qy·zs)/nm and the norm term
+    * |x̂|² = (Σ mu²) + 2(Σ mu·zs)/nm + (Σ zs²)/nm² — every sum an
+    * exact integer aggregate, one double conversion per term in
+    * FIXED order, then the same 2m-lookup broadcast-LUT projection as
+    * [[adcScore]] with the cell folded into the integer key.
+    */
+  private def adcScoreResidual(resBooks: DataFrame, mu: DataFrame,
+      probes: DataFrame, queries: DataFrame, qidCol: String,
+      qvecCol: String, dims: Int, m: Int): Column = {
+    val dsub = dims / m
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val qComps = queries.select(col(qidCol).as("qid"),
+        posexplode(col(qvecCol)).as(Seq("dim", "x")))
+      .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
+    // only probed (query, cell) pairs reach the LUTs — the collect
+    // is |probes|·m(·ksub) rows, not |queries|·k·m(·ksub)
+    val probedQC = broadcast(probes
+      .select(col("qid"), col("label").as("cell")))
+    val probedCells = broadcast(probes
+      .select(col("label").as("cell")).distinct())
+    val muSub = mu.join(probedCells, Seq("cell"))
+      .select(col("cell"), col("dim"),
+        expr(s"CAST(dim div $dsub AS BIGINT)").as("sub"), col("mu"))
+    // A(qid, cell, sub) = Σ qy·mu ; C(cell, sub) = Σ mu²
+    val aRows = muSub.join(broadcast(qComps), Seq("dim"))
+      .join(probedQC, Seq("qid", "cell"))
+      .groupBy(col("qid"), col("cell"), col("sub"))
+      .agg(sum(col("qy").cast("decimal(38,0)") * col("mu"))
+        .as("a"))
+      .collect()
+    val cRows = muSub.groupBy(col("cell"), col("sub"))
+      .agg(sum(col("mu").cast("decimal(38,0)") * col("mu"))
+        .as("c"))
+      .collect()
+    // B(qid, cell, sub, label) = Σ qy·zs ; D = Σ mu·zs ; E = Σ zs²
+    val bRows = resBooks.join(probedCells, Seq("cell"))
+      .join(broadcast(qComps), Seq("dim"))
+      .join(probedQC, Seq("qid", "cell"))
+      .groupBy(col("qid"), col("cell"), col("sub"), col("label"),
+        col("nm"))
+      .agg(sum(col("qy").cast("decimal(38,0)") * col("zs"))
+        .as("b"))
+      .collect()
+    val deRows = resBooks.join(probedCells, Seq("cell"))
+      .join(muSub.select(col("cell"), col("dim"), col("mu")),
+        Seq("cell", "dim"))
+      .groupBy(col("cell"), col("sub"), col("label"), col("nm"))
+      .agg(sum(col("mu").cast("decimal(38,0)") * col("zs")).as("d"),
+        sum(col("zs").cast("decimal(38,0)") * col("zs")).as("e"))
+      .collect()
+    val aMap = aRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2)) -> r.getDecimal(3).doubleValue).toMap
+    val cMap = cRows.map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getDecimal(2).doubleValue).toMap
+    // integer LUT keys: inner (cell·m + sub)·ksubN + label, outer
+    // qid·kSpan + inner; bounds-checked so the key can never collide
+    // or overflow (fails loudly at LUT-build time)
+    val ksubN = (bRows.map(_.getLong(3)) :+ 0L).max + 1L
+    val cellN = (bRows.map(_.getLong(1)) :+ 0L).max + 1L
+    val kSpan = cellN * m.toLong * ksubN
+    bRows.foreach { r =>
+      val qid = r.getLong(0)
+      require(math.abs(qid) < (Long.MaxValue - kSpan) / kSpan,
+        s"qid $qid too large for integer LUT keys " +
+        s"(cells=$cellN m=$m ksub=$ksubN)")
+    }
+    def inner(cell: Long, sub: Long, label: Long): Long =
+      (cell * m + sub) * ksubN + label
+    // t = A + B/nm ; w = C + 2D/nm + E/nm² — fixed operation order,
+    // each exact sum converted to double exactly once
+    val tLit = typedLit(bRows.map { r =>
+      val (qid, cell, sub, label, nm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      (qid * kSpan + inner(cell, sub, label)) ->
+        (aMap((qid, cell, sub)) +
+          r.getDecimal(5).doubleValue / nm.toDouble)
+    }.toMap)
+    val wLit = typedLit(deRows.map { r =>
+      val (cell, sub, label, nm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      inner(cell, sub, label) ->
+        (cMap((cell, sub)) +
+          2.0 * r.getDecimal(4).doubleValue / nm.toDouble +
+          r.getDecimal(5).doubleValue / (nm.toDouble * nm.toDouble))
+    }.toMap)
+    def code(s: Int): Column =
+      element_at(col("codes"), s + 1).cast("long")
+    def innerCol(s: Int): Column =
+      (col("label").cast("long") * lit(m.toLong) + lit(s.toLong)) *
+        lit(ksubN) + code(s)
+    val numTerms = (0 until m).map(s => element_at(tLit,
+      col("qid").cast("long") * lit(kSpan) + innerCol(s)))
+    val normTerms = (0 until m).map(s => element_at(wLit,
+      innerCol(s)))
+    // an all-zero reconstruction (|x̂|² = 0) has no cosine — NULL
+    // ranks it below every scored candidate (ANSI-safe: double
+    // division by zero raises in Spark 4)
+    val den = normTerms.reduceLeft(_ + _)
+    when(den === 0, lit(null).cast("double"))
+      .otherwise(numTerms.reduceLeft(_ + _) / sqrt(den))
+  }
+
+  /** IVF + residual-PQ serving — [[ivfPqTopK]] with the codes
+    * produced by [[pqAssignResidual]]: probe `nprobe` cells, score
+    * ONLY their code words via the residual reconstruction
+    * x̂ = mu + ẑ/nm. Same scale shape as the raw-vector path (pure
+    * broadcast-LUT projection over probed codes, no float reads, no
+    * join in the scan, salted two-stage rank); the LUT build is
+    * restricted to the probed (query, cell) pairs' aggregates —
+    * |queries|·k·m·ksub slim rows before the collect, k·m·ksub·(d/m)
+    * codebook rows total.
+    */
+  def ivfPqTopKResidual(codes: DataFrame, resBooks: DataFrame,
+      ivfLabels: DataFrame, ivfCentroids: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dims: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    require(nprobe > 0, s"nprobe must be > 0: $nprobe")
+    val probes = ivfProbes(ivfCentroids, queries, qidCol, qvecCol,
+      nprobe).localCheckpoint(true)
+    val mu = ivfRoundedCentroids(ivfLabels, ivfCentroids)
+    val score = adcScoreResidual(resBooks, mu, probes, queries,
+      qidCol, qvecCol, dims, m)
+    val cands = codes
+      .join(ivfLabels.select(col("id"), col("label")), Seq("id"))
       .join(broadcast(probes), Seq("label"))
     adcRank(cands, score, k)
   }

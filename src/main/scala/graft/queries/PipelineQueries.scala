@@ -627,6 +627,28 @@ object PipelineQueries {
         "vec_id", "embedding", dims = 64, m = 4, k = 5, nprobe = 2)
     }),
 
+    // residual-PQ training census: per (IVF cell, subspace, residual
+    // code) the member count and smallest member — pins the WHOLE
+    // residual chain (final IVF assignment, integer rounded
+    // centroids, residual components, per-cell hash-smallest seeds,
+    // one Lloyd step with the zero-norm NULL-score convention)
+    // against the unrolled SQL re-derivation
+    "q68_pq_residual" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Similarity.pqAssignResidual(emb, "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 4, ivfLabels = idx.labels,
+          ivfCentroids = idx.centroids, iters = 1)
+        .join(idx.labels.select(col("id"),
+          col("label").as("cell")), Seq("id"))
+        .groupBy(col("cell"), col("sub"), col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("id")).as("min_vec_id"))
+        .orderBy(col("cell").asc_nulls_first,
+          col("sub").asc_nulls_first, col("label").asc_nulls_first)
+    }),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -1128,8 +1150,56 @@ object PipelineQueries {
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
   }
 
+  /** Residual-PQ census oracle: the IVF chain (kmeansCtes) feeds
+    * integer rounded centroids mu = round-half-away(s/n) — the pure
+    * integer formula (2|s|+n)//(2n) with sign restored, `//` and
+    * Spark `div` agreeing on the nonnegative operands — then
+    * residuals y = qx − mu, per-cell hash-smallest seeds, and ONE
+    * unrolled Lloyd step whose zero-norm clusters score NULL (DESC
+    * NULLS LAST, label-asc), exactly the engine's convention.
+    */
+  private val pqResidualSql = pqPrefix + ", " + kmeansCtes("v") +
+    ", " +
+    "cnv AS (SELECT label AS cell, COUNT(*) AS n FROM a2v " +
+    "GROUP BY 1), " +
+    "cvv AS (SELECT a.label AS cell, q.dim, CAST(SUM(qx) AS " +
+    "BIGINT) AS s FROM qcv q JOIN a2v a USING (vec_id) " +
+    "GROUP BY 1, 2), " +
+    "muv AS (SELECT cell, dim, CASE WHEN s >= 0 THEN (2*s + n) " +
+    "// (2*n) ELSE -((-2*s + n) // (2*n)) END AS mu FROM cvv " +
+    "JOIN cnv USING (cell)), " +
+    "ycv AS (SELECT q.vec_id, a.label AS cell, q.sub, q.dim, " +
+    "q.qx - muv.mu AS y FROM qc q JOIN a2v a USING (vec_id) " +
+    "JOIN muv ON muv.cell = a.label AND muv.dim = q.dim), " +
+    "rsv AS (SELECT vec_id, cell, rlabel FROM (SELECT hv.vec_id, " +
+    "a.label AS cell, CAST(ROW_NUMBER() OVER (PARTITION BY " +
+    "a.label ORDER BY h, hv.vec_id) - 1 AS BIGINT) AS rlabel " +
+    "FROM hv JOIN a2v a USING (vec_id)) WHERE rlabel < 4), " +
+    "rssv AS (SELECT vec_id, cell, s.sub, rlabel FROM rsv, " +
+    "(SELECT unnest(range(4)) AS sub) s), " +
+    "z0v AS (SELECT y.cell, y.sub, r.rlabel, y.dim, CAST(SUM(y.y) " +
+    "AS BIGINT) AS zs FROM ycv y JOIN rssv r ON y.vec_id = " +
+    "r.vec_id AND y.sub = r.sub GROUP BY 1, 2, 3, 4), " +
+    "zn0v AS (SELECT cell, sub, rlabel, SUM(CAST(zs AS HUGEINT) " +
+    "* zs) AS s2 FROM z0v GROUP BY 1, 2, 3), " +
+    "rs1v AS (SELECT y.vec_id, y.cell, y.sub, z.rlabel, " +
+    "SUM(CAST(y.y AS HUGEINT) * z.zs) AS dot FROM ycv y JOIN z0v " +
+    "z ON y.cell = z.cell AND y.sub = z.sub AND y.dim = z.dim " +
+    "GROUP BY 1, 2, 3, 4), " +
+    "ra1v AS (SELECT vec_id, cell, sub, rlabel FROM (SELECT " +
+    "r.vec_id, r.cell, r.sub, r.rlabel, ROW_NUMBER() OVER " +
+    "(PARTITION BY r.vec_id, r.sub ORDER BY (CASE WHEN z.s2 = 0 " +
+    "THEN NULL ELSE CAST(r.dot AS DOUBLE) / sqrt(CAST(z.s2 AS " +
+    "DOUBLE)) END) DESC NULLS LAST, r.rlabel) AS rn FROM rs1v r " +
+    "JOIN zn0v z ON r.cell = z.cell AND r.sub = z.sub AND " +
+    "r.rlabel = z.rlabel) WHERE rn = 1) " +
+    "SELECT cell, sub, rlabel AS label, COUNT(*) AS n_vectors, " +
+    "MIN(vec_id) AS min_vec_id FROM ra1v GROUP BY 1, 2, 3 " +
+    "ORDER BY cell NULLS FIRST, sub NULLS FIRST, label NULLS FIRST"
+
   val oracleSql: Map[String, String] = Map(
     "q67_pq_serving" -> pqServingSql,
+    "q68_pq_residual" -> pqResidualSql,
     "q21_token_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
        "total_tokens, MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens " +

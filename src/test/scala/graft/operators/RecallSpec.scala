@@ -141,4 +141,40 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(curve(Clusters) >= curve(2),
       "probe-all must top the curve on this fixture")
   }
+
+  test("recall@10: residual IVFPQ beats the raw-vector PQ ceiling " +
+      "at the same m/ksub") {
+    val rawAdc = recallOf(Similarity.pqTopKAdc(pq.codes,
+      pq.codebooks, queries, "vec_id", "embedding",
+      dims = Dims, m = 4, k = K))
+    val assign = Similarity.pqAssignResidual(corpus, "vec_id",
+      "embedding", dims = Dims, m = 4, ksub = 16,
+      ivfLabels = ivf.labels, ivfCentroids = ivf.centroids,
+      iters = 2)
+    val codes = Similarity.pqCodes(assign)
+    val books = Similarity.pqCodebooksResidual(corpus, "vec_id",
+      "embedding", dims = Dims, m = 4, ivfLabels = ivf.labels,
+      ivfCentroids = ivf.centroids, assign = assign)
+    val curve = Seq(1, 2, Clusters).map { np =>
+      np -> recallOf(Similarity.ivfPqTopKResidual(codes, books,
+        ivf.labels, ivf.centroids, queries, "vec_id", "embedding",
+        dims = Dims, m = 4, k = K, nprobe = np))
+    }.toMap
+    curve.toSeq.sortBy(_._1).foreach { case (np, r) =>
+      info(f"recall@10 residual ivfPqTopK nprobe=$np: $r%.4f")
+    }
+    // same compressed size (m=4, ksub=16), better recall: coding
+    // x − c(x) spends the codebook on the within-cell spread instead
+    // of the whole space — the point of the residual formulation
+    // measured at the pinned seeds: 0.6625 / 0.8625 / 0.9125 —
+    // residual nprobe=1 already beats the raw-vector EXHAUSTIVE scan
+    assert(curve(Clusters) > rawAdc,
+      f"residual probe-all ${curve(Clusters)}%.4f must beat the " +
+      f"raw-vector ceiling $rawAdc%.4f")
+    assert(curve(Clusters) >= 0.90,
+      s"residual probe-all recall regressed: ${curve(Clusters)}")
+    assert(curve(1) >= 0.65, s"residual nprobe=1: ${curve(1)}")
+    assert(curve(2) >= curve(1) && curve(Clusters) >= curve(2),
+      "residual curve must be non-decreasing on this fixture")
+  }
 }

@@ -192,11 +192,22 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: Column, text: Column,
                   k: Int = 16, w: Int = 8, minShared: Int = 3,
                   maxBucketSize: Long = 10000L,
-                  maxPairRows: Long = 2000000000L): DataFrame = {
+                  maxPairRows: Long = 2000000000L): DataFrame =
+    winnowPairsFromFps(winnowDocFps(df, idCol, text, k, w),
+      minShared, maxBucketSize, maxPairRows)
+
+  /** [[winnowPairs]] over a PERSISTED (id, fps) fingerprint index
+    * ([[winnowDocFps]] output, e.g. read back from parquet): the
+    * overlap scan without re-paying the O(n) text hashing of the
+    * corpus — on repeated overlap queries the index is the only
+    * input that moves.
+    */
+  def winnowPairsFromFps(fps: DataFrame, minShared: Int = 3,
+                         maxBucketSize: Long = 10000L,
+                         maxPairRows: Long = 2000000000L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
-    val rows = winnowDocFps(df, idCol, text, k, w)
-      .select(col("id"), lit(0).as("band"),
-        explode(col("fps")).as("key"))
+    val rows = fps.select(col("id"), lit(0).as("band"),
+      explode(col("fps")).as("key"))
     // the shared-count join materializes Σ df·(df−1)/2 rows over the
     // surviving fingerprints — exact for overlap strength, quadratic
     // in boilerplate document frequency. Price it pre-flight (the
@@ -226,6 +237,54 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Incremental verbatim-overlap scan: shared-fingerprint counts of
+    * a NEW batch's fingerprint index against an EXISTING corpus index
+    * — the winnowing twin of [[lshPairsAgainst]]. Both inputs are
+    * [[winnowDocFps]] frames (the corpus side typically read back
+    * from parquet), so a daily delta never re-hashes corpus text; the
+    * join is new-vs-old ONLY (the corpus never self-pairs), with the
+    * Σ dfNew·dfOld join fan-out priced pre-flight on the slim
+    * exploded rows and REFUSED past `maxPairRows`, then each side
+    * hot-bucket capped. Requires ids disjoint across the two sides.
+    * Returns (new_id, old_id, shared) with shared >= `minShared`.
+    */
+  def winnowPairsAgainstFps(corpusFps: DataFrame, newFps: DataFrame,
+                            minShared: Int = 3,
+                            maxBucketSize: Long = 10000L,
+                            maxPairRows: Long = 2000000000L)
+      : DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    def rowsOf(fps: DataFrame): DataFrame =
+      fps.select(col("id"), lit(0).as("band"),
+        explode(col("fps")).as("key"))
+    val oldRows = rowsOf(corpusFps)
+    val newRows = rowsOf(newFps)
+    val priced = newRows.groupBy(col("key"))
+      .agg(count(lit(1)).as("dfn"))
+      .join(oldRows.groupBy(col("key"))
+        .agg(count(lit(1)).as("dfo")), Seq("key"))
+      .agg(sum(when(col("dfn") <= maxBucketSize &&
+        col("dfo") <= maxBucketSize,
+        col("dfn").cast("decimal(38,0)") * col("dfo")))
+        .as("pair_rows"))
+      .first().getDecimal(0)
+    if (priced != null &&
+        priced.compareTo(java.math.BigDecimal.valueOf(maxPairRows)) > 0)
+      throw new IllegalStateException(
+        s"winnowPairsAgainstFps: new-vs-old fingerprint join would " +
+        s"materialize $priced pair rows (> budget $maxPairRows). " +
+        "Lower maxBucketSize to drop boilerplate fingerprints, or " +
+        "raise maxPairRows explicitly.")
+    val keptO = dropHotBuckets(oldRows, maxBucketSize)
+    val keptN = dropHotBuckets(newRows, maxBucketSize)
+    keptN.as("n")
+      .join(keptO.as("o"), col("n.band") === col("o.band") &&
+        col("n.key") === col("o.key"))
+      .groupBy(col("n.id").as("new_id"), col("o.id").as("old_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }

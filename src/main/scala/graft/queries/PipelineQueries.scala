@@ -649,6 +649,28 @@ object PipelineQueries {
           col("sub").asc_nulls_first, col("label").asc_nulls_first)
     }),
 
+    // incremental verbatim-overlap scan: the new batch's winnowing
+    // fingerprint index joined against the corpus index ONLY
+    // (new-vs-old, never corpus x corpus) — pins the
+    // pairs-from-persisted-index path AND the delta composition in
+    // one row, per-side hot-bucket caps encoded in the oracle
+    "q69_winnow_against" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val newFps = Dedup.winnowDocFps(
+        docs.where(col("doc_id") % 5 === 0), col("doc_id"),
+        col("text"), k = 16, w = 8)
+      val oldFps = Dedup.winnowDocFps(
+        docs.where(col("doc_id") % 5 =!= 0), col("doc_id"),
+        col("text"), k = 16, w = 8)
+      Dedup.winnowPairsAgainstFps(oldFps, newFps, minShared = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("shared")), lit(0L)).cast("long")
+            .as("sum_shared"),
+          coalesce(max(col("shared")), lit(0L)).cast("long")
+            .as("max_shared"),
+          min(col("new_id")).as("min_new_id"))
+    }),
+
     // hash-range shard census: per shard the row count, hash-range
     // bounds, and a content checksum — pins the reproducible-export
     // routing (shard = h·16 >> 32) against the identical SQL
@@ -1200,6 +1222,25 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q67_pq_serving" -> pqServingSql,
     "q68_pq_residual" -> pqResidualSql,
+    "q69_winnow_against" ->
+      (winnowCte(16, 8) +
+       ", fpx AS (SELECT doc_id, unnest(fps) AS fp FROM fp), " +
+       "fpxn AS (SELECT doc_id, fp FROM fpx WHERE doc_id % 5 = 0), " +
+       "fpxo AS (SELECT doc_id, fp FROM fpx WHERE doc_id % 5 <> 0), " +
+       "okn AS (SELECT fp FROM fpxn GROUP BY fp HAVING COUNT(*) <= " +
+       "10000), " +
+       "oko AS (SELECT fp FROM fpxo GROUP BY fp HAVING COUNT(*) <= " +
+       "10000), " +
+       "keptn AS (SELECT doc_id, fp FROM fpxn WHERE fp IN (SELECT " +
+       "fp FROM okn)), " +
+       "kepto AS (SELECT doc_id, fp FROM fpxo WHERE fp IN (SELECT " +
+       "fp FROM oko)), " +
+       "pr AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id, " +
+       "COUNT(*) AS shared FROM keptn n JOIN kepto o ON n.fp = " +
+       "o.fp GROUP BY 1, 2 HAVING COUNT(*) >= 3) " +
+       "SELECT COUNT(*) AS n_pairs, CAST(COALESCE(SUM(shared), 0) " +
+       "AS BIGINT) AS sum_shared, CAST(COALESCE(MAX(shared), 0) AS " +
+       "BIGINT) AS max_shared, MIN(new_id) AS min_new_id FROM pr"),
     "q21_token_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
        "total_tokens, MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens " +

@@ -183,6 +183,80 @@ class FingerprintSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxPairRows = 1L).isEmpty)
   }
 
+  test("winnowPairsFromFps over a parquet-persisted index equals " +
+      "the from-text scan") {
+    val boiler = ("all rights reserved copyright notice terms of " +
+      "service apply to this document in full")
+    val df = docs(
+      1L -> ("doc one original content here. " + boiler),
+      2L -> ("second document, other words. " + boiler),
+      3L -> ("third doc quotes it too: " + boiler + " and more"),
+      4L -> "totally unrelated text with nothing shared at all okay")
+    val dir = java.nio.file.Files
+      .createTempDirectory("winnow_idx").toString
+    Dedup.winnowDocFps(df, col("doc_id"), col("text"), k = 16, w = 8)
+      .write.mode("overwrite").parquet(dir)
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromText = rows(Dedup.winnowPairs(df, col("doc_id"),
+      col("text"), k = 16, w = 8, minShared = 1))
+    val fromIdx = rows(Dedup.winnowPairsFromFps(
+      spark.read.parquet(dir), minShared = 1))
+    assert(fromText == fromIdx)
+    assert(fromText.nonEmpty)
+  }
+
+  test("winnowPairsAgainstFps equals the cross-split slice of the " +
+      "full self-join and never pairs the corpus with itself") {
+    val boiler = ("all rights reserved copyright notice terms of " +
+      "service apply to this document in full")
+    val df = docs(
+      1L -> ("doc one original content here. " + boiler),
+      2L -> ("second document, other words. " + boiler),
+      3L -> ("third doc quotes it too: " + boiler + " and more"),
+      4L -> "totally unrelated text with nothing shared at all okay",
+      5L -> ("a fifth one also carries the block " + boiler))
+    val isNew = (id: Long) => id % 2 == 1 // 1, 3, 5 new; 2, 4 corpus
+    val newFps = Dedup.winnowDocFps(df.where(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"), k = 16, w = 8)
+    val oldFps = Dedup.winnowDocFps(df.where(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), k = 16, w = 8)
+    val got = Dedup.winnowPairsAgainstFps(oldFps, newFps,
+        minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.forall { case (n, o, _) => isNew(n) && !isNew(o) })
+    val want = Dedup.winnowPairs(df, col("doc_id"), col("text"),
+        k = 16, w = 8, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => isNew(a) != isNew(b) }
+      .map { case (a, b, s) =>
+        if (isNew(a)) (a, b, s) else (b, a, s) }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("winnowPairsAgainstFps refuses past the priced new-vs-old " +
+      "budget; over-cap buckets price as zero") {
+    val boiler = "shared boilerplate sentence appearing everywhere " +
+      "in this tiny corpus of documents"
+    // identical texts: every fingerprint lives in EVERY doc of its
+    // side, so a per-side cap of 1 drops them all pre-join
+    val mk = (ids: Seq[Long]) => Dedup.winnowDocFps(
+      docs(ids.map(i => i -> boiler): _*),
+      col("doc_id"), col("text"), k = 16, w = 8)
+    val newFps = mk(Seq(10L, 11L))
+    val oldFps = mk(Seq(1L, 2L, 3L))
+    val e = intercept[IllegalStateException] {
+      Dedup.winnowPairsAgainstFps(oldFps, newFps, minShared = 1,
+        maxPairRows = 1L)
+    }
+    assert(e.getMessage.contains("maxBucketSize"))
+    // cap 1 drops every fingerprint on both sides pre-join, so the
+    // priced total is zero and even budget 1 passes (empty result)
+    assert(Dedup.winnowPairsAgainstFps(oldFps, newFps, minShared = 1,
+      maxBucketSize = 1L, maxPairRows = 1L).isEmpty)
+  }
+
   test("fingerprints are partitioning-independent") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota",

@@ -90,6 +90,38 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
     SList(Stats.fromCounter(ValueCounter(Map((1L: Any) -> 1L))), dict)
   }
 
+  /** Incremental analysis: fold a DELTA into a PRIOR [[analyzeTable]]
+    * result via the anti-unification monoid ([[SType.merge]], the
+    * ScalaCheck-law-tested `+`), so daily ingest against a 100 TB
+    * corpus re-analyzes ONLY the delta — the distributed jobs touch
+    * the new rows, the prior is a driver-side value (persist it
+    * however the pipeline persists small state).
+    *
+    * Contract: columns whose per-side analyses stayed on the
+    * exact-counter path merge EXACTLY — `analyzeIncremental(
+    * analyzeTable(a), b) == analyzeTable(a union b)` including
+    * quartiles, uniqueness, and renders (spec-pinned). Columns on the
+    * over-cap summary path merge with the reference's own summary
+    * convention (exact card/min/max; quartiles carried from the
+    * larger side — the identical approximation the reference applies
+    * when merging analyses). A delta whose inferred field type
+    * CONTRADICTS the prior (e.g. a numeric column turning
+    * free-string) throws the algebra's IllegalArgumentException,
+    * exactly like the reference's `+`; re-analyze from scratch when
+    * the schema genuinely drifts.
+    */
+  def analyzeIncremental(prior: SType, delta: DataFrame): SType = {
+    val d = analyzeTable(delta)
+    (prior, d) match {
+      // merge the record structures; keep the constant one-table
+      // outer wrapper (merging the wrappers would count tables, not
+      // rows, and diverge from the whole-corpus analyze)
+      case (p: SList, dl: SList) =>
+        dl.withContent(SType.merge(p.content, dl.content))
+      case _ => SType.merge(prior, d)
+    }
+  }
+
   /** Analyze one nesting level (a relation of records).
     *
     * `srcTagged` marks the merged sibling-explode frame built by

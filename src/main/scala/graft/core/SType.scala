@@ -173,9 +173,13 @@ object SStr {
     new SStr(values, lengths, pattern)
   def fromCounter(sample: ValueCounter,
                   pattern: Option[Vector[CharClass]] = None): SStr = {
-    val lengths = ValueCounter(sample.counts.map {
+    // iterate, don't Map-map: same-length values must SUM their
+    // counts (a Map built first collapses colliding length keys to
+    // the last value's count and the groupMapReduce sees only the
+    // survivor)
+    val lengths = ValueCounter(sample.counts.iterator.map {
       case (k, c) => (k.asInstanceOf[String].length.toLong: Any) -> c
-    }.groupMapReduce(_._1)(_._2)(_ + _))
+    }.toSeq.groupMapReduce(_._1)(_._2)(_ + _))
     new SStr(Stats.fromCounter(sample), Stats.fromCounter(lengths), pattern)
   }
 }

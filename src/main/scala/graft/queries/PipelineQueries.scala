@@ -726,6 +726,29 @@ object PipelineQueries {
         .orderBy(col("column_name").asc_nulls_first)
     }),
 
+    // the daily-ingest path: analyze HALF the corpus, fold the other
+    // half in as a delta via the merge monoid — must reproduce the
+    // whole-corpus verdicts bit-for-bit (same oracle as q33), so the
+    // incremental contract is driver-gated, not just spec-pinned
+    "q70_analyze_incremental" -> ((s, d) => {
+      val analyzer = new graft.analyzer.SparkAnalyzer()
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val prior = analyzer.analyzeTable(docs.where(col("doc_id") % 2 === 0))
+      val rows = analyzer.analyzeIncremental(prior,
+        docs.where(col("doc_id") % 2 =!= 0)) match {
+        case l: graft.core.SList => l.content match {
+          case dict: graft.core.SDict => dict.content.map(f =>
+            (f.key.asInstanceOf[graft.core.SField].value.toString,
+              f.value.render))
+          case other => Vector(("", other.render))
+        }
+        case other => Vector(("", other.render))
+      }
+      import s.implicits._
+      rows.toDF("column_name", "inferred")
+        .orderBy(col("column_name").asc_nulls_first)
+    }),
+
     // frame sampling + stub decode (explosion shape). The feature
     // aggregation is integer-exact: feat(1) is byte/255.0, and
     // round(feat·255) provably recovers the byte (the product is
@@ -1218,6 +1241,29 @@ object PipelineQueries {
     "SELECT cell, sub, rlabel AS label, COUNT(*) AS n_vectors, " +
     "MIN(vec_id) AS min_vec_id FROM ra1v GROUP BY 1, 2, 3 " +
     "ORDER BY cell NULLS FIRST, sub NULLS FIRST, label NULLS FIRST"
+
+  /** q33/q70 oracle: the two int-range rows derive from the DATA with
+    * the engine's formatInt ladder, the three string rows are pinned
+    * value sets (see the q33 comment at the map entry).
+    */
+  private val analyzeStructureSql =
+    "WITH ir AS (SELECT 'doc_id' AS column_name, " +
+    "CAST(MIN(doc_id) AS BIGINT) AS mn, CAST(MAX(doc_id) AS " +
+    "BIGINT) AS mx FROM documents UNION ALL SELECT 'n_chars', " +
+    "CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT) " +
+    "FROM documents), " +
+    "fmtd AS (SELECT column_name, 'int range=' || " +
+    "CASE WHEN abs(mn) < 1000 THEN CAST(mn AS VARCHAR) " +
+    "WHEN abs(mn) < 1000000 THEN printf('%.1fK', mn / 1000.0) " +
+    "ELSE printf('%.1fM', mn / 1000000.0) END || '..' || " +
+    "CASE WHEN abs(mx) < 1000 THEN CAST(mx AS VARCHAR) " +
+    "WHEN abs(mx) < 1000000 THEN printf('%.1fK', mx / 1000.0) " +
+    "ELSE printf('%.1fM', mx / 1000000.0) END AS inferred " +
+    "FROM ir) " +
+    "SELECT column_name, inferred FROM (SELECT * FROM fmtd " +
+    "UNION ALL SELECT * FROM (VALUES ('lang', 'str pattern=Ii'), " +
+    "('source', 'str'), ('text', 'str')) AS t(column_name, " +
+    "inferred)) ORDER BY column_name NULLS FIRST"
 
   val oracleSql: Map[String, String] = Map(
     "q67_pq_serving" -> pqServingSql,
@@ -1766,24 +1812,10 @@ object PipelineQueries {
     // the three string rows are pinned (lang's 2-letter codes,
     // source's and text's over-cap str verdicts are the same value
     // sets at every SF the driver generates).
-    "q33_analyze_structure" ->
-      ("WITH ir AS (SELECT 'doc_id' AS column_name, " +
-       "CAST(MIN(doc_id) AS BIGINT) AS mn, CAST(MAX(doc_id) AS " +
-       "BIGINT) AS mx FROM documents UNION ALL SELECT 'n_chars', " +
-       "CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT) " +
-       "FROM documents), " +
-       "fmtd AS (SELECT column_name, 'int range=' || " +
-       "CASE WHEN abs(mn) < 1000 THEN CAST(mn AS VARCHAR) " +
-       "WHEN abs(mn) < 1000000 THEN printf('%.1fK', mn / 1000.0) " +
-       "ELSE printf('%.1fM', mn / 1000000.0) END || '..' || " +
-       "CASE WHEN abs(mx) < 1000 THEN CAST(mx AS VARCHAR) " +
-       "WHEN abs(mx) < 1000000 THEN printf('%.1fK', mx / 1000.0) " +
-       "ELSE printf('%.1fM', mx / 1000000.0) END AS inferred " +
-       "FROM ir) " +
-       "SELECT column_name, inferred FROM (SELECT * FROM fmtd " +
-       "UNION ALL SELECT * FROM (VALUES ('lang', 'str pattern=Ii'), " +
-       "('source', 'str'), ('text', 'str')) AS t(column_name, " +
-       "inferred)) ORDER BY column_name NULLS FIRST"),
+    "q33_analyze_structure" -> analyzeStructureSql,
+    // the INCREMENTAL analysis must reproduce the whole-corpus
+    // verdicts exactly, so q70 shares q33's oracle re-derivation
+    "q70_analyze_incremental" -> analyzeStructureSql,
     "q31_media_stats" ->
       ("SELECT source AS grp, COUNT(*) AS n_items, " +
        "CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS " +

@@ -353,4 +353,73 @@ object StreamingStructure {
           }
       }
   }
+
+  // ---- continuous delta dedup against a persisted corpus ----------
+
+  /** The corpus parquet a [[deltaDedupToCorpus]] pipeline maintains,
+    * as (id, text) — empty-schema-safe before the first batch lands,
+    * so day zero needs no priming write.
+    */
+  def readDedupCorpus(spark: SparkSession, path: String)
+      : DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Continuous-ingest deduplication: each micro-batch is screened
+    * against the persisted corpus with the FULL batch composition
+    * ([[graft.operators.Dedup.deduplicateAgainst]]: exact-fingerprint
+    * pass, new-vs-old + new-vs-new LSH candidates, verified Jaccard,
+    * corpus-cluster verdicts) and the survivors are APPENDED to the
+    * corpus — so every later batch deduplicates against everything
+    * admitted before it. `foreachBatch` because the per-batch job is
+    * a batch dedup DAG (bucket joins + connected components) that
+    * incremental streaming operators cannot express; the corpus
+    * parquet is the state store — arbitrarily large, never held in
+    * the streaming state — while per-batch work stays delta-sized
+    * ([[graft.operators.Dedup.lshPairsAgainst]]'s new-vs-old shape).
+    *
+    * Failure/replay semantics: re-processing a batch whose survivors
+    * already landed is a no-op — the exact-fingerprint pass drops
+    * every row of the replayed batch as a corpus duplicate — so the
+    * corpus converges under Structured Streaming's at-least-once
+    * `foreachBatch` replay (a crash INSIDE the parquet append can
+    * still leave a torn write, the usual non-transactional-sink
+    * caveat).
+    *
+    * Requires globally unique ids across the stream's lifetime.
+    * Returns the started query; the corpus at `corpusPath` is the
+    * output.
+    */
+  def deltaDedupToCorpus(stream: DataFrame, idCol: String,
+                         textCol: String, corpusPath: String,
+                         checkpointDir: String,
+                         numHashes: Int = 64, bandSize: Int = 4,
+                         shingleK: Int = 5, thresholdNum: Int = 1,
+                         thresholdDen: Int = 5,
+                         maxBucketSize: Long = 10000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val kept = graft.operators.Dedup.deduplicateAgainst(
+          readDedupCorpus(batch.sparkSession, corpusPath),
+          col("id"), col("text"),
+          batch.toDF(), col(idCol), col(textCol),
+          numHashes, bandSize, shingleK, thresholdNum, thresholdDen,
+          maxBucketSize)
+        kept.select(col(idCol).cast("long").as("id"),
+            col(textCol).cast("string").as("text"))
+          .write.mode("append").parquet(corpusPath)
+      }
+      .start()
 }

@@ -333,13 +333,14 @@ object Similarity {
       .select(col("id"), col("dim"), quant(col("x")).as("qx"))
     val hashOrder = Seq(Sampling.hash32(col("id")).asc,
       col("id").asc_nulls_first)
-    // the seed labeler windows over ONLY the k limit-ed rows; the
-    // constant partition key keeps the partitionSpec non-empty, so
-    // the (benign, k-row) global sort no longer prints Spark's
-    // "moving all data to a single partition" warning — keeping the
-    // bench log clean enough that a REAL global-window regression
-    // would be visible (ExplainAudit pins zero empty-partition
-    // windows across the query suite)
+    // the seed labeler windows over ONLY the k limit-ed rows, so the
+    // single-task sort is k-row-bounded at any corpus size. NB Spark
+    // 4's EliminateWindowPartitions folds the constant partition key
+    // back out, so the "moving all data to a single partition"
+    // warning still prints for this (benign) window; it executes
+    // eagerly inside the localCheckpoint below and therefore never
+    // appears in a served plan (ExplainAudit's zero-global-window pin
+    // checks executed serving plans, which stay clean)
     val seeds = df
       .select(col(idCol).as("id"))
       .orderBy(hashOrder: _*)

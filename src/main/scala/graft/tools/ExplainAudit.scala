@@ -333,8 +333,10 @@ object ExplainAudit {
     // no query may plan a Window with an EMPTY partitionSpec (a
     // single-task global sort of the window input — the one shape
     // that silently serializes a corpus-sized frame at scale). The
-    // k-row seed labeler in kmeansLabels uses a constant partition
-    // key precisely so this invariant is checkable suite-wide.
+    // k-row seed labelers (kmeansLabels and the PQ seed pass) window
+    // over limit(k) rows and execute eagerly inside localCheckpoint,
+    // so they are absent from these executed plans by construction;
+    // what this check pins is the SERVED shapes.
     locally {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{
@@ -356,7 +358,8 @@ object ExplainAudit {
       }
       val windowed = Seq("q44_distinctive_terms", "q45_ivf_batch",
         "q48_kmeans", "q49_typicality", "q51_quota_sample",
-        "q52_asof_join", "q53_sessionize", "q67_pq_serving")
+        "q52_asof_join", "q53_sessionize", "q67_pq_serving",
+        "q68_pq_residual", "q70_analyze_incremental")
       var found = 0
       windowed.foreach { name =>
         val df = graft.SparkEntry.queries(name)(spark, sfDir)

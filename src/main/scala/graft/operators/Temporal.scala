@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
-  ShortType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Temporal operators over event streams: as-of joins (latest-state
   * lookup) and gap-based sessionization — the feature-engineering
@@ -23,9 +23,47 @@ object Temporal {
   private val asOfTempCols =
     Seq("__ts", "__side", "__l", "__r", "__m", "__rts", "__bkt")
 
-  private def integralType(dt: org.apache.spark.sql.types.DataType) =
+  private def integralType(dt: DataType) =
     dt == LongType || dt == IntegerType || dt == ShortType ||
       dt == ByteType
+
+  private def timestampLike(dt: DataType) =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** Exact epoch-microseconds for a timestamp column.
+    *
+    * TIMESTAMP is an instant: `unix_micros` reads it directly.
+    * TIMESTAMP_NTZ is a wall clock with no instant semantics —
+    * `unix_micros` rejects it and a cast through TIMESTAMP would
+    * shift by the session timezone (and mis-round inside DST gaps).
+    * Instead the epoch value is derived purely from the datetime
+    * FIELDS (the UTC interpretation of the wall clock): day count ×
+    * 86.4e9 + time-of-day micros, all exact integer/decimal
+    * arithmetic, independent of `spark.sql.session.timeZone`. Stays
+    * codegen'd — every piece is a built-in datetime expression.
+    */
+  private def tsMicros(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case TimestampNTZType =>
+      datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+        .cast(LongType) * lit(86400000000L) +
+        hour(c).cast(LongType) * lit(3600000000L) +
+        minute(c).cast(LongType) * lit(60000000L) +
+        // date_part SECOND is DECIMAL(8,6) incl. the fraction:
+        // ×1e6 and the long cast are exact
+        (date_part(lit("SECOND"), c) * lit(1000000L)).cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"expected a timestamp column, got $other")
+  }
+
+  /** The column as an integral number in its native unit: integral
+    * columns pass through; TIMESTAMP / TIMESTAMP_NTZ convert to
+    * epoch microseconds (monotonic, so ordering is preserved).
+    */
+  private def tsNumeric(df: DataFrame, c: String): Column = {
+    val dt = df.schema(c).dataType
+    if (integralType(dt)) df(c) else tsMicros(df(c), dt)
+  }
 
   /** As-of join: for each left row, the single most recent right row
     * with the same key and `rightTs` ≤ `leftTs` (inclusive). The
@@ -52,11 +90,13 @@ object Temporal {
     * window order — pre-aggregate the right side to unique (key, ts)
     * for deterministic output (SQL ASOF has the same caveat).
     *
-    * @param tolerance max allowed `leftTs - rightTs` (same units as
-    *   the timestamp columns, which must then be integral); matches
-    *   older than this null out.
+    * @param tolerance max allowed `leftTs - rightTs` in the columns'
+    *   native unit — integral columns compare as-is, TIMESTAMP /
+    *   TIMESTAMP_NTZ columns in microseconds; matches older than
+    *   this null out.
     * @param timeBuckets split each key's window into this many coarse
-    *   time buckets (integral timestamps only). The per-(key, bucket)
+    *   time buckets (integral or timestamp columns — timestamps
+    *   bucket on epoch micros). The per-(key, bucket)
     *   windows carry the latest right row from earlier buckets as a
     *   stitched boundary state row, so one hot key sorts in parallel
     *   across `timeBuckets` tasks instead of serializing into one.
@@ -81,20 +121,35 @@ object Temporal {
       s"input columns collide with as-of temp names: $tempHits")
     val lTsType = left.schema(leftTs).dataType
     val rTsType = right.schema(rightTs).dataType
-    if (tolerance.isDefined || timeBuckets > 1)
-      require(integralType(lTsType) && integralType(rTsType),
-        "tolerance/timeBuckets need integral timestamp columns, got " +
-          s"$lTsType/$rTsType")
+    // tolerance / bucketing do arithmetic on the ts values, so those
+    // paths normalize timestamps to epoch-micros longs (monotonic —
+    // the window order is unchanged); the plain path keeps the native
+    // type, which only ever needs ordering
+    val numericMode = tolerance.isDefined || timeBuckets > 1
+    if (numericMode)
+      require(
+        (integralType(lTsType) || timestampLike(lTsType)) &&
+          (integralType(rTsType) || timestampLike(rTsType)),
+        "tolerance/timeBuckets need integral or timestamp ts " +
+          s"columns, got $lTsType/$rTsType")
+    val lTsCol =
+      if (numericMode && timestampLike(lTsType))
+        tsMicros(left(leftTs), lTsType)
+      else left(leftTs)
+    val rTsCol =
+      if (numericMode && timestampLike(rTsType))
+        tsMicros(right(rightTs), rTsType)
+      else right(rightTs)
 
     val leftCols = left.columns.toSeq
     val lStruct = struct(leftCols.map(left(_)): _*)
     val rStruct = struct(
-      (right(rightTs).as("__rts") +: payload.map(right(_))): _*)
+      (rTsCol.as("__rts") +: payload.map(right(_))): _*)
     val lType = left.select(lStruct).schema.head.dataType
     val rType = right.select(rStruct).schema.head.dataType
 
     val leftU = left.select(
-      keys.map(left(_)) ++ Seq(left(leftTs).as("__ts"),
+      keys.map(left(_)) ++ Seq(lTsCol.as("__ts"),
         lit(1).as("__side"), lStruct.as("__l"),
         lit(null).cast(rType).as("__r")): _*)
     // a null key never matches (plain `=` semantics): null-key right
@@ -106,7 +161,7 @@ object Temporal {
       .where(right(rightTs).isNotNull &&
         keys.map(right(_).isNotNull).reduce(_ && _))
       .select(
-        keys.map(right(_)) ++ Seq(right(rightTs).as("__ts"),
+        keys.map(right(_)) ++ Seq(rTsCol.as("__ts"),
           lit(0).as("__side"), lit(null).cast(lType).as("__l"),
           rStruct.as("__r")): _*)
 
@@ -226,9 +281,10 @@ object Temporal {
     * intervals match nothing; null-ts left rows match nothing (the
     * SQL predicate's semantics).
     *
-    * @param bucketWidth bucket size in the timestamp's own integral
-    *   units; choose ~ the typical interval span, so intervals
-    *   explode to a handful of buckets.
+    * @param bucketWidth bucket size in the columns' native unit —
+    *   integral columns bucket as-is, TIMESTAMP / TIMESTAMP_NTZ
+    *   columns bucket on epoch MICROSECONDS; choose ~ the typical
+    *   interval span, so intervals explode to a handful of buckets.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, startCol: String, endCol: String,
@@ -240,28 +296,33 @@ object Temporal {
       .diff(keys.toSet)
     require(collisions.isEmpty,
       s"right columns collide with left columns: $collisions")
-    require(!left.columns.contains("__bkt") &&
-      !right.columns.contains("__bkt"),
-      "input columns collide with range-join temp name __bkt")
-    require(integralType(left.schema(leftTs).dataType) &&
-      integralType(right.schema(startCol).dataType) &&
-      integralType(right.schema(endCol).dataType),
-      "range join needs integral ts/start/end columns — cast " +
-        "timestamps explicitly to define the bucket unit")
+    val tempHits = Set("__bkt", "__tsn", "__sn", "__en")
+      .intersect((left.columns ++ right.columns).toSet)
+    require(tempHits.isEmpty,
+      s"input columns collide with range-join temp names: $tempHits")
+    val boundTypes = Seq(left.schema(leftTs).dataType,
+      right.schema(startCol).dataType, right.schema(endCol).dataType)
+    require(boundTypes.forall(integralType) ||
+      boundTypes.forall(timestampLike),
+      "range join needs ts/start/end columns all integral " +
+        "(bucketWidth in the column unit) or all timestamp-typed " +
+        s"(bucketWidth in microseconds), got $boundTypes")
 
     // `div` (exact integral floor-toward-zero division; `/` on longs
     // routes through a double and mis-rounds past 2^53)
-    def bucketOf(c: String): Column =
-      expr(s"CAST(`$c` AS BIGINT) div ${bucketWidth}L")
+    def bucketOf(c: String): Column = expr(s"`$c` div ${bucketWidth}L")
 
     val r = right.where(
       keys.map(right(_).isNotNull).reduce(_ && _) &&
         right(startCol).isNotNull && right(endCol).isNotNull &&
         right(endCol) >= right(startCol))
+    val rr = r.select(col("*"),
+      tsNumeric(r, startCol).cast(LongType).as("__sn"),
+      tsNumeric(r, endCol).cast(LongType).as("__en"))
 
     // pre-flight explosion pricing over a two-column projection
-    val worst = r
-      .agg(max(bucketOf(endCol) - bucketOf(startCol) + lit(1L)))
+    val worst = rr
+      .agg(max(bucketOf("__en") - bucketOf("__sn") + lit(1L)))
       .head()
     val maxSpan = if (worst.isNullAt(0)) 0L else worst.getLong(0)
     require(maxSpan <= maxBucketsPerInterval,
@@ -270,11 +331,15 @@ object Temporal {
         "bucketWidth toward the typical interval span, or raise the " +
         "cap if the explosion is priced in")
 
-    val rb = r.withColumn("__bkt",
-      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
-    val lb = left.where(left(leftTs).isNotNull &&
-        keys.map(left(_).isNotNull).reduce(_ && _))
-      .withColumn("__bkt", bucketOf(leftTs))
+    val rb = rr.withColumn("__bkt",
+        explode(sequence(bucketOf("__sn"), bucketOf("__en"))))
+      .drop("__sn", "__en")
+    val lf = left.where(left(leftTs).isNotNull &&
+      keys.map(left(_).isNotNull).reduce(_ && _))
+    val lb = lf.select(col("*"),
+        tsNumeric(lf, leftTs).cast(LongType).as("__tsn"))
+      .withColumn("__bkt", bucketOf("__tsn"))
+      .drop("__tsn")
     lb.join(rb, keys :+ "__bkt")
       .where(col(leftTs) >= col(startCol) &&
         col(leftTs) <= col(endCol))
@@ -283,9 +348,11 @@ object Temporal {
 
   /** Gap-based sessionization: per key, a new session starts at the
     * first event and whenever the gap since the previous event
-    * exceeds `gap` (same units as `ts`: nanos for the events table's
-    * long-nanos column; microseconds for a TimestampType column,
-    * which is compared via `unix_micros`). Adds a 0-based `session`
+    * exceeds `gap` (same units as `ts`: the column's own unit for an
+    * integral column — e.g. nanos for a long-nanos events table —
+    * and MICROSECONDS for TIMESTAMP / TIMESTAMP_NTZ columns, which
+    * are compared via an exact epoch-micros conversion). Adds a
+    * 0-based `session`
     * index per key; every input column passes through. Deterministic
     * given unique (key, ts) pairs — and the per-key session COUNT is
     * deterministic even with ties, since tied timestamps always gap
@@ -305,7 +372,7 @@ object Temporal {
       "input already has a 'session' column")
     val tsType = df.schema(ts).dataType
     val tsNum = tsType match {
-      case TimestampType => unix_micros(col(ts))
+      case t if timestampLike(t) => tsMicros(col(ts), t)
       case t if integralType(t) => col(ts)
       case other => throw new IllegalArgumentException(
         s"sessionize needs an integral or timestamp ts column, got " +

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity,
@@ -25,10 +26,26 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Fixed location of q67's persisted serving index; the oracle SQL
-    * reads the same path, so it must be a compile-time constant.
+  /** The driver regenerates testdata and `events.ts` has shipped as
+    * both TIMESTAMP(NANOS) (reads as long nanos under `nanosAsLong`)
+    * and timestamp[us] (reads as TIMESTAMP_NTZ): the temporal
+    * builders inspect the column's actual dtype and run gap / window
+    * arithmetic in its native unit, so both data shapes work.
     */
-  private val ServingIndexDir = "/tmp/graft_serving_index"
+  private def tsUnitsPerDay(dt: DataType): Long = dt match {
+    case LongType => 86400000000000L // nanos
+    case _ => 86400000000L // micros (TIMESTAMP / TIMESTAMP_NTZ)
+  }
+
+  /** Location of q67's persisted serving index; the oracle SQL embeds
+    * the same path, so it must be stable within one JVM (queries and
+    * oracleSql are built together). Per-process so two concurrent
+    * graft JVMs never race each other's index builds — a fixed path
+    * produced phantom q67 diffs when e.g. Verify and ExplainAudit
+    * overlapped.
+    */
+  private val ServingIndexDir =
+    "/tmp/graft_serving_index_" + ProcessHandle.current().pid()
 
   /** Build-and-persist the PQ + IVF index for `sfDir` unless the
     * on-disk copy was already built from exactly this directory (a
@@ -398,19 +415,21 @@ object PipelineQueries {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
-    // gap sessionization over the event stream (30-minute gap in
-    // nanos — ts reads as long nanos under nanosAsLong, the oracle
-    // views the same column as TIMESTAMP_NS via epoch_ns): per-user
-    // session and event counts, exact integers. Session COUNTS are
-    // tie-safe (tied timestamps gap by zero), so the oracle needs no
-    // unique-(key, ts) assumption.
-    "q53_sessionize" -> ((s, d) =>
-      Temporal.sessionize(t(s, d, "events"), "user_id", "ts",
-          gap = 1800000000000L)
+    // gap sessionization over the event stream (30-minute gap in the
+    // ts column's native unit — long nanos or TIMESTAMP_NTZ micros,
+    // see tsUnitsPerDay; the oracle views the same column via
+    // epoch_us): per-user session and event counts, exact integers.
+    // Session COUNTS are tie-safe (tied timestamps gap by zero), so
+    // the oracle needs no unique-(key, ts) assumption.
+    "q53_sessionize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Temporal.sessionize(ev, "user_id", "ts",
+          gap = tsUnitsPerDay(ev.schema("ts").dataType) / 48L)
         .groupBy(col("user_id"))
         .agg((max(col("session")) + 1L).as("n_sessions"),
           count(lit(1)).as("n_events"))
-        .orderBy(col("user_id").asc_nulls_first)),
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
 
     // the q52 as-of join through the hot-key pre-split path
     // (timeBuckets = 8): per-(key, bucket) windows stitched with one
@@ -492,16 +511,24 @@ object PipelineQueries {
     // buckets) must reproduce DuckDB's plain inequality join exactly,
     // inclusive bounds and all
     "q59_range_join" -> ((s, d) => {
-      val ev = t(s, d, "events")
+      val evAll = t(s, d, "events")
+      val day = tsUnitsPerDay(evAll.schema("ts").dataType)
+      // window end = start + 1 day in the column's own algebra:
+      // plain long addition for a nanos column, interval addition
+      // for a timestamp column (wall-clock +24h — NTZ has no DST)
+      val winEnd = evAll.schema("ts").dataType match {
+        case LongType => col("ts") + lit(day)
+        case _ => col("ts") + expr("INTERVAL 24 HOURS")
+      }
+      val ev = evAll
         .select(col("user_id"), col("ts"), col("event_type"),
           col("event_id"))
-      val iv = t(s, d, "events")
+      val iv = evAll
         .where(col("event_type") === "signup")
         .select(col("user_id"), col("ts").as("win_start"),
-          (col("ts") + lit(86400000000000L)).as("win_end"),
-          col("event_id").as("win_id"))
+          winEnd.as("win_end"), col("event_id").as("win_id"))
       Temporal.rangeJoin(ev, iv, Seq("user_id"), "ts",
-          "win_start", "win_end", bucketWidth = 86400000000000L)
+          "win_start", "win_end", bucketWidth = day)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("win_id")).cast("long").as("sum_win"),
@@ -687,16 +714,22 @@ object PipelineQueries {
           sum(col("doc_id")).cast("long").as("sum_id"))
         .orderBy(col("shard").asc_nulls_first)),
 
-    // nanosecond-timestamp column (read as long nanos under
-    // nanosAsLong): conversion to calendar dates must agree with
-    // DuckDB's native TIMESTAMP_NS view of the same column
-    "q34_nanos_range" -> ((s, d) =>
-      t(s, d, "events").agg(
+    // timestamp-column calendar range: conversion to dates must agree
+    // with DuckDB's native view of the same column. Dtype-adaptive:
+    // a long-nanos column routes through timestamp_micros, a native
+    // timestamp column casts directly
+    "q34_nanos_range" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = ev.schema("ts").dataType match {
+        case LongType =>
+          timestamp_micros(expr("ts div 1000")).cast("date")
+        case _ => col("ts").cast("date")
+      }
+      ev.agg(
         count(col("ts")).as("n_ts"),
-        min(timestamp_micros(expr("ts div 1000"))
-          .cast("date")).as("min_day"),
-        max(timestamp_micros(expr("ts div 1000"))
-          .cast("date")).as("max_day"))),
+        min(day).as("min_day"),
+        max(day).as("max_day"))
+    }),
 
     // ---- multimodal plumbing -------------------------------------
     "q31_media_stats" -> ((s, d) =>
@@ -1756,11 +1789,11 @@ object PipelineQueries {
     "q52_asof_join" -> asofSql,
     "q55_asof_bucketed" -> asofSql,
     "q53_sessionize" ->
-      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events), " +
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events), " +
        "l AS (SELECT user_id, tsn, LAG(tsn) OVER (PARTITION BY " +
        "user_id ORDER BY tsn) AS prev FROM e), " +
        "s AS (SELECT user_id, CASE WHEN prev IS NULL OR tsn - prev > " +
-       "1800000000000 THEN 1 ELSE 0 END AS isnew FROM l) " +
+       "1800000000 THEN 1 ELSE 0 END AS isnew FROM l) " +
        "SELECT user_id, CAST(SUM(isnew) AS BIGINT) AS n_sessions, " +
        "COUNT(*) AS n_events FROM s GROUP BY user_id " +
        "ORDER BY user_id NULLS FIRST"),
@@ -1792,9 +1825,9 @@ object PipelineQueries {
        "AS BIGINT) AS sum_shared, CAST(COALESCE(MAX(shared), 0) AS " +
        "BIGINT) AS max_shared FROM pr"),
     "q59_range_join" ->
-      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, " +
+      ("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, " +
        "event_type FROM events), " +
-       "iv AS (SELECT user_id, tsn AS s, tsn + 86400000000000 AS e, " +
+       "iv AS (SELECT user_id, tsn AS s, tsn + 86400000000 AS e, " +
        "event_id AS win_id FROM ev WHERE event_type = 'signup') " +
        "SELECT ev.event_type, COUNT(*) AS n_pairs, CAST(SUM(win_id) " +
        "AS BIGINT) AS sum_win, MIN(ev.event_id) AS min_event " +

@@ -99,7 +99,18 @@ object ExplainAudit {
         Seq("LeftAnti", "ReusedExchange", "winnow_fingerprints")))
 
     var failures = 0
+    // one throwing query must not abort the audit (round 7: a dtype
+    // break in q53 silently skipped every later pin) — catch, report
+    // as a FAIL, continue, exit nonzero at the end
+    def guarded(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          failures += 1
+          println(s"\n=== $name — THREW ===")
+          println(s"  [FAIL] ${e.toString.linesIterator.next()}")
+      }
     checks.foreach { case (name, what, expects) =>
+      guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // execute first: AQE performs exchange/stage reuse at runtime,
       // so properties like ReusedExchange only appear in the final
@@ -119,13 +130,14 @@ object ExplainAudit {
       }
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FULL"))
         println(formatted)
+      }
     }
     // ---- single-evaluation check --------------------------------
     // simHashCandidatePairs must evaluate the signature exactly ONCE:
     // band slices derive from one projection over `simhash`. (The
     // round-2 unionAll-of-selects shape re-scanned the corpus and
     // re-evaluated simhash32 once per band.)
-    locally {
+    guarded("simhash_pairs") {
       import org.apache.spark.sql.functions.col
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val pairs = graft.operators.Dedup.simHashCandidatePairs(
@@ -150,7 +162,7 @@ object ExplainAudit {
     // candidate-id semi-join and both intersection sides hang off ONE
     // repartition exchange (ReuseExchange), and the candidate pairs
     // feed four consumers from one cached checkpoint
-    locally {
+    guarded("verified_jaccard") {
       import org.apache.spark.sql.functions.col
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val cands = graft.operators.Dedup.lshCandidatePairs(
@@ -183,6 +195,7 @@ object ExplainAudit {
     // corpus scan just to size the bucket space.)
     Seq("q29_lsh_buckets", "q30_cosine_near_dups",
         "q49_typicality", "q50_pii_scan").foreach { name =>
+      guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val tree = df.queryExecution.executedPlan.treeString
@@ -193,6 +206,7 @@ object ExplainAudit {
       println(s"\n=== $name — corpus scanned exactly once ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] one parquet scan " +
         s"in the final adaptive plan (found $n)")
+      }
     }
 
     // ---- temporal window-shape checks ----------------------------
@@ -205,6 +219,7 @@ object ExplainAudit {
     Seq(("q52_asof_join", 1, -1, -1),
         ("q53_sessionize", 2, 1, 1)).foreach {
       case (name, wantWin, wantExch, wantSort) =>
+        guarded(name) {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         df.collect()
         val tree = df.queryExecution.executedPlan.treeString
@@ -224,13 +239,14 @@ object ExplainAudit {
         println(f"  [${if (ok) "OK" else "MISS"}%-4s] Window=$nWin " +
           s"(want $wantWin), hashExchange=$nExch (want $wantExch), " +
           s"keyedSort=$nSort (want $wantSort)")
+        }
     }
 
     // ---- range-join shape check ----------------------------------
     // the bucketed interval join must plan as a HASH equi-join on
     // (key, bucket) — never a BroadcastNestedLoopJoin / cartesian
     // re-derivation of the theta-join it replaces
-    locally {
+    guarded("q59_range_join") {
       val df = graft.SparkEntry.queries("q59_range_join")(spark, sfDir)
       df.collect()
       val tree = df.queryExecution.executedPlan.treeString
@@ -250,7 +266,7 @@ object ExplainAudit {
     // ---- delta-dedup join shape check ----------------------------
     // the new-vs-old band-bucket join must be a hash/merge equi-join
     // — never a nested-loop/cartesian pairing of the two corpora
-    locally {
+    guarded("q63_dedup_against") {
       val df = graft.SparkEntry.queries("q63_dedup_against")(spark,
         sfDir)
       df.collect()
@@ -277,7 +293,7 @@ object ExplainAudit {
     // pure projection: its only joins are the broadcast query
     // fan-out — NO shuffled join anywhere, and the only shuffles are
     // the per-query top-k window and the final presentation sort
-    locally {
+    guarded("pq_adc_scan") {
       import org.apache.spark.sql.functions._
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val assign = graft.operators.Similarity.pqAssign(emb, "vec_id",
@@ -337,7 +353,7 @@ object ExplainAudit {
     // over limit(k) rows and execute eagerly inside localCheckpoint,
     // so they are absent from these executed plans by construction;
     // what this check pins is the SERVED shapes.
-    locally {
+    guarded("no_global_window") {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{
         AdaptiveSparkPlanExec, QueryStageExec}

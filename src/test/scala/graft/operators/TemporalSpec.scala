@@ -169,6 +169,59 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions.sameElements(Array(0L, 0L, 1L)), sessions.toSeq)
   }
 
+  test("sessionize: TIMESTAMP_NTZ gaps in microseconds, equal to " +
+      "the long-micros result") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(("u", 0L), ("u", 900000L), ("u", 2000001L),
+      ("v", 5L)).toDF("k", "us")
+    val longSess = Temporal.sessionize(base, "k", "us",
+        gap = 1000000L)
+      .select(col("k"), col("us"), col("session")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ntz = base.select(col("k"),
+      timestamp_micros(col("us")).cast("timestamp_ntz").as("t"))
+    assert(ntz.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val ntzSess = Temporal.sessionize(ntz, "k", "t", gap = 1000000L)
+      .select(col("k"),
+        unix_micros(col("t").cast("timestamp")).as("us"),
+        col("session")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ntzSess == longSess)
+  }
+
+  test("asOfJoin timeBuckets + tolerance accept TIMESTAMP_NTZ / " +
+      "TIMESTAMP and agree with the integral-micros result") {
+    val s = spark
+    import s.implicits._
+    val hotLeft = (0L until 120L).map(t => (1000L + t, Some("hot"),
+      Some(t)))
+    val left = (hotLeft ++ Seq(
+      (1L, Some("x"), Some(50L)), (2L, None, Some(3L)),
+      (3L, Some("hot"), None))).toDF("id", "k", "ts")
+    val right = ((0L until 12L).map(i => (Some("hot"), Some(i * 10L),
+      s"st$i")) ++ Seq((Some("x"), Some(49L), "sx")))
+      .toDF("k", "ts", "state")
+    def toNtz(df: DataFrame) = df.withColumn("ts",
+      timestamp_micros(col("ts")).cast("timestamp_ntz"))
+    def toTs(df: DataFrame) = df.withColumn("ts",
+      timestamp_micros(col("ts")))
+    val base = matches(Temporal.asOfJoin(left, right, Seq("k"),
+      "ts", "ts", timeBuckets = 7))
+    val ntz = matches(Temporal.asOfJoin(toNtz(left), toNtz(right),
+      Seq("k"), "ts", "ts", timeBuckets = 7))
+    assert(ntz == base)
+    val instant = matches(Temporal.asOfJoin(toTs(left), toTs(right),
+      Seq("k"), "ts", "ts", timeBuckets = 5))
+    assert(instant == base)
+    val tolBase = matches(Temporal.asOfJoin(left, right, Seq("k"),
+      "ts", "ts", tolerance = Some(5L)))
+    val tolNtz = matches(Temporal.asOfJoin(toNtz(left), toNtz(right),
+      Seq("k"), "ts", "ts", tolerance = Some(5L)))
+    assert(tolNtz == tolBase)
+  }
+
   test("sessionize rejects a pre-existing session column and " +
       "non-temporal ts types") {
     val s = spark
@@ -278,6 +331,25 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got == naive, s"round $round width $w")
       assert(naive.nonEmpty, s"round $round fixture degenerate")
+    }
+  }
+
+  test("rangeJoin accepts TIMESTAMP_NTZ bounds (micros buckets, " +
+      "pre-epoch values included) and rejects mixed bound types") {
+    def ntz(c: org.apache.spark.sql.Column) =
+      timestamp_micros(c).cast("timestamp_ntz")
+    val l = rjLeft.withColumn("ts", ntz(col("ts")))
+    val r = rjRight.withColumn("ws", ntz(col("ws")))
+      .withColumn("we", ntz(col("we")))
+    val got = Temporal.rangeJoin(l, r, Seq("k"), "ts", "ws", "we",
+        bucketWidth = 7L)
+      .select(col("id"), col("win")).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got == rjExpected)
+    // one timestamp side against integral bounds is a unit bug, not
+    // a silently-wrong join
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(l, rjRight, Seq("k"), "ts", "ws", "we", 7L)
     }
   }
 

@@ -8,14 +8,25 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with a typed metadata struct.
   *
   * The Spark-side machinery — schema, per-item metadata, partition-
-  * friendly batch transforms, frame sampling — is real and tested. The
-  * actual media *decode* is STUBBED with a deterministic fake
-  * ([[fakeDecodeFeatures]]): the execution container has no image/audio
-  * libraries, so the decode stage is the only seam a production deploy
-  * replaces (e.g. with a JNI decoder inside `mapPartitions`, keeping
-  * the same columnar contract).
+  * friendly batch transforms, frame sampling — is real and tested.
+  * Header-level decode is REAL ([[imageMeta]]: PNG/JPEG/GIF/BMP magic
+  * + pixel dimensions read from the payload bytes per the public
+  * format specs, no image library). Pixel-level decode is STUBBED
+  * with a deterministic fake ([[fakeDecodeFeatures]]): the execution
+  * container has no image/audio libraries, so that stage is the only
+  * seam a production deploy replaces (e.g. with a JNI decoder inside
+  * `mapPartitions`, keeping the same columnar contract).
   */
 object Multimodal {
+
+  /** Container sniff + pixel dimensions from the payload HEADER bytes
+    * (see [[graft.functions.ImageMetaExpr]]): one native codegen'd
+    * call per payload returning `struct<format, width, height>`,
+    * "unknown"/null for unrecognized bytes — never a throw, so a
+    * 100 TB scan survives corrupt blobs.
+    */
+  def imageMeta(payload: Column): Column =
+    graft.functions.ImageMetaExpr.imageMetaNative(payload)
 
   /** Metadata schema carried alongside every binary payload. */
   val metaSchema: StructType = StructType(Seq(

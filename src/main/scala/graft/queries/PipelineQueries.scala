@@ -26,6 +26,48 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private def hexOf(xs: Int*): String =
+    xs.map(b => f"${b & 0xff}%02x").mkString
+
+  /** q72's synthetic image headers (hand-assembled per the public
+    * format specs, same fixtures as ImageMetaSpec): dimensions are
+    * pinned in the oracle VALUES.
+    */
+  private val PngHex = hexOf(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+    0x1a, 0x0a, 0, 0, 0, 13, 'I', 'H', 'D', 'R',
+    0, 0, 0x01, 0x40, 0, 0, 0x00, 0xf0, 8, 6, 0, 0, 0)
+  private val JpegHex = hexOf(0xff, 0xd8,
+    0xff, 0xe0, 0, 16, 'J', 'F', 'I', 'F', 0,
+    1, 1, 0, 0, 1, 0, 1, 0, 0,
+    0xff, 0xfe, 0, 5, 'c', 'm', 't',
+    0xff, 0xc0, 0, 17, 8, 0, 48, 0, 64,
+    3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+  private val GifHex = hexOf('G', 'I', 'F', '8', '9', 'a',
+    0x0c, 0x00, 0x07, 0x00, 0, 0, 0)
+  private val BmpHex = hexOf('B', 'M', 70, 0, 0, 0, 0, 0, 0, 0,
+    54, 0, 0, 0, 40, 0, 0, 0,
+    0x15, 0x00, 0x00, 0x00, 0xef, 0xff, 0xff, 0xff)
+
+  /** Run the structure analyzer over a table and dump one
+    * (column_name, rendered type) row per column — the q33/q70/q71
+    * oracle shape.
+    */
+  private def analyzeDump(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = new graft.analyzer.SparkAnalyzer()
+      .analyzeTable(df) match {
+      case l: graft.core.SList => l.content match {
+        case dict: graft.core.SDict => dict.content.map(f =>
+          (f.key.asInstanceOf[graft.core.SField].value.toString,
+            f.value.render))
+        case other => Vector(("", other.render))
+      }
+      case other => Vector(("", other.render))
+    }
+    import s.implicits._
+    rows.toDF("column_name", "inferred")
+      .orderBy(col("column_name").asc_nulls_first)
+  }
+
   /** The driver regenerates testdata and `events.ts` has shipped as
     * both TIMESTAMP(NANOS) (reads as long nanos under `nanosAsLong`)
     * and timestamp[us] (reads as TIMESTAMP_NTZ): the temporal
@@ -738,26 +780,49 @@ object PipelineQueries {
           "text/plain"),
         col("source"))),
 
+    // real image-header decode (ImageMetaExpr: PNG/JPEG/GIF/BMP magic
+    // + pixel dimensions straight from payload bytes): four synthetic
+    // in-plan headers with known dimensions, plus the whole documents
+    // corpus as binary payloads — every text blob must classify
+    // "unknown" with null dims and never throw
+    "q72_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("png_320x240", PngHex), ("jpeg_64x48", JpegHex),
+        ("gif_12x7", GifHex), ("bmp_21x17", BmpHex))
+        .toDF("name", "hex")
+        .select(col("name"),
+          Multimodal.imageMeta(unhex(col("hex"))).as("m"))
+        .select(col("name"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          lit(1L).as("n"))
+      val corpus = t(s, d, "documents")
+        .select(Multimodal.imageMeta(col("text").cast("binary"))
+          .as("m"))
+        .groupBy(col("m.format").as("format"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("corpus").as("name"), col("format"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"), col("n"))
+      fixtures.unionByName(corpus)
+        .orderBy(col("name").asc_nulls_first,
+          col("format").asc_nulls_first)
+    }),
+
     // the flagship structure-inference operator itself — one row per
     // column of `documents` with its inferred type string
     // (deterministic: exact counters over deterministic data; oracle =
     // explicit VALUES pin below)
-    "q33_analyze_structure" -> ((s, d) => {
-      val analyzer = new graft.analyzer.SparkAnalyzer()
-      val rows = analyzer.analyzeTable(
-        s.read.parquet(s"$d/documents.parquet")) match {
-        case l: graft.core.SList => l.content match {
-          case dict: graft.core.SDict => dict.content.map(f =>
-            (f.key.asInstanceOf[graft.core.SField].value.toString,
-              f.value.render))
-          case other => Vector(("", other.render))
-        }
-        case other => Vector(("", other.render))
-      }
-      import s.implicits._
-      rows.toDF("column_name", "inferred")
-        .orderBy(col("column_name").asc_nulls_first)
-    }),
+    "q33_analyze_structure" -> ((s, d) =>
+      analyzeDump(s, s.read.parquet(s"$d/documents.parquet"))),
+
+    // structure inference over the EVENTS table: pins the analyzer's
+    // handling of a native TIMESTAMP_NTZ column (datetime range
+    // verdict + second-truncated rendering), JSON-pattern string
+    // detection on props, and float range rendering — all derived
+    // from the data in the oracle, so the gate holds at any SF
+    "q71_analyze_events" -> ((s, d) =>
+      analyzeDump(s, s.read.parquet(s"$d/events.parquet"))),
 
     // the daily-ingest path: analyze HALF the corpus, fold the other
     // half in as a delta via the merge monoid — must reproduce the
@@ -1846,6 +1911,61 @@ object PipelineQueries {
     // source's and text's over-cap str verdicts are the same value
     // sets at every SF the driver generates).
     "q33_analyze_structure" -> analyzeStructureSql,
+    // q71: every data-dependent piece re-derived from the events
+    // table — int ranges through the formatInt K/M ladder, the
+    // props JSON inner range, the NTZ timestamp's second-truncated
+    // datetime range, and the %.7g float range (integral values
+    // print as plain longs, matching formatFloat)
+    "q71_analyze_events" ->
+      ("WITH ir AS (SELECT 'event_id' AS column_name, " +
+       "CAST(MIN(event_id) AS BIGINT) AS mn, CAST(MAX(event_id) AS " +
+       "BIGINT) AS mx FROM events " +
+       "UNION ALL SELECT 'user_id', CAST(MIN(user_id) AS BIGINT), " +
+       "CAST(MAX(user_id) AS BIGINT) FROM events " +
+       "UNION ALL SELECT 'props', " +
+       "CAST(MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) " +
+       "AS BIGINT), " +
+       "CAST(MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) " +
+       "AS BIGINT) FROM events), " +
+       "fmtd AS (SELECT column_name, " +
+       "CASE WHEN abs(mn) < 1000 THEN CAST(mn AS VARCHAR) " +
+       "WHEN abs(mn) < 1000000 THEN printf('%.1fK', mn / 1000.0) " +
+       "ELSE printf('%.1fM', mn / 1000000.0) END AS fmn, " +
+       "CASE WHEN abs(mx) < 1000 THEN CAST(mx AS VARCHAR) " +
+       "WHEN abs(mx) < 1000000 THEN printf('%.1fK', mx / 1000.0) " +
+       "ELSE printf('%.1fM', mx / 1000000.0) END AS fmx FROM ir), " +
+       "ints AS (SELECT column_name, CASE WHEN column_name = " +
+       "'props' THEN 'str of {''k'': int range=' || fmn || '..' || " +
+       "fmx || '} pattern=json' ELSE 'int range=' || fmn || '..' || " +
+       "fmx END AS inferred FROM fmtd), " +
+       "tsr AS (SELECT 'ts' AS column_name, 'datetime range=' || " +
+       "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') || '..' || " +
+       "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS inferred FROM " +
+       "events), " +
+       "vr AS (SELECT 'value' AS column_name, 'float range=' || " +
+       "CASE WHEN MIN(value) = floor(MIN(value)) THEN " +
+       "CAST(CAST(MIN(value) AS BIGINT) AS VARCHAR) ELSE " +
+       "printf('%.7g', MIN(value)) END || '..' || " +
+       "CASE WHEN MAX(value) = floor(MAX(value)) THEN " +
+       "CAST(CAST(MAX(value) AS BIGINT) AS VARCHAR) ELSE " +
+       "printf('%.7g', MAX(value)) END AS inferred FROM events) " +
+       "SELECT column_name, inferred FROM (SELECT * FROM ints " +
+       "UNION ALL SELECT * FROM tsr UNION ALL SELECT * FROM vr " +
+       "UNION ALL SELECT 'event_type', 'str') " +
+       "ORDER BY column_name NULLS FIRST"),
+    // q72: fixture dimensions pinned as VALUES (the hex headers are
+    // compile-time constants); the corpus side must be all-unknown
+    "q72_image_meta" ->
+      ("SELECT name, format, width, height, n FROM (" +
+       "SELECT * FROM (VALUES " +
+       "('png_320x240', 'png', 320, 240, CAST(1 AS BIGINT)), " +
+       "('jpeg_64x48', 'jpeg', 64, 48, CAST(1 AS BIGINT)), " +
+       "('gif_12x7', 'gif', 12, 7, CAST(1 AS BIGINT)), " +
+       "('bmp_21x17', 'bmp', 21, 17, CAST(1 AS BIGINT))) AS " +
+       "v(name, format, width, height, n) " +
+       "UNION ALL SELECT 'corpus', 'unknown', NULL, NULL, COUNT(*) " +
+       "FROM documents) " +
+       "ORDER BY name NULLS FIRST, format NULLS FIRST"),
     // the INCREMENTAL analysis must reproduce the whole-corpus
     // verdicts exactly, so q70 shares q33's oracle re-derivation
     "q70_analyze_incremental" -> analyzeStructureSql,

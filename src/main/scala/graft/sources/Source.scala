@@ -555,12 +555,14 @@ object Source {
 
   /** S7: YAML subset — block maps/lists, block scalars (`|`, `>` with
     * clip/strip chomping), multi-line plain scalars, single- and
-    * multi-line flow collections, tags (`!!str` etc. coerce; unknown
-    * tags are ignored and the value parsed), anchors/aliases,
-    * multi-document streams, comments, core-schema scalars. A
-    * multi-document stream returns a Vector of documents. Lines stay
-    * RAW until structurally interpreted, so a ` #` inside a block
-    * scalar body is content, not a comment.
+    * multi-line flow collections, tags (`!!str` etc. coerce; verbatim
+    * `!<uri>` and `%TAG`-declared handles resolve, then unknown tags
+    * are ignored and the value parsed), anchors/aliases,
+    * multi-document streams, `%YAML`/`%TAG` directive sections,
+    * comments, core-schema scalars. A multi-document stream returns a
+    * Vector of documents. Lines stay RAW until structurally
+    * interpreted, so a ` #` inside a block scalar body is content,
+    * not a comment.
     */
   def parseYaml(text: String): Any = {
     val anchors = scala.collection.mutable.HashMap.empty[String, Any]
@@ -569,33 +571,65 @@ object Source {
     val allLines = text.linesIterator.toVector
     def hasContent(ls: Vector[String]): Boolean =
       ls.exists(l => stripComment(l).trim.nonEmpty)
-    // multi-document split on --- / ... separator lines
-    val docs = Vector.newBuilder[Vector[String]]
+    // multi-document split on --- / ... separator lines; a directive
+    // section (`%YAML` / `%TAG` lines, legal only before content)
+    // applies to the document its `---` opens
+    val docs =
+      Vector.newBuilder[(Vector[String], Map[String, String])]
     var cur = Vector.newBuilder[String]
+    var curHasContent = false
+    var curTags = Map.empty[String, String]
+    var pendingTags = Map.empty[String, String]
     var nDocs = 0
+    def directive(t: String): Unit =
+      if (t.startsWith("%YAML")) {
+        // ruamel (the reference's parser) rejects major versions it
+        // does not know; match that rather than mis-parse
+        val ver = t.drop(5).trim.takeWhile(!_.isWhitespace)
+        require(ver.startsWith("1."),
+          s"unsupported YAML version directive: $t")
+      } else if (t.startsWith("%TAG")) {
+        t.drop(4).trim.split("\\s+", 2) match {
+          case Array(h, p) => pendingTags += (h -> p.trim)
+          case _ => ()
+        }
+      } // other % directives are reserved: ignored, per the spec
     allLines.foreach { l =>
       val t = stripComment(l).trim
-      if (t == "---" || t.startsWith("--- ")) {
+      if (t.startsWith("%") && !curHasContent) directive(t)
+      else if (t == "---" || t.startsWith("--- ")) {
         val done = cur.result()
         if (hasContent(done) || nDocs > 0) {
-          docs += done; nDocs += 1
+          docs += ((done, curTags)); nDocs += 1
         }
         cur = Vector.newBuilder[String]
+        curHasContent = false
+        curTags = pendingTags
+        pendingTags = Map.empty
         // "--- value" inline document start
-        if (t.startsWith("--- ")) cur += t.drop(4)
+        if (t.startsWith("--- ")) {
+          cur += t.drop(4)
+          curHasContent = t.drop(4).trim.nonEmpty
+        }
       } else if (t == "...") {
-        docs += cur.result(); nDocs += 1
+        docs += ((cur.result(), curTags)); nDocs += 1
         cur = Vector.newBuilder[String]
-      } else cur += l
+        curHasContent = false
+        curTags = Map.empty
+      } else {
+        cur += l
+        if (t.nonEmpty) curHasContent = true
+      }
     }
     val tail = cur.result()
     if (hasContent(tail) || nDocs == 0) {
-      docs += tail; nDocs += 1
+      docs += ((tail, curTags)); nDocs += 1
     }
     val parsed = docs.result()
-      .filter(hasContent)
-      .map { doc =>
+      .filter { case (ls, _) => hasContent(ls) }
+      .map { case (doc, tags) =>
         anchors.clear()
+        if (tags.nonEmpty) anchors.update(TagDirectivesKey, tags)
         val (v, rest) = parseBlock(doc, 0, anchors)
         require(!hasContent(rest),
           s"unparsed YAML remainder: ${
@@ -695,7 +729,7 @@ object Source {
           // anchor / tag decorators on the item
           val (anchorName, tag, itemText) = splitDecorators(itemText0)
           def keep(v0: Any, r: Vector[String]): Unit = {
-            val v = applyTag(tag, v0)
+            val v = applyTag(tag, v0, anchors)
             anchorName.foreach(anchors.update(_, v))
             items += v; rest = r
           }
@@ -779,7 +813,7 @@ object Source {
     } else {
       val (anchorName, tag, text0) = splitDecorators(content)
       val (text, r) = plainContinuation(text0, lines.tail, ind)
-      val v = applyTag(tag, resolveScalar(text, anchors))
+      val v = applyTag(tag, resolveScalar(text, anchors), anchors)
       anchorName.foreach(anchors.update(_, v))
       (v, r)
     }
@@ -804,7 +838,7 @@ object Source {
         val (text, rr) = plainContinuation(after, tail, ind)
         (resolveScalar(text, anchors), rr)
       }
-    val v = applyTag(tag, v0)
+    val v = applyTag(tag, v0, anchors)
     anchorName.foreach(anchors.update(_, v))
     (v, r)
   }
@@ -870,12 +904,52 @@ object Source {
     (anchor, tag, s)
   }
 
+  /** Reserved anchors-map key carrying the current document's `%TAG`
+    * handle declarations (an anchor name cannot contain a NUL,
+    * so no document can collide with it).
+    */
+  private val TagDirectivesKey = "\u0000%TAG"
+
+  private val CoreTagPrefix = "tag:yaml.org,2002:"
+
+  /** Expand a tag token to canonical `!!name` form when it resolves
+    * into the YAML core-schema namespace: verbatim `!<uri>`, the
+    * default `!!` secondary handle, and any `%TAG`-declared handle
+    * whose prefix lands in `tag:yaml.org,2002:`. Tags that resolve
+    * anywhere else return unchanged (and pass through applyTag's
+    * unknown-tag case, value intact).
+    */
+  private def expandTag(tag: String, anchors: Anchors): String = {
+    val handles = anchors.get(TagDirectivesKey) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, String]]
+      case _ => Map.empty[String, String]
+    }
+    val full =
+      if (tag.startsWith("!<") && tag.endsWith(">"))
+        tag.substring(2, tag.length - 1)
+      else if (tag.startsWith("!!"))
+        handles.getOrElse("!!", CoreTagPrefix) + tag.drop(2)
+      else {
+        val second = tag.indexOf('!', 1)
+        if (second > 0) {
+          val h = tag.take(second + 1)
+          handles.get(h).map(_ + tag.drop(second + 1)).getOrElse(tag)
+        } else handles.get("!").map(_ + tag.drop(1)).getOrElse(tag)
+      }
+    if (full.startsWith(CoreTagPrefix))
+      "!!" + full.drop(CoreTagPrefix.length)
+    else tag
+  }
+
   /** Core-schema tag coercions; unknown/application tags are ignored
     * and the parsed value passes through (enough for structural
     * analysis — the reference gets full tag semantics from ruamel,
     * source.py:242-248).
     */
-  private def applyTag(tag: Option[String], v: Any): Any = tag match {
+  private def applyTag(tag0: Option[String], v: Any,
+                       anchors: Anchors): Any = {
+    val tag = tag0.map(expandTag(_, anchors))
+    tag match {
     case None => v
     case Some("!!str") => if (v == null) "" else v.toString
     case Some("!!int") => v match {
@@ -899,6 +973,7 @@ object Source {
     }
     case Some("!!null") => null
     case Some(_) => v
+    }
   }
 
   /** First colon that terminates the key (skips quoted keys). */
@@ -1013,8 +1088,8 @@ object Source {
           val tag = s.substring(start, pos)
           skipWs()
           if (eof || ",]}".contains(s.charAt(pos)))
-            applyTag(Some(tag), null)
-          else applyTag(Some(tag), value())
+            applyTag(Some(tag), null, anchors)
+          else applyTag(Some(tag), value(), anchors)
         case _ => parseScalar(bare(stopAtColon = false))
       }
     }

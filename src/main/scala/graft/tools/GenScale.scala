@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   * paths, not an exact-duplicate degenerate case. Events shift both
   * event and user ids (10× users, same per-user density).
   *
-  * Caveat: `events.ts` is TIMESTAMP(NANOS) in the driver data; Spark
-  * reads it as long under nanosAsLong and cannot write the nano type
-  * back, so the scaled `events.parquet` carries ts as plain INT64
-  * nanos. The engine reads both identically; a DuckDB oracle needs
-  * `epoch_ns(ts)` → `ts` adjusted (or a driver-side pyarrow cast back
-  * to timestamp[ns]).
+  * `events.ts` passes through with its source dtype: timestamp[us]
+  * (the current driver data) round-trips exactly. (The historical
+  * TIMESTAMP(NANOS) shape read as long under nanosAsLong and wrote
+  * back as plain INT64 nanos — the engine's dtype-adaptive builders
+  * accept that too, but a DuckDB oracle then needs an epoch_ns view;
+  * the current µs data needs no fixup step at all.)
   *
   * Run: sbt "runMain graft.tools.GenScale <inDir> <outDir> <n>"
   */

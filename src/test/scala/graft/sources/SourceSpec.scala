@@ -573,6 +573,53 @@ class SourceSpec extends AnyFunSuite {
     assert(parseYaml("---\nk: v\n") == Map("k" -> "v"))
   }
 
+  test("yaml %YAML / %TAG directive sections") {
+    // %YAML 1.x accepted and invisible to the content
+    assert(parseYaml("%YAML 1.2\n---\na: 1\n") == Map("a" -> 1L))
+    assert(parseYaml("%YAML 1.1\n---\na: 1\n") == Map("a" -> 1L))
+    // unknown major version: reject (ruamel parity), never mis-parse
+    intercept[IllegalArgumentException] {
+      parseYaml("%YAML 2.0\n---\na: 1\n")
+    }
+    // a %TAG handle resolving into the core schema coerces like the
+    // equivalent !! tag
+    val y =
+      """%TAG !m! tag:yaml.org,2002:
+        |---
+        |a: !m!str 42
+        |b: !m!int "7"
+        |""".stripMargin
+    assert(parseYaml(y) == Map("a" -> "42", "b" -> 7L))
+    // verbatim !<uri> tags resolve without any directive
+    assert(parseYaml("a: !<tag:yaml.org,2002:str> 42\n") ==
+      Map("a" -> "42"))
+    // a handle resolving elsewhere is ignored, value parsed (the
+    // unknown-tag rule)
+    val yApp =
+      """%TAG !a! tag:example.com,2024:
+        |---
+        |a: !a!thing 42
+        |""".stripMargin
+    assert(parseYaml(yApp) == Map("a" -> 42L))
+    // directives are per-document: the second document's handles do
+    // not leak from the first
+    val multi =
+      """%TAG !m! tag:yaml.org,2002:
+        |---
+        |a: !m!str 1
+        |...
+        |%TAG !m! tag:example.com,2024:
+        |---
+        |a: !m!str 1
+        |""".stripMargin
+    val docs = parseYaml(multi).asInstanceOf[Vector[Any]]
+    assert(docs(0) == Map("a" -> "1"))   // core-schema coercion
+    assert(docs(1) == Map("a" -> 1L))    // application tag: ignored
+    // reserved (unknown) directives are ignored, and a mid-document
+    // '%' line stays content
+    assert(parseYaml("%FOO bar\n---\na: 1\n") == Map("a" -> 1L))
+  }
+
   test("jsonl: detected, loaded as records, whole-doc json unaffected") {
     val jsonl = "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n"
     assert(detectFormat(jsonl) == JsonLinesFormat)

@@ -351,6 +351,80 @@ object Dedup {
         coalesce(col("h.n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Bloom-prescreened decontamination — the same exact result as
+    * [[contamination]] (a Bloom filter has NO false negatives, and
+    * every prescreen survivor is re-confirmed by the exact join), but
+    * the 100 TB shape for a bench side too big to broadcast exactly:
+    *
+    *  1. ONE pass over the bench shingles builds a Bloom filter of
+    *     their xxhash64 values (Spark's own `BloomFilterAggregate`,
+    *     the machinery behind runtime bloom join filters — distributed
+    *     partial aggregation, only the filter bits reach the driver:
+    *     `-n·ln(fpp)/ln²2` bits ≈ 1.2 MB per million shingles at 1%).
+    *  2. The corpus scan applies `BloomFilterMightContain` as a pure
+    *     codegen'd FILTER — no corpus-side shuffle, no broadcast hash
+    *     relation, just the filter bits riding the task binary.
+    *  3. Only survivors (true hits + ~fpp of the corpus shingles)
+    *     enter the exact confirm join, so the join's shuffle volume
+    *     drops by ~1/fpp versus shuffling every corpus shingle.
+    *
+    * Versus [[contamination]]'s broadcast path: the exact broadcast
+    * needs ~64 B per bench shingle; the Bloom bits need ~1.2 bytes —
+    * a 50× bigger bench side fits the same memory budget, and past
+    * THAT the prescreen still pays for itself by shrinking the
+    * confirm join's shuffle.
+    */
+  def contaminationBloom(corpus: DataFrame, corpusId: Column,
+                         corpusText: Column, bench: DataFrame,
+                         benchId: Column, benchText: Column,
+                         shingleK: Int = 5,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    import org.apache.spark.sql.GraftShims.{column => exprCol,
+      expression => colExpr}
+    import org.apache.spark.sql.catalyst.expressions.{Literal,
+      XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.
+      BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    // bench shingles are consumed three times (count, bloom build,
+    // exact confirm): checkpoint once, bench-side-bounded
+    val benchShingles =
+      shingleRows(bench, benchId, benchText, shingleK)
+        .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
+        .localCheckpoint(true)
+    val benchSizes = benchShingles.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val n = benchShingles.count()
+    if (n == 0)
+      return benchSizes.select(col("id"), col("n_shingles"),
+        lit(0L).as("n_hits"))
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+        .toLong)
+    def xx(c: Column) = XxHash64(Seq(colExpr(c)), 42L)
+    val bloomBytes = benchShingles.select(exprCol(
+        BloomFilterAggregate(xx(col("s")), Literal(n),
+          Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val corpusShingles =
+      shingleRows(corpus, corpusId, corpusText, shingleK)
+        .select(substring(md5(col("s")), 1, 16).as("s"))
+    val prescreened = corpusShingles.where(exprCol(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        xx(col("s")))))
+    val hits = prescreened
+      .join(benchShingles, Seq("s"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+    benchSizes.as("b")
+      .join(hits.as("h"), col("b.id") === col("h.id"), "left")
+      .select(col("b.id").as("id"), col("b.n_shingles"),
+        coalesce(col("h.n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Drop (band, key) buckets holding more than `cap` rows — the
     * candidate-join guard shared by the LSH family: the over-cap list
     * is tiny by construction and applies as a broadcast anti-join.

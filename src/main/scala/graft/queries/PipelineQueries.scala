@@ -322,6 +322,30 @@ object PipelineQueries {
             .as("n_fully_contained"))
     }),
 
+    // the q38 decontamination through the Bloom-prescreen path
+    // (BloomFilterAggregate bits + might_contain corpus filter +
+    // exact confirm join): a Bloom filter has no false negatives and
+    // survivors are re-confirmed exactly, so the result must be
+    // IDENTICAL to q38's — the same oracle pins it through the gate
+    "q73_contamination_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs
+        .orderBy(Sampling.hash32(col("doc_id")).asc,
+          col("doc_id").asc)
+        .limit(20)
+      val benchIds = bench.select(col("doc_id").as("__bench_id"))
+      val corpus = docs.join(broadcast(benchIds),
+        col("doc_id") === col("__bench_id"), "left_anti")
+      Dedup.contaminationBloom(corpus, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), shingleK = 5,
+          fpp = 0.01)
+        .agg(count(lit(1)).as("n_bench_docs"),
+          sum(col("n_shingles")).cast("long").as("n_shingles"),
+          sum(col("n_hits")).cast("long").as("n_hits"),
+          count(when(col("n_hits") === col("n_shingles"), 1))
+            .as("n_fully_contained"))
+    }),
+
     // sequence packing: deterministic shard (hash) + token-budget
     // bins (windowed cumulative offset) — the shard-and-pack step
     // before training; per-(shard, bin) fill summary
@@ -1019,6 +1043,33 @@ object PipelineQueries {
     ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
     "GROUP BY id)"
 
+  /** The decontamination oracle, shared by q38 (exact broadcast path)
+    * and q73 (Bloom prescreen + exact confirm): the two engine paths
+    * compute the same hits by construction, so one SQL pins both.
+    */
+  private lazy val contaminationSql =
+    shingleCte +
+      ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+      ", hv AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id " +
+      "AS VARCHAR)), 1, 8) AS BIGINT) AS h FROM documents)" +
+      ", bench AS (SELECT doc_id FROM hv ORDER BY h, doc_id " +
+      "LIMIT 20)" +
+      ", corpus AS (SELECT doc_id FROM hv WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM bench))" +
+      ", bsh AS (SELECT shd.doc_id, s FROM shd JOIN bench " +
+      "USING (doc_id))" +
+      ", csh AS (SELECT DISTINCT s FROM shd JOIN corpus " +
+      "USING (doc_id))" +
+      ", hits AS (SELECT b.doc_id, COUNT(*) AS n_hits FROM bsh b " +
+      "JOIN csh USING (s) GROUP BY 1)" +
+      ", sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bsh " +
+      "GROUP BY 1) " +
+      "SELECT COUNT(*) AS n_bench_docs, CAST(SUM(n_shingles) AS " +
+      "BIGINT) AS n_shingles, CAST(SUM(COALESCE(n_hits, 0)) AS " +
+      "BIGINT) AS n_hits, COUNT(CASE WHEN n_hits = n_shingles THEN " +
+      "1 END) AS n_fully_contained " +
+      "FROM sizes LEFT JOIN hits USING (doc_id)"
+
   /** The as-of oracle, shared by q52 (unbucketed) and q55 (hot-key
     * time-bucket pre-split): the two engine paths must agree with
     * DuckDB's native ASOF semantics — and therefore with each other.
@@ -1520,28 +1571,9 @@ object PipelineQueries {
        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
        "8) AS BIGINT) * 4 < 4294967296 " +
        "GROUP BY source ORDER BY source NULLS FIRST"),
-    "q38_contamination" ->
-      (shingleCte +
-       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
-       ", hv AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id " +
-       "AS VARCHAR)), 1, 8) AS BIGINT) AS h FROM documents)" +
-       ", bench AS (SELECT doc_id FROM hv ORDER BY h, doc_id " +
-       "LIMIT 20)" +
-       ", corpus AS (SELECT doc_id FROM hv WHERE doc_id NOT IN " +
-       "(SELECT doc_id FROM bench))" +
-       ", bsh AS (SELECT shd.doc_id, s FROM shd JOIN bench " +
-       "USING (doc_id))" +
-       ", csh AS (SELECT DISTINCT s FROM shd JOIN corpus " +
-       "USING (doc_id))" +
-       ", hits AS (SELECT b.doc_id, COUNT(*) AS n_hits FROM bsh b " +
-       "JOIN csh USING (s) GROUP BY 1)" +
-       ", sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bsh " +
-       "GROUP BY 1) " +
-       "SELECT COUNT(*) AS n_bench_docs, CAST(SUM(n_shingles) AS " +
-       "BIGINT) AS n_shingles, CAST(SUM(COALESCE(n_hits, 0)) AS " +
-       "BIGINT) AS n_hits, COUNT(CASE WHEN n_hits = n_shingles THEN " +
-       "1 END) AS n_fully_contained " +
-       "FROM sizes LEFT JOIN hits USING (doc_id)"),
+    "q38_contamination" -> contaminationSql,
+    // the Bloom prescreen path must reproduce the exact-join result
+    "q73_contamination_bloom" -> contaminationSql,
     "q26_minhash_bands" ->
       (shingleCte + minhashSigCte + minhashBandsCte +
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +

@@ -63,6 +63,11 @@ object ExplainAudit {
         "bench side broadcast: the corpus is one streaming scan, " +
           "never the shuffled join side",
         Seq("BroadcastHashJoin", "word_shingles")),
+      ("q73_contamination_bloom",
+        "bloom decontamination: the corpus scan is prescreened by a " +
+          "codegen'd might_contain FILTER (no corpus-side shuffle " +
+          "before the confirm join)",
+        Seq("might_contain", "xxhash64")),
       ("q41_ivf_topk",
         "IVF probe list broadcast into a semi-join; exact re-rank " +
           "bounded by TakeOrdered",

@@ -380,10 +380,9 @@ object Dedup {
                          shingleK: Int = 5,
                          fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
-    import org.apache.spark.sql.GraftShims.{column => exprCol,
-      expression => colExpr}
+    import org.apache.spark.sql.GraftShims.{column => exprCol}
     import org.apache.spark.sql.catalyst.expressions.{Literal,
-      XxHash64, BloomFilterMightContain}
+      BloomFilterMightContain}
     import org.apache.spark.sql.catalyst.expressions.aggregate.
       BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
@@ -403,9 +402,8 @@ object Dedup {
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
         .toLong)
-    def xx(c: Column) = XxHash64(Seq(colExpr(c)), 42L)
     val bloomBytes = benchShingles.select(exprCol(
-        BloomFilterAggregate(xx(col("s")), Literal(n),
+        BloomFilterAggregate(xxHash64Expr(col("s")), Literal(n),
           Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
 
@@ -414,7 +412,7 @@ object Dedup {
         .select(substring(md5(col("s")), 1, 16).as("s"))
     val prescreened = corpusShingles.where(exprCol(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType),
-        xx(col("s")))))
+        xxHash64Expr(col("s")))))
     val hits = prescreened
       .join(benchShingles, Seq("s"))
       .groupBy(col("id"))
@@ -423,6 +421,98 @@ object Dedup {
       .join(hits.as("h"), col("b.id") === col("h.id"), "left")
       .select(col("b.id").as("id"), col("b.n_shingles"),
         coalesce(col("h.n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** A reusable decontamination screen: the benchmark set's shingle
+    * digests (distinct, checkpointed) plus their Bloom bits, built
+    * ONCE and applied to any number of corpora / micro-batches via
+    * [[screenAgainst]]. `bloomBytes` is null for an empty bench.
+    */
+  final class ContaminationScreen private[operators] (
+      private[operators] val benchShingleSet: DataFrame,
+      private[operators] val bloomBytes: Array[Byte],
+      val shingleK: Int)
+
+  /** Build a [[ContaminationScreen]] from a benchmark set: one pass
+    * shingles the bench, distincts the digests, checkpoints them
+    * (bench-side-bounded), and aggregates their Bloom bits — the
+    * static side of a continuous decontamination screen.
+    */
+  def buildContaminationScreen(bench: DataFrame, benchId: Column,
+                               benchText: Column, shingleK: Int = 5,
+                               fpp: Double = 0.01)
+      : ContaminationScreen = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    import org.apache.spark.sql.GraftShims.{column => exprCol}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.
+      BloomFilterAggregate
+    val shingleSet = shingleRows(bench, benchId, benchText, shingleK)
+      .select(substring(md5(col("s")), 1, 16).as("s"))
+      .distinct()
+      .localCheckpoint(true)
+    val n = shingleSet.count()
+    val bloomBytes =
+      if (n == 0) null
+      else {
+        val numBits = math.max(64L,
+          math.ceil(-n * math.log(fpp) /
+            (math.log(2) * math.log(2))).toLong)
+        shingleSet.select(exprCol(
+            BloomFilterAggregate(xxHash64Expr(col("s")), Literal(n),
+              Literal(numBits), 0, 0).toAggregateExpression())
+            .as("bf"))
+          .head().getAs[Array[Byte]](0)
+      }
+    new ContaminationScreen(shingleSet, bloomBytes, shingleK)
+  }
+
+  /** Screen a corpus (or a micro-batch) against a prebuilt
+    * [[ContaminationScreen]]: per INCOMING document, how many of its
+    * shingles appear anywhere in the benchmark set — the "does this
+    * new training document contain eval content" direction, the
+    * per-bench-doc mirror of [[contamination]]. Returns
+    * (id, n_shingles, n_hits) for docs with ≥ k tokens.
+    *
+    * Scale shape: the corpus scan is prescreened by the static Bloom
+    * bits (pure codegen'd filter, no corpus-side shuffle), survivors
+    * confirm against the distinct bench digests, and the per-doc
+    * aggregate shuffles only (id, shingle) survivor rows. Nothing
+    * here re-touches the bench: one screen serves every batch.
+    */
+  def screenAgainst(screen: ContaminationScreen, corpus: DataFrame,
+                    corpusId: Column, corpusText: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftShims.{column => exprCol}
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val corpusShingles =
+      shingleRows(corpus, corpusId, corpusText, screen.shingleK)
+        .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
+    val sizes = corpusShingles.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    if (screen.bloomBytes == null)
+      return sizes.select(col("id"), col("n_shingles"),
+        lit(0L).as("n_hits"))
+    val prescreened = corpusShingles.where(exprCol(
+      BloomFilterMightContain(
+        Literal(screen.bloomBytes, BinaryType),
+        xxHash64Expr(col("s")))))
+    val hits = prescreened
+      .join(screen.benchShingleSet, Seq("s"), "left_semi")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+    sizes.as("b")
+      .join(hits.as("h"), col("b.id") === col("h.id"), "left")
+      .select(col("b.id").as("id"), col("b.n_shingles"),
+        coalesce(col("h.n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  private def xxHash64Expr(c: Column) = {
+    import org.apache.spark.sql.GraftShims.{expression => colExpr}
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(colExpr(c)), 42L)
   }
 
   /** Drop (band, key) buckets holding more than `cap` rows — the

@@ -346,6 +346,31 @@ object PipelineQueries {
             .as("n_fully_contained"))
     }),
 
+    // the screening DIRECTION of decontamination: per INCOMING doc,
+    // how much benchmark content it contains (q38/q73 count per
+    // bench doc) — the static screen (distinct bench digests + Bloom
+    // bits) built once, the corpus prescreened by might_contain and
+    // confirmed exactly; also the batch semantics of the streaming
+    // screen (StreamingDecontamSpec pins replayed == batch)
+    "q74_decontam_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs
+        .orderBy(Sampling.hash32(col("doc_id")).asc,
+          col("doc_id").asc)
+        .limit(20)
+      val benchIds = bench.select(col("doc_id").as("__bench_id"))
+      val corpus = docs.join(broadcast(benchIds),
+        col("doc_id") === col("__bench_id"), "left_anti")
+      val screen = Dedup.buildContaminationScreen(bench,
+        col("doc_id"), col("text"), shingleK = 5, fpp = 0.01)
+      Dedup.screenAgainst(screen, corpus, col("doc_id"), col("text"))
+        .agg(count(lit(1)).as("n_docs_screened"),
+          count(when(col("n_hits") > 0, 1)).as("n_flagged"),
+          sum(col("n_hits")).cast("long").as("total_hits"),
+          count(when(col("n_hits") === col("n_shingles"), 1))
+            .as("n_fully_bench"))
+    }),
+
     // sequence packing: deterministic shard (hash) + token-budget
     // bins (windowed cumulative offset) — the shard-and-pack step
     // before training; per-(shard, bin) fill summary
@@ -1574,6 +1599,32 @@ object PipelineQueries {
     "q38_contamination" -> contaminationSql,
     // the Bloom prescreen path must reproduce the exact-join result
     "q73_contamination_bloom" -> contaminationSql,
+    // q74: the flipped direction — hits counted per CORPUS doc
+    // against the distinct bench shingle set
+    "q74_decontam_screen" ->
+      (shingleCte +
+       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+       ", hv AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id " +
+       "AS VARCHAR)), 1, 8) AS BIGINT) AS h FROM documents)" +
+       ", bench AS (SELECT doc_id FROM hv ORDER BY h, doc_id " +
+       "LIMIT 20)" +
+       ", corpus AS (SELECT doc_id FROM hv WHERE doc_id NOT IN " +
+       "(SELECT doc_id FROM bench))" +
+       ", bset AS (SELECT DISTINCT s FROM shd JOIN bench " +
+       "USING (doc_id))" +
+       ", csh AS (SELECT shd.doc_id, s FROM shd JOIN corpus " +
+       "USING (doc_id))" +
+       ", hits AS (SELECT c.doc_id, COUNT(*) AS n_hits FROM csh c " +
+       "JOIN bset USING (s) GROUP BY 1)" +
+       ", sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh " +
+       "GROUP BY 1) " +
+       "SELECT COUNT(*) AS n_docs_screened, " +
+       "COUNT(CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 END) AS " +
+       "n_flagged, " +
+       "CAST(SUM(COALESCE(n_hits, 0)) AS BIGINT) AS total_hits, " +
+       "COUNT(CASE WHEN n_hits = n_shingles THEN 1 END) AS " +
+       "n_fully_bench " +
+       "FROM sizes LEFT JOIN hits USING (doc_id)"),
     "q26_minhash_bands" ->
       (shingleCte + minhashSigCte + minhashBandsCte +
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +

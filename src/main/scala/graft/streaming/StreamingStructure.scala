@@ -399,6 +399,44 @@ object StreamingStructure {
     * Returns the started query; the corpus at `corpusPath` is the
     * output.
     */
+  /** Continuous decontamination screen: every micro-batch of
+    * incoming documents is checked against a FIXED benchmark set
+    * (the screen — distinct bench shingle digests + their Bloom bits
+    * — is built ONCE before the stream starts; see
+    * [[graft.operators.Dedup.buildContaminationScreen]]), and the
+    * per-doc verdicts (id, n_shingles, n_hits) are appended to a
+    * parquet. `foreachBatch` because the per-batch job is a bounded
+    * batch aggregation (per-doc hit counts) that an unbounded
+    * streaming agg would hold in state forever; the static bench
+    * side never re-computes — each batch pays only its own shingle
+    * projection + Bloom filter + survivor-confirm join
+    * ([[graft.operators.Dedup.screenAgainst]]).
+    *
+    * Replay semantics: `foreachBatch` is at-least-once, so a
+    * replayed batch appends its verdict rows AGAIN. Verdicts are
+    * pure functions of (doc, bench), so duplicates are identical
+    * rows — readers dedupe with `dropDuplicates("id")` and lose
+    * nothing (same caveat family as the delta-dedup corpus's torn
+    * write).
+    */
+  def decontamScreenToParquet(stream: DataFrame, idCol: String,
+                              textCol: String,
+                              screen:
+                                graft.operators.Dedup
+                                  .ContaminationScreen,
+                              verdictPath: String,
+                              checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.Dedup.screenAgainst(screen, batch.toDF(),
+            col(idCol), col(textCol))
+          .write.mode("append").parquet(verdictPath)
+      }
+      .start()
+
   def deltaDedupToCorpus(stream: DataFrame, idCol: String,
                          textCol: String, corpusPath: String,
                          checkpointDir: String,

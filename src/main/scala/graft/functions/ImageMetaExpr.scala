@@ -95,8 +95,12 @@ object ImageMetaExpr {
     }
     // GIF: "GIF87a" / "GIF89a", LE u16 dims at 6/8
     if (n >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
-        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-      return row("gif", le16(b, 6), le16(b, 8))
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      return if (w > 0 && h > 0) row("gif", w, h)
+      else row("gif", null, null)
+    }
     // BMP: "BM", BITMAPINFOHEADER i32 dims at 18/22
     if (n >= 26 && b(0) == 'B' && b(1) == 'M') {
       val w = le32(b, 18)
@@ -105,17 +109,28 @@ object ImageMetaExpr {
         row("bmp", w, math.abs(h))
       else row("bmp", null, null)
     }
-    // JPEG: SOI, then walk marker segments to the first SOFn
+    // JPEG: SOI, then walk marker segments to the first SOFn. The
+    // walk is strictly O(header): SOS (start of entropy data, which
+    // always follows the SOF in a well-formed stream) terminates it,
+    // and a resync budget bounds corrupt inputs — without the cap, a
+    // blob that merely STARTS with FF D8 would be scanned byte-by-
+    // byte to its end (and a stray FF Cx inside garbage read as a
+    // confident fake SOF)
     if (n >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var i = 2
+      var resyncBudget = 4096
       while (i + 3 < n) {
         if ((b(i) & 0xff) != 0xff) {
-          // not marker-aligned (corrupt entropy data): resync
+          // not marker-aligned (corrupt segment data): resync,
+          // bounded
+          resyncBudget -= 1
+          if (resyncBudget < 0) return row("jpeg", null, null)
           i += 1
         } else {
           val marker = b(i + 1) & 0xff
           if (marker == 0xff) i += 1 // fill byte
-          else if (marker == 0xd9) return row("jpeg", null, null) // EOI
+          else if (marker == 0xd9 || marker == 0xda)
+            return row("jpeg", null, null) // EOI / SOS: no SOF seen
           else if (marker == 0x01 ||
               (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone
           else {

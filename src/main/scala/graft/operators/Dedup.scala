@@ -383,8 +383,6 @@ object Dedup {
     import org.apache.spark.sql.GraftShims.{column => exprCol}
     import org.apache.spark.sql.catalyst.expressions.{Literal,
       BloomFilterMightContain}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.
-      BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
 
     // bench shingles are consumed three times (count, bloom build,
@@ -399,13 +397,7 @@ object Dedup {
     if (n == 0)
       return benchSizes.select(col("id"), col("n_shingles"),
         lit(0L).as("n_hits"))
-    val numBits = math.max(64L,
-      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
-        .toLong)
-    val bloomBytes = benchShingles.select(exprCol(
-        BloomFilterAggregate(xxHash64Expr(col("s")), Literal(n),
-          Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = bloomBitsOf(benchShingles, n, fpp)
 
     val corpusShingles =
       shingleRows(corpus, corpusId, corpusText, shingleK)
@@ -443,27 +435,13 @@ object Dedup {
                                fpp: Double = 0.01)
       : ContaminationScreen = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
-    import org.apache.spark.sql.GraftShims.{column => exprCol}
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.
-      BloomFilterAggregate
     val shingleSet = shingleRows(bench, benchId, benchText, shingleK)
       .select(substring(md5(col("s")), 1, 16).as("s"))
       .distinct()
       .localCheckpoint(true)
     val n = shingleSet.count()
     val bloomBytes =
-      if (n == 0) null
-      else {
-        val numBits = math.max(64L,
-          math.ceil(-n * math.log(fpp) /
-            (math.log(2) * math.log(2))).toLong)
-        shingleSet.select(exprCol(
-            BloomFilterAggregate(xxHash64Expr(col("s")), Literal(n),
-              Literal(numBits), 0, 0).toAggregateExpression())
-            .as("bf"))
-          .head().getAs[Array[Byte]](0)
-      }
+      if (n == 0) null else bloomBitsOf(shingleSet, n, fpp)
     new ContaminationScreen(shingleSet, bloomBytes, shingleK)
   }
 
@@ -513,6 +491,40 @@ object Dedup {
     import org.apache.spark.sql.GraftShims.{expression => colExpr}
     org.apache.spark.sql.catalyst.expressions.XxHash64(
       Seq(colExpr(c)), 42L)
+  }
+
+  /** Aggregate the Bloom bits of `shingles.s` (n distinct values) at
+    * the requested fpp: `-n·ln(fpp)/ln²2` bits. BloomFilterAggregate
+    * SILENTLY CLAMPS numBits to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 2²⁶ bits = 8 MB — ~55M shingles at 1%), which would degrade the
+    * effective fpp without warning past that size; the conf is raised
+    * to the requested bits for the aggregation and restored after.
+    */
+  private def bloomBitsOf(shingles: DataFrame, n: Long,
+                          fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.GraftShims.{column => exprCol}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.
+      BloomFilterAggregate
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val conf = shingles.sparkSession.conf
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = conf.getOption(key)
+    try {
+      if (saved.forall(_.toLong < numBits))
+        conf.set(key, numBits.toString)
+      shingles.select(exprCol(
+          BloomFilterAggregate(xxHash64Expr(col("s")), Literal(n),
+            Literal(numBits), 0, 0).toAggregateExpression())
+          .as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
   }
 
   /** Drop (band, key) buckets holding more than `cap` rows — the

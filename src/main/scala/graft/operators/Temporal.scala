@@ -127,11 +127,15 @@ object Temporal {
     // type, which only ever needs ordering
     val numericMode = tolerance.isDefined || timeBuckets > 1
     if (numericMode)
+      // BOTH integral (same caller-defined unit) or the SAME
+      // timestamp type: integral-vs-timestamp would silently compare
+      // raw units against epoch micros, and TIMESTAMP-vs-NTZ would
+      // skew by the session timezone (instant vs wall-clock epochs)
       require(
-        (integralType(lTsType) || timestampLike(lTsType)) &&
-          (integralType(rTsType) || timestampLike(rTsType)),
-        "tolerance/timeBuckets need integral or timestamp ts " +
-          s"columns, got $lTsType/$rTsType")
+        (integralType(lTsType) && integralType(rTsType)) ||
+          (timestampLike(lTsType) && lTsType == rTsType),
+        "tolerance/timeBuckets need ts columns both integral or " +
+          s"both the same timestamp type, got $lTsType/$rTsType")
     val lTsCol =
       if (numericMode && timestampLike(lTsType))
         tsMicros(left(leftTs), lTsType)
@@ -302,11 +306,15 @@ object Temporal {
       s"input columns collide with range-join temp names: $tempHits")
     val boundTypes = Seq(left.schema(leftTs).dataType,
       right.schema(startCol).dataType, right.schema(endCol).dataType)
+    // all integral, or all the SAME timestamp type: mixing TIMESTAMP
+    // (instant epoch) with TIMESTAMP_NTZ (wall-clock epoch) would
+    // skew the comparison by the session timezone offset
     require(boundTypes.forall(integralType) ||
-      boundTypes.forall(timestampLike),
+      (timestampLike(boundTypes.head) &&
+        boundTypes.forall(_ == boundTypes.head)),
       "range join needs ts/start/end columns all integral " +
-        "(bucketWidth in the column unit) or all timestamp-typed " +
-        s"(bucketWidth in microseconds), got $boundTypes")
+        "(bucketWidth in the column unit) or all the same timestamp " +
+        s"type (bucketWidth in microseconds), got $boundTypes")
 
     // `div` (exact integral floor-toward-zero division; `/` on longs
     // routes through a double and mis-rounds past 2^53)

@@ -95,7 +95,35 @@ object PipelineQueries {
     * m=4, ksub=4, IVF k=4, iters=2), so the two queries pin the same
     * composition — one timed with training, one serving-only.
     */
+  /** Best-effort deletion of serving-index dirs left by DEAD
+    * processes (a shutdown hook can't do it: the DuckDB oracle reads
+    * the index AFTER the JVM that built it exits). Age-gated so a
+    * freshly-exited Verify's index survives long enough for its
+    * oracle run; bounds the /tmp growth of the per-pid scheme.
+    */
+  private def sweepStaleServingIndexes(): Unit =
+    try {
+      val tmp = java.nio.file.Paths.get("/tmp")
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val it = java.nio.file.Files.list(tmp).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("graft_serving_index_") &&
+            p.toString != ServingIndexDir &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis <
+              cutoff) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .reverse.foreach(f =>
+              try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: Throwable => () })
+        }
+      }
+    } catch { case _: Throwable => () }
+
   private def ensureServingIndex(s: SparkSession, d: String): String = {
+    sweepStaleServingIndexes()
     val dir = ServingIndexDir
     val marker = java.nio.file.Paths.get(dir, "_built_from")
     val fresh = java.nio.file.Files.exists(marker) &&
@@ -845,7 +873,14 @@ object PipelineQueries {
         .select(col("name"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"),
           lit(1L).as("n"))
+      // PNG/JPEG magic bytes cannot occur in text, but ASCII "BM" /
+      // "GIF8" prefixes CAN — a regenerated corpus with one such doc
+      // would legitimately sniff as bmp/gif and break the all-unknown
+      // pin, so both engine and oracle exclude those prefixes from
+      // the sweep (the fixtures cover the recognized formats)
       val corpus = t(s, d, "documents")
+        .where(!col("text").startsWith("BM") &&
+          !col("text").startsWith("GIF8"))
         .select(Multimodal.imageMeta(col("text").cast("binary"))
           .as("m"))
         .groupBy(col("m.format").as("format"))
@@ -2047,7 +2082,8 @@ object PipelineQueries {
        "('bmp_21x17', 'bmp', 21, 17, CAST(1 AS BIGINT))) AS " +
        "v(name, format, width, height, n) " +
        "UNION ALL SELECT 'corpus', 'unknown', NULL, NULL, COUNT(*) " +
-       "FROM documents) " +
+       "FROM documents WHERE text NOT LIKE 'BM%' AND text NOT LIKE " +
+       "'GIF8%') " +
        "ORDER BY name NULLS FIRST, format NULLS FIRST"),
     // the INCREMENTAL analysis must reproduce the whole-corpus
     // verdicts exactly, so q70 shares q33's oracle re-derivation

@@ -623,7 +623,10 @@ object Source {
     }
     val tail = cur.result()
     if (hasContent(tail) || nDocs == 0) {
-      docs += ((tail, curTags)); nDocs += 1
+      // directives before a bare document (no `---` — spec-invalid
+      // but common): pendingTags never flushed through a separator,
+      // so apply them to the tail document rather than dropping them
+      docs += ((tail, curTags ++ pendingTags)); nDocs += 1
     }
     val parsed = docs.result()
       .filter { case (ls, _) => hasContent(ls) }
@@ -912,33 +915,40 @@ object Source {
 
   private val CoreTagPrefix = "tag:yaml.org,2002:"
 
-  /** Expand a tag token to canonical `!!name` form when it resolves
-    * into the YAML core-schema namespace: verbatim `!<uri>`, the
-    * default `!!` secondary handle, and any `%TAG`-declared handle
-    * whose prefix lands in `tag:yaml.org,2002:`. Tags that resolve
-    * anywhere else return unchanged (and pass through applyTag's
-    * unknown-tag case, value intact).
+  /** Expand a tag token through handle resolution. When the token
+    * RESOLVES (verbatim `!<uri>`, the `!!` secondary handle — whose
+    * default prefix is the core schema — or a `%TAG`-declared
+    * handle), the resolved URI is authoritative: core-schema URIs
+    * canonicalize to `!!name` (so they coerce), anything else
+    * becomes a verbatim token applyTag ignores — which also means a
+    * `%TAG !!` redirection AWAY from the core schema correctly
+    * disables `!!int`-style coercion. Unresolvable tokens
+    * (undeclared named handles, the default `!` local handle)
+    * return unchanged and take the unknown-tag pass-through.
     */
   private def expandTag(tag: String, anchors: Anchors): String = {
     val handles = anchors.get(TagDirectivesKey) match {
       case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, String]]
       case _ => Map.empty[String, String]
     }
-    val full =
+    val resolved: Option[String] =
       if (tag.startsWith("!<") && tag.endsWith(">"))
-        tag.substring(2, tag.length - 1)
+        Some(tag.substring(2, tag.length - 1))
       else if (tag.startsWith("!!"))
-        handles.getOrElse("!!", CoreTagPrefix) + tag.drop(2)
+        Some(handles.getOrElse("!!", CoreTagPrefix) + tag.drop(2))
       else {
         val second = tag.indexOf('!', 1)
         if (second > 0) {
           val h = tag.take(second + 1)
-          handles.get(h).map(_ + tag.drop(second + 1)).getOrElse(tag)
-        } else handles.get("!").map(_ + tag.drop(1)).getOrElse(tag)
+          handles.get(h).map(_ + tag.drop(second + 1))
+        } else handles.get("!").map(_ + tag.drop(1))
       }
-    if (full.startsWith(CoreTagPrefix))
-      "!!" + full.drop(CoreTagPrefix.length)
-    else tag
+    resolved match {
+      case Some(full) if full.startsWith(CoreTagPrefix) =>
+        "!!" + full.drop(CoreTagPrefix.length)
+      case Some(full) => s"!<$full>"
+      case None => tag
+    }
   }
 
   /** Core-schema tag coercions; unknown/application tags are ignored

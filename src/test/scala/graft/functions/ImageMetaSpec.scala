@@ -77,6 +77,18 @@ class ImageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(b(0xff, 0xd8, 0x00, 0x00, 0x12)) ==
       (("jpeg", null, null)))
     assert(got(Array.empty[Byte]) == (("unknown", null, null)))
+    // zero-dimension GIF header: recognized container, null dims
+    assert(got(b('G', 'I', 'F', '8', '9', 'a', 0, 0, 0, 0, 0, 0)) ==
+      (("gif", null, null)))
+    // SOS before any SOF terminates the walk (entropy data follows)
+    assert(got(b(0xff, 0xd8, 0xff, 0xda, 0, 4, 1, 2, 0xff, 0xc0,
+      0, 17, 8, 0, 48, 0, 64)) == (("jpeg", null, null)))
+    // corrupt megabyte after SOI: the bounded resync returns instead
+    // of scanning the whole payload (and never invents a fake SOF
+    // from garbage)
+    val garbage = Array.fill[Byte](1 << 20)(0x41)
+    assert(got(Array[Byte](0xff.toByte, 0xd8.toByte) ++ garbage) ==
+      (("jpeg", null, null)))
   }
 
   test("imageMeta as a Spark column over mixed payloads (codegen " +

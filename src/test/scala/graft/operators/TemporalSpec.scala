@@ -220,6 +220,16 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tolNtz = matches(Temporal.asOfJoin(toNtz(left), toNtz(right),
       Seq("k"), "ts", "ts", tolerance = Some(5L)))
     assert(tolNtz == tolBase)
+    // mixed kinds are a unit bug (integral-vs-epoch-micros, or
+    // instant-vs-wall-clock epochs): reject, never silently skew
+    intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(left, toNtz(right), Seq("k"), "ts", "ts",
+        timeBuckets = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(toTs(left), toNtz(right), Seq("k"), "ts",
+        "ts", tolerance = Some(5L))
+    }
   }
 
   test("sessionize rejects a pre-existing session column and " +
@@ -350,6 +360,14 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a silently-wrong join
     intercept[IllegalArgumentException] {
       Temporal.rangeJoin(l, rjRight, Seq("k"), "ts", "ws", "we", 7L)
+    }
+    // TIMESTAMP mixed with TIMESTAMP_NTZ skews by the session tz:
+    // also rejected
+    val rMixed = rjRight
+      .withColumn("ws", timestamp_micros(col("ws")))
+      .withColumn("we", timestamp_micros(col("we")))
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(l, rMixed, Seq("k"), "ts", "ws", "we", 7L)
     }
   }
 

@@ -618,6 +618,18 @@ class SourceSpec extends AnyFunSuite {
     // reserved (unknown) directives are ignored, and a mid-document
     // '%' line stays content
     assert(parseYaml("%FOO bar\n---\na: 1\n") == Map("a" -> 1L))
+    // a %TAG redirection of the SECONDARY handle away from the core
+    // schema disables !! coercion (the resolved URI is authoritative)
+    val yRedir =
+      """%TAG !! tag:example.com,2024:
+        |---
+        |a: !!int "7"
+        |""".stripMargin
+    assert(parseYaml(yRedir) == Map("a" -> "7"))
+    // directives before a BARE document (no ---): still applied
+    assert(parseYaml(
+      "%TAG !m! tag:yaml.org,2002:\na: !m!str 42\n") ==
+      Map("a" -> "42"))
   }
 
   test("jsonl: detected, loaded as records, whole-doc json unaffected") {

@@ -445,6 +445,42 @@ object Dedup {
     new ContaminationScreen(shingleSet, bloomBytes, shingleK)
   }
 
+  /** Persist a [[ContaminationScreen]]: the distinct bench digests
+    * as parquet plus the Bloom bits as a raw file — so a long-lived
+    * screening pipeline (or a fleet of them) builds the bench side
+    * ONCE and serves it from disk, the [[graft.operators.Similarity]]
+    * PqIndex pattern. Empty-bench screens persist too (no bits
+    * file).
+    */
+  def writeContaminationScreen(screen: ContaminationScreen,
+                               path: String): Unit = {
+    screen.benchShingleSet.write.mode("overwrite")
+      .parquet(s"$path/shingles")
+    val meta = java.nio.file.Paths.get(path, "shingle_k")
+    java.nio.file.Files.createDirectories(meta.getParent)
+    java.nio.file.Files.write(meta,
+      screen.shingleK.toString.getBytes("UTF-8"))
+    val bits = java.nio.file.Paths.get(path, "bloom_bits")
+    if (screen.bloomBytes == null)
+      java.nio.file.Files.deleteIfExists(bits)
+    else java.nio.file.Files.write(bits, screen.bloomBytes)
+  }
+
+  /** Reload a persisted [[ContaminationScreen]] for serving. */
+  def readContaminationScreen(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : ContaminationScreen = {
+    val k = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "shingle_k")), "UTF-8").trim.toInt
+    val bits = java.nio.file.Paths.get(path, "bloom_bits")
+    val bloomBytes =
+      if (java.nio.file.Files.exists(bits))
+        java.nio.file.Files.readAllBytes(bits)
+      else null
+    new ContaminationScreen(
+      spark.read.parquet(s"$path/shingles"), bloomBytes, k)
+  }
+
   /** Screen a corpus (or a micro-batch) against a prebuilt
     * [[ContaminationScreen]]: per INCOMING document, how many of its
     * shingles appear anywhere in the benchmark set — the "does this

@@ -94,6 +94,32 @@ class StreamingDecontamSpec extends AnyFunSuite
     assert(byId(3L)._2 == byId(3L)._1)
   }
 
+  test("screen write/read round-trip serves identical verdicts") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((900L, benchDoc1), (901L, benchDoc2))
+      .toDF("doc_id", "text")
+    val built = Dedup.buildContaminationScreen(bench,
+      col("doc_id"), col("text"), shingleK = 5, fpp = 0.01)
+    val path = tmp("dsc_screen") + "/screen"
+    Dedup.writeContaminationScreen(built, path)
+    val loaded = Dedup.readContaminationScreen(spark, path)
+    val docs = Seq((1L, cleanDoc), (2L, leakyDoc), (3L, benchDoc2))
+      .toDF("doc_id", "text")
+    def verdicts(sc: Dedup.ContaminationScreen) =
+      Dedup.screenAgainst(sc, docs, col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(verdicts(loaded) == verdicts(built))
+    // empty-bench screens persist too
+    val emptyBuilt = Dedup.buildContaminationScreen(
+      bench.where(lit(false)), col("doc_id"), col("text"))
+    val emptyPath = tmp("dsc_screen_e") + "/screen"
+    Dedup.writeContaminationScreen(emptyBuilt, emptyPath)
+    val emptyLoaded = Dedup.readContaminationScreen(spark, emptyPath)
+    assert(verdicts(emptyLoaded).forall(_._3 == 0L))
+  }
+
   test("empty bench screen: verdicts all zero-hit") {
     val s = spark
     import s.implicits._

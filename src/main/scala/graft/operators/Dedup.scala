@@ -983,4 +983,99 @@ object Dedup {
       .where(col("inter") * thresholdDen >=
         col("union_n") * thresholdNum)
   }
+
+  /** Exact token-set Jaccard similarity join via PREFIX FILTERING —
+    * the AllPairs / PPJoin family (Bayardo, Ma, Srikant, "Scaling Up
+    * All Pairs Similarity Search", WWW'07; Xiao, Wang, Lin, Yu,
+    * "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW'08). Same exact-result contract as [[jaccardPairs]] (pairs
+    * with `inter·den ≥ union·num`, integer arithmetic throughout) but
+    * over whitespace TOKEN sets, and the candidate join touches only
+    * each document's PREFIX: its globally-rarest
+    * `|x| − ⌈t·|x|⌉ + 1` tokens, ordered by ascending document
+    * frequency with ties broken by token. Two sets with Jaccard ≥ t
+    * need overlap ≥ ⌈t·max(|x|,|y|)⌉ ≥ ⌈t·|x|⌉, so by pigeonhole they
+    * MUST share at least one prefix token — the equi-join on prefix
+    * tokens is a COMPLETE candidate generator: exactness without the
+    * all-occurrence self-join. A size filter
+    * (`min(|x|,|y|)·den ≥ max(|x|,|y|)·num`, from J ≤ min/max) prunes
+    * length-incompatible candidates before verification, and the
+    * verify join is candidate-bounded like [[verifiedJaccardPairs]].
+    *
+    * 100 TB shape: the self-join keys shrink from every
+    * token-occurrence (what [[jaccardPairs]] shuffles) to the few
+    * RAREST tokens per document — high-df tokens sort last and fall
+    * outside every prefix, so the frequent-token join explosion never
+    * happens by construction; at threshold 0.8 the prefix is ~20% of
+    * each document. The same Σc·(c−1)/2 pre-flight pricing as
+    * [[jaccardPairs]] (over PREFIX occurrences, which is the join's
+    * true pair volume) refuses a degenerate distribution instead of
+    * materializing it. Tokens with document frequency above
+    * `maxTokenDf` are dropped from the token universe on both inter
+    * and union (stopword-mass tokens carry no dedup signal and would
+    * otherwise put every document in one candidate bucket); the
+    * DuckDB oracle applies the identical drop.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: Column, text: Column,
+                         thresholdNum: Int, thresholdDen: Int,
+                         maxTokenDf: Long = 10000L,
+                         maxPairRows: Long = 2000000000L): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be in (0, 1]: $thresholdNum/$thresholdDen")
+    val toks = df
+      .select(idCol.as("id"), explode(array_distinct(
+        TextFunctions.tokens(text))).as("tok"))
+      .where(col("tok") =!= "")
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val kept = toks
+      .join(dfreq.where(col("df") <= maxTokenDf), Seq("tok"))
+    // one shuffle by id serves both windows (same partition spec)
+    val byId = Window.partitionBy(col("id"))
+    val ranked = kept
+      .withColumn("n", count(lit(1)).over(byId))
+      .withColumn("rn", row_number().over(
+        byId.orderBy(col("df").asc, col("tok").asc)))
+    val tn = thresholdNum.toLong
+    val td = thresholdDen.toLong
+    // prefix length p = n − ⌈t·n⌉ + 1, exact integer ceil — the same
+    // `(a + b − 1) DIV b` the oracle runs
+    val prefix = ranked
+      .where(col("rn") <=
+        expr(s"n - ((${tn}L * n + ${td - 1}L) DIV ${td}L) + 1L"))
+      .select(col("id"), col("tok"), col("n"))
+    val priced = prefix.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("CAST(c * (c - 1) DIV 2 AS DECIMAL(38,0))"))
+        .as("pair_rows"))
+      .first().getDecimal(0)
+    if (priced != null &&
+        priced.compareTo(java.math.BigDecimal.valueOf(maxPairRows)) > 0)
+      throw new IllegalStateException(
+        s"prefixJaccardPairs: the prefix-token join would materialize " +
+        s"$priced candidate rows (> budget $maxPairRows). The prefix " +
+        "distribution is degenerate (many documents sharing rare " +
+        "tokens); raise the threshold, lower maxTokenDf, or use " +
+        "Dedup.lshDedupClusters at this scale.")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.n") * td >= col("b.n") * tn &&
+        col("b.n") * td >= col("a.n") * tn)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val tr = kept.select(col("id"), col("tok"))
+    val sizes = tr.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(tr.as("ta"), col("id1") === col("ta.id"))
+      .join(tr.as("tb"),
+        col("id2") === col("tb.id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id1") === col("sa.id"))
+      .join(sizes.as("sb"), col("id2") === col("sb.id"))
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("union_n"))
+      .where(col("inter") * td >= col("union_n") * tn)
+  }
 }

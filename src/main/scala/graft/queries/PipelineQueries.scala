@@ -399,6 +399,19 @@ object PipelineQueries {
             .as("n_fully_bench"))
     }),
 
+    // EXACT similarity self-join without the all-occurrence shuffle:
+    // prefix filtering (AllPairs/PPJoin) joins only each doc's rarest
+    // tokens — complete by pigeonhole, so the result is identical to
+    // a brute-force Jaccard join at threshold 4/5 (the spec proves
+    // equivalence on controlled corpora; the oracle re-runs the same
+    // integer arithmetic)
+    "q75_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(t(s, d, "documents"), col("doc_id"),
+          col("text"), thresholdNum = 4, thresholdDen = 5)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("inter")).cast("long").as("sum_inter"),
+          sum(col("union_n")).cast("long").as("sum_union"))),
+
     // sequence packing: deterministic shard (hash) + token-budget
     // bins (windowed cumulative offset) — the shard-and-pack step
     // before training; per-(shard, bin) fill summary
@@ -1660,6 +1673,37 @@ object PipelineQueries {
        "COUNT(CASE WHEN n_hits = n_shingles THEN 1 END) AS " +
        "n_fully_bench " +
        "FROM sizes LEFT JOIN hits USING (doc_id)"),
+    // q75: the oracle mirrors the prefix-filtered plan step by step
+    // (df ordering, integer ceil, size filter, candidate verify) so
+    // every arithmetic choice is pinned cross-engine; completeness of
+    // the prefix filter itself is proven against brute force in
+    // OperatorsSpec
+    "q75_prefix_jaccard" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id AS id, tok FROM " +
+       "(SELECT doc_id, unnest(regexp_split_to_array(trim(text), " +
+       "'\\s+')) AS tok FROM documents) WHERE tok <> '')" +
+       ", dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)" +
+       ", kept AS (SELECT t.id, t.tok, f.df FROM toks t JOIN dfreq f " +
+       "USING (tok) WHERE f.df <= 10000)" +
+       ", sizes AS (SELECT id, COUNT(*) AS n FROM kept GROUP BY 1)" +
+       ", ranked AS (SELECT k.id, k.tok, s.n, ROW_NUMBER() OVER " +
+       "(PARTITION BY k.id ORDER BY k.df, k.tok) AS rn FROM kept k " +
+       "JOIN sizes s USING (id))" +
+       ", prefix AS (SELECT id, tok, n FROM ranked WHERE rn <= " +
+       "n - ((4 * n + 4) // 5) + 1)" +
+       ", cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM " +
+       "prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id " +
+       "AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)" +
+       ", inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter FROM " +
+       "cands c JOIN kept ta ON c.id1 = ta.id JOIN kept tb ON " +
+       "c.id2 = tb.id AND ta.tok = tb.tok GROUP BY 1, 2)" +
+       ", pairs AS (SELECT i.id1, i.id2, i.inter, " +
+       "sa.n + sb.n - i.inter AS union_n FROM inter i JOIN sizes sa " +
+       "ON i.id1 = sa.id JOIN sizes sb ON i.id2 = sb.id WHERE " +
+       "i.inter * 5 >= (sa.n + sb.n - i.inter) * 4) " +
+       "SELECT COUNT(*) AS n_pairs, CAST(SUM(inter) AS BIGINT) AS " +
+       "sum_inter, CAST(SUM(union_n) AS BIGINT) AS sum_union " +
+       "FROM pairs"),
     "q26_minhash_bands" ->
       (shingleCte + minhashSigCte + minhashBandsCte +
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +

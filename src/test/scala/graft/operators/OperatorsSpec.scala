@@ -903,3 +903,98 @@ class SimHashBandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.contains((1L, 4L)), pairs)
   }
 }
+
+/** Prefix-filtered exact similarity join (PPJoin family): proven
+  * equal to a brute-force all-pairs Jaccard reference — the oracle
+  * mirrors the plan's arithmetic, so completeness of the pruning
+  * itself is established here.
+  */
+class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force exact token-set Jaccard pairs (the completeness
+    * reference for the prefix-filtered join): all pairs, no pruning.
+    */
+  private def bruteJaccard(rows: Seq[(Long, String)],
+                           num: Int, den: Int,
+                           maxDf: Long = 10000L)
+      : Set[(Long, Long, Long, Long)] = {
+    val sets0 = rows.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSet
+    }
+    val df = sets0.flatMap(_._2).groupBy(identity).map {
+      case (tok, occ) => tok -> occ.size.toLong
+    }
+    val sets = sets0.map { case (id, s) =>
+      id -> s.filter(tok => df(tok) <= maxDf)
+    }.filter(_._2.nonEmpty)
+    (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size.toLong
+      union = (si | sj).size.toLong
+      if inter * den >= union * num
+    } yield (i, j, inter, union)).toSet
+  }
+
+  test("prefix-filtered jaccard join equals brute force (complete)") {
+    // overlapping drafts + decoys sharing common words: candidates
+    // must survive prefix pruning, common-word pairs must not qualify
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",     // ~0.78
+      3L -> "alpha beta gamma delta epsilon zeta eta theta kappa",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "the quick brown fox jumps over a lazy cat",
+      6L -> "completely unrelated words appear here tonight",
+      7L -> "alpha beta unrelated mixture of shared and new words",
+      8L -> "single")
+    for ((num, den) <- Seq((4, 5), (1, 2), (7, 10), (1, 1))) {
+      val got = Dedup.prefixJaccardPairs(docs(corpus: _*),
+          col("doc_id"), col("text"), num, den)
+        .collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+          r.getAs[Long]("inter"), r.getAs[Long]("union_n"))).toSet
+      assert(got == bruteJaccard(corpus, num, den),
+        s"threshold $num/$den")
+    }
+  }
+
+  test("prefix jaccard df-cap drops stopword-mass tokens from both " +
+       "sides") {
+    // every doc shares 'common'; cap below n removes it from inter
+    // AND union, exactly like the brute-force reference with the cap
+    val corpus = (1L to 6L).map(i =>
+      i -> s"common shared$i extra$i words$i")
+    val got = Dedup.prefixJaccardPairs(docs(corpus: _*),
+        col("doc_id"), col("text"), 1, 10, maxTokenDf = 3L)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("inter"), r.getAs[Long]("union_n"))).toSet
+    assert(got == bruteJaccard(corpus, 1, 10, maxDf = 3L))
+  }
+
+  test("prefix jaccard pre-flight refuses a degenerate prefix " +
+       "distribution") {
+    // 40 docs sharing one rare-ish token that lands in every prefix:
+    // Σ c·(c−1)/2 = 780 candidate rows > budget 100 -> refuse
+    val corpus = (1L to 40L).map(i => i -> s"anchor tail$i")
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixJaccardPairs(docs(corpus: _*), col("doc_id"),
+        col("text"), 1, 2, maxPairRows = 100L).count()
+    }
+    assert(e.getMessage.contains("candidate rows"))
+  }
+}

@@ -119,6 +119,33 @@ object TextFunctions {
       regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
     }: _*)
 
+  /** Redaction tag per PII category. */
+  val PiiTags: Map[String, String] = Map(
+    "emails" -> "[EMAIL]", "ipv4" -> "[IPV4]",
+    "phones" -> "[PHONE]", "ssns" -> "[SSN]")
+
+  /** Order of application for [[redactPii]]: most-specific first —
+    * SSNs before phones (an SSN is also a phone-shaped digit run) and
+    * IPv4 before phones. The oracle must nest its `regexp_replace`
+    * calls in exactly this order.
+    */
+  val PiiRedactOrder: Seq[String] =
+    Seq("emails", "ssns", "ipv4", "phones")
+
+  /** Redact every PII match with its category tag — the release-time
+    * counterpart of [[piiStats]]. A sequential fold of codegen'd
+    * `regexp_replace` calls (each replaces ALL non-overlapping
+    * matches), so it is a pure projection: no UDF, no shuffle, scales
+    * as a map over the corpus. Same character classes as the scan, so
+    * scan-flagged spans are exactly the redacted spans.
+    */
+  def redactPii(text: Column): Column = {
+    val pats = PiiPatterns.toMap
+    PiiRedactOrder.foldLeft(text) { (c, name) =>
+      regexp_replace(c, pats(name), PiiTags(name))
+    }
+  }
+
   /** Marker-word language guess (n-gram heuristic, LIKE-based so the
     * DuckDB oracle is byte-identical). Ordered first-match ladder.
     */

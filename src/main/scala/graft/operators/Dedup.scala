@@ -984,6 +984,73 @@ object Dedup {
         col("union_n") * thresholdNum)
   }
 
+  /** Corpus-overlap matrix between document GROUPS (sources, dumps,
+    * snapshots): for every group pair, a MinHash ESTIMATE of the
+    * Jaccard similarity between the groups' shingle-set unions, plus
+    * (optionally) the exact intersection/union sizes.
+    *
+    * The estimate rides on the identity `min over a union = min of
+    * per-element mins`: each document's native MinHash signature
+    * ([[minHashSignatures]] — one JVM call per doc, no shuffle)
+    * aggregates to its group's signature by an ELEMENTWISE MIN — a
+    * partial-aggregating groupBy over (group, position) whose state
+    * is `numHashes` values per group, independent of corpus size.
+    * Matching positions / numHashes is then an unbiased Jaccard
+    * estimator between the union shingle sets (standard MinHash
+    * property). That is the 100 TB path: one linear pass, fixed
+    * state, no shingle materialization across the shuffle.
+    *
+    * `withExact = true` adds the exact inter/union per pair from
+    * distinct (group, shingle-digest) rows — one linear
+    * shingle-dedup shuffle plus a join keyed by digest whose
+    * fan-out is bounded by the number of GROUPS a shingle appears
+    * in (≤ G, not document frequency. The estimate column lets a
+    * spec and the oracle gate quantify estimator error exactly.)
+    *
+    * Output: one row per unordered group pair (g1 < g2):
+    * `g1, g2, n_match_sig, n_sig[, inter, union_n]`.
+    */
+  def corpusOverlapMatrix(df: DataFrame, group: Column, text: Column,
+                          numHashes: Int = 64, shingleK: Int = 5,
+                          withExact: Boolean = true): DataFrame = {
+    val sigs = minHashSignatures(df, group, text, numHashes, shingleK)
+      .where(col("sig").isNotNull)
+    // group signature = elementwise min (8-hex-char strings: lexical
+    // min == numeric min at fixed width)
+    val perGroup = sigs
+      .select(col("id").as("g"), posexplode(col("sig"))
+        .as(Seq("pos", "h")))
+      .groupBy(col("g"), col("pos")).agg(min(col("h")).as("h"))
+    val est = perGroup.as("a")
+      .join(perGroup.as("b"),
+        col("a.pos") === col("b.pos") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(when(col("a.h") === col("b.h"), 1))
+          .as("n_match_sig"),
+        count(lit(1)).as("n_sig"))
+    if (!withExact) est
+    else {
+      val shd = shingleRows(df, group, text, shingleK)
+        .select(col("id").as("g"),
+          substring(md5(col("s")), 1, 16).as("s"))
+        .distinct()
+      val sizes = shd.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val inter = shd.as("x")
+        .join(shd.as("y"),
+          col("x.s") === col("y.s") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("g1"), col("y.g").as("g2"))
+        .agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("g1", "g2"), "left")
+        .join(sizes.as("sa"), col("g1") === col("sa.g"))
+        .join(sizes.as("sb"), col("g2") === col("sb.g"))
+        .select(col("g1"), col("g2"), col("n_match_sig"),
+          col("n_sig"), coalesce(col("inter"), lit(0L)).as("inter"),
+          (col("sa.n") + col("sb.n") -
+            coalesce(col("inter"), lit(0L))).as("union_n"))
+    }
+  }
+
   /** Exact token-set Jaccard similarity join via PREFIX FILTERING —
     * the AllPairs / PPJoin family (Bayardo, Ma, Srikant, "Scaling Up
     * All Pairs Similarity Search", WWW'07; Xiao, Wang, Lin, Yu,

@@ -135,6 +135,42 @@ object Sampling {
     df.where(hash32(key) * den < num * lit(4294967296L))
   }
 
+  /** Down-sample each group to an expected TOKEN budget (not a row
+    * count): a row is kept iff `hash32(key) · total_tokens(group) <
+    * budget · 2^32`, i.e. at rate `budget / total_tokens` — so the
+    * kept rows carry ≈`budget` tokens per group in expectation.
+    * Mixture weighting by token mass is how training mixes are
+    * actually specified ("200 B tokens of web, 30 B of code"), and
+    * row-rate sampling gets it wrong whenever document lengths differ
+    * across groups.
+    *
+    * Two passes: (1) one partial-aggregating groupBy for per-group
+    * token totals (G rows — broadcast back, never shuffled into the
+    * corpus); (2) a pure filter on the scan. Membership is the same
+    * hash down-set as [[hashSample]]: raising the budget only ADDS
+    * rows (nested samples), and selection is stable across runs,
+    * engines, and partitionings for a fixed corpus. The cutoff
+    * compare runs in DECIMAL(38,0) — `total` can exceed the 2^30
+    * cross-multiplication cap of [[hashSample]] by orders of
+    * magnitude (100 TB ≈ 2^44 tokens) without overflow, and DuckDB's
+    * HUGEINT arithmetic reproduces it exactly.
+    *
+    * Groups whose total is at or under budget keep every row. The
+    * budget is an EXPECTATION (hash uniformity), not an exact cut —
+    * use [[packBins]] downstream for exact sequence budgets.
+    */
+  def tokenBudgetSample(df: DataFrame, group: Column, key: Column,
+                        tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val totals = df.groupBy(group.as("__g"))
+      .agg(sum(tokens.cast("long")).as("__total"))
+    val dec = "decimal(38,0)"
+    df.join(broadcast(totals), group === col("__g"), "left")
+      .where(hash32(key).cast(dec) * col("__total").cast(dec) <
+        lit(budget).cast(dec) * lit(4294967296L).cast(dec))
+      .drop("__g", "__total")
+  }
+
   /** Keep at most `quota` rows per group, chosen deterministically:
     * the quota hash-smallest keys (ties broken by the key itself), so
     * every run, engine, and partitioning selects the same rows — the

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sketch-based corpus profiling — the statistics a 100 TB pipeline
+  * can actually afford.
+  *
+  * Exact `COUNT(DISTINCT …)` holds every distinct key in the shuffle;
+  * exact percentiles sort the column. Both are fine at survey scale
+  * and fatal at corpus scale. The sketch versions are ONE-PASS,
+  * FIXED-MEMORY, and MERGEABLE (partial states combine map-side, so
+  * partial aggregation and AQE work exactly like any other agg):
+  *
+  *  - distinct counts: HyperLogLog++ via `approx_count_distinct`
+  *    (relative standard deviation `rsd`, default 2% → ~4 KB of
+  *    registers per group regardless of cardinality);
+  *  - quantiles: Greenwald–Khanna via `approx_percentile` (rank error
+  *    ≤ n/accuracy — with accuracy 10⁴, the p50 estimate's rank is
+  *    within 0.01% of true).
+  *
+  * Both sketches are deterministic for a given dataset (no seeded
+  * RNG: HLL hashes values, GK compresses ranks), so profiles are
+  * reproducible across runs, partitionings, and cluster sizes.
+  *
+  * [[profileWithGates]] additionally computes the EXACT statistics
+  * next to the sketches and emits within-tolerance booleans — the
+  * self-auditing form used by the oracle gate (the exact columns are
+  * for the audit; production runs use [[corpusProfile]] and skip
+  * them).
+  */
+object Sketches {
+
+  /** One-pass sketch profile per group over a text corpus: document
+    * count, total whitespace tokens, HLL++ distinct-fingerprint
+    * estimate, GK token-count quartile estimates. Single aggregate —
+    * one shuffle by `group`, all sketch states merge map-side.
+    */
+  def corpusProfile(df: DataFrame, group: Column, text: Column,
+                    rsd: Double = 0.02,
+                    accuracy: Int = 10000): DataFrame = {
+    val ntok = TextFunctions.tokenCount(text).cast("long")
+    df.select(group.as("group"),
+        TextFunctions.fingerprint(text).as("fp"), ntok.as("ntok"))
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("n_tokens"),
+        approx_count_distinct(col("fp"), rsd).as("approx_unique"),
+        percentile_approx(col("ntok"), lit(0.25), lit(accuracy))
+          .as("approx_tok_p25"),
+        percentile_approx(col("ntok"), lit(0.5), lit(accuracy))
+          .as("approx_tok_p50"),
+        percentile_approx(col("ntok"), lit(0.75), lit(accuracy))
+          .as("approx_tok_p75"))
+  }
+
+  /** [[corpusProfile]] plus the exact statistics and within-`tolPct`
+    * booleans: `unique_fp_ok` gates the HLL++ estimate against exact
+    * `COUNT(DISTINCT fingerprint)`, `median_tok_ok` gates the GK p50
+    * against the exact interpolated percentile. Integer
+    * cross-multiplication for the tolerance compare (no float
+    * thresholds): `|approx − exact| · 100 ≤ tolPct · exact`.
+    *
+    * This is the AUDIT form — it pays the exact computation to prove
+    * the sketch's error bound holds, which is what the correctness
+    * gate pins; at corpus scale run [[corpusProfile]] alone.
+    */
+  def profileWithGates(df: DataFrame, group: Column, text: Column,
+                       rsd: Double = 0.02, accuracy: Int = 10000,
+                       tolPct: Int = 5): DataFrame = {
+    val ntok = TextFunctions.tokenCount(text).cast("long")
+    df.select(group.as("group"),
+        TextFunctions.fingerprint(text).as("fp"), ntok.as("ntok"))
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("n_tokens"),
+        approx_count_distinct(col("fp"), rsd).as("approx_unique"),
+        countDistinct(col("fp")).as("exact_unique"),
+        percentile_approx(col("ntok"), lit(0.5), lit(accuracy))
+          .cast("double").as("approx_p50"),
+        expr("percentile(ntok, 0.5)").as("exact_p50"))
+      .select(col("group"), col("n_docs"), col("n_tokens"),
+        (abs(col("approx_unique") - col("exact_unique")) * 100 <=
+          col("exact_unique") * tolPct).as("unique_fp_ok"),
+        (abs(col("approx_p50") - col("exact_p50")) * 100 <=
+          col("exact_p50") * tolPct).as("median_tok_ok"))
+  }
+}

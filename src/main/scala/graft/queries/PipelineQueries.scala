@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity,
-  Temporal}
+  Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -411,6 +411,59 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("inter")).cast("long").as("sum_inter"),
           sum(col("union_n")).cast("long").as("sum_union"))),
+
+    // PII redaction (the release-time transform paired with q50's
+    // scan): sequential regexp_replace fold, most-specific pattern
+    // first; per-source summary of how much text changed
+    "q79_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("source"), col("text"),
+          TextFunctions.redactPii(col("text")).as("redacted"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("redacted") =!= col("text"), 1))
+            .as("n_changed"),
+          sum(length(col("redacted"))).cast("long")
+            .as("sum_len_after"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
+    // token-budget mixture sampling: per-source keep-rate derived
+    // from token totals (budget/total of the hash space), DECIMAL
+    // cross-multiplication so 100 TB token totals can't overflow the
+    // predicate; summary of what survives per source
+    "q78_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("ntok",
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      Sampling.tokenBudgetSample(docs, col("source"), col("doc_id"),
+          col("ntok"), budget = 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
+    // corpus-overlap matrix between sources: MinHash group-signature
+    // estimate (fixed state per group — the 100 TB path) NEXT TO the
+    // exact shingle-set inter/union, so the estimator's error is
+    // pinned by the gate, not taken on faith
+    "q77_corpus_overlap" -> ((s, d) =>
+      Dedup.corpusOverlapMatrix(t(s, d, "documents"), col("source"),
+          col("text"))
+        .orderBy(col("g1").asc_nulls_first,
+          col("g2").asc_nulls_first)),
+
+    // sketch-based corpus profile with self-auditing error gates:
+    // HLL++ distinct-fingerprint and GK median estimates are computed
+    // NEXT TO their exact counterparts, and the query emits
+    // within-tolerance booleans — the oracle pins the exact columns
+    // and expects every gate to read true, so a sketch drifting past
+    // its bound fails the hash compare
+    "q76_sketch_profile" -> ((s, d) =>
+      Sketches.profileWithGates(t(s, d, "documents"), col("source"),
+          col("text"))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source").asc_nulls_first)),
 
     // sequence packing: deterministic shard (hash) + token-budget
     // bins (windowed cumulative offset) — the shard-and-pack step
@@ -1704,6 +1757,83 @@ object PipelineQueries {
        "SELECT COUNT(*) AS n_pairs, CAST(SUM(inter) AS BIGINT) AS " +
        "sum_inter, CAST(SUM(union_n) AS BIGINT) AS sum_union " +
        "FROM pairs"),
+    // q79: the same pattern constants as the Spark side, nested in
+    // PiiRedactOrder; 'g' flag = Spark's replace-all default
+    "q79_pii_redact" -> {
+      val pats = graft.functions.TextFunctions.PiiPatterns.toMap
+      val redacted = graft.functions.TextFunctions.PiiRedactOrder
+        .foldLeft("text") { (acc, name) =>
+          val tag = graft.functions.TextFunctions.PiiTags(name)
+          s"regexp_replace($acc, '${pats(name)}', '$tag', 'g')"
+        }
+      s"WITH red AS (SELECT source, text, $redacted AS redacted " +
+      "FROM documents) " +
+      "SELECT source, COUNT(*) AS n_docs, " +
+      "COUNT(CASE WHEN redacted <> text THEN 1 END) AS n_changed, " +
+      "CAST(SUM(LENGTH(redacted)) AS BIGINT) AS sum_len_after " +
+      "FROM red GROUP BY source ORDER BY source NULLS FIRST"
+    },
+    // q78: same md5 hash-space predicate as q37, cutoff scaled by the
+    // group's token total; HUGEINT arithmetic mirrors the DECIMAL(38)
+    // compare
+    "q78_token_budget" ->
+      ("WITH nt AS (SELECT doc_id, source, " +
+       "CAST(array_length(regexp_split_to_array(trim(text), " +
+       "'\\s+')) AS BIGINT) AS ntok, " +
+       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS " +
+       "BIGINT) AS h FROM documents)" +
+       ", tot AS (SELECT source, SUM(ntok) AS total FROM nt " +
+       "GROUP BY 1)" +
+       ", kept AS (SELECT nt.* FROM nt JOIN tot USING (source) " +
+       "WHERE CAST(h AS HUGEINT) * CAST(total AS HUGEINT) < " +
+       "CAST(5000 AS HUGEINT) * CAST(4294967296 AS HUGEINT)) " +
+       "SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS " +
+       "BIGINT) AS n_tokens FROM kept GROUP BY source " +
+       "ORDER BY source NULLS FIRST"),
+    // q77: group MinHash signatures from per-shingle salted-md5 mins
+    // (the same family as minhashSigCte, grouped by source instead of
+    // doc), match-count across group pairs, plus exact distinct-digest
+    // inter/union
+    "q77_corpus_overlap" -> {
+      val mins = (0 until 16).flatMap { salt =>
+        (0 until 4).map { slice =>
+          val idx = salt * 4 + slice + 1
+          s"MIN(substr(md5(s || '#$salt'), ${slice * 8 + 1}, 8)) " +
+            s"AS mh$idx"
+        }
+      }.mkString(", ")
+      val matches = (1 to 64).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      shingleCte +
+      ", shsrc AS (SELECT d.source AS g, sh.s FROM sh JOIN " +
+      "documents d USING (doc_id))" +
+      s", gsig AS (SELECT g, $mins FROM shsrc GROUP BY g)" +
+      s", est AS (SELECT a.g AS g1, b.g AS g2, CAST($matches AS " +
+      "BIGINT) AS n_match_sig, CAST(64 AS BIGINT) AS n_sig FROM " +
+      "gsig a JOIN gsig b ON a.g < b.g)" +
+      ", shd AS (SELECT DISTINCT g, substr(md5(s), 1, 16) AS s " +
+      "FROM shsrc)" +
+      ", sizes AS (SELECT g, COUNT(*) AS n FROM shd GROUP BY 1)" +
+      ", inter AS (SELECT x.g AS g1, y.g AS g2, COUNT(*) AS inter " +
+      "FROM shd x JOIN shd y ON x.s = y.s AND x.g < y.g " +
+      "GROUP BY 1, 2) " +
+      "SELECT e.g1, e.g2, e.n_match_sig, e.n_sig, " +
+      "COALESCE(i.inter, 0) AS inter, " +
+      "sa.n + sb.n - COALESCE(i.inter, 0) AS union_n " +
+      "FROM est e LEFT JOIN inter i ON e.g1 = i.g1 AND e.g2 = i.g2 " +
+      "JOIN sizes sa ON e.g1 = sa.g JOIN sizes sb ON e.g2 = sb.g " +
+      "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+    },
+    // q76: the exact columns are data-derived; the sketch gates must
+    // all read true (a sketch exceeding its tolerance flips one to
+    // false and fails the hash)
+    "q76_sketch_profile" ->
+      ("SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(array_length(regexp_split_to_array(trim(text), " +
+       "'\\s+'))) AS BIGINT) AS n_tokens, " +
+       "true AS unique_fp_ok, true AS median_tok_ok " +
+       "FROM documents GROUP BY source ORDER BY source NULLS FIRST"),
     "q26_minhash_bands" ->
       (shingleCte + minhashSigCte + minhashBandsCte +
        " SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS " +

@@ -446,6 +446,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ > 0), sizes)
   }
 
+  test("token-budget sample: per-group rate = budget/total, nested, " +
+      "under-budget groups intact") {
+    val s = spark
+    import s.implicits._
+    // group A: 100 docs x 100 tokens = 10000 total; group B: 20 docs
+    // x 10 tokens = 200 total (under every budget tested)
+    val df = ((0 until 100).map(i => (i.toLong, "A", 100L)) ++
+      (100 until 120).map(i => (i.toLong, "B", 10L)))
+      .toDF("doc_id", "source", "ntok")
+    def keptIds(budget: Long): Set[Long] =
+      Sampling.tokenBudgetSample(df, col("source"), col("doc_id"),
+        col("ntok"), budget).collect().map(_.getLong(0)).toSet
+    val k1000 = keptIds(1000L)
+    // naive reference: hash*total < budget*2^32 per row
+    val hashes = df.select(col("doc_id"),
+        Sampling.hash32(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 120L).filter { id =>
+      val total = if (id < 100) 10000L else 200L
+      BigInt(hashes(id)) * total < BigInt(1000L) * 4294967296L
+    }.toSet
+    assert(k1000 == want)
+    // under-budget group B (200 <= 1000) keeps every row
+    assert((100L until 120L).forall(k1000.contains))
+    // nested: a bigger budget only adds rows
+    assert(k1000.subsetOf(keptIds(3000L)))
+    // partitioning-independent
+    assert(Sampling.tokenBudgetSample(df.repartition(7),
+        col("source"), col("doc_id"), col("ntok"), 1000L)
+      .collect().map(_.getLong(0)).toSet == k1000)
+    // zero budget selects nothing
+    assert(keptIds(0L).isEmpty)
+  }
+
   test("quota sample: exact per-group cap, matches the naive window") {
     val s = spark
     import s.implicits._
@@ -768,6 +802,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // counters are independent, not exclusive
     assert(rows(1L) == ((2L, 1L, 2L, 1L)), rows(1L))
     assert(rows(2L) == ((0L, 0L, 0L, 0L)), rows(2L))
+  }
+
+  test("pii redaction: category tags, ssn-before-phone order, " +
+      "clean/null passthrough") {
+    val df = docs(
+      1L -> ("mail a@b.com, host 10.0.0.1, ssn 123-45-6789, " +
+        "call +1 555 123 4567"),
+      2L -> "clean text with no sensitive data")
+      .union(docs().sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(3L, null)),
+        docs(1L -> "x").schema))
+    val out = df.select(col("doc_id"),
+        graft.functions.TextFunctions.redactPii(col("text"))
+          .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the SSN is tagged [SSN], not swallowed by the looser phone
+    // pattern applied later
+    assert(out(1L) == "mail [EMAIL], host [IPV4], ssn [SSN], " +
+      "call [PHONE]", out(1L))
+    assert(out(2L) == "clean text with no sensitive data")
+    assert(out(3L) == null)
   }
 }
 

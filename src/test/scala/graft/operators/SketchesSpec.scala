@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch profiles: error gates hold, results are deterministic
+  * under repartitioning (mergeable sketch states, no RNG).
+  */
+class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus(n: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    // two groups, duplicated docs (distinct < count), varied lengths
+    (1 to n).map { i =>
+      val g = if (i % 2 == 0) "web" else "books"
+      val len = 1 + (i % 17)
+      val body = (0 until len).map(j => s"w${(i % 50)}_$j")
+        .mkString(" ")
+      (g, body)
+    }.toDF("source", "text")
+  }
+
+  test("profileWithGates: sketch error gates hold; exacts correct") {
+    val df = corpus(600)
+    val rows = Sketches.profileWithGates(df, col("source"),
+      col("text")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 300)
+      assert(r.getAs[Boolean]("unique_fp_ok"), r)
+      assert(r.getAs[Boolean]("median_tok_ok"), r)
+    }
+  }
+
+  test("corpusProfile is deterministic under repartitioning") {
+    val df = corpus(600)
+    def run(d: DataFrame): Seq[Seq[Any]] =
+      Sketches.corpusProfile(d, col("source"), col("text"))
+        .orderBy(col("group")).collect().toSeq.map(_.toSeq)
+    assert(run(df) == run(df.repartition(13)))
+    assert(run(df) == run(df.repartition(1)))
+  }
+
+  test("corpusProfile: HLL estimate tracks true distinct count") {
+    val df = corpus(600) // 50 distinct word-stems -> ~50·17 bodies
+    val r = Sketches.corpusProfile(df, col("source"), col("text"))
+      .orderBy(col("group")).collect()
+    val exact = df.groupBy(col("source"))
+      .agg(countDistinct(
+        graft.functions.TextFunctions.fingerprint(col("text")))
+        .as("x"))
+      .orderBy(col("source")).collect().map(_.getAs[Long]("x"))
+    r.zip(exact).foreach { case (row, ex) =>
+      val approx = row.getAs[Long]("approx_unique")
+      assert(math.abs(approx - ex) * 100 <= ex * 5,
+        s"approx=$approx exact=$ex")
+    }
+  }
+}
+
+/** Group-pairwise corpus overlap: MinHash estimate vs exact
+  * shingle-set intersection.
+  */
+class CorpusOverlapSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("identical groups estimate 1.0; disjoint groups estimate 0") {
+    val s = spark
+    import s.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val textB = "uno dos tres cuatro cinco seis siete ocho nueve"
+    val df = Seq(
+      ("g1", textA), ("g1", textB),
+      ("g2", textA), ("g2", textB),   // identical shingle union to g1
+      ("g3", "one two three four five six seven eight nine ten"))
+      .toDF("source", "text")
+    val m = Dedup.corpusOverlapMatrix(df, col("source"), col("text"))
+      .orderBy(col("g1"), col("g2")).collect()
+    assert(m.length == 3)
+    val m12 = m.find(r => r.getString(0) == "g1" &&
+      r.getString(1) == "g2").get
+    assert(m12.getAs[Long]("n_match_sig") == 64)
+    assert(m12.getAs[Long]("inter") == m12.getAs[Long]("union_n"))
+    val m13 = m.find(r => r.getString(0) == "g1" &&
+      r.getString(1) == "g3").get
+    assert(m13.getAs[Long]("inter") == 0L)
+    assert(m13.getAs[Long]("n_match_sig") == 0L)
+  }
+
+  test("group signature equals the min over the union (partial-doc " +
+       "overlap has exact inter/union)") {
+    val s = spark
+    import s.implicits._
+    // g1 = {s(d1), s(d2)}, g2 = {s(d2), s(d3)}: shared shingles are
+    // exactly d2's — verify exact inter against a direct computation
+    val d1 = "w1 w2 w3 w4 w5 w6"
+    val d2 = "x1 x2 x3 x4 x5 x6 x7"
+    val d3 = "y1 y2 y3 y4 y5 y6"
+    val df = Seq(("g1", d1), ("g1", d2), ("g2", d2), ("g2", d3))
+      .toDF("source", "text")
+    val r = Dedup.corpusOverlapMatrix(df, col("source"), col("text"))
+      .head()
+    // 5-gram shingles: d1 -> 2, d2 -> 3, d3 -> 2 (all distinct)
+    assert(r.getAs[Long]("inter") == 3L)     // d2's shingles
+    assert(r.getAs[Long]("union_n") == 7L)   // 2 + 3 + 2
+    // estimate must agree with a true Jaccard of 3/7 within the
+    // deterministic outcome for this fixed data (sanity bound only)
+    val est = r.getAs[Long]("n_match_sig")
+    assert(est > 0 && est < 64, s"est=$est")
+  }
+}

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity,
-  Sketches, Temporal}
+import graft.operators.{Dedup, Layout, Multimodal, Sampling,
+  Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -411,6 +411,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("inter")).cast("long").as("sum_inter"),
           sum(col("union_n")).cast("long").as("sum_union"))),
+
+    // Z-order (Morton) clustering census over (user, day): the
+    // write-layout curve that gives parquet row groups tight min/max
+    // envelopes on BOTH dimensions; dtype-adaptive day derivation
+    // like every temporal builder
+    "q80_zorder_census" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = ev.schema("ts").dataType match {
+        case LongType => expr("ts DIV 86400000000000")
+        case _ => datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long")
+      }
+      val z = Layout.zValue2(pmod(col("user_id"), lit(256L)),
+        pmod(day, lit(256L)), bits = 8)
+      ev.select(z.as("z"))
+        .groupBy(shiftright(col("z"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy(col("bucket").asc_nulls_first)
+    }),
 
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
@@ -1757,6 +1777,19 @@ object PipelineQueries {
        "SELECT COUNT(*) AS n_pairs, CAST(SUM(inter) AS BIGINT) AS " +
        "sum_inter, CAST(SUM(union_n) AS BIGINT) AS sum_union " +
        "FROM pairs"),
+    // q80: the identical interleave formula, disjoint bit positions
+    // summed; epoch day via epoch_us
+    "q80_zorder_census" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((a >> $i) & 1) << ${2 * i})",
+        s"(((b >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      "WITH dims AS (SELECT user_id % 256 AS a, " +
+      "(epoch_us(ts) // 86400000000) % 256 AS b FROM events)" +
+      s", zs AS (SELECT CAST($terms AS BIGINT) AS z FROM dims) " +
+      "SELECT z >> 8 AS bucket, COUNT(*) AS n_events, " +
+      "MIN(z) AS min_z, MAX(z) AS max_z FROM zs GROUP BY 1 " +
+      "ORDER BY 1 NULLS FIRST"
+    },
     // q79: the same pattern constants as the Spark side, nested in
     // PiiRedactOrder; 'g' flag = Spark's replace-all default
     "q79_pii_redact" -> {

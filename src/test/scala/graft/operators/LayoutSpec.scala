@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: the interleave matches a software reference, and
+  * the clustered write produces disjoint, internally-sorted z ranges
+  * per partition (the property parquet min/max pruning relies on).
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def refZ(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue2 equals the software interleave on known points") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 1L))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.zValue2(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == refZ(a, b, 16), s"($a, $b)")
+    }
+    // spot values: z(1,0)=1, z(0,1)=2, z(3,3)=15
+    assert(got((1L, 0L)) == 1L)
+    assert(got((0L, 1L)) == 2L)
+    assert(got((3L, 3L)) == 15L)
+  }
+
+  test("zOrderLayout: partitions cover disjoint z ranges, sorted " +
+      "within each") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 2000).map { i =>
+      (i.toLong, (i.toLong * 7919) % 65536, (i.toLong * 104729) % 65536)
+    }.toDF("id", "a", "b")
+    val laid = Layout.zOrderLayout(df, col("a"), col("b"), 16,
+      numPartitions = 8)
+    val z = Layout.zValue2(col("a"), col("b"), 16)
+    val withPid = laid
+      .withColumn("z", z)
+      .withColumn("pid", spark_partition_id())
+    // in-partition sortedness: per partition, the z sequence in
+    // physical row order must be non-decreasing
+    val perPart = withPid.collectAsList()
+    import scala.jdk.CollectionConverters._
+    val byPid = perPart.asScala
+      .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("z")))
+      .zipWithIndex
+      .groupBy(_._1._1)
+    byPid.values.foreach { rows =>
+      val zs = rows.sortBy(_._2).map(_._1._2)
+      assert(zs == zs.sorted, "z not sorted within a partition")
+    }
+    // disjoint ranges: [min, max] per partition must not overlap
+    val ranges = byPid.values.map { rows =>
+      val zs = rows.map(_._1._2)
+      (zs.min, zs.max)
+    }.toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, ranges)
+      case _ => ()
+    }
+    // no rows lost, payload intact
+    assert(laid.count() == 2000)
+  }
+}

@@ -94,6 +94,24 @@ object ExplainAudit {
       ("q53_sessionize",
         "sessionize: lag + running-sum in one keyed Window exec",
         Seq("Window")),
+      ("q75_prefix_jaccard",
+        "prefix-filtered exact join: every join is an equi-join " +
+          "(prefix-token candidates, candidate-bounded verify) — " +
+          "never a nested-loop/cartesian; rank/count share one " +
+          "keyed window exchange",
+        Seq("HashAggregate", "Window")),
+      ("q77_corpus_overlap",
+        "group MinHash signatures: one native per-doc call, " +
+          "positions exploded once, elementwise-min partial agg",
+        Seq("min_hash_sig", "Generate posexplode", "HashAggregate")),
+      ("q78_token_budget",
+        "token-budget sampling: G-row totals broadcast back, the " +
+          "corpus side is a pure filtered scan",
+        Seq("BroadcastHashJoin", "HashAggregate")),
+      ("q79_pii_redact",
+        "PII redaction: codegen'd regexp_replace fold + partial " +
+          "aggregation (one corpus pass)",
+        Seq("WholeStageCodegen", "HashAggregate", "regexp_replace")),
       ("q57_winnow_fp",
         "winnowing fingerprints: one native O(n) call per doc, a " +
           "pure projection feeding partial aggregation",
@@ -199,7 +217,8 @@ object ExplainAudit {
     // every downstream consumer. (The previous shape burned one full
     // corpus scan just to size the bucket space.)
     Seq("q29_lsh_buckets", "q30_cosine_near_dups",
-        "q49_typicality", "q50_pii_scan").foreach { name =>
+        "q49_typicality", "q50_pii_scan", "q76_sketch_profile",
+        "q79_pii_redact", "q80_zorder_census").foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
@@ -291,6 +310,25 @@ object ExplainAudit {
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] hash/merge join " +
         s"(found $hashJoin) and no nested-loop/cartesian " +
         s"(found nested=$nested)")
+    }
+
+    // ---- prefix-join shape check ---------------------------------
+    // the exact similarity join must stay equi-join-shaped end to
+    // end: candidate generation (prefix tokens), size filter, and
+    // verification are all hash/merge joins — a nested-loop or
+    // cartesian anywhere means the pruning collapsed to all-pairs
+    guarded("q75_prefix_jaccard_joins") {
+      val df = graft.SparkEntry.queries("q75_prefix_jaccard")(spark,
+        sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val ok = !nested
+      if (!ok) failures += 1
+      println(s"\n=== q75_prefix_jaccard — equi-join-only shape ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] no nested-loop/" +
+        s"cartesian anywhere in the plan (found nested=$nested)")
     }
 
     // ---- PQ ADC scan shape check ---------------------------------

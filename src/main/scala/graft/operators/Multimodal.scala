@@ -28,6 +28,16 @@ object Multimodal {
   def imageMeta(payload: Column): Column =
     graft.functions.ImageMetaExpr.imageMetaNative(payload)
 
+  /** Audio-container sniff + stream parameters from the payload
+    * HEADER bytes (see [[graft.functions.AudioMetaExpr]]): one native
+    * codegen'd call per payload returning `struct<format, channels,
+    * sample_rate, bits_per_sample, duration_ms>` — WAV and FLAC fully
+    * parsed, MP3 frame parameters, OGG container-identified;
+    * "unknown"/null for unrecognized bytes, never a throw.
+    */
+  def audioMeta(payload: Column): Column =
+    graft.functions.AudioMetaExpr.audioMetaNative(payload)
+
   /** Metadata schema carried alongside every binary payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -48,6 +48,21 @@ object PipelineQueries {
     54, 0, 0, 0, 40, 0, 0, 0,
     0x15, 0x00, 0x00, 0x00, 0xef, 0xff, 0xff, 0xff)
 
+  /** q81's synthetic audio headers (same fixtures as AudioMetaSpec):
+    * WAV 2ch/44100/16-bit/500 ms, FLAC with the identical stream,
+    * a bare MPEG1 Layer-III sync, an OGG page capture pattern.
+    */
+  private val WavHex = hexOf('R', 'I', 'F', 'F', 0, 0, 0, 0,
+    'W', 'A', 'V', 'E', 'f', 'm', 't', ' ', 16, 0, 0, 0,
+    1, 0, 2, 0, 0x44, 0xAC, 0, 0, 0x10, 0xB1, 0x02, 0,
+    4, 0, 16, 0, 'd', 'a', 't', 'a', 0x88, 0x58, 0x01, 0x00)
+  private val FlacHex = hexOf('f', 'L', 'a', 'C', 0, 0, 0, 0x22,
+    0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0,
+    0x0A, 0xC4, 0x42, 0xF0, 0, 0, 0x56, 0x22,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val Mp3Hex = hexOf(0xff, 0xfb, 0x90, 0x00)
+  private val OggHex = hexOf('O', 'g', 'g', 'S', 0, 2, 0, 0, 0, 0)
+
   /** Run the structure analyzer over a table and dump one
     * (column_name, rendered type) row per column — the q33/q70/q71
     * oracle shape.
@@ -411,6 +426,42 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("inter")).cast("long").as("sum_inter"),
           sum(col("union_n")).cast("long").as("sum_union"))),
+
+    // audio-header decode (the audio sibling of q72): WAV chunk walk,
+    // FLAC STREAMINFO bit-unpacking, MP3 frame sync, OGG capture
+    // pattern — fixtures pinned by a VALUES oracle, corpus sweep
+    // all-unknown (ASCII container magics excluded on both sides)
+    "q81_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("wav_2ch", WavHex), ("flac_2ch", FlacHex),
+        ("mp3_sync", Mp3Hex), ("ogg_page", OggHex))
+        .toDF("name", "hex")
+        .select(col("name"),
+          Multimodal.audioMeta(unhex(col("hex"))).as("m"))
+        .select(col("name"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.duration_ms").as("duration_ms"), lit(1L).as("n"))
+      val corpus = t(s, d, "documents")
+        .where(!col("text").startsWith("RIFF") &&
+          !col("text").startsWith("fLaC") &&
+          !col("text").startsWith("OggS") &&
+          !col("text").startsWith("ID3"))
+        .select(Multimodal.audioMeta(col("text").cast("binary"))
+          .as("m"))
+        .groupBy(col("m.format").as("format"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("corpus").as("name"), col("format"),
+          lit(null).cast("int").as("channels"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("bits_per_sample"),
+          lit(null).cast("long").as("duration_ms"), col("n"))
+      fixtures.unionByName(corpus)
+        .orderBy(col("name").asc_nulls_first,
+          col("format").asc_nulls_first)
+    }),
 
     // Z-order (Morton) clustering census over (user, day): the
     // write-layout curve that gives parquet row groups tight min/max
@@ -1777,6 +1828,28 @@ object PipelineQueries {
        "SELECT COUNT(*) AS n_pairs, CAST(SUM(inter) AS BIGINT) AS " +
        "sum_inter, CAST(SUM(union_n) AS BIGINT) AS sum_union " +
        "FROM pairs"),
+    // q81: fixture parameters pinned as literals (the spec derives
+    // them from the same bytes); corpus sweep must be all-unknown
+    "q81_audio_meta" ->
+      ("SELECT name, format, channels, sample_rate, " +
+       "bits_per_sample, duration_ms, n FROM (" +
+       "SELECT * FROM (VALUES " +
+       "('wav_2ch', 'wav', 2, 44100, 16, CAST(500 AS BIGINT), " +
+       "CAST(1 AS BIGINT)), " +
+       "('flac_2ch', 'flac', 2, 44100, 16, CAST(500 AS BIGINT), " +
+       "CAST(1 AS BIGINT)), " +
+       "('mp3_sync', 'mp3', 2, 44100, CAST(NULL AS INTEGER), " +
+       "CAST(NULL AS BIGINT), CAST(1 AS BIGINT)), " +
+       "('ogg_page', 'ogg', CAST(NULL AS INTEGER), " +
+       "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), " +
+       "CAST(NULL AS BIGINT), CAST(1 AS BIGINT))) AS " +
+       "v(name, format, channels, sample_rate, bits_per_sample, " +
+       "duration_ms, n) " +
+       "UNION ALL SELECT 'corpus', 'unknown', NULL, NULL, NULL, " +
+       "NULL, COUNT(*) FROM documents WHERE text NOT LIKE 'RIFF%' " +
+       "AND text NOT LIKE 'fLaC%' AND text NOT LIKE 'OggS%' AND " +
+       "text NOT LIKE 'ID3%') " +
+       "ORDER BY name NULLS FIRST, format NULLS FIRST"),
     // q80: the identical interleave formula, disjoint bit positions
     // summed; epoch day via epoch_us
     "q80_zorder_census" -> {

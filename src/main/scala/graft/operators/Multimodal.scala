@@ -38,6 +38,17 @@ object Multimodal {
   def audioMeta(payload: Column): Column =
     graft.functions.AudioMetaExpr.audioMetaNative(payload)
 
+  /** Video-container sniff + stream parameters from the payload
+    * HEADER bytes (see [[graft.functions.VideoMetaExpr]]): one native
+    * codegen'd call per payload returning `struct<format,
+    * major_brand, duration_ms, width, height>` — MP4/ISO-BMFF box
+    * walk (mvhd duration, tkhd dimensions), Matroska/WebM
+    * container-identified; "unknown"/null for unrecognized bytes,
+    * never a throw.
+    */
+  def videoMeta(payload: Column): Column =
+    graft.functions.VideoMetaExpr.videoMetaNative(payload)
+
   /** Metadata schema carried alongside every binary payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -63,6 +63,27 @@ object PipelineQueries {
   private val Mp3Hex = hexOf(0xff, 0xfb, 0x90, 0x00)
   private val OggHex = hexOf('O', 'g', 'g', 'S', 0, 2, 0, 0, 0, 0)
 
+  /** q82's minimal ISO BMFF fixture (same bytes as VideoMetaSpec):
+    * ftyp(isom) + moov[mvhd v0: timescale 1000, duration 5000;
+    * trak[tkhd v0: 640x360]] — and the Matroska EBML magic.
+    */
+  private val Mp4Hex: String = {
+    def u32(v: Long) = Seq((v >> 24).toInt & 0xff,
+      (v >> 16).toInt & 0xff, (v >> 8).toInt & 0xff, v.toInt & 0xff)
+    def cc(s: String) = s.map(_.toInt)
+    val ftyp = u32(16) ++ cc("ftyp") ++ cc("isom") ++ u32(0x200)
+    val mvhd = u32(108) ++ cc("mvhd") ++ Seq(0, 0, 0, 0) ++
+      u32(0) ++ u32(0) ++ u32(1000) ++ u32(5000) ++ Seq.fill(80)(0)
+    val tkhd = u32(92) ++ cc("tkhd") ++ Seq(0, 0, 0, 0) ++
+      u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(0) ++
+      Seq.fill(16)(0) ++ Seq.fill(36)(0) ++
+      u32(640L << 16) ++ u32(360L << 16)
+    val trak = u32(100) ++ cc("trak") ++ tkhd
+    val moov = u32(216) ++ cc("moov") ++ mvhd ++ trak
+    hexOf((ftyp ++ moov): _*)
+  }
+  private val MkvHex = hexOf(0x1a, 0x45, 0xdf, 0xa3, 0x01, 0, 0, 0)
+
   /** Run the structure analyzer over a table and dump one
     * (column_name, rendered type) row per column — the q33/q70/q71
     * oracle shape.
@@ -458,6 +479,39 @@ object PipelineQueries {
           lit(null).cast("int").as("sample_rate"),
           lit(null).cast("int").as("bits_per_sample"),
           lit(null).cast("long").as("duration_ms"), col("n"))
+      fixtures.unionByName(corpus)
+        .orderBy(col("name").asc_nulls_first,
+          col("format").asc_nulls_first)
+    }),
+
+    // video-container decode completing the image/audio/video triad:
+    // MP4 box walk (mvhd duration, tkhd dims), Matroska EBML sniff;
+    // fixtures pinned by a VALUES oracle, corpus sweep all-unknown
+    // (an 'ftyp' 4cc at text offset 4 excluded on both sides)
+    "q82_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("mp4_640x360", Mp4Hex), ("mkv_magic", MkvHex))
+        .toDF("name", "hex")
+        .select(col("name"),
+          Multimodal.videoMeta(unhex(col("hex"))).as("m"))
+        .select(col("name"), col("m.format").as("format"),
+          col("m.major_brand").as("major_brand"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          lit(1L).as("n"))
+      val corpus = t(s, d, "documents")
+        .where(substring(col("text"), 5, 4) =!= "ftyp" &&
+          !col("text").startsWith("\u001aE\u07e3"))
+        .select(Multimodal.videoMeta(col("text").cast("binary"))
+          .as("m"))
+        .groupBy(col("m.format").as("format"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("corpus").as("name"), col("format"),
+          lit(null).cast("string").as("major_brand"),
+          lit(null).cast("long").as("duration_ms"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"), col("n"))
       fixtures.unionByName(corpus)
         .orderBy(col("name").asc_nulls_first,
           col("format").asc_nulls_first)
@@ -1849,6 +1903,23 @@ object PipelineQueries {
        "NULL, COUNT(*) FROM documents WHERE text NOT LIKE 'RIFF%' " +
        "AND text NOT LIKE 'fLaC%' AND text NOT LIKE 'OggS%' AND " +
        "text NOT LIKE 'ID3%') " +
+       "ORDER BY name NULLS FIRST, format NULLS FIRST"),
+    // q82: fixture parameters as literals; chr(26)||'E'||chr(2019)
+    // is the UTF-8 decoding of the EBML magic bytes
+    "q82_video_meta" ->
+      ("SELECT name, format, major_brand, duration_ms, width, " +
+       "height, n FROM (" +
+       "SELECT * FROM (VALUES " +
+       "('mp4_640x360', 'mp4', 'isom', CAST(5000 AS BIGINT), 640, " +
+       "360, CAST(1 AS BIGINT)), " +
+       "('mkv_magic', 'matroska', CAST(NULL AS VARCHAR), " +
+       "CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), " +
+       "CAST(NULL AS INTEGER), CAST(1 AS BIGINT))) AS " +
+       "v(name, format, major_brand, duration_ms, width, height, n) " +
+       "UNION ALL SELECT 'corpus', 'unknown', NULL, NULL, NULL, " +
+       "NULL, COUNT(*) FROM documents WHERE " +
+       "substr(text, 5, 4) <> 'ftyp' AND text NOT " +
+       "LIKE chr(26) || 'E' || chr(2019) || '%') " +
        "ORDER BY name NULLS FIRST, format NULLS FIRST"),
     // q80: the identical interleave formula, disjoint bit positions
     // summed; epoch day via epoch_us

@@ -42,6 +42,30 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Persist a frame BUCKETED by a join/aggregation key: rows are
+    * hash-partitioned into `numBuckets` files per partition and
+    * sorted by the key within each bucket, and the bucketing spec is
+    * recorded in the catalog. Readers joining or aggregating two
+    * tables bucketed the SAME way (same key, same bucket count) get
+    * the exchange ELIDED — the join happens bucket-to-bucket with
+    * zero shuffle, which is THE repeated-join win at 100 TB: pay the
+    * shuffle once at write time, then every nightly join of the two
+    * corpora is shuffle-free (and sort-free when `sorted`). The
+    * BucketedJoinSpec pins the no-Exchange plan.
+    *
+    * Spark's bucketing lives in the catalog, so this writes a TABLE
+    * (`saveAsTable` with an explicit `path`), not a bare directory.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, numBuckets: Int,
+                    sorted: Boolean = true): Unit = {
+    require(numBuckets > 0, s"numBuckets must be > 0: $numBuckets")
+    val w = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
   /** Cluster a frame by the z-value of two dimensions: range
     * partitions over z (each output file covers a contiguous z
     * range → a tight rectangle in (a, b) space) and z-sorted rows

@@ -83,3 +83,76 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(laid.count() == 2000)
   }
 }
+
+/** Bucketed tables: joins and aggregations on the bucket key must
+  * plan with ZERO exchanges — the write-once-shuffle-never contract.
+  */
+class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private var base: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    base = java.nio.file.Files.createTempDirectory("graft_buckets")
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    import scala.jdk.CollectionConverters._
+    if (base != null)
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    val tree = df.queryExecution.executedPlan.treeString
+    tree.split("== Initial Plan ==")(0)
+      .split("Exchange ", -1).length - 1
+  }
+
+  test("same-bucketing join and keyed aggregation plan shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val facts = (0 until 5000)
+      .map(i => (i.toLong % 500, s"evt$i")).toDF("key", "payload")
+    val dims = (0L until 500L).map(k => (k, s"dim$k"))
+      .toDF("key", "attr")
+    Layout.writeBucketed(facts, "b_facts", s"$base/b_facts", "key", 8)
+    Layout.writeBucketed(dims, "b_dims", s"$base/b_dims", "key", 8)
+    val f = s.table("b_facts")
+    val d = s.table("b_dims")
+    val joined = f.join(d, "key")
+    assert(exchanges(joined) == 0,
+      joined.queryExecution.executedPlan.treeString)
+    assert(joined.count() == 5000)
+    // keyed aggregation rides the bucketing too
+    val agg = f.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    assert(exchanges(agg) == 0)
+    assert(agg.count() == 500)
+    // correctness unchanged vs the unbucketed join
+    val plain = facts.join(dims, "key")
+    assert(joined.select(col("key"), col("payload"), col("attr"))
+      .collect().map(_.toSeq).toSet ==
+      plain.select(col("key"), col("payload"), col("attr"))
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("mismatched bucket counts fall back to a shuffled join") {
+    val s = spark
+    import s.implicits._
+    val a = (0L until 100L).map(k => (k, "a")).toDF("key", "va")
+    val b2 = (0L until 100L).map(k => (k, "b")).toDF("key", "vb")
+    Layout.writeBucketed(a, "b_a8", s"$base/b_a8", "key", 8)
+    Layout.writeBucketed(b2, "b_b3", s"$base/b_b3", "key", 3)
+    val joined = s.table("b_a8").join(s.table("b_b3"), "key")
+    // one side must re-exchange (or coalesce) — just require the
+    // join still returns the right answer
+    assert(joined.count() == 100)
+  }
+}

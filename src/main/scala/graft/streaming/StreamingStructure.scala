@@ -68,6 +68,26 @@ object StreamingStructure {
       .outputMode("append")
       .start()
 
+  /** Streaming corpus profile — the ingest-side twin of
+    * [[graft.operators.Sketches.corpusProfile]], and literally the
+    * same code: the sketch states (HLL++ registers, GK summaries)
+    * are mergeable monoids, so the identical aggregation runs over a
+    * `readStream` frame with the state store carrying the partial
+    * sketches across micro-batches. Fixed memory per group forever —
+    * the profile of an unbounded ingest never grows state. HLL++ is
+    * order-insensitive (register maxima), so the streamed distinct
+    * estimate equals the batch one EXACTLY on any replay split; GK
+    * compression is merge-order-sensitive, so quantile estimates
+    * stay within the rank-error bound rather than bit-equal
+    * (StreamingProfileSpec pins both properties). Use with
+    * `complete`/`update` output mode.
+    */
+  def profileStream(df: DataFrame, groupCol: String, textCol: String,
+                    rsd: Double = 0.02,
+                    accuracy: Int = 10000): DataFrame =
+    graft.operators.Sketches.corpusProfile(df, col(groupCol),
+      col(textCol), rsd, accuracy)
+
   /** Streaming exact deduplication — the ingest-side twin of
     * [[graft.operators.Dedup.exactDupStats]]: keep the FIRST arrival
     * of each canonical text fingerprint

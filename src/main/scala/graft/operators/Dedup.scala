@@ -1082,17 +1082,33 @@ object Dedup {
     * and union (stopword-mass tokens carry no dedup signal and would
     * otherwise put every document in one candidate bucket); the
     * DuckDB oracle applies the identical drop.
+    *
+    * `shingleK` picks the SET ELEMENTS: 1 = whitespace unigram
+    * tokens (bag-of-words similarity — right for topical overlap,
+    * but a small shared vocabulary keeps element frequencies high
+    * and with them the candidate volume); k > 1 = word-k-gram
+    * shingle DIGESTS, the [[jaccardPairs]] elements — near-unique
+    * per document, so prefixes almost never collide and the
+    * candidate join stays tiny even on a repetitive corpus. For
+    * near-duplicate detection at scale use shingles; unigrams are
+    * the classic PPJoin setting for set-similarity workloads.
     */
   def prefixJaccardPairs(df: DataFrame, idCol: Column, text: Column,
                          thresholdNum: Int, thresholdDen: Int,
                          maxTokenDf: Long = 10000L,
-                         maxPairRows: Long = 2000000000L): DataFrame = {
+                         maxPairRows: Long = 2000000000L,
+                         shingleK: Int = 1): DataFrame = {
     require(thresholdNum > 0 && thresholdDen >= thresholdNum,
       s"threshold must be in (0, 1]: $thresholdNum/$thresholdDen")
-    val toks = df
-      .select(idCol.as("id"), explode(array_distinct(
-        TextFunctions.tokens(text))).as("tok"))
-      .where(col("tok") =!= "")
+    require(shingleK >= 1, s"shingleK must be >= 1: $shingleK")
+    val toks =
+      if (shingleK == 1)
+        df.select(idCol.as("id"), explode(array_distinct(
+            TextFunctions.tokens(text))).as("tok"))
+          .where(col("tok") =!= "")
+      else
+        shingleRows(df, idCol, text, shingleK)
+          .select(col("id"), substring(md5(col("s")), 1, 16).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val kept = toks
       .join(dfreq.where(col("df") <= maxTokenDf), Seq("tok"))

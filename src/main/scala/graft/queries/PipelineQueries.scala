@@ -437,13 +437,19 @@ object PipelineQueries {
 
     // EXACT similarity self-join without the all-occurrence shuffle:
     // prefix filtering (AllPairs/PPJoin) joins only each doc's rarest
-    // tokens — complete by pigeonhole, so the result is identical to
-    // a brute-force Jaccard join at threshold 4/5 (the spec proves
-    // equivalence on controlled corpora; the oracle re-runs the same
-    // integer arithmetic)
+    // set elements — complete by pigeonhole, so the result is
+    // identical to a brute-force Jaccard join at threshold 1/2 (the
+    // spec proves equivalence on controlled corpora; the oracle
+    // re-runs the same integer arithmetic). Elements are word-5-gram
+    // shingle digests: near-unique per doc, so prefixes rarely
+    // collide and the candidate join stays tiny — the scale-correct
+    // element choice for near-dup detection (shingleK = 1 unigrams
+    // on this small-vocabulary synthetic corpus would legitimately
+    // generate ~6.5M candidate pairs at sf0.1)
     "q75_prefix_jaccard" -> ((s, d) =>
       Dedup.prefixJaccardPairs(t(s, d, "documents"), col("doc_id"),
-          col("text"), thresholdNum = 4, thresholdDen = 5)
+          col("text"), thresholdNum = 1, thresholdDen = 2,
+          shingleK = 5)
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("inter")).cast("long").as("sum_inter"),
           sum(col("union_n")).cast("long").as("sum_union"))),
@@ -1857,9 +1863,9 @@ object PipelineQueries {
     // the prefix filter itself is proven against brute force in
     // OperatorsSpec
     "q75_prefix_jaccard" ->
-      ("WITH toks AS (SELECT DISTINCT doc_id AS id, tok FROM " +
-       "(SELECT doc_id, unnest(regexp_split_to_array(trim(text), " +
-       "'\\s+')) AS tok FROM documents) WHERE tok <> '')" +
+      (shingleCte +
+       ", toks AS (SELECT doc_id AS id, substr(md5(s), 1, 16) AS " +
+       "tok FROM sh)" +
        ", dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)" +
        ", kept AS (SELECT t.id, t.tok, f.df FROM toks t JOIN dfreq f " +
        "USING (tok) WHERE f.df <= 10000)" +
@@ -1868,17 +1874,17 @@ object PipelineQueries {
        "(PARTITION BY k.id ORDER BY k.df, k.tok) AS rn FROM kept k " +
        "JOIN sizes s USING (id))" +
        ", prefix AS (SELECT id, tok, n FROM ranked WHERE rn <= " +
-       "n - ((4 * n + 4) // 5) + 1)" +
+       "n - ((1 * n + 1) // 2) + 1)" +
        ", cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM " +
        "prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id " +
-       "AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)" +
+       "AND a.n * 2 >= b.n * 1 AND b.n * 2 >= a.n * 1)" +
        ", inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter FROM " +
        "cands c JOIN kept ta ON c.id1 = ta.id JOIN kept tb ON " +
        "c.id2 = tb.id AND ta.tok = tb.tok GROUP BY 1, 2)" +
        ", pairs AS (SELECT i.id1, i.id2, i.inter, " +
        "sa.n + sb.n - i.inter AS union_n FROM inter i JOIN sizes sa " +
        "ON i.id1 = sa.id JOIN sizes sb ON i.id2 = sb.id WHERE " +
-       "i.inter * 5 >= (sa.n + sb.n - i.inter) * 4) " +
+       "i.inter * 2 >= (sa.n + sb.n - i.inter) * 1) " +
        "SELECT COUNT(*) AS n_pairs, CAST(SUM(inter) AS BIGINT) AS " +
        "sum_inter, CAST(SUM(union_n) AS BIGINT) AS sum_union " +
        "FROM pairs"),

@@ -1042,6 +1042,31 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bruteJaccard(corpus, 1, 10, maxDf = 3L))
   }
 
+  test("shingle mode equals jaccardPairs — two formulations, one " +
+       "answer") {
+    // near-dup pair + decoys: the prefix-filtered join over shingle
+    // digests must reproduce the full shingle self-join exactly
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta kappa",
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "one two three four five six seven eight nine eleven",
+      5L -> "totally different content with no shared shingles here")
+    val viaPrefix = Dedup.prefixJaccardPairs(docs(corpus: _*),
+        col("doc_id"), col("text"), 1, 3, shingleK = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("inter"), r.getAs[Long]("union_n"))).toSet
+    val viaFull = Dedup.jaccardPairs(docs(corpus: _*),
+        col("doc_id"), col("text"), shingleK = 5, thresholdNum = 1,
+        thresholdDen = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("inter"), r.getAs[Long]("union_n"))).toSet
+    assert(viaPrefix == viaFull)
+    assert(viaPrefix.nonEmpty) // the fixture really has near-dups
+  }
+
   test("prefix jaccard pre-flight refuses a degenerate prefix " +
        "distribution") {
     // 40 docs sharing one rare-ish token that lands in every prefix:

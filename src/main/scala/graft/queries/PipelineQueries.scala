@@ -543,6 +543,48 @@ object PipelineQueries {
         .orderBy(col("bucket").asc_nulls_first)
     }),
 
+    // disjoint deterministic train/val/test split census: the same
+    // md5 bucket arithmetic as Sampling.hashSplit, all buckets in one
+    // pass — membership is a pure function of the key (stable across
+    // runs, engines, partitionings), and the census proves the
+    // partition is complete and disjoint (counts sum to the corpus)
+    "q83_hash_split_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(
+          pmod(Sampling.hash32(col("doc_id")), lit(3L)).as("bucket"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("ntok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"))
+        .orderBy(col("bucket").asc_nulls_first)
+    }),
+
+    // trailing-window rolling features (the feature-engineering
+    // staple): per-user 1-hour event count via a RANGE window — one
+    // keyed exchange + one keyed sort, frames by time VALUE so ties
+    // and batch boundaries cannot skew it; summarized per user
+    "q84_rolling_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val tss = ev.schema("ts").dataType match {
+        case LongType => expr("ts DIV 1000000000")
+        case _ => (datediff(col("ts").cast("date"),
+            to_date(lit("1970-01-01"))).cast("long") * 86400L +
+          hour(col("ts")).cast("long") * 3600L +
+          minute(col("ts")).cast("long") * 60L +
+          second(col("ts")).cast("long"))
+      }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tss"))
+        .rangeBetween(-3600L, Window.currentRow)
+      ev.select(col("user_id"), tss.as("tss"))
+        .withColumn("c", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("c")).as("max_burst"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -1940,6 +1982,24 @@ object PipelineQueries {
       "MIN(z) AS min_z, MAX(z) AS max_z FROM zs GROUP BY 1 " +
       "ORDER BY 1 NULLS FIRST"
     },
+    // q83: pmod over the same md5 hash space as q37
+    "q83_hash_split_census" ->
+      ("SELECT bucket, COUNT(*) AS n_docs, " +
+       "CAST(SUM(array_length(regexp_split_to_array(trim(text), " +
+       "'\\s+'))) AS BIGINT) AS n_tokens FROM " +
+       "(SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+       "1, 8) AS BIGINT) % 3 AS bucket, text FROM documents) " +
+       "GROUP BY bucket ORDER BY bucket NULLS FIRST"),
+    // q84: RANGE window frames by time value — identical semantics
+    // in DuckDB; epoch seconds via epoch_us
+    "q84_rolling_features" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS tss " +
+       "FROM events), " +
+       "r AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id " +
+       "ORDER BY tss RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+       "AS c FROM e) " +
+       "SELECT user_id, MAX(c) AS max_burst, COUNT(*) AS n_events " +
+       "FROM r GROUP BY user_id ORDER BY user_id NULLS FIRST"),
     // q79: the same pattern constants as the Spark side, nested in
     // PiiRedactOrder; 'g' flag = Spark's replace-all default
     "q79_pii_redact" -> {

@@ -71,7 +71,8 @@ class PipelineDtypeSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.TimestampNTZType)
 
     for (q <- Seq("q34_nanos_range", "q53_sessionize",
-        "q55_asof_bucketed", "q59_range_join")) {
+        "q55_asof_bucketed", "q59_range_join", "q80_zorder_census",
+        "q84_rolling_features")) {
       val a = PipelineQueries.queries(q)(s, nsDir).collect()
         .map(_.toString).sorted.toSeq
       val b = PipelineQueries.queries(q)(s, usDir).collect()

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset versioning: what changed between two corpus snapshots.
+  *
+  * A 100 TB training corpus is re-crawled / re-filtered continuously;
+  * the nightly question is "what did this revision add, drop, or
+  * rewrite" — both for audit and because downstream consumers
+  * (dedup indexes, tokenized shards, eval decontamination screens)
+  * want to process the DELTA, not re-run over everything.
+  *
+  * The diff is a single full-outer equi-join on the snapshot key
+  * comparing content fingerprints — one shuffle on the key (or zero,
+  * if both snapshots are written through
+  * [[Layout.writeBucketed]] on the key), no content ever moves: the
+  * fingerprint (md5 of the canonicalized text, the q24 exact-dedup
+  * digest) travels instead of the document bytes.
+  */
+object Delta {
+
+  /** Row-level diff of two snapshots keyed by `key`: returns
+    * `(key, status)` with status ∈ added | removed | changed |
+    * unchanged. `fp` is evaluated against each side's columns, so
+    * pass a content digest (e.g.
+    * `TextFunctions.fingerprint(col("text"))`), not raw content.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                   fp: Column): DataFrame = {
+    val o = oldDf.select(col(key).as("key"), fp.as("old_fp"))
+    val n = newDf.select(col(key).as("key"), fp.as("new_fp"))
+    o.join(n, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Census form of [[snapshotDiff]]: status → row count. The shape
+    * the audit dashboard wants, and cheap: the partial count combines
+    * map-side, so the second shuffle carries ≤ 4 rows per partition.
+    */
+  def snapshotDiffCensus(oldDf: DataFrame, newDf: DataFrame,
+                         key: String, fp: Column): DataFrame =
+    snapshotDiff(oldDf, newDf, key, fp)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -84,4 +84,35 @@ object Layout {
       else withZ.repartitionByRange(col("__z"))
     parted.sortWithinPartitions(col("__z")).drop("__z")
   }
+
+  /** Salted shuffle join for a SKEWED key distribution when the
+    * build side is too big to broadcast: a handful of hot keys
+    * (power-law users, empty-string defaults) would otherwise pin a
+    * whole join on a few straggler tasks.
+    *
+    * The fact side gets a deterministic salt in [0, salt) hashed
+    * from its row identity; the dim side is replicated `salt` ways
+    * (explode of a literal range — `salt`× the DIM side only, which
+    * is the cheap side by assumption). Joining on (key, salt) splits
+    * every hot key's rows across `salt` reducers. Result is exactly
+    * the plain inner join — the salt column never escapes.
+    *
+    * AQE's runtime skew-join handles sort-merge skew automatically
+    * when statistics surface it; this operator is the explicit form
+    * for when the skew is KNOWN up front (so the plan never builds
+    * the skewed exchange at all) and for aggregations downstream
+    * that inherit the salted partitioning. `saltFrom` must be a
+    * deterministic per-row expression (e.g. a primary-key column) —
+    * it only spreads rows, it never affects the join result.
+    */
+  def skewJoin(fact: DataFrame, dim: DataFrame, key: String,
+               salt: Int, saltFrom: Column): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(saltFrom), lit(salt)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
 }

@@ -1206,4 +1206,55 @@ object Similarity {
       .join(broadcast(probes), Seq("label"))
     adcRank(cands, score, k)
   }
+
+  // ---- int8 scalar quantization (per-dimension affine map) --------
+
+  /** Per-dimension quantized min/max over an embedding column — the
+    * scalar-quantization "codebook": `(dim, qmn, qmx)` where qmn/qmx
+    * are exact round(x·2^25) integers. One pass, one partial-agg
+    * shuffle of `dims` rows; the result is codebook-sized (dims ≤ a
+    * few thousand) and broadcast to the encode join.
+    */
+  def sqStats(df: DataFrame, vecCol: String): DataFrame = {
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        quant(col("x")).as("qx"))
+      .groupBy(col("dim"))
+      .agg(min(col("qx")).as("qmn"), max(col("qx")).as("qmx"))
+  }
+
+  /** Encode every vector component to an 8-bit code on its
+    * dimension's [qmn, qmx] range — 4× smaller than float32 (the
+    * memory-bound ANN scan's cheapest win; PQ's 64× sits beyond it
+    * on the same axis). All arithmetic is exact BIGINT: with
+    * s = qmx − qmn, `code = ⌊(510·(qx−qmn) + s) / (2s)⌋` is
+    * round-half-up of 255·(qx−qmn)/s — no float division, so the
+    * DuckDB oracle reproduces every code exactly. `bound_ok` pins
+    * the quantization error guarantee |255·(qx−qmn) − code·s| ≤ s/2
+    * in the same exact integers (×2 to stay integral); constant
+    * dimensions (s = 0) encode to 0 with the gate trivially true.
+    *
+    * Scale shape: one scan of the vectors, `stats` broadcast — no
+    * shuffle of vector data at all.
+    */
+  def sqCodes(df: DataFrame, idCol: String, vecCol: String,
+              stats: DataFrame): DataFrame = {
+    val quant = (x: Column) =>
+      round(x.cast("double") * 33554432.0).cast("long")
+    val comps = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        quant(col("x")).as("qx"))
+    comps.join(broadcast(stats), Seq("dim"))
+      .withColumn("span", col("qmx") - col("qmn"))
+      .withColumn("code", when(col("span") === 0L, lit(0L))
+        .otherwise(expr(
+          "((qx - qmn) * 510 + span) div (span * 2)")))
+      .select(col("id"), col("dim"), col("code"),
+        (abs((col("qx") - col("qmn")) * 510L -
+          col("code") * col("span") * 2L) <= col("span"))
+          .as("bound_ok"))
+  }
 }

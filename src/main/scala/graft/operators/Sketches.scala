@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{SpaceSavingAgg, TextFunctions}
 
 /** Sketch-based corpus profiling — the statistics a 100 TB pipeline
   * can actually afford.
@@ -88,5 +88,32 @@ object Sketches {
           col("exact_unique") * tolPct).as("unique_fp_ok"),
         (abs(col("approx_p50") - col("exact_p50")) * 100 <=
           col("exact_p50") * tolPct).as("median_tok_ok"))
+  }
+
+  /** Per-group heavy hitters via the SpaceSaving sketch
+    * ([[graft.functions.SpaceSavingAgg]]): at most `k` counters per
+    * group — fixed memory and map-side mergeable, where an exact
+    * `GROUP BY (group, item)` shuffles one row per distinct item.
+    * Emits the `topN` tracked items per group as
+    * `(group, item, est)` rows, ranked (est desc, item asc).
+    *
+    * Estimates are exact whenever a group's distinct-item count stays
+    * ≤ k (no eviction — the regime the q85 oracle pins); beyond that
+    * they carry the SpaceSaving guarantee |est − truth| ≤ n/k
+    * (spec-pinned, SpaceSavingSpec).
+    */
+  def heavyHitters(df: DataFrame, group: Column, item: Column,
+                   k: Int = 64, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = df.select(group.as("group"), item.as("item"))
+      .where(col("item").isNotNull)
+      .groupBy(col("group"))
+      .agg(SpaceSavingAgg.spaceSaving(col("item"), k).as("hh"))
+      .select(col("group"), explode(col("hh")).as(Seq("item", "est")))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("est").desc, col("item").asc)
+    sk.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .drop("rn")
   }
 }

@@ -394,4 +394,31 @@ object Temporal {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)) - lit(1L))
   }
+
+  /** CDC / changelog compaction: keep each key's LATEST row — the
+    * "current snapshot" materialization every incrementally-ingested
+    * 100 TB table needs nightly.
+    *
+    * Implemented as a single `max(struct(ts, tiebreak, row))`
+    * aggregation, NOT a row_number window: the aggregate combines
+    * map-side (each input partition contributes one candidate per
+    * key), so the shuffle carries one row per distinct key per
+    * partition instead of the full changelog, and no per-key sort is
+    * ever materialized. Struct comparison is lexicographic, so
+    * `tiebreak` (e.g. a monotone change-id) makes the winner total —
+    * deterministic across partitionings and engines even with tied
+    * timestamps.
+    *
+    * `ts` may be integral, TIMESTAMP, or TIMESTAMP_NTZ — comparison
+    * is order-preserving for all three, no unit arithmetic happens.
+    * Returns the input schema, one row per key.
+    */
+  def compactLatest(df: DataFrame, key: String, ts: String,
+                    tiebreak: String): DataFrame = {
+    val rowCols = df.columns.toIndexedSeq.map(c => col(c).as(c))
+    df.groupBy(col(key).as("__k"))
+      .agg(max(struct(col(ts).as("__ts"), col(tiebreak).as("__tb"),
+        struct(rowCols: _*).as("__row"))).as("__m"))
+      .select(col("__m.__row.*"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Layout, Multimodal, Sampling,
+import graft.operators.{Dedup, Delta, Layout, Multimodal, Sampling,
   Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
@@ -583,6 +583,138 @@ object PipelineQueries {
         .agg(max(col("c")).as("max_burst"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id").asc_nulls_first)
+    }),
+
+    // per-source token heavy hitters via the SpaceSaving sketch:
+    // k=64 counters per group — fixed memory, map-side mergeable —
+    // replaces the exact GROUP BY token whose shuffle carries one
+    // row per distinct token. The corpus vocabulary fits inside k,
+    // so no eviction happens and the sketch is EXACT (the oracle
+    // pins equality with true counts); the eviction/merge
+    // guarantees are spec-pinned where Scala can see the truth
+    "q85_heavy_hitters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      Sketches.heavyHitters(tk, col("source"), col("tok"),
+          k = 64, topN = 5)
+        .select(col("group").as("source"), col("item").as("tok"),
+          col("est"))
+        .orderBy(col("source").asc_nulls_first, col("est").desc,
+          col("tok").asc)
+    }),
+
+    // CDC latest-record compaction: the "current snapshot" of an
+    // append-only changelog — one max(struct(ts, tiebreak, row))
+    // aggregate, so each scan partition forwards ONE candidate per
+    // key (map-side partial max) and no per-key sort or window ever
+    // materializes; event_id breaks timestamp ties totally
+    "q86_latest_snapshot" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Temporal.compactLatest(ev, "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
+    // inverted-index posting summary: token -> document frequency,
+    // total term frequency, and the top-scoring document. Two keyed
+    // aggregations (tok,doc) then (tok), both with map-side
+    // partials; the top document rides a max(struct) — no per-token
+    // sort, no window, so a stopword's million-document posting
+    // list never sits in one task's memory
+    "q87_inverted_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      tk.groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).cast("long").as("tf_total"),
+          max(struct(col("tf").as("tf"),
+            (-col("doc_id")).as("nd"),
+            col("doc_id").as("d"))).as("__m"))
+        .select(col("tok"), col("df"), col("tf_total"),
+          col("__m.d").as("top_doc"))
+        .orderBy(col("tok").asc_nulls_first)
+    }),
+
+    // BPE-style adjacent-pair counting (the inner loop of tokenizer
+    // training): one codegen'd transform over each token array
+    // (no self-join, no positional explode-join), then a keyed
+    // count — top merge candidates by frequency
+    "q88_pair_counts" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(TextFunctions.tokens(col("text")).as("l"))
+        .where(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> concat(l[i-1], ' ', l[i]))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(10)
+    }),
+
+    // dataset-versioning diff: v2 of the corpus is derived
+    // deterministically (drop the h%20==0 slice, append ' v2' to
+    // the h%7==0 slice, add a fresh h%25==0 slice under shifted
+    // ids), then Delta.snapshotDiff reduces the comparison to one
+    // fingerprint equi-join — no content moves, and downstream
+    // consumers process the delta, not the corpus
+    "q89_corpus_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = pmod(Sampling.hash32(col("doc_id")), lit(700L))
+      val v2 = docs.where(h % 20L =!= 0L)
+        .withColumn("text", when(h % 7L === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(h % 25L === 0L)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("text")))
+      Delta.snapshotDiffCensus(docs, v2, "doc_id", md5(col("text")))
+        .orderBy(col("status").asc_nulls_first)
+    }),
+
+    // int8 scalar quantization census: per-dimension [min,max]
+    // codebook (one pass), then every component encoded to an 8-bit
+    // code in EXACT integer arithmetic — 4× smaller than float32
+    // with a broadcast-join encode (zero vector shuffle). bounds_ok
+    // pins the quantization error guarantee |255·(qx−qmn) − code·s|
+    // ≤ s/2 over every component
+    "q90_sq_census" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val stats = Similarity.sqStats(emb, "embedding")
+      val codes = Similarity.sqCodes(emb, "vec_id", "embedding",
+        stats)
+      codes.join(emb.select(col("vec_id").as("id"), col("label")),
+          Seq("id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_comps"),
+          sum(col("code")).cast("long").as("sum_codes"),
+          expr("bool_and(bound_ok)").as("bounds_ok"))
+        .orderBy(col("label").asc_nulls_first)
+    }),
+
+    // salted skew join: events fact side salted 8 ways, customer
+    // dim side replicated 8 ways, joined on (key, salt) — a known
+    // hot key's rows spread over 8 reducers instead of pinning one
+    // straggler; the result is EXACTLY the plain inner join, which
+    // is what the oracle runs
+    "q91_salted_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Layout.skewJoin(ev, cust, "user_id", salt = 8,
+          saltFrom = col("event_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
     }),
 
     // PII redaction (the release-time transform paired with q50's
@@ -2000,6 +2132,98 @@ object PipelineQueries {
        "AS c FROM e) " +
        "SELECT user_id, MAX(c) AS max_burst, COUNT(*) AS n_events " +
        "FROM r GROUP BY user_id ORDER BY user_id NULLS FIRST"),
+    // q85: the sketch runs in its exact regime (vocabulary ≤ k), so
+    // the oracle is the true per-source token counts
+    "q85_heavy_hitters" ->
+      ("WITH tk AS (SELECT source, " +
+       "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok " +
+       "FROM documents), " +
+       "c AS (SELECT source, tok, COUNT(*) AS est FROM tk " +
+       "WHERE tok <> '' GROUP BY source, tok), " +
+       "r AS (SELECT source, tok, est, row_number() OVER " +
+       "(PARTITION BY source ORDER BY est DESC, tok) AS rn FROM c) " +
+       "SELECT source, tok, est FROM r WHERE rn <= 5 " +
+       "ORDER BY source NULLS FIRST, est DESC, tok"),
+    // q86: latest row per key, ties broken by event_id — the
+    // row_number formulation is the oracle; the engine's
+    // max(struct) must pick the identical winner
+    "q86_latest_snapshot" ->
+      ("SELECT user_id, event_id, event_type, value FROM " +
+       "(SELECT user_id, event_id, event_type, value, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, " +
+       "event_id DESC) AS rn FROM events) WHERE rn = 1 " +
+       "ORDER BY user_id NULLS FIRST"),
+    "q87_inverted_index" ->
+      ("WITH tk AS (SELECT doc_id, " +
+       "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok " +
+       "FROM documents), " +
+       "pd AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk " +
+       "WHERE tok <> '' GROUP BY tok, doc_id), " +
+       "r AS (SELECT tok, doc_id, tf, row_number() OVER " +
+       "(PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn FROM pd) " +
+       "SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS " +
+       "tf_total, MAX(CASE WHEN rn = 1 THEN doc_id END) AS " +
+       "top_doc FROM r GROUP BY tok ORDER BY tok NULLS FIRST"),
+    // q88: 1-based list indexing; range(2, n+1) is end-exclusive,
+    // pairing (l[i-1], l[i]) exactly like the engine's 0-based
+    // transform
+    "q88_pair_counts" ->
+      ("WITH d AS (SELECT regexp_split_to_array(trim(text), " +
+       "'\\s+') AS l FROM documents), " +
+       "p AS (SELECT unnest(list_transform(range(2, len(l) + 1), " +
+       "i -> l[i-1] || ' ' || l[i])) AS pair FROM d " +
+       "WHERE len(l) >= 2) " +
+       "SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair " +
+       "ORDER BY cnt DESC, pair LIMIT 10"),
+    // q89: same md5 hash space as q37 (h % 700 so the %20/%7/%25
+    // slices share one hash), same v2 derivation, FULL OUTER join
+    // on the id comparing md5 content fingerprints
+    "q89_corpus_delta" ->
+      ("WITH h AS (SELECT doc_id, text, CAST('0x' || " +
+       "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) " +
+       "% 700 AS h7 FROM documents), " +
+       "v1 AS (SELECT doc_id, md5(text) AS fp FROM documents), " +
+       "v2 AS (SELECT doc_id, md5(CASE WHEN h7 % 7 = 0 THEN " +
+       "text || ' v2' ELSE text END) AS fp FROM h " +
+       "WHERE h7 % 20 <> 0 " +
+       "UNION ALL SELECT doc_id + 10000000, md5(text) FROM h " +
+       "WHERE h7 % 25 = 0), " +
+       "j AS (SELECT v1.fp AS ofp, v2.fp AS nfp FROM v1 " +
+       "FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) " +
+       "SELECT CASE WHEN ofp IS NULL THEN 'added' " +
+       "WHEN nfp IS NULL THEN 'removed' " +
+       "WHEN ofp = nfp THEN 'unchanged' ELSE 'changed' END AS " +
+       "status, COUNT(*) AS n FROM j GROUP BY status " +
+       "ORDER BY status NULLS FIRST"),
+    // q90: the exact-integer quantization ladder — qx = round(x·2²⁵)
+    // (exact: a float times a power of two), per-dim [qmn, qmx],
+    // code = round-half-up in pure BIGINT (// is floor; operands are
+    // non-negative), bound gate in the same integers
+    "q90_sq_census" ->
+      ("WITH qc AS (SELECT vec_id, i AS dim, CAST(round(CAST(x AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) AS qx FROM (SELECT " +
+       "vec_id, generate_subscripts(embedding, 1) AS i, " +
+       "unnest(embedding) AS x FROM embeddings)), " +
+       "st AS (SELECT dim, MIN(qx) AS qmn, MAX(qx) AS qmx FROM qc " +
+       "GROUP BY dim), " +
+       "cd AS (SELECT vec_id, qx, qmn, qmx - qmn AS span, " +
+       "CASE WHEN qmx = qmn THEN 0 ELSE ((qx - qmn) * 510 + " +
+       "(qmx - qmn)) // ((qmx - qmn) * 2) END AS code " +
+       "FROM qc JOIN st USING (dim)), " +
+       "g AS (SELECT vec_id, code, CASE WHEN span = 0 THEN TRUE " +
+       "ELSE abs((qx - qmn) * 510 - code * span * 2) <= span END " +
+       "AS ok FROM cd) " +
+       "SELECT label, COUNT(*) AS n_comps, CAST(SUM(code) AS " +
+       "BIGINT) AS sum_codes, bool_and(ok) AS bounds_ok FROM g " +
+       "JOIN embeddings USING (vec_id) GROUP BY label " +
+       "ORDER BY label NULLS FIRST"),
+    // q91: the salted join IS the plain inner join — the oracle
+    // runs the unsalted form
+    "q91_salted_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS " +
+       "sum_value FROM events JOIN customer ON user_id = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
     // q79: the same pattern constants as the Spark side, nested in
     // PiiRedactOrder; 'g' flag = Spark's replace-all default
     "q79_pii_redact" -> {

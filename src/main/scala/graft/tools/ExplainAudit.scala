@@ -218,7 +218,8 @@ object ExplainAudit {
     // corpus scan just to size the bucket space.)
     Seq("q29_lsh_buckets", "q30_cosine_near_dups",
         "q49_typicality", "q50_pii_scan", "q76_sketch_profile",
-        "q79_pii_redact", "q80_zorder_census").foreach { name =>
+        "q79_pii_redact", "q80_zorder_census", "q85_heavy_hitters",
+        "q87_inverted_index", "q88_pair_counts").foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
@@ -329,6 +330,85 @@ object ExplainAudit {
       println(s"\n=== q75_prefix_jaccard — equi-join-only shape ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] no nested-loop/" +
         s"cartesian anywhere in the plan (found nested=$nested)")
+    }
+
+    // ---- CDC compaction shape check ------------------------------
+    // compactLatest must plan as ONE keyed aggregation (partial +
+    // final over a single hash exchange) with NO Window exec and no
+    // per-key sort — the whole point of the max(struct) form
+    guarded("q86_latest_snapshot") {
+      val df = graft.SparkEntry.queries("q86_latest_snapshot")(spark,
+        sfDir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
+      def count(pat: String) = finalPlan.split(pat, -1).length - 1
+      val nWin = count("\\bWindow ")
+      val nExch = count("Exchange hashpartitioning")
+      val ok = nWin == 0 && nExch == 1
+      if (!ok) failures += 1
+      println(s"\n=== q86_latest_snapshot — one-agg CDC compaction ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] Window=$nWin " +
+        s"(want 0), hashExchange=$nExch (want 1)")
+    }
+
+    // ---- snapshot-diff join shape --------------------------------
+    // the corpus delta must be ONE fingerprint full-outer equi-join —
+    // no nested-loop/cartesian, and only digests travel (the plan's
+    // join keys are ids, its projections md5 fingerprints)
+    guarded("q89_corpus_delta") {
+      val df = graft.SparkEntry.queries("q89_corpus_delta")(spark,
+        sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val fullOuter = tree.contains("FullOuter")
+      val ok = !nested && fullOuter
+      if (!ok) failures += 1
+      println(s"\n=== q89_corpus_delta — fingerprint full-outer " +
+        "equi-join ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] FullOuter " +
+        s"equi-join (found $fullOuter), no nested-loop/cartesian " +
+        s"(found nested=$nested)")
+    }
+
+    // ---- scalar-quantization encode shape ------------------------
+    // the per-dim [min,max] codebook must reach the encode join as a
+    // BROADCAST (codebook-sized frame; the vector side never
+    // shuffles for it)
+    guarded("q90_sq_census") {
+      val df = graft.SparkEntry.queries("q90_sq_census")(spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val bcast = tree.contains("BroadcastHashJoin")
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val ok = bcast && !nested
+      if (!ok) failures += 1
+      println(s"\n=== q90_sq_census — broadcast codebook encode ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] " +
+        s"BroadcastHashJoin (found $bcast), no nested-loop/" +
+        s"cartesian (found nested=$nested)")
+    }
+
+    // ---- salted-join shape ---------------------------------------
+    // the skew join must actually join on (key, salt): the salt
+    // column appears in the join keys, and no nested-loop sneaks in
+    guarded("q91_salted_join") {
+      val df = graft.SparkEntry.queries("q91_salted_join")(spark,
+        sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val salted = tree.contains("__salt")
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val ok = salted && !nested
+      if (!ok) failures += 1
+      println(s"\n=== q91_salted_join — (key, salt) equi-join ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] __salt in join " +
+        s"keys (found $salted), no nested-loop/cartesian " +
+        s"(found nested=$nested)")
     }
 
     // ---- PQ ADC scan shape check ---------------------------------

@@ -717,6 +717,101 @@ object PipelineQueries {
         .orderBy(col("c_mktsegment").asc_nulls_first)
     }),
 
+    // n-gram novelty scoring: each non-reference source's word
+    // bigrams screened against the reference source's bigram set —
+    // the "how much of this crawl is new language" curation signal.
+    // The reference set is vocabulary-bounded (broadcast here; the
+    // q73/q74 Bloom prescreen is the same shape when it is not),
+    // and the probe side never shuffles for the screen
+    "q92_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("source"), TextFunctions.tokens(col("text"))
+          .as("l"))
+        .where(size(col("l")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> concat(l[i-1], ' ', l[i]))")).as("bg"))
+      val ref = bigrams(docs.where(col("source") === "src0"))
+        .select(col("bg")).distinct().withColumn("__hit", lit(1))
+      bigrams(docs.where(col("source") =!= "src0"))
+        .join(broadcast(ref), Seq("bg"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("__hit").isNull, 1)).as("n_novel"),
+          countDistinct(when(col("__hit").isNull, col("bg")))
+            .as("n_novel_distinct"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
+    // per-day distinct-user estimate with a self-auditing gate (the
+    // q76 pattern over the time axis): HLL++ next to the exact
+    // distinct, oracle pins the exact columns and the
+    // within-tolerance boolean — fixed sketch state per day is the
+    // only affordable "daily uniques" shape on an unbounded stream
+    "q93_daily_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = ev.schema("ts").dataType match {
+        case LongType => expr("ts DIV 86400000000000")
+        case _ => datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long")
+      }
+      ev.select(day.as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.02)
+            .as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("day"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 100 <=
+            col("exact_users") * 5).as("users_ok"))
+        .orderBy(col("day").asc_nulls_first)
+    }),
+
+    // conversion funnel: signup → first-signup-or-later purchase.
+    // One unbounded per-user window (min over the partition — no
+    // ORDER BY, no frame sort semantics needed) feeds a single
+    // global aggregate; ts comparisons are dtype-agnostic
+    "q94_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val converted = col("event_type") === "purchase" &&
+        col("ts") >= col("first_signup")
+      ev.withColumn("first_signup",
+          min(when(col("event_type") === "signup", col("ts")))
+            .over(w))
+        .agg(
+          countDistinct(when(col("first_signup").isNotNull,
+            col("user_id"))).as("n_users_signup"),
+          countDistinct(when(converted, col("user_id")))
+            .as("n_users_converted"),
+          count(when(converted, 1)).as("n_purchases_after"))
+    }),
+
+    // retention cohorts: users bucketed by first-seen day, distinct
+    // actives per (cohort, day-offset). Built as agg + equi-join +
+    // agg — each stage shuffles ONLY on its key with map-side
+    // partials, no per-user sort (the window formulation would sort
+    // every user's history)
+    "q95_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = ev.schema("ts").dataType match {
+        case LongType => expr("ts DIV 86400000000000")
+        case _ => datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long")
+      }
+      val ud = ev.select(col("user_id"), day.as("day")).distinct()
+      val firsts = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"))
+      ud.join(firsts, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (col("day") - col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort").asc_nulls_first,
+          col("day_offset").asc_nulls_first)
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2217,6 +2312,50 @@ object PipelineQueries {
        "BIGINT) AS sum_codes, bool_and(ok) AS bounds_ok FROM g " +
        "JOIN embeddings USING (vec_id) GROUP BY label " +
        "ORDER BY label NULLS FIRST"),
+    // q92: identical bigram extraction via DuckDB list lambdas; the
+    // LEFT JOIN marker mirrors the engine's broadcast screen
+    "q92_ngram_novelty" ->
+      ("WITH d AS (SELECT source, regexp_split_to_array(trim(text), " +
+       "'\\s+') AS l FROM documents), " +
+       "p AS (SELECT source, unnest(list_transform(range(2, " +
+       "len(l) + 1), i -> l[i-1] || ' ' || l[i])) AS bg FROM d " +
+       "WHERE len(l) >= 2), " +
+       "ref AS (SELECT DISTINCT bg FROM p WHERE source = 'src0'), " +
+       "pr AS (SELECT p.source, p.bg, ref.bg IS NOT NULL AS hit " +
+       "FROM p LEFT JOIN ref ON p.bg = ref.bg " +
+       "WHERE p.source <> 'src0') " +
+       "SELECT source, COUNT(*) AS n_bigrams, " +
+       "COUNT(CASE WHEN NOT hit THEN 1 END) AS n_novel, " +
+       "COUNT(DISTINCT CASE WHEN NOT hit THEN bg END) AS " +
+       "n_novel_distinct FROM pr GROUP BY source " +
+       "ORDER BY source NULLS FIRST"),
+    // q93: exact daily uniques; the engine's HLL++ estimate only
+    // surfaces through the users_ok gate, pinned TRUE
+    "q93_daily_distinct" ->
+      ("SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "COUNT(*) AS n_events, " +
+       "COUNT(DISTINCT user_id) AS exact_users, " +
+       "TRUE AS users_ok FROM events GROUP BY day " +
+       "ORDER BY day NULLS FIRST"),
+    "q94_funnel" ->
+      ("WITH f AS (SELECT user_id, event_type, ts, " +
+       "MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER " +
+       "(PARTITION BY user_id) AS fs FROM events) " +
+       "SELECT COUNT(DISTINCT CASE WHEN fs IS NOT NULL THEN " +
+       "user_id END) AS n_users_signup, " +
+       "COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND " +
+       "ts >= fs THEN user_id END) AS n_users_converted, " +
+       "COUNT(CASE WHEN event_type = 'purchase' AND ts >= fs " +
+       "THEN 1 END) AS n_purchases_after FROM f"),
+    "q95_retention" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // " +
+       "86400000000 AS day FROM events), " +
+       "f AS (SELECT user_id, MIN(day) AS cohort FROM ud " +
+       "GROUP BY user_id) " +
+       "SELECT cohort, day - cohort AS day_offset, " +
+       "COUNT(DISTINCT ud.user_id) AS n_users FROM ud " +
+       "JOIN f USING (user_id) GROUP BY cohort, day_offset " +
+       "ORDER BY cohort NULLS FIRST, day_offset"),
     // q91: the salted join IS the plain inner join — the oracle
     // runs the unsalted form
     "q91_salted_join" ->

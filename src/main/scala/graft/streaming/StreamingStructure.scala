@@ -88,6 +88,24 @@ object StreamingStructure {
     graft.operators.Sketches.corpusProfile(df, col(groupCol),
       col(textCol), rsd, accuracy)
 
+  /** Streaming heavy hitters — the ingest-side twin of
+    * [[graft.operators.Sketches.heavyHitters]]'s aggregation: the
+    * SpaceSaving state is a bounded mergeable monoid (≤ k counters
+    * per group FOREVER, independent of stream length), so the
+    * streaming aggregate's state store holds exactly one sketch
+    * buffer per group — the only affordable "top tokens so far"
+    * shape on an unbounded ingest. Complete-mode output; exact while
+    * a group's distinct-item count stays ≤ k (the regime
+    * StreamingHeavyHittersSpec pins against the batch sketch).
+    */
+  def heavyHittersStream(df: DataFrame, groupCol: String,
+                         itemCol: String, k: Int = 64): DataFrame =
+    df.select(col(groupCol).as("group"), col(itemCol).as("item"))
+      .where(col("item").isNotNull)
+      .groupBy(col("group"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("item"), k)
+        .as("hh"))
+
   /** Streaming exact deduplication — the ingest-side twin of
     * [[graft.operators.Dedup.exactDupStats]]: keep the FIRST arrival
     * of each canonical text fingerprint

@@ -219,7 +219,8 @@ object ExplainAudit {
     Seq("q29_lsh_buckets", "q30_cosine_near_dups",
         "q49_typicality", "q50_pii_scan", "q76_sketch_profile",
         "q79_pii_redact", "q80_zorder_census", "q85_heavy_hitters",
-        "q87_inverted_index", "q88_pair_counts").foreach { name =>
+        "q87_inverted_index", "q88_pair_counts",
+        "q93_daily_distinct").foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
@@ -387,6 +388,26 @@ object ExplainAudit {
       val ok = bcast && !nested
       if (!ok) failures += 1
       println(s"\n=== q90_sq_census — broadcast codebook encode ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] " +
+        s"BroadcastHashJoin (found $bcast), no nested-loop/" +
+        s"cartesian (found nested=$nested)")
+    }
+
+    // ---- novelty-screen shape ------------------------------------
+    // the reference bigram set must reach the probe side as a
+    // BROADCAST (the probe corpus never shuffles for the screen)
+    guarded("q92_ngram_novelty") {
+      val df = graft.SparkEntry.queries("q92_ngram_novelty")(spark,
+        sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val bcast = tree.contains("BroadcastHashJoin")
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val ok = bcast && !nested
+      if (!ok) failures += 1
+      println(s"\n=== q92_ngram_novelty — broadcast reference " +
+        "screen ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] " +
         s"BroadcastHashJoin (found $bcast), no nested-loop/" +
         s"cartesian (found nested=$nested)")

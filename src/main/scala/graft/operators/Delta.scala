@@ -47,4 +47,37 @@ object Delta {
     snapshotDiff(oldDf, newDf, key, fp)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"))
+
+  /** MERGE INTO: apply a changelog to a snapshot — the lakehouse
+    * upsert/delete compaction every incrementally-maintained table
+    * runs nightly.
+    *
+    * `changes` carries the snapshot's payload columns plus `opCol`
+    * (`"upsert"` | `"delete"`), `ts`, and `tiebreak`. Per key, the
+    * LATEST change wins ([[Temporal.compactLatest]] — one map-side-
+    * partial aggregation, so a key changed a million times still
+    * ships one candidate per scan partition); the merge itself is a
+    * single full-outer equi-join on the key:
+    * latest op = delete → row dropped; upsert → the change's
+    * payload; no change → the snapshot row. Two keyed exchanges
+    * total (or zero for the join side, if snapshot and changelog are
+    * both written through [[Layout.writeBucketed]] on the key).
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+                     key: String, ts: String, tiebreak: String,
+                     opCol: String): DataFrame = {
+    val payload = snapshot.columns.filter(_ != key)
+    require(payload.forall(changes.columns.contains),
+      "changes must carry every snapshot payload column")
+    val latest = graft.operators.Temporal
+      .compactLatest(changes, key, ts, tiebreak)
+      .select(col(key) +: col(opCol).as("__op") +:
+        payload.toIndexedSeq.map(c => col(c).as(s"__n_$c")): _*)
+    snapshot.join(latest, Seq(key), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "delete")
+      .select(col(key) +: payload.toIndexedSeq.map { c =>
+        when(col("__op") === "upsert", col(s"__n_$c"))
+          .otherwise(col(c)).as(c)
+      }: _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -810,6 +810,79 @@ object PipelineQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort").asc_nulls_first,
           col("day_offset").asc_nulls_first)
+    }),
+
+    // MERGE INTO: a deterministic synthetic changelog (two stacked
+    // upserts whose later version must win, deletes that also beat
+    // earlier upserts on the same key, inserts under fresh keys)
+    // applied to the customer snapshot via Delta.applyChangelog —
+    // latest-change compaction + ONE full-outer equi-join; census
+    // by segment pins the merged state
+    "q96_apply_changelog" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      // 630 = lcm(7, 9, 10): one hash, three independent slices
+      val h = pmod(Sampling.hash32(col("c_custkey")), lit(630L))
+      def slice(m: Long) = cust.where(h % m === 0L)
+      def chg(df: DataFrame, bal: Column, seg: Column, ts: Long,
+              op: String): DataFrame =
+        df.select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), bal.as("c_acctbal"),
+          seg.as("c_mktsegment"), lit(ts).as("__ts"),
+          lit(op).as("__op"))
+      val changes =
+        chg(slice(7), col("c_acctbal") + 50.0, col("c_mktsegment"),
+          1L, "upsert")
+        .unionByName(chg(slice(7), col("c_acctbal") + 100.0,
+          col("c_mktsegment"), 2L, "upsert"))
+        .unionByName(chg(slice(10), col("c_acctbal"),
+          col("c_mktsegment"), 3L, "delete"))
+        .unionByName(chg(slice(9), lit(42.0), lit("NEW"), 1L,
+          "upsert")
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Delta.applyChangelog(cust, changes, "c_custkey", "__ts",
+          "__ts", "__op")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_acctbal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // ROLLUP cube: daily × event-type counts with subtotal and
+    // grand-total levels in ONE pass (Spark expands grouping sets
+    // inside a single aggregation — no per-level re-scan)
+    "q97_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = ev.schema("ts").dataType match {
+        case LongType => expr("ts DIV 86400000000000")
+        case _ => datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long")
+      }
+      ev.select(day.as("day"), col("event_type"))
+        .rollup(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }),
+
+    // PIVOT: event types to columns, one row per day — the
+    // wide-format export analysts ask for; explicit value list so
+    // the schema is static (no driver-side distinct scan), absent
+    // combinations filled with 0
+    "q98_pivot" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = ev.schema("ts").dataType match {
+        case LongType => expr("ts DIV 86400000000000")
+        case _ => datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long")
+      }
+      ev.select(day.as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day").asc_nulls_first)
     }),
 
     // PII redaction (the release-time transform paired with q50's
@@ -2337,6 +2410,47 @@ object PipelineQueries {
        "COUNT(DISTINCT user_id) AS exact_users, " +
        "TRUE AS users_ok FROM events GROUP BY day " +
        "ORDER BY day NULLS FIRST"),
+    // q96: the same hash slices (630 = lcm(7,9,10)), window-latest
+    // change per key, merge logic as CASE over the full-outer join
+    "q96_apply_changelog" ->
+      ("WITH h AS (SELECT *, CAST('0x' || " +
+       "substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) " +
+       "% 630 AS hh FROM customer), " +
+       "chg AS (" +
+       "SELECT c_custkey, c_acctbal + 50.0 AS bal, c_mktsegment " +
+       "AS seg, 1 AS ts, 'upsert' AS op FROM h WHERE hh % 7 = 0 " +
+       "UNION ALL SELECT c_custkey, c_acctbal + 100.0, " +
+       "c_mktsegment, 2, 'upsert' FROM h WHERE hh % 7 = 0 " +
+       "UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, 3, " +
+       "'delete' FROM h WHERE hh % 10 = 0 " +
+       "UNION ALL SELECT c_custkey + 1000000, 42.0, 'NEW', 1, " +
+       "'upsert' FROM h WHERE hh % 9 = 0), " +
+       "latest AS (SELECT * FROM (SELECT *, row_number() OVER " +
+       "(PARTITION BY c_custkey ORDER BY ts DESC) AS rn FROM chg) " +
+       "WHERE rn = 1), " +
+       "m AS (SELECT CASE WHEN l.op = 'upsert' THEN l.bal ELSE " +
+       "s.c_acctbal END AS bal, CASE WHEN l.op = 'upsert' THEN " +
+       "l.seg ELSE s.c_mktsegment END AS seg, l.op AS op FROM " +
+       "customer s FULL OUTER JOIN latest l ON s.c_custkey = " +
+       "l.c_custkey) " +
+       "SELECT seg AS c_mktsegment, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS " +
+       "sum_acctbal FROM m WHERE op IS NULL OR op <> 'delete' " +
+       "GROUP BY seg ORDER BY seg NULLS FIRST"),
+    "q97_rollup" ->
+      ("SELECT epoch_us(ts) // 86400000000 AS day, event_type, " +
+       "COUNT(*) AS n FROM events GROUP BY ROLLUP(day, event_type) " +
+       "ORDER BY day NULLS FIRST, event_type NULLS FIRST"),
+    "q98_pivot" ->
+      ("SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +
+       "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error, " +
+       "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS " +
+       "purchase, " +
+       "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS " +
+       "signup, " +
+       "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view " +
+       "FROM events GROUP BY day ORDER BY day NULLS FIRST"),
     "q94_funnel" ->
       ("WITH f AS (SELECT user_id, event_type, ts, " +
        "MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER " +

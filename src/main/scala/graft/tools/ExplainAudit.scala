@@ -393,6 +393,29 @@ object ExplainAudit {
         s"cartesian (found nested=$nested)")
     }
 
+    // ---- MERGE shape ---------------------------------------------
+    // applyChangelog must compact the changelog with the max(struct)
+    // aggregate (no Window exec anywhere) and merge through a
+    // full-outer equi-join — never a nested loop
+    guarded("q96_apply_changelog") {
+      val df = graft.SparkEntry.queries("q96_apply_changelog")(spark,
+        sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val nWin = finalPlan.split("\\bWindow ", -1).length - 1
+      val fullOuter = tree.contains("FullOuter")
+      val nested = tree.contains("NestedLoop") ||
+        tree.contains("Cartesian")
+      val ok = nWin == 0 && fullOuter && !nested
+      if (!ok) failures += 1
+      println(s"\n=== q96_apply_changelog — compaction + full-outer " +
+        "merge ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] Window=$nWin " +
+        s"(want 0), FullOuter join (found $fullOuter), no " +
+        s"nested-loop/cartesian (found nested=$nested)")
+    }
+
     // ---- novelty-screen shape ------------------------------------
     // the reference bigram set must reach the probe side as a
     // BROADCAST (the probe corpus never shuffles for the screen)

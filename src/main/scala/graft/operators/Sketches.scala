@@ -90,6 +90,54 @@ object Sketches {
           col("exact_p50") * tolPct).as("median_tok_ok"))
   }
 
+  /** Equi-depth binning WITHOUT a global sort: bucket boundaries are
+    * the GK quantile sketch's (1/b … (b−1)/b) estimates (one pass,
+    * fixed memory), broadcast back as a 1-row frame, and assignment
+    * is a codegen'd "count of boundaries ≤ v" over the broadcast
+    * array — the feature-binning shape that scales, where `ntile()`
+    * is a single-task global sort. Returns the input plus a `bucket`
+    * column in [0, b).
+    *
+    * Bucket populations are n/b ± (ties + 2·rankError·n); the
+    * boundaries themselves are partitioning-dependent within the GK
+    * rank-error bound, so downstream oracles pin the equi-depth
+    * PROPERTY ([[equiDepthCensus]]'s gate), not the raw boundaries.
+    */
+  def equiDepthBins(df: DataFrame, value: Column, b: Int,
+                    accuracy: Int = 10000): DataFrame = {
+    require(b >= 2, s"need at least 2 buckets: $b")
+    val bnds = df.agg(percentile_approx(value,
+      array((1 until b).map(i => lit(i.toDouble / b)): _*),
+      lit(accuracy)).as("__bnds"))
+    df.crossJoin(broadcast(bnds))
+      .withColumn("bucket",
+        size(filter(col("__bnds"),
+          x => x <= value.cast("double"))).cast("long"))
+      .drop("__bnds")
+  }
+
+  /** Audit form of [[equiDepthBins]]: one row with the exact total,
+    * the observed bucket count, and `depth_ok` — every bucket within
+    * `tolPct`% of the ideal depth n/b, compared by integer
+    * cross-multiplication (|cnt·b − n|·100 ≤ tolPct·n). The oracle
+    * pins the gate TRUE; a sketch whose boundaries drift past the
+    * rank-error bound fails the hash compare.
+    */
+  def equiDepthCensus(df: DataFrame, value: Column, b: Int,
+                      accuracy: Int = 10000,
+                      tolPct: Int = 5): DataFrame = {
+    val counts = equiDepthBins(df.select(value.as("__v")),
+        col("__v"), b, accuracy)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("long").as("__n"))
+    counts.crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n_total"),
+        count(lit(1)).cast("int").as("n_buckets"),
+        expr(s"bool_and(abs(cnt * $b - __n) * 100 <= $tolPct * __n)")
+          .as("depth_ok"))
+  }
+
   /** Per-group heavy hitters via the SpaceSaving sketch
     * ([[graft.functions.SpaceSavingAgg]]): at most `k` counters per
     * group — fixed memory and map-side mergeable, where an exact

@@ -885,6 +885,14 @@ object PipelineQueries {
         .orderBy(col("day").asc_nulls_first)
     }),
 
+    // equi-depth binning census: GK-sketch boundaries (one pass, no
+    // global sort — ntile() would single-task-sort the corpus),
+    // broadcast assignment, and the self-auditing depth gate — the
+    // oracle pins exact totals plus depth_ok TRUE
+    "q99_equidepth" -> ((s, d) =>
+      Sketches.equiDepthCensus(t(s, d, "lineitem"),
+        col("l_extendedprice"), b = 10)),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2410,6 +2418,12 @@ object PipelineQueries {
        "COUNT(DISTINCT user_id) AS exact_users, " +
        "TRUE AS users_ok FROM events GROUP BY day " +
        "ORDER BY day NULLS FIRST"),
+    // q99: the engine's GK boundaries are partitioning-dependent
+    // within their rank-error bound, so the oracle pins the exact
+    // total, the bucket count, and the equi-depth PROPERTY
+    "q99_equidepth" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_total, " +
+       "10 AS n_buckets, TRUE AS depth_ok FROM lineitem"),
     // q96: the same hash slices (630 = lcm(7,9,10)), window-latest
     // change per key, merge logic as CASE over the full-outer join
     "q96_apply_changelog" ->

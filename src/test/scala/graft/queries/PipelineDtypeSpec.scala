@@ -53,18 +53,20 @@ class PipelineDtypeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val tsUs = 1704067200000000L +
         rnd.nextInt(260000).toLong * 1000000L +
         rnd.nextInt(1000000).toLong
-      val et = if (i % 11 == 0) "signup" else "view"
-      (i.toLong, tsUs, user, et)
+      val et = if (i % 11 == 0) "signup"
+        else if (i % 5 == 0) "purchase" else "view"
+      (i.toLong, tsUs, user, et, (i % 97) * 1.5)
     }
-    val base = rows.toDF("event_id", "us", "user_id", "event_type")
+    val base = rows.toDF("event_id", "us", "user_id", "event_type",
+      "value")
     val nsDir = s"$tmp/ns"
     val usDir = s"$tmp/us"
     base.select(col("event_id"), (col("us") * 1000L).as("ts"),
-        col("user_id"), col("event_type"))
+        col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(s"$nsDir/events.parquet")
     base.select(col("event_id"),
         timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
-        col("user_id"), col("event_type"))
+        col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(s"$usDir/events.parquet")
     assert(s.read.parquet(s"$usDir/events.parquet")
       .schema("ts").dataType ==
@@ -72,7 +74,9 @@ class PipelineDtypeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     for (q <- Seq("q34_nanos_range", "q53_sessionize",
         "q55_asof_bucketed", "q59_range_join", "q80_zorder_census",
-        "q84_rolling_features")) {
+        "q84_rolling_features", "q86_latest_snapshot",
+        "q93_daily_distinct", "q94_funnel", "q95_retention",
+        "q97_rollup", "q98_pivot")) {
       val a = PipelineQueries.queries(q)(s, nsDir).collect()
         .map(_.toString).sorted.toSeq
       val b = PipelineQueries.queries(q)(s, usDir).collect()

@@ -138,6 +138,38 @@ object Sketches {
           .as("depth_ok"))
   }
 
+  /** Data-quality drift monitor: compare two slices of a corpus
+    * (A/B split, yesterday/today, crawl v1/v2 — any binary `split`
+    * expression) per group in ONE pass — conditional aggregation,
+    * no join, single scan. Emits the slice counts plus
+    * within-`tolPct` gates: `balance_ok` (doc counts agree) and
+    * `mean_tok_ok` (mean tokens agree, compared as
+    * |sumA·nB − sumB·nA| ≤ tol·sumB·nA — cross-multiplied in
+    * DECIMAL(38,0) so corpus-scale token sums cannot overflow the
+    * predicate).
+    */
+  def profileDrift(df: DataFrame, group: Column, text: Column,
+                   split: Column, tolPct: Int = 10): DataFrame = {
+    val ntok = TextFunctions.tokenCount(text).cast("long")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    df.select(group.as("group"), split.as("h"), ntok.as("ntok"))
+      .groupBy(col("group"))
+      .agg(
+        count(when(col("h") === 0L, 1)).as("n_a"),
+        count(when(col("h") =!= 0L, 1)).as("n_b"),
+        sum(when(col("h") === 0L, col("ntok")).otherwise(0L))
+          .cast("long").as("sum_a"),
+        sum(when(col("h") =!= 0L, col("ntok")).otherwise(0L))
+          .cast("long").as("sum_b"))
+      .select(col("group"), col("n_a"), col("n_b"),
+        (abs(col("n_a") - col("n_b")) * 100 <=
+          col("n_b") * tolPct).as("balance_ok"),
+        (abs(d(col("sum_a")) * d(col("n_b")) -
+          d(col("sum_b")) * d(col("n_a"))) * 100 <=
+          d(col("sum_b")) * d(col("n_a")) * tolPct)
+          .as("mean_tok_ok"))
+  }
+
   /** Per-group heavy hitters via the SpaceSaving sketch
     * ([[graft.functions.SpaceSavingAgg]]): at most `k` counters per
     * group — fixed memory and map-side mergeable, where an exact

@@ -893,6 +893,18 @@ object PipelineQueries {
       Sketches.equiDepthCensus(t(s, d, "lineitem"),
         col("l_extendedprice"), b = 10)),
 
+    // profile drift between two deterministic hash-halves of the
+    // corpus (the A/B shape of the nightly "did this crawl change"
+    // monitor): ONE conditional-aggregation pass, no join; the
+    // oracle pins the slice counts exactly and both drift gates TRUE
+    "q100_profile_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sketches.profileDrift(docs, col("source"), col("text"),
+          pmod(Sampling.hash32(col("doc_id")), lit(2L)))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2418,6 +2430,25 @@ object PipelineQueries {
        "COUNT(DISTINCT user_id) AS exact_users, " +
        "TRUE AS users_ok FROM events GROUP BY day " +
        "ORDER BY day NULLS FIRST"),
+    // q100: the same md5 hash halves; HUGEINT cross-multiplication
+    // mirrors the engine's DECIMAL(38,0) mean compare
+    "q100_profile_drift" ->
+      ("WITH x AS (SELECT source, CAST('0x' || " +
+       "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 " +
+       "AS h, CAST(array_length(regexp_split_to_array(trim(text), " +
+       "'\\s+')) AS BIGINT) AS ntok FROM documents), " +
+       "g AS (SELECT source, " +
+       "COUNT(CASE WHEN h = 0 THEN 1 END) AS n_a, " +
+       "COUNT(CASE WHEN h <> 0 THEN 1 END) AS n_b, " +
+       "SUM(CASE WHEN h = 0 THEN ntok ELSE 0 END) AS sum_a, " +
+       "SUM(CASE WHEN h <> 0 THEN ntok ELSE 0 END) AS sum_b " +
+       "FROM x GROUP BY source) " +
+       "SELECT source, n_a, n_b, " +
+       "abs(n_a - n_b) * 100 <= n_b * 10 AS balance_ok, " +
+       "abs(CAST(sum_a AS HUGEINT) * CAST(n_b AS HUGEINT) - " +
+       "CAST(sum_b AS HUGEINT) * CAST(n_a AS HUGEINT)) * 100 <= " +
+       "CAST(sum_b AS HUGEINT) * CAST(n_a AS HUGEINT) * 10 AS " +
+       "mean_tok_ok FROM g ORDER BY source NULLS FIRST"),
     // q99: the engine's GK boundaries are partitioning-dependent
     // within their rank-error bound, so the oracle pins the exact
     // total, the bucket count, and the equi-depth PROPERTY

@@ -106,6 +106,29 @@ object StreamingStructure {
       .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("item"), k)
         .as("hh"))
 
+  /** Streaming CDC compaction — the ingest-side twin of
+    * [[graft.operators.Temporal.compactLatest]]: the same
+    * `max(struct(ts, tiebreak, row))` aggregate over a readStream
+    * frame maintains the LATEST row per key as it arrives. The state
+    * store holds exactly one struct per key (bounded by the key
+    * space, not the changelog length), partial states merge
+    * map-side, and the winner is the identical total order the
+    * batch operator picks — StreamingCompactSpec pins streamed ==
+    * batch across uneven replay splits, ties included. Complete or
+    * update output mode.
+    */
+  def latestSnapshotStream(df: DataFrame, key: String, ts: String,
+                           tiebreak: String): DataFrame = {
+    val payload = df.columns.filter(_ != key).toIndexedSeq
+    df.groupBy(col(key))
+      .agg(max(struct(col(ts).as("__ts"),
+        col(tiebreak).as("__tb"),
+        struct(payload.map(c => col(c).as(c)): _*).as("__row")))
+        .as("__m"))
+      .select(col(key) +: payload.map(c =>
+        col(s"__m.__row.$c").as(c)): _*)
+  }
+
   /** Streaming exact deduplication — the ingest-side twin of
     * [[graft.operators.Dedup.exactDupStats]]: keep the FIRST arrival
     * of each canonical text fingerprint

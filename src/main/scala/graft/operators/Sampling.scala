@@ -37,6 +37,23 @@ object Sampling {
     df.where(hash32(key) * den < lit(num) * lit(4294967296L))
   }
 
+  /** Importance (weighted) sampling: keep each row with probability
+    * `num/den` where `num` is a PER-ROW integer weight (capped at
+    * `den` — weight ≥ 1 keeps the row always). Same deterministic
+    * hash down-set as [[hashSample]]: membership is a pure function
+    * of (key, weight), so re-runs, engines, and partitionings agree,
+    * and raising a row's weight can only ADD it (nested samples).
+    * `den ≤ 2^30` keeps both comparison sides under 2^62 — no silent
+    * Long overflow flipping the predicate.
+    */
+  def weightedSample(df: DataFrame, key: Column, num: Column,
+                     den: Long): DataFrame = {
+    require(den > 0 && den <= (1L << 30),
+      s"denominator must be in (0, 2^30]: $den")
+    df.where(hash32(key) * den <
+      least(num.cast("long"), lit(den)) * lit(4294967296L))
+  }
+
   /** Disjoint deterministic split (train/heldout): bucket b of n by
     * the same hash, so splits are stable and non-overlapping across
     * runs and engines.

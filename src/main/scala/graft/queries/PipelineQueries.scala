@@ -905,6 +905,44 @@ object PipelineQueries {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // C4-style boilerplate detection at frame granularity: frames
+    // shared by >= 2 distinct documents are boilerplate (headers,
+    // mirrors, templates). Digests travel, not frames; the
+    // boilerplate set is small, so the affected-docs join is
+    // broadcast-shaped at corpus scale
+    "q101_boilerplate" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"),
+        col("text"), "text/plain")
+      val frames = Multimodal.sampleFrames(media, "payload",
+          frameBytes = 64, stride = 128)
+        .select(col("doc_id"), md5(col("frame")).as("fp"))
+      val perFrame = frames.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("docfreq"))
+      val affected = frames
+        .join(perFrame.where(col("docfreq") >= 2).select("fp"),
+          Seq("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
+      perFrame.agg(count(lit(1)).as("n_distinct_frames"),
+          count(when(col("docfreq") >= 2, 1))
+            .as("n_boilerplate_frames"))
+        .crossJoin(affected)
+    }),
+
+    // importance sampling by token count: keep-probability
+    // ntok/100 capped at 1 — long documents always survive, short
+    // ones proportionally — via the deterministic hash down-set
+    // (membership is a pure function of (doc_id, ntok))
+    "q102_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("ntok",
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      Sampling.weightedSample(docs, col("doc_id"), col("ntok"),
+          den = 100L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2430,6 +2468,31 @@ object PipelineQueries {
        "COUNT(DISTINCT user_id) AS exact_users, " +
        "TRUE AS users_ok FROM events GROUP BY day " +
        "ORDER BY day NULLS FIRST"),
+    // q101: the q32 frame extraction (ASCII text, so VARCHAR substr
+    // == byte slicing), md5 digests as frame identity
+    "q101_boilerplate" ->
+      ("WITH f AS (SELECT doc_id, substr(text, off, 64) AS frame " +
+       "FROM (SELECT doc_id, text, unnest(range(1, " +
+       "greatest(length(text) - 63, 1) + 1, 128)) AS off FROM " +
+       "documents)), " +
+       "pf AS (SELECT md5(frame) AS fp, COUNT(DISTINCT doc_id) AS " +
+       "docfreq FROM f GROUP BY md5(frame)) " +
+       "SELECT (SELECT COUNT(*) FROM pf) AS n_distinct_frames, " +
+       "(SELECT COUNT(CASE WHEN docfreq >= 2 THEN 1 END) FROM pf) " +
+       "AS n_boilerplate_frames, " +
+       "(SELECT COUNT(DISTINCT doc_id) FROM f WHERE md5(frame) IN " +
+       "(SELECT fp FROM pf WHERE docfreq >= 2)) AS n_docs_affected"),
+    // q102: same md5 hash space, least(ntok, 100)/100 keep rate
+    "q102_weighted_sample" ->
+      ("WITH nt AS (SELECT doc_id, source, " +
+       "CAST(array_length(regexp_split_to_array(trim(text), " +
+       "'\\s+')) AS BIGINT) AS ntok, " +
+       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) " +
+       "AS BIGINT) AS h FROM documents) " +
+       "SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS " +
+       "BIGINT) AS n_tokens FROM nt WHERE h * 100 < " +
+       "least(ntok, 100) * 4294967296 GROUP BY source " +
+       "ORDER BY source NULLS FIRST"),
     // q100: the same md5 hash halves; HUGEINT cross-multiplication
     // mirrors the engine's DECIMAL(38,0) mean compare
     "q100_profile_drift" ->

@@ -943,6 +943,46 @@ object PipelineQueries {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // exact repeated-substring runs (the suffix-array dedup signal
+    // of "Deduplicating Training Data Makes Language Models
+    // Better", Lee et al. '22, re-expressed relationally): corpus-
+    // repeated token-8-grams (>= 2 distinct docs — cross-doc
+    // verbatim reuse, not q44's intra-doc repetition), their
+    // positions merged into MAXIMAL runs per doc by the lag/
+    // running-sum chain (one keyed sort over repeated positions
+    // only). Digests travel, never gram strings
+    "q103_repeated_substrings" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val docs = t(s, d, "documents")
+      val grams = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text"))
+          .as("l"))
+        .where(size(col("l")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(l) - $k), " +
+            s"i -> md5(concat_ws(' ', slice(l, i + 1, $k))))"))
+          .as(Seq("pos", "gram")))
+      val rep = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 2)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      grams.join(rep.select("gram"), Seq("gram"))
+        .withColumn("nw", when(col("pos") -
+          lag(col("pos"), 1).over(w) === 1, 0L).otherwise(1L))
+        .withColumn("run", sum(col("nw")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("doc_id"), col("run"))
+        .agg(min(col("pos")).as("start"),
+          (max(col("pos")) - min(col("pos")) + lit(k))
+            .as("len_tokens"))
+        .agg(count(lit(1)).as("n_runs"),
+          countDistinct(col("doc_id")).as("n_docs_with_repeats"),
+          max(col("len_tokens")).cast("long").as("max_run_tokens"),
+          sum(col("len_tokens")).cast("long").as("sum_run_tokens"))
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2468,6 +2508,31 @@ object PipelineQueries {
        "COUNT(DISTINCT user_id) AS exact_users, " +
        "TRUE AS users_ok FROM events GROUP BY day " +
        "ORDER BY day NULLS FIRST"),
+    // q103: identical 8-gram digest ladder via DuckDB list slicing
+    // (1-based l[i:i+7] = the engine's 0-based slice(l, i+1, 8)),
+    // the same lag/running-sum run merge
+    "q103_repeated_substrings" ->
+      ("WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), " +
+       "'\\s+') AS l FROM documents), " +
+       "g AS (SELECT doc_id, i - 1 AS pos, " +
+       "md5(array_to_string(l[i:i+7], ' ')) AS gram FROM " +
+       "(SELECT doc_id, l, unnest(range(1, len(l) - 8 + 2)) AS i " +
+       "FROM d WHERE len(l) >= 8)), " +
+       "rep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT " +
+       "doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2), " +
+       "m AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)), " +
+       "r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+       "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END " +
+       "AS nw FROM m), " +
+       "r2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY " +
+       "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run " +
+       "FROM r), " +
+       "runs AS (SELECT doc_id, run, MAX(pos) - MIN(pos) + 8 AS " +
+       "len FROM r2 GROUP BY doc_id, run) " +
+       "SELECT COUNT(*) AS n_runs, COUNT(DISTINCT doc_id) AS " +
+       "n_docs_with_repeats, CAST(MAX(len) AS BIGINT) AS " +
+       "max_run_tokens, CAST(SUM(len) AS BIGINT) AS " +
+       "sum_run_tokens FROM runs"),
     // q101: the q32 frame extraction (ASCII text, so VARCHAR substr
     // == byte slicing), md5 digests as frame identity
     "q101_boilerplate" ->

@@ -152,6 +152,37 @@ object StreamingStructure {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-stream interval enrichment join — the ingest-side twin
+    * of the batch "events joined to the state rows that precede them
+    * within a horizon" shape ([[graft.operators.Temporal.rangeJoin]]
+    * family): left and right streams are both WATERMARKED, the join
+    * key is an equi-key, and the time predicate
+    * `r.ts ≤ l.ts ≤ r.ts + horizon` bounds how long either side's
+    * state must be retained — Spark evicts right rows once the left
+    * watermark passes `r.ts + horizon` and vice versa, so state is
+    * horizon-sized forever, not stream-sized. Matches emit as they
+    * arrive (append mode). Column names on the right are suffixed
+    * `_r` to keep the join unambiguous.
+    *
+    * StreamingIntervalJoinSpec pins streamed == the batch equi+theta
+    * join on replayed splits.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         key: String, tsCol: String,
+                         horizon: String,
+                         watermark: String = "10 minutes")
+      : DataFrame = {
+    val r = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"${c}_r")
+    }
+    val l = left.withWatermark(tsCol, watermark)
+    val rw = r.withWatermark(s"${tsCol}_r", watermark)
+    l.join(rw,
+      expr(s"`$key` = `${key}_r` AND `$tsCol` >= `${tsCol}_r` " +
+        s"AND `$tsCol` <= `${tsCol}_r` + interval $horizon"),
+      "inner")
+  }
+
   /** Streaming gap sessionization — the ingest-side twin of
     * [[graft.operators.Temporal.sessionize]], via Spark's NATIVE
     * `session_window` (merging event-time session state in the state

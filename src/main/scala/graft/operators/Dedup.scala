@@ -1161,4 +1161,72 @@ object Dedup {
         (col("sa.n") + col("sb.n") - col("inter")).as("union_n"))
       .where(col("inter") * td >= col("union_n") * tn)
   }
+
+  // ---- exact repeated-substring dedup (Lee et al. '22, the -------
+  // ---- suffix-array signal, re-expressed relationally) -----------
+
+  /** MAXIMAL runs of corpus-repeated token-k-grams per document:
+    * `(id, start, len_tokens)` where every k-gram starting in
+    * [start, start+len−k] appears in ≥ `minDocs` DISTINCT documents
+    * (cross-doc verbatim reuse — intra-doc repetition is the q44
+    * filter's job). Positions of repeated k-grams chain into runs
+    * via the lag/running-sum window over REPEATED positions only
+    * (one keyed sort over the repeated subset, not the corpus);
+    * only md5 digests ever shuffle.
+    */
+  def repeatedRuns(df: DataFrame, id: Column, text: Column,
+                   k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k-gram size must be >= 2: $k")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val grams = df
+      .select(id.as("id"), TextFunctions.tokens(text).as("l"))
+      .where(size(col("l")) >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(l) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(l, i + 1, $k))))"))
+        .as(Seq("pos", "gram")))
+    val rep = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    grams.join(rep.select("gram"), Seq("gram"))
+      .withColumn("nw", when(col("pos") -
+        lag(col("pos"), 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("run", sum(col("nw")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("run"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + lit(k))
+          .as("len_tokens"))
+      .drop("run")
+  }
+
+  /** The removal transform over [[repeatedRuns]]: every token
+    * covered by a repeated run is dropped and the survivors are
+    * reassembled in position order — the "deduplicate the training
+    * data, not just the documents" cleanup. Total: documents that
+    * were entirely repeated come back with empty `clean_text`.
+    * Adjacent runs can overlap in covered TOKENS (a run's cover
+    * extends k−1 past its last start), hence the distinct on the
+    * exploded cover.
+    */
+  def removeRepeatedRuns(df: DataFrame, id: Column, text: Column,
+                         k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val covered = repeatedRuns(df, id, text, k, minDocs)
+      .select(col("id"), explode(sequence(col("start"),
+        col("start") + col("len_tokens") - 1)).as("pos"))
+      .distinct()
+    val toks = df.select(id.as("id"),
+      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    val clean = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), " +
+          "s -> s.tok)")).as("clean_text"))
+    df.select(id.as("id")).distinct()
+      .join(clean, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

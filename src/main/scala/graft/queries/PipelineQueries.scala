@@ -951,36 +951,35 @@ object PipelineQueries {
     // positions merged into MAXIMAL runs per doc by the lag/
     // running-sum chain (one keyed sort over repeated positions
     // only). Digests travel, never gram strings
-    "q103_repeated_substrings" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 8
-      val docs = t(s, d, "documents")
-      val grams = docs
-        .select(col("doc_id"), TextFunctions.tokens(col("text"))
-          .as("l"))
-        .where(size(col("l")) >= k)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(l) - $k), " +
-            s"i -> md5(concat_ws(' ', slice(l, i + 1, $k))))"))
-          .as(Seq("pos", "gram")))
-      val rep = grams.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") >= 2)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      grams.join(rep.select("gram"), Seq("gram"))
-        .withColumn("nw", when(col("pos") -
-          lag(col("pos"), 1).over(w) === 1, 0L).otherwise(1L))
-        .withColumn("run", sum(col("nw")).over(
-          w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .groupBy(col("doc_id"), col("run"))
-        .agg(min(col("pos")).as("start"),
-          (max(col("pos")) - min(col("pos")) + lit(k))
-            .as("len_tokens"))
+    "q103_repeated_substrings" -> ((s, d) =>
+      Dedup.repeatedRuns(t(s, d, "documents"), col("doc_id"),
+          col("text"), k = 8, minDocs = 2)
         .agg(count(lit(1)).as("n_runs"),
-          countDistinct(col("doc_id")).as("n_docs_with_repeats"),
+          countDistinct(col("id")).as("n_docs_with_repeats"),
           max(col("len_tokens")).cast("long").as("max_run_tokens"),
-          sum(col("len_tokens")).cast("long").as("sum_run_tokens"))
+          sum(col("len_tokens")).cast("long")
+            .as("sum_run_tokens"))),
+
+    // the removal transform over q103's runs: drop every token
+    // covered by a repeated run, reassemble survivors in position
+    // order — "dedup the data, not just the documents". The census
+    // compares against whitespace-normalized originals, so only
+    // actual token removal counts as changed
+    "q104_remove_repeats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clean = Dedup.removeRepeatedRuns(docs, col("doc_id"),
+        col("text"), k = 8, minDocs = 2)
+      docs.select(col("doc_id").as("id"), col("source"),
+          concat_ws(" ", TextFunctions.tokens(col("text")))
+            .as("norm"))
+        .join(clean, Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("clean_text") =!= col("norm"), 1))
+            .as("n_changed"),
+          sum(length(col("clean_text"))).cast("long")
+            .as("sum_len_clean"))
+        .orderBy(col("source").asc_nulls_first)
     }),
 
     // PII redaction (the release-time transform paired with q50's
@@ -2533,6 +2532,46 @@ object PipelineQueries {
        "n_docs_with_repeats, CAST(MAX(len) AS BIGINT) AS " +
        "max_run_tokens, CAST(SUM(len) AS BIGINT) AS " +
        "sum_run_tokens FROM runs"),
+    // q104: q103's run ladder + distinct exploded cover, left-anti
+    // kept tokens, ORDER BY pos reassembly; normalized originals
+    // via array_to_string over the same token split
+    "q104_remove_repeats" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+       "regexp_split_to_array(trim(text), '\\s+') AS l FROM " +
+       "documents), " +
+       "g AS (SELECT doc_id, i - 1 AS pos, " +
+       "md5(array_to_string(l[i:i+7], ' ')) AS gram FROM " +
+       "(SELECT doc_id, l, unnest(range(1, len(l) - 8 + 2)) AS i " +
+       "FROM d WHERE len(l) >= 8)), " +
+       "rep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT " +
+       "doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2), " +
+       "m AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)), " +
+       "r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+       "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END " +
+       "AS nw FROM m), " +
+       "r2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY " +
+       "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run " +
+       "FROM r), " +
+       "runs AS (SELECT doc_id, run, MIN(pos) AS start, " +
+       "MAX(pos) - MIN(pos) + 8 AS len FROM r2 GROUP BY doc_id, " +
+       "run), " +
+       "cov AS (SELECT DISTINCT doc_id, unnest(range(start, " +
+       "start + len)) AS pos FROM runs), " +
+       "toks AS (SELECT doc_id, i - 1 AS pos, l[i] AS tok FROM " +
+       "(SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i " +
+       "FROM d)), " +
+       "kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t LEFT " +
+       "JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos " +
+       "WHERE c.pos IS NULL), " +
+       "clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) " +
+       "AS ct FROM kept GROUP BY doc_id), " +
+       "j AS (SELECT d.source, COALESCE(c.ct, '') AS ct, " +
+       "array_to_string(d.l, ' ') AS norm FROM d LEFT JOIN clean c " +
+       "USING (doc_id)) " +
+       "SELECT source, COUNT(*) AS n_docs, " +
+       "COUNT(CASE WHEN ct <> norm THEN 1 END) AS n_changed, " +
+       "CAST(SUM(LENGTH(ct)) AS BIGINT) AS sum_len_clean FROM j " +
+       "GROUP BY source ORDER BY source NULLS FIRST"),
     // q101: the q32 frame extraction (ASCII text, so VARCHAR substr
     // == byte slicing), md5 digests as frame identity
     "q101_boilerplate" ->

@@ -88,6 +88,43 @@ object StreamingStructure {
     graft.operators.Sketches.corpusProfile(df, col(groupCol),
       col(textCol), rsd, accuracy)
 
+  /** Streaming STRUCTURE INFERENCE — the flagship analyzer over an
+    * unbounded ingest: each micro-batch is analyzed distributedly
+    * ([[graft.analyzer.SparkAnalyzer.analyzeTable]]) and folded into
+    * the running structure via the merge monoid
+    * (`analyzeIncremental` — the q70 contract: exact-counter columns
+    * merge EXACTLY, over-cap columns merge with the reference's own
+    * summary convention). The running [[graft.core.SType]] is
+    * driver-side state handed to `onUpdate` after every batch —
+    * render it, diff it against yesterday's, or alert on drift.
+    * Returns the query; the caller owns its lifecycle.
+    *
+    * foreachBatch is the right harness here because the analysis is
+    * a FULL multi-pass distributed computation per batch (witness
+    * agg, counters, summaries), not a single aggregation the state
+    * store could carry.
+    */
+  def analyzeStream(df: DataFrame,
+                    analyzer: graft.analyzer.SparkAnalyzer =
+                      new graft.analyzer.SparkAnalyzer(),
+                    onUpdate: graft.core.SType => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var running: Option[graft.core.SType] = None
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          running = Some(running match {
+            case None => analyzer.analyzeTable(batch)
+            case Some(prior) =>
+              analyzer.analyzeIncremental(prior, batch)
+          })
+          running.foreach(onUpdate)
+        }
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming heavy hitters — the ingest-side twin of
     * [[graft.operators.Sketches.heavyHitters]]'s aggregation: the
     * SpaceSaving state is a bounded mergeable monoid (≤ k counters

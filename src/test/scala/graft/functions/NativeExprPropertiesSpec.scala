@@ -105,6 +105,23 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("PosShingleDigestsExpr matches the naive positional " +
+      "md5-of-kgram form") {
+    forAll(textGen) { text =>
+      val got = PosShingleDigestsExpr.compute(
+        UTF8String.fromString(text), k = 3)
+      val toks = text.trim.split("\\s+")
+      val expect: Seq[String] =
+        if (toks.length < 3 || (toks.length == 1 && toks(0).isEmpty))
+          Seq.empty
+        else (0 to toks.length - 3)
+          .map(i => md5Hex(toks.slice(i, i + 3).mkString(" ")))
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotSeq === expect, s"text=[$text]")
+    }
+  }
+
   test("DotQExpr matches the naive quantized dot product") {
     forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
       val n = math.min(a.length, b.length)

@@ -982,6 +982,32 @@ object PipelineQueries {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // release pipeline v2 — the round's new transforms COMPOSED:
+    // repeated-substring removal → PII redaction → minimum-length
+    // filter → token-budget mixture sampling → per-source census.
+    // q65 pins the older curation family; this pins that the new
+    // operators chain (each stage consumes the previous one's
+    // actual output, and the oracle replays the whole chain)
+    "q105_release_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clean = Dedup.removeRepeatedRuns(docs, col("doc_id"),
+        col("text"), k = 8, minDocs = 2)
+      val red = docs.select(col("doc_id").as("id"), col("source"))
+        .join(clean, Seq("id"))
+        .select(col("id"), col("source"),
+          TextFunctions.redactPii(col("clean_text")).as("rt"))
+      val withTok = red.withColumn("ntok",
+          TextFunctions.tokenCount(col("rt")).cast("long"))
+        .where(col("ntok") >= 20L)
+      Sampling.tokenBudgetSample(withTok, col("source"), col("id"),
+          col("ntok"), budget = 4000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"),
+          sum(length(col("rt"))).cast("long").as("sum_len"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2532,6 +2558,64 @@ object PipelineQueries {
        "n_docs_with_repeats, CAST(MAX(len) AS BIGINT) AS " +
        "max_run_tokens, CAST(SUM(len) AS BIGINT) AS " +
        "sum_run_tokens FROM runs"),
+    // q105: the q104 removal chain, the q79 redaction fold over the
+    // cleaned text, a >= 20-token floor, then the q78 HUGEINT
+    // token-budget predicate — one linear CTE replay of the whole
+    // composition
+    "q105_release_pipeline" -> {
+      val pats = graft.functions.TextFunctions.PiiPatterns.toMap
+      val redacted = graft.functions.TextFunctions.PiiRedactOrder
+        .foldLeft("ct") { (acc, name) =>
+          val tag = graft.functions.TextFunctions.PiiTags(name)
+          s"regexp_replace($acc, '${pats(name)}', '$tag', 'g')"
+        }
+      "WITH d AS (SELECT doc_id, source, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS l FROM " +
+      "documents), " +
+      "g AS (SELECT doc_id, i - 1 AS pos, " +
+      "md5(array_to_string(l[i:i+7], ' ')) AS gram FROM " +
+      "(SELECT doc_id, l, unnest(range(1, len(l) - 8 + 2)) AS i " +
+      "FROM d WHERE len(l) >= 8)), " +
+      "rep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT " +
+      "doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2), " +
+      "m AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)), " +
+      "r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END " +
+      "AS nw FROM m), " +
+      "r2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY " +
+      "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run " +
+      "FROM r), " +
+      "runs AS (SELECT doc_id, run, MIN(pos) AS start, " +
+      "MAX(pos) - MIN(pos) + 8 AS len FROM r2 GROUP BY doc_id, " +
+      "run), " +
+      "cov AS (SELECT DISTINCT doc_id, unnest(range(start, " +
+      "start + len)) AS pos FROM runs), " +
+      "toks AS (SELECT doc_id, i - 1 AS pos, l[i] AS tok FROM " +
+      "(SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i " +
+      "FROM d)), " +
+      "kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t LEFT " +
+      "JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos " +
+      "WHERE c.pos IS NULL), " +
+      "clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) " +
+      "AS ct FROM kept GROUP BY doc_id), " +
+      "j AS (SELECT d.doc_id, d.source, COALESCE(c.ct, '') AS ct " +
+      "FROM d LEFT JOIN clean c USING (doc_id)), " +
+      s"red AS (SELECT doc_id, source, $redacted AS rt FROM j), " +
+      "nt AS (SELECT doc_id, source, rt, " +
+      "CAST(array_length(regexp_split_to_array(trim(rt), " +
+      "'\\s+')) AS BIGINT) AS ntok, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) " +
+      "AS BIGINT) AS h FROM red), " +
+      "f AS (SELECT * FROM nt WHERE ntok >= 20), " +
+      "tot AS (SELECT source, SUM(ntok) AS total FROM f " +
+      "GROUP BY source), " +
+      "k2 AS (SELECT f.* FROM f JOIN tot USING (source) WHERE " +
+      "CAST(h AS HUGEINT) * CAST(total AS HUGEINT) < " +
+      "CAST(4000 AS HUGEINT) * CAST(4294967296 AS HUGEINT)) " +
+      "SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS " +
+      "BIGINT) AS n_tokens, CAST(SUM(LENGTH(rt)) AS BIGINT) AS " +
+      "sum_len FROM k2 GROUP BY source ORDER BY source NULLS FIRST"
+    },
     // q104: q103's run ladder + distinct exploded cover, left-anti
     // kept tokens, ORDER BY pos reassembly; normalized originals
     // via array_to_string over the same token split

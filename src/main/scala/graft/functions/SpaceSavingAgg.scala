@@ -133,7 +133,12 @@ case class SpaceSavingAgg(
     out.writeLong(b.n)
     out.writeInt(b.counts.size)
     b.counts.foreach { case (item, c) =>
-      out.writeUTF(item)
+      // length-prefixed raw UTF-8, NOT writeUTF: tracked items are
+      // arbitrary tokens and writeUTF throws past 64 KB (a single
+      // base64 blob or minified-JS "token" would kill the shuffle)
+      val ib = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(ib.length)
+      out.write(ib)
       out.writeLong(c)
       out.writeLong(b.errs.getOrElse(item, 0L))
     }
@@ -149,7 +154,11 @@ case class SpaceSavingAgg(
     val errs = mutable.HashMap.empty[String, Long]
     var i = 0
     while (i < sz) {
-      val item = in.readUTF()
+      val len = in.readInt()
+      val ib = new Array[Byte](len)
+      in.readFully(ib)
+      val item =
+        new String(ib, java.nio.charset.StandardCharsets.UTF_8)
       counts(item) = in.readLong()
       errs(item) = in.readLong()
       i += 1

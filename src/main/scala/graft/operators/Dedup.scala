@@ -1179,14 +1179,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k-gram size must be >= 2: $k")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    // native positional digest ladder (one JVM call per doc) — the
-    // array-lambda formulation re-enters the interpreter per
-    // position; digests are byte-identical to
+    // native positional digest ladder (one JVM call per doc) over
+    // the SAME TextFunctions.tokens array the removal transform
+    // indexes into — one tokenization feeds both the digests and
+    // the positions, so they cannot disagree on whitespace edge
+    // cases. Digests are byte-identical to
     // md5(concat_ws(' ', slice(l, i+1, k)))
     val grams = df
       .select(id.as("id"),
         graft.functions.PosShingleDigestsExpr
-          .posShingleDigests(text, k).as("gs"))
+          .posShingleDigests(TextFunctions.tokens(text), k).as("gs"))
       .where(size(col("gs")) > 0)
       .select(col("id"), posexplode(col("gs"))
         .as(Seq("pos", "gram")))

@@ -28,13 +28,18 @@ object Delta {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
                    fp: Column): DataFrame = {
-    val o = oldDf.select(col(key).as("key"), fp.as("old_fp"))
-    val n = newDf.select(col(key).as("key"), fp.as("new_fp"))
+    // explicit presence markers, NOT fp nullness: a null fingerprint
+    // (e.g. md5 of a null payload) is a legitimate value on a
+    // present row and must not masquerade as an absent side
+    val o = oldDf.select(col(key).as("key"), fp.as("old_fp"),
+      lit(1).as("__old"))
+    val n = newDf.select(col(key).as("key"), fp.as("new_fp"),
+      lit(1).as("__new"))
     o.join(n, Seq("key"), "full_outer")
       .select(col("key"),
-        when(col("old_fp").isNull, lit("added"))
-          .when(col("new_fp").isNull, lit("removed"))
-          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("old_fp") <=> col("new_fp"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

@@ -50,8 +50,12 @@ object Sampling {
                      den: Long): DataFrame = {
     require(den > 0 && den <= (1L << 30),
       s"denominator must be in (0, 2^30]: $den")
+    // a NULL weight means missing data → weight 0 (drop), NOT full
+    // weight (Spark's least() skips nulls, which would silently
+    // always-keep such rows)
     df.where(hash32(key) * den <
-      least(num.cast("long"), lit(den)) * lit(4294967296L))
+      least(coalesce(num.cast("long"), lit(0L)), lit(den)) *
+        lit(4294967296L))
   }
 
   /** Disjoint deterministic split (train/heldout): bucket b of n by

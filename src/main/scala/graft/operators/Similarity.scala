@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The shared 2^25 quantization grid: round(x*2^25) as an exact
+    * long. ONE definition so the codebook and encoder sides of
+    * every exact-integer contract (PQ, IVF, SQ) cannot drift.
+    */
+  private def quant25(x: Column): Column =
+    round(x.cast("double") * 33554432.0).cast("long")
+
   /** Exact integer dot product of two equal-length float arrays —
     * the native expression (one JVM call per row; identical
     * quantization semantics to the lambda form).
@@ -143,8 +150,7 @@ object Similarity {
     val comps = df.select(labelCol.as("label"),
         posexplode(vecCol).as(Seq("dim", "x")))
       .select(col("label"), col("dim"),
-        round(col("x").cast("double") * 33554432.0).cast("long")
-          .as("qx"))
+        quant25(col("x")).as("qx"))
     val dimSums = comps.groupBy(col("label"), col("dim"))
       .agg(sum(col("qx")).as("s"))
     val n = df.groupBy(labelCol.as("label"))
@@ -177,8 +183,7 @@ object Similarity {
               labelCol: String, queryId: Long, k: Int,
               nprobe: Int,
               centroids: Option[DataFrame] = None): DataFrame = {
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val q = df.where(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"))
     val qComps = q.select(posexplode(col("__qv")).as(Seq("dim", "x")))
@@ -239,8 +244,7 @@ object Similarity {
                    k: Int, nprobe: Int,
                    centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).as("__qv"),
       dotQ(col(qvecCol), col(qvecCol)).as("__qn2"))
@@ -326,8 +330,7 @@ object Similarity {
                    k: Int, iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k/$iters")
     import org.apache.spark.sql.expressions.Window
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val comps = df.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), quant(col("x")).as("qx"))
@@ -408,8 +411,7 @@ object Similarity {
     require(kCoarse > 0 && kPerCell > 0 && iters >= 0,
       s"need positive k, iters >= 0: $kCoarse/$kPerCell/$iters")
     import org.apache.spark.sql.expressions.Window
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val cells =
       if (kCoarse == 1)
         df.select(col(idCol).as("id"), lit(0L).as("__cell"))
@@ -476,8 +478,7 @@ object Similarity {
                     k: Int, iters: Int = 2,
                     precomputedLabels: Option[DataFrame] = None)
       : IvfIndex = {
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val labels = precomputedLabels.getOrElse(
       kmeansLabels(df, idCol, vecCol, k, iters))
     val centroids = df.select(col(idCol).as("id"),
@@ -578,8 +579,7 @@ object Similarity {
       s"need ksub > 0, iters >= 0: $ksub/$iters")
     val dsub = dims / m
     import org.apache.spark.sql.expressions.Window
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val comps = df.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
@@ -652,8 +652,7 @@ object Similarity {
     require(m > 0 && dims % m == 0,
       s"dims must split evenly into m subspaces: dims=$dims m=$m")
     val dsub = dims / m
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val comps = df.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
@@ -721,8 +720,7 @@ object Similarity {
   private def adcScore(codebooks: DataFrame, queries: DataFrame,
                        qidCol: String, qvecCol: String,
                        m: Int): Column = {
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val qComps = queries.select(col(qidCol).as("qid"),
         posexplode(col(qvecCol)).as(Seq("dim", "x")))
       .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
@@ -905,8 +903,7 @@ object Similarity {
                         qidCol: String, qvecCol: String,
                         nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val qComps = queries.select(col(qidCol).as("qid"),
         posexplode(col(qvecCol)).as(Seq("dim", "x")))
       .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
@@ -958,8 +955,7 @@ object Similarity {
       vecCol: String, dims: Int, m: Int, ivfLabels: DataFrame,
       ivfCentroids: DataFrame): DataFrame = {
     val dsub = dims / m
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val mu = ivfRoundedCentroids(ivfLabels, ivfCentroids)
     df.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -1086,8 +1082,7 @@ object Similarity {
       probes: DataFrame, queries: DataFrame, qidCol: String,
       qvecCol: String, dims: Int, m: Int): Column = {
     val dsub = dims / m
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val qComps = queries.select(col(qidCol).as("qid"),
         posexplode(col(qvecCol)).as(Seq("dim", "x")))
       .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
@@ -1216,8 +1211,7 @@ object Similarity {
     * few thousand) and broadcast to the encode join.
     */
   def sqStats(df: DataFrame, vecCol: String): DataFrame = {
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"),
         quant(col("x")).as("qx"))
@@ -1241,8 +1235,7 @@ object Similarity {
     */
   def sqCodes(df: DataFrame, idCol: String, vecCol: String,
               stats: DataFrame): DataFrame = {
-    val quant = (x: Column) =>
-      round(x.cast("double") * 33554432.0).cast("long")
+    val quant = quant25 _
     val comps = df.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim").cast("long").as("dim"),

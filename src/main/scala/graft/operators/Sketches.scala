@@ -111,8 +111,12 @@ object Sketches {
       lit(accuracy)).as("__bnds"))
     df.crossJoin(broadcast(bnds))
       .withColumn("bucket",
-        size(filter(col("__bnds"),
-          x => x <= value.cast("double"))).cast("long"))
+        // null values get a NULL bucket, not a silent slot-0 (the
+        // filter lambda's null comparison drops every boundary, and
+        // size()=0 would masquerade as the lowest bucket)
+        when(value.isNull, lit(null))
+          .otherwise(size(filter(col("__bnds"),
+            x => x <= value.cast("double"))).cast("long")))
       .drop("__bnds")
   }
 
@@ -126,7 +130,10 @@ object Sketches {
   def equiDepthCensus(df: DataFrame, value: Column, b: Int,
                       accuracy: Int = 10000,
                       tolPct: Int = 5): DataFrame = {
-    val counts = equiDepthBins(df.select(value.as("__v")),
+    // nulls are excluded from the depth audit (they carry a NULL
+    // bucket in equiDepthBins and would fail the gate vacuously)
+    val counts = equiDepthBins(
+        df.select(value.as("__v")).where(col("__v").isNotNull),
         col("__v"), b, accuracy)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"))

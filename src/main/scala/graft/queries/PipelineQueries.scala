@@ -115,6 +115,19 @@ object PipelineQueries {
     case _ => 86400000000L // micros (TIMESTAMP / TIMESTAMP_NTZ)
   }
 
+  /** Epoch-day bucket of `ts` in the column's native representation
+    * — ONE definition for every day-bucketed builder (q80, q93, q95,
+    * q97, q98), sharing [[tsUnitsPerDay]]'s unit convention so a
+    * dtype flip or unit change cannot desynchronize one query's day
+    * arithmetic from the rest.
+    */
+  private def epochDay(ev: DataFrame): Column =
+    ev.schema("ts").dataType match {
+      case LongType => expr(s"ts DIV ${tsUnitsPerDay(LongType)}")
+      case _ => datediff(col("ts").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+    }
+
   /** Location of q67's persisted serving index; the oracle SQL embeds
     * the same path, so it must be stable within one JVM (queries and
     * oracleSql are built together). Per-process so two concurrent
@@ -529,11 +542,7 @@ object PipelineQueries {
     // like every temporal builder
     "q80_zorder_census" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val day = ev.schema("ts").dataType match {
-        case LongType => expr("ts DIV 86400000000000")
-        case _ => datediff(col("ts").cast("date"),
-          to_date(lit("1970-01-01"))).cast("long")
-      }
+      val day = epochDay(ev)
       val z = Layout.zValue2(pmod(col("user_id"), lit(256L)),
         pmod(day, lit(256L)), bits = 8)
       ev.select(z.as("z"))
@@ -751,11 +760,7 @@ object PipelineQueries {
     // only affordable "daily uniques" shape on an unbounded stream
     "q93_daily_distinct" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val day = ev.schema("ts").dataType match {
-        case LongType => expr("ts DIV 86400000000000")
-        case _ => datediff(col("ts").cast("date"),
-          to_date(lit("1970-01-01"))).cast("long")
-      }
+      val day = epochDay(ev)
       ev.select(day.as("day"), col("user_id"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"),
@@ -796,11 +801,7 @@ object PipelineQueries {
     // every user's history)
     "q95_retention" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val day = ev.schema("ts").dataType match {
-        case LongType => expr("ts DIV 86400000000000")
-        case _ => datediff(col("ts").cast("date"),
-          to_date(lit("1970-01-01"))).cast("long")
-      }
+      val day = epochDay(ev)
       val ud = ev.select(col("user_id"), day.as("day")).distinct()
       val firsts = ud.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort"))
@@ -853,11 +854,7 @@ object PipelineQueries {
     // inside a single aggregation — no per-level re-scan)
     "q97_rollup" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val day = ev.schema("ts").dataType match {
-        case LongType => expr("ts DIV 86400000000000")
-        case _ => datediff(col("ts").cast("date"),
-          to_date(lit("1970-01-01"))).cast("long")
-      }
+      val day = epochDay(ev)
       ev.select(day.as("day"), col("event_type"))
         .rollup(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -871,11 +868,7 @@ object PipelineQueries {
     // combinations filled with 0
     "q98_pivot" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val day = ev.schema("ts").dataType match {
-        case LongType => expr("ts DIV 86400000000000")
-        case _ => datediff(col("ts").cast("date"),
-          to_date(lit("1970-01-01"))).cast("long")
-      }
+      val day = epochDay(ev)
       ev.select(day.as("day"), col("event_type"))
         .groupBy(col("day"))
         .pivot("event_type",

@@ -107,17 +107,26 @@ object StreamingStructure {
   def analyzeStream(df: DataFrame,
                     analyzer: graft.analyzer.SparkAnalyzer =
                       new graft.analyzer.SparkAnalyzer(),
+                    prior: Option[graft.core.SType] = None,
                     onUpdate: graft.core.SType => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    @volatile var running: Option[graft.core.SType] = None
+    @volatile var running: Option[graft.core.SType] = prior
+    // foreachBatch is at-least-once: a batch can be re-invoked with
+    // the SAME id after a downstream failure, and folding it twice
+    // would double-count exact counters. Track the last folded id;
+    // assign it only AFTER the fold, so a retry that failed inside
+    // onUpdate does not re-fold either. The running SType is
+    // driver-side state — on checkpoint restart pass the persisted
+    // value back via `prior` (or re-analyze from scratch).
+    @volatile var lastFolded = Long.MinValue
     df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId != lastFolded && !batch.isEmpty) {
           running = Some(running match {
             case None => analyzer.analyzeTable(batch)
-            case Some(prior) =>
-              analyzer.analyzeIncremental(prior, batch)
+            case Some(p) => analyzer.analyzeIncremental(p, batch)
           })
+          lastFolded = batchId
           running.foreach(onUpdate)
         }
       }

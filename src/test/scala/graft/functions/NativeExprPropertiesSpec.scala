@@ -106,20 +106,28 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
   }
 
   test("PosShingleDigestsExpr matches the naive positional " +
-      "md5-of-kgram form") {
-    forAll(textGen) { text =>
-      val got = PosShingleDigestsExpr.compute(
-        UTF8String.fromString(text), k = 3)
-      val toks = text.trim.split("\\s+")
+      "md5-of-kgram form over a token array") {
+    forAll(Gen.listOf(tokenGen)) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = PosShingleDigestsExpr.compute(arr, k = 3)
       val expect: Seq[String] =
-        if (toks.length < 3 || (toks.length == 1 && toks(0).isEmpty))
-          Seq.empty
+        if (toks.length < 3) Seq.empty
         else (0 to toks.length - 3)
           .map(i => md5Hex(toks.slice(i, i + 3).mkString(" ")))
       val gotSeq = (0 until got.numElements())
         .map(i => got.getUTF8String(i).toString)
-      assert(gotSeq === expect, s"text=[$text]")
+      assert(gotSeq === expect, s"toks=$toks")
     }
+  }
+
+  test("PosShingleDigestsExpr skips null tokens like concat_ws") {
+    val arr = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null,
+        UTF8String.fromString("b")))
+    val got = PosShingleDigestsExpr.compute(arr, k = 3)
+    assert(got.numElements() === 1)
+    assert(got.getUTF8String(0).toString === md5Hex("a b"))
   }
 
   test("DotQExpr matches the naive quantized dot product") {

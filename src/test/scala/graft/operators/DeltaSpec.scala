@@ -37,6 +37,21 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("null fingerprints on present rows do not masquerade as " +
+      "added/removed") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Delta.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1: null fp on BOTH sides → unchanged (null-safe equality);
+    // key 2: value → null → changed; neither is added/removed
+    assert(out === Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
   test("census sums to |old ∪ new| keys") {
     val s = spark
     import s.implicits._

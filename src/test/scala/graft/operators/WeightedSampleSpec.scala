@@ -64,6 +64,16 @@ class WeightedSampleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("null weight means weight 0: the row is dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(100L)), (2L, Option.empty[Long]))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, col("id"), col("w"), 100L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("per-row weights: heavier rows kept more often") {
     val s = spark
     import s.implicits._

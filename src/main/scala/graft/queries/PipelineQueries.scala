@@ -1001,6 +1001,36 @@ object PipelineQueries {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // content-defined chunking census (gear-hash CDC — the storage
+    // dedup primitive; boundaries follow CONTENT, so edits only
+    // perturb local chunks where q101's fixed frames shift): the
+    // oracle pins the exact byte coverage (Σ chunk len == Σ
+    // LENGTH(text)) and the [n/maxLen, n/minLen] chunk-count
+    // bounds as gates; chunk identity itself is spec-pinned
+    // (CdcChunksSpec: coverage, determinism, shift-invariance)
+    "q106_cdc_chunks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val chunks = docs.select(col("source"),
+          length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.CdcChunksExpr
+            .cdcChunks(col("text").cast("binary"),
+              minLen = 32, avgBits = 6, maxLen = 256).as("ch"))
+        .select(col("source"), col("n_bytes"),
+          size(col("ch")).cast("long").as("n_chunks"),
+          aggregate(col("ch"), lit(0L),
+            (acc, x) => acc + x.getField("len").cast("long"))
+            .as("covered"))
+      chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).cast("long").as("sum_bytes"),
+          expr("bool_and(covered = n_bytes)").as("coverage_ok"),
+          expr("bool_and(n_chunks >= CAST(ceil(n_bytes / 256.0) " +
+            "AS BIGINT) AND (n_bytes = 0 OR n_chunks <= " +
+            "CAST(ceil(n_bytes / 32.0) AS BIGINT)))")
+            .as("bounds_ok"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // PII redaction (the release-time transform paired with q50's
     // scan): sequential regexp_replace fold, most-specific pattern
     // first; per-source summary of how much text changed
@@ -2551,6 +2581,14 @@ object PipelineQueries {
        "n_docs_with_repeats, CAST(MAX(len) AS BIGINT) AS " +
        "max_run_tokens, CAST(SUM(len) AS BIGINT) AS " +
        "sum_run_tokens FROM runs"),
+    // q106: the oracle pins exact byte totals and the coverage /
+    // chunk-count gates TRUE — chunk boundaries themselves are not
+    // SQL-expressible (stateful scan), so they are spec-pinned
+    "q106_cdc_chunks" ->
+      ("SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_bytes, " +
+       "TRUE AS coverage_ok, TRUE AS bounds_ok FROM documents " +
+       "GROUP BY source ORDER BY source NULLS FIRST"),
     // q105: the q104 removal chain, the q79 redaction fold over the
     // cleaned text, a >= 20-token floor, then the q78 HUGEINT
     // token-budget predicate — one linear CTE replay of the whole

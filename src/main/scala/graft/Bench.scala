@@ -48,7 +48,13 @@ object Bench {
         val ok = runs.filter(_ >= 0)
         name -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the JSON line short enough to survive the
+    // driver's fixed-size tail capture (r7/r8 artifacts were
+    // front-truncated and parsed as null at full double precision)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // effective config alongside the number, so cross-round
@@ -67,7 +73,15 @@ object Bench {
     val loadEnd = osBean.getSystemLoadAverage
     val load = s"""{"start":$loadStart,"end":$loadEnd,"cores":${
       Runtime.getRuntime.availableProcessors}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config,"load":$load}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config,"load":$load}"""
+    println(line)
+    // belt-and-braces: persist the same line so a truncated stdout
+    // capture can always be recovered from the working tree
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -74,9 +74,18 @@ object Delta {
     val payload = snapshot.columns.filter(_ != key)
     require(payload.forall(changes.columns.contains),
       "changes must carry every snapshot payload column")
+    // reject unknown ops in-plan: a changelog row whose latest op is
+    // neither upsert nor delete would otherwise slip past the delete
+    // filter and, for a key absent from the snapshot, materialize a
+    // phantom all-null row. raise_error keeps the check distributed
+    // and fail-fast instead of silently corrupting the merge.
+    val validOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyChangelog: invalid $opCol value: "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val latest = graft.operators.Temporal
       .compactLatest(changes, key, ts, tiebreak)
-      .select(col(key) +: col(opCol).as("__op") +:
+      .select(col(key) +: validOp.as("__op") +:
         payload.toIndexedSeq.map(c => col(c).as(s"__n_$c")): _*)
     snapshot.join(latest, Seq(key), "full_outer")
       .where(col("__op").isNull || col("__op") =!= "delete")

@@ -138,11 +138,16 @@ object Sketches {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).cast("long").as("__n"))
+    // coalesce the empty-input case: over zero bucket rows the
+    // aggregates come back null (sum over nothing, bool_and over
+    // nothing) and downstream boolean gates would see null instead
+    // of a clean verdict. An empty census is vacuously in-depth.
     counts.crossJoin(broadcast(tot))
-      .agg(max(col("__n")).as("n_total"),
+      .agg(coalesce(max(col("__n")), lit(0L)).as("n_total"),
         count(lit(1)).cast("int").as("n_buckets"),
-        expr(s"bool_and(abs(cnt * $b - __n) * 100 <= $tolPct * __n)")
-          .as("depth_ok"))
+        coalesce(
+          expr(s"bool_and(abs(cnt * $b - __n) * 100 <= $tolPct * __n)"),
+          lit(true)).as("depth_ok"))
   }
 
   /** Data-quality drift monitor: compare two slices of a corpus

@@ -761,15 +761,21 @@ object PipelineQueries {
     "q93_daily_distinct" -> ((s, d) => {
       val ev = t(s, d, "events")
       val day = epochDay(ev)
+      // tolerance derived from the configured rsd with 5-sigma
+      // headroom (0.02 → 10%): the pinned-TRUE gate needs
+      // comfortable statistical margin, not ~2.5 sigma that a new
+      // fixture or scale could flip spuriously
+      val rsd = 0.02
+      val tolPct = math.ceil(rsd * 5 * 100).toInt
       ev.select(day.as("day"), col("user_id"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"),
-          approx_count_distinct(col("user_id"), 0.02)
+          approx_count_distinct(col("user_id"), rsd)
             .as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("day"), col("n_events"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) * 100 <=
-            col("exact_users") * 5).as("users_ok"))
+            col("exact_users") * tolPct).as("users_ok"))
         .orderBy(col("day").asc_nulls_first)
     }),
 
@@ -1010,8 +1016,10 @@ object PipelineQueries {
     // (CdcChunksSpec: coverage, determinism, shift-invariance)
     "q106_cdc_chunks" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // cdcChunks walks the UTF-8 BYTES of the text; the gates must
+      // compare bytes to bytes or any non-ASCII document flips them
       val chunks = docs.select(col("source"),
-          length(col("text")).cast("long").as("n_bytes"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
           graft.functions.CdcChunksExpr
             .cdcChunks(col("text").cast("binary"),
               minLen = 32, avgBits = 6, maxLen = 256).as("ch"))
@@ -2586,7 +2594,7 @@ object PipelineQueries {
     // SQL-expressible (stateful scan), so they are spec-pinned
     "q106_cdc_chunks" ->
       ("SELECT source, COUNT(*) AS n_docs, " +
-       "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_bytes, " +
+       "CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, " +
        "TRUE AS coverage_ok, TRUE AS bounds_ok FROM documents " +
        "GROUP BY source ORDER BY source NULLS FIRST"),
     // q105: the q104 removal chain, the q79 redaction fold over the

@@ -96,6 +96,76 @@ class SpaceSavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sketch(df, 4) === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("merge guarantees hold buffer-level under deep sequential " +
+      "merge trees (one-sided error, n/k bound, heavy tracking)") {
+    // drives update/merge directly — the shape Spark uses when it
+    // folds one partial per upstream partition into the final
+    // buffer sequentially. The pointwise-sum merge this replaced
+    // UNDERestimated items whose mass an evicted partial absorbed;
+    // the Misra-Gries subtract-combine must stay one-sided and
+    // within each item's recorded error.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8
+    val agg = SpaceSavingAgg(
+      BoundReference(0, StringType, nullable = true), k)
+    def partial(items: Seq[String]): SpaceSavingBuffer = {
+      val b = agg.createAggregationBuffer()
+      items.foreach { it =>
+        agg.update(b, InternalRow(UTF8String.fromString(it)))
+      }
+      b
+    }
+    for (seed <- Seq(1, 2, 3); parts <- Seq(4, 16, 48)) {
+      val rnd = new scala.util.Random(seed)
+      // one dominant item + a long shuffled tail, unevenly split so
+      // some partials never see the heavy item at all
+      val items = rnd.shuffle(
+        Seq.fill(600)("HOT") ++
+          (0 until 200).flatMap(i =>
+            Seq.fill(1 + rnd.nextInt(5))(f"t$i%03d")))
+      val truth = exact(items)
+      val n = items.size.toLong
+      val splits = items.grouped(
+        math.max(1, items.size / parts)).toSeq
+      // serialize round-trip every partial, as the shuffle would
+      val merged = splits.map(p =>
+        agg.deserialize(agg.serialize(partial(p))))
+        .reduceLeft { (acc, o) => agg.merge(acc, o) }
+      assert(merged.n === n)
+      assert(merged.counts.size <= k)
+      merged.counts.foreach { case (item, est) =>
+        val t = truth.getOrElse(item, 0L)
+        val err = merged.errs(item)
+        assert(est >= t,
+          s"seed=$seed parts=$parts $item underestimated: $est < $t")
+        assert(est - t <= err,
+          s"seed=$seed parts=$parts $item over err: $est-$t > $err")
+        assert(err <= merged.off,
+          s"seed=$seed parts=$parts $item err $err > off=${merged.off}")
+      }
+      // update-only partials folded through merge-only combines:
+      // deficit offset <= sum(n_i/k) + n/(k+1) < 2n/k
+      assert(merged.off <= 2 * n / k,
+        s"seed=$seed parts=$parts off=${merged.off} > 2n/k=${2 * n / k}")
+      // untracked items are bounded by the min tracked counter
+      val minKept =
+        if (merged.counts.isEmpty) 0L
+        else merged.counts.valuesIterator.min
+      truth.foreach { case (item, t) =>
+        if (!merged.counts.contains(item))
+          assert(t <= minKept,
+            s"seed=$seed parts=$parts absent $item truth $t > " +
+              s"min counter $minKept")
+      }
+      // the actually-heavy item always survives
+      assert(merged.counts.contains("HOT"),
+        s"seed=$seed parts=$parts heavy item lost")
+    }
+  }
+
   test("heavyHitters emits per-group topN ranked (est desc, item)") {
     val s = spark
     import s.implicits._

@@ -64,6 +64,26 @@ class ApplyChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> "second"))
   }
 
+  test("invalid op values fail fast instead of materializing " +
+      "phantom rows") {
+    val s = spark
+    import s.implicits._
+    val snapshot = Seq((1L, "a")).toDF("k", "v")
+    // latest change for an absent key carries a typo'd op: without
+    // validation it would slip past the delete filter and emit a
+    // (2L, null) phantom row
+    val changes = Seq((2L, "x", 1L, 1L, "upssert"))
+      .toDF("k", "v", "ts", "cid", "op")
+    val ex = intercept[Exception] {
+      Delta.applyChangelog(snapshot, changes, "k", "ts", "cid", "op")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("invalid op")), ex.toString)
+  }
+
   test("missing payload columns in changes are rejected") {
     val s = spark
     import s.implicits._

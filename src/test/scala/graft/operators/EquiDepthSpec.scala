@@ -68,4 +68,20 @@ class EquiDepthSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(census.getInt(1) === 8)
     assert(census.getBoolean(2))
   }
+
+  test("census is well-defined on empty and all-null input") {
+    val s = spark
+    import s.implicits._
+    for (df <- Seq(
+        Seq.empty[Option[Double]].toDF("x"),
+        Seq[Option[Double]](None, None).toDF("x"))) {
+      val census = Sketches.equiDepthCensus(df, col("x"), b = 4)
+        .collect()(0)
+      // clean zero/true verdicts, not nulls that poison downstream
+      // boolean gates
+      assert(!census.isNullAt(0) && census.getLong(0) === 0L)
+      assert(census.getInt(1) === 0)
+      assert(!census.isNullAt(2) && census.getBoolean(2))
+    }
+  }
 }

@@ -668,6 +668,18 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // full BPE tokenizer TRAINING (q88 is its inner loop): 6 merge
+    // rounds over the word-frequency table — the corpus collapses in
+    // ONE keyed aggregation; every round after is vocab-sized, with
+    // a single argmax row crossing to the driver per round. The
+    // oracle replays all 6 rounds unrolled in SQL (the q48 kmeans
+    // recurrence pattern), expressing the canonical greedy
+    // left-to-right merge as run-alternation window selection
+    "q107_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.train(t(s, d, "documents"), col("text"),
+          numMerges = 6)
+        .orderBy(col("merge_rank").asc)),
+
     // dataset-versioning diff: v2 of the corpus is derived
     // deterministically (drop the h%20==0 slice, append ' v2' to
     // the h%7==0 slice, add a fresh h%25==0 slice under shifted
@@ -1827,6 +1839,63 @@ object PipelineQueries {
     * time-bucket pre-split): the two engine paths must agree with
     * DuckDB's native ASOF semantics — and therefore with each other.
     */
+  /** The BPE-training oracle: `rounds` merge rounds unrolled as
+    * layered CTEs (the kmeansSql pattern). Within a round, the
+    * canonical greedy left-to-right merge application is expressed
+    * with windows: adjacent-pair matches, grouped into runs of
+    * consecutive positions (only identical-symbol runs can be
+    * consecutive), alternating selection from each run head — which
+    * is exactly the scan-left semantics of `Bpe.applyMerge`. Symbols
+    * are code points (`regexp_extract_all(word, '(?s).')`), matching
+    * `Bpe.chars` so supplementary-plane text agrees byte-for-byte.
+    */
+  private def bpeSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f " +
+      "FROM (SELECT unnest(regexp_split_to_array(trim(text), " +
+      "'\\s+')) AS word FROM documents) WHERE word <> '' " +
+      "GROUP BY word), " +
+      "w1 AS MATERIALIZED (SELECT word AS wid, f, " +
+      "regexp_extract_all(word, '(?s).') AS l FROM wf)"
+    for (r <- 1 to rounds) {
+      // pair counts over word frequencies (overlapping occurrences
+      // counted), then the (cnt desc, lhs, rhs) argmax
+      sb ++= s", pc$r AS (SELECT l[i] AS lhs, l[i+1] AS rhs, " +
+        s"CAST(SUM(f) AS BIGINT) AS cnt FROM (SELECT f, l, " +
+        s"unnest(range(1, len(l))) AS i FROM w$r WHERE " +
+        s"len(l) >= 2) GROUP BY 1, 2)" +
+        s", m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc$r " +
+        s"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+      if (r < rounds) {
+        sb ++= s", e$r AS (SELECT wid, f, generate_subscripts(l, 1) " +
+          s"AS i, unnest(l) AS s FROM w$r)" +
+          s", x$r AS (SELECT wid, f, i, s, " +
+          s"(s = (SELECT lhs FROM m$r) AND lead(s) OVER " +
+          s"(PARTITION BY wid ORDER BY i) = (SELECT rhs FROM m$r)) " +
+          s"AS cand FROM e$r)" +
+          s", y$r AS (SELECT *, CASE WHEN cand THEN i - " +
+          s"ROW_NUMBER() OVER (PARTITION BY wid, cand ORDER BY i) " +
+          s"END AS grp FROM x$r)" +
+          s", z$r AS (SELECT wid, f, i, s, CASE WHEN " +
+          s"COALESCE(cand, FALSE) AND (i - MIN(i) OVER " +
+          s"(PARTITION BY wid, grp)) % 2 = 0 THEN 1 ELSE 0 END " +
+          s"AS m FROM y$r)" +
+          s", w${r + 1} AS MATERIALIZED (SELECT wid, ANY_VALUE(f) AS f, " +
+          s"list(CASE WHEN m = 1 THEN s || lead_s ELSE s END " +
+          s"ORDER BY i) AS l FROM (SELECT *, lead(s) OVER " +
+          s"(PARTITION BY wid ORDER BY i) AS lead_s, lag(m) OVER " +
+          s"(PARTITION BY wid ORDER BY i) AS prev_m FROM z$r) " +
+          s"WHERE COALESCE(prev_m, 0) <> 1 GROUP BY wid)"
+      }
+    }
+    sb ++= " SELECT * FROM (" +
+      (1 to rounds).map(r =>
+        s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"cnt FROM m$r").mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+    sb.toString
+  }
+
   private val asofSql =
     "SELECT event_type, COUNT(*) AS n_events, COUNT(state_id) AS " +
     "n_matched, CAST(SUM(state_id) AS BIGINT) AS sum_state FROM " +
@@ -2497,6 +2566,8 @@ object PipelineQueries {
        "WHERE len(l) >= 2) " +
        "SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair " +
        "ORDER BY cnt DESC, pair LIMIT 10"),
+    // q107: the 6 training rounds unrolled; see bpeSql
+    "q107_bpe_train" -> bpeSql(6),
     // q89: same md5 hash space as q37 (h % 700 so the %20/%7/%25
     // slices share one hash), same v2 derivation, FULL OUTER join
     // on the id comparing md5 content fingerprints

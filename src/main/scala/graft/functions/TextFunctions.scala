@@ -146,6 +146,83 @@ object TextFunctions {
     }
   }
 
+  /** Gopher's "must contain 2 of these" stopword set (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, quality-filter
+    * appendix).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** C4-style boilerplate policy phrases (Raffel et al., JMLR 2020):
+    * a page mentioning these is navigation/legal chrome, not prose.
+    */
+  val C4PolicyPhrases: Seq[String] =
+    Seq("terms of use", "privacy policy", "cookie policy",
+      "uses cookies")
+
+  /** Composite Gopher/C4 quality filter: every rule as a boolean
+    * field plus the `keep` verdict, computed in ONE projection over
+    * the text (a single corpus scan — a real curation pipeline
+    * applies these as a unit, not as N passes). All thresholds are
+    * integer cross-multiplications, no float ratios, so the DuckDB
+    * oracle agrees exactly.
+    *
+    * Rules (Gopher quality appendix + C4):
+    *  - `wc_ok`      50 <= word count <= 100000
+    *  - `mwl_ok`     mean word length in [3, 10]
+    *  - `sym_ok`     '#'/'...' symbol-to-word ratio <= 0.1
+    *  - `bullet_ok`  <= 90% of lines start with a bullet
+    *  - `ell_ok`     <= 30% of lines end with an ellipsis
+    *  - `alpha_ok`   >= 80% of words contain an alphabetic char
+    *  - `stop_ok`    >= 2 of [[GopherStopwords]] appear as tokens
+    *  - `rep_ok`     top 2-gram <= 20% of 2-grams AND top 3-gram
+    *                 <= 10% of 3-grams (the q42 thresholds)
+    *  - `curly_ok`   no curly brace (C4's code-page heuristic)
+    *  - `policy_ok`  none of [[C4PolicyPhrases]] (C4 boilerplate)
+    *  - `keep`       AND of all of the above
+    */
+  def qualityFlags(text: Column): Column = {
+    import graft.functions.TopNGramExpr.topNGramNative
+    val toks = tokens(text)
+    val ntok = size(toks).cast("long")
+    val nonspace = length(regexp_replace(text, "\\s", "")).cast("long")
+    val nSym = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val nLines = size(split(text, "\n")).cast("long")
+    val nBullet =
+      regexp_count(text, lit("(?m)^ *[-*•]")).cast("long")
+    val nEllEnd =
+      regexp_count(text, lit("(?m)\\.\\.\\.$")).cast("long")
+    val nAlpha =
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = GopherStopwords
+      .map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    val g2 = topNGramNative(text, 2)
+    val g3 = topNGramNative(text, 3)
+    val lt = lower(text)
+    val wcOk = ntok >= 50L && ntok <= 100000L
+    val mwlOk = nonspace >= ntok * 3L && nonspace <= ntok * 10L
+    val symOk = nSym * 10L <= ntok
+    val bulletOk = nBullet * 10L <= nLines * 9L
+    val ellOk = nEllEnd * 10L <= nLines * 3L
+    val alphaOk = nAlpha * 5L >= ntok * 4L
+    val stopOk = stopHits >= 2
+    val repOk = g2.getField("top") * 5L <= g2.getField("n") &&
+      g3.getField("top") * 10L <= g3.getField("n")
+    val curlyOk = !lt.contains("{")
+    val policyOk = C4PolicyPhrases
+      .map(p => !lt.like(s"%$p%"))
+      .reduce(_ && _)
+    val fields = Seq(
+      "wc_ok" -> wcOk, "mwl_ok" -> mwlOk, "sym_ok" -> symOk,
+      "bullet_ok" -> bulletOk, "ell_ok" -> ellOk,
+      "alpha_ok" -> alphaOk, "stop_ok" -> stopOk, "rep_ok" -> repOk,
+      "curly_ok" -> curlyOk, "policy_ok" -> policyOk)
+    struct(fields.map { case (n, c) => c.as(n) } :+
+      fields.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Marker-word language guess (n-gram heuristic, LIKE-based so the
     * DuckDB oracle is byte-identical). Ordered first-match ladder.
     */

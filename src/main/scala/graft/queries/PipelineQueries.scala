@@ -668,6 +668,23 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // composite Gopher/C4 quality filter: every rule boolean plus
+    // the keep verdict from ONE projection (single corpus scan —
+    // pinned by ExplainAudit), per-source pass counts as the census
+    "q108_quality_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rules = Seq("wc_ok", "mwl_ok", "sym_ok", "bullet_ok",
+        "ell_ok", "alpha_ok", "stop_ok", "rep_ok", "curly_ok",
+        "policy_ok", "keep")
+      docs.select(col("source"),
+          TextFunctions.qualityFlags(col("text")).as("qf"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          rules.map(r => count(when(col(s"qf.$r"), 1))
+            .as(s"n_$r")): _*)
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // full BPE tokenizer TRAINING (q88 is its inner loop): 6 merge
     // rounds over the word-frequency table — the corpus collapses in
     // ONE keyed aggregation; every round after is vocab-sized, with
@@ -2568,6 +2585,79 @@ object PipelineQueries {
        "ORDER BY cnt DESC, pair LIMIT 10"),
     // q107: the 6 training rounds unrolled; see bpeSql
     "q107_bpe_train" -> bpeSql(6),
+    // q108: the same integer-threshold rules per document (q42's
+    // n-gram CTE pattern for the repetition rule), aggregated to
+    // per-source pass counts
+    "q108_quality_census" ->
+      ("WITH tok AS (SELECT doc_id, source, text, " +
+       "regexp_split_to_array(trim(text), '\\s+') AS t " +
+       "FROM documents), " +
+       "g2 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] FOR " +
+       "i IN range(greatest(array_length(t) - 1, 0))]) AS g " +
+       "FROM tok), " +
+       "g3 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || " +
+       "' ' || t[i+3] FOR i IN range(greatest(array_length(t) - 2, " +
+       "0))]) AS g FROM tok), " +
+       "t2 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, " +
+       "g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) " +
+       "GROUP BY doc_id), " +
+       "t3 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, " +
+       "g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g) " +
+       "GROUP BY doc_id), " +
+       "per AS (SELECT tok.doc_id, source, " +
+       "CAST(array_length(t) AS BIGINT) AS ntok, " +
+       "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS " +
+       "BIGINT) AS nonspace, " +
+       "CAST(len(regexp_extract_all(text, '#')) + " +
+       "len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS " +
+       "nsym, " +
+       "CAST(len(regexp_split_to_array(text, chr(10))) AS BIGINT) " +
+       "AS nlines, " +
+       "CAST(len(regexp_extract_all(text, '(?m)^ *[-*•]')) AS " +
+       "BIGINT) AS nbullet, " +
+       "CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS " +
+       "BIGINT) AS nellend, " +
+       "CAST(len(list_filter(t, x -> regexp_matches(x, " +
+       "'[A-Za-z]'))) AS BIGINT) AS nalpha, " +
+       graft.functions.TextFunctions.GopherStopwords
+         .map(w => s"CAST(list_contains(t, '$w') AS INT)")
+         .mkString("(", " + ", ") AS stophits, ") +
+       "COALESCE(t2.top, 0) AS top2, " +
+       "greatest(array_length(t) - 1, 0) AS n2, " +
+       "COALESCE(t3.top, 0) AS top3, " +
+       "greatest(array_length(t) - 2, 0) AS n3, " +
+       "lower(text) AS lt FROM tok " +
+       "LEFT JOIN t2 ON tok.doc_id = t2.doc_id " +
+       "LEFT JOIN t3 ON tok.doc_id = t3.doc_id), " +
+       "fl AS (SELECT source, " +
+       "(ntok >= 50 AND ntok <= 100000) AS wc_ok, " +
+       "(nonspace >= ntok * 3 AND nonspace <= ntok * 10) AS " +
+       "mwl_ok, " +
+       "(nsym * 10 <= ntok) AS sym_ok, " +
+       "(nbullet * 10 <= nlines * 9) AS bullet_ok, " +
+       "(nellend * 10 <= nlines * 3) AS ell_ok, " +
+       "(nalpha * 5 >= ntok * 4) AS alpha_ok, " +
+       "(stophits >= 2) AS stop_ok, " +
+       "(top2 * 5 <= n2 AND top3 * 10 <= n3) AS rep_ok, " +
+       "(NOT contains(lt, '{')) AS curly_ok, " +
+       graft.functions.TextFunctions.C4PolicyPhrases
+         .map(p => s"lt NOT LIKE '%$p%'")
+         .mkString("(", " AND ", ") AS policy_ok FROM per) ") +
+       "SELECT source, COUNT(*) AS n_docs, " +
+       "COUNT(CASE WHEN wc_ok THEN 1 END) AS n_wc_ok, " +
+       "COUNT(CASE WHEN mwl_ok THEN 1 END) AS n_mwl_ok, " +
+       "COUNT(CASE WHEN sym_ok THEN 1 END) AS n_sym_ok, " +
+       "COUNT(CASE WHEN bullet_ok THEN 1 END) AS n_bullet_ok, " +
+       "COUNT(CASE WHEN ell_ok THEN 1 END) AS n_ell_ok, " +
+       "COUNT(CASE WHEN alpha_ok THEN 1 END) AS n_alpha_ok, " +
+       "COUNT(CASE WHEN stop_ok THEN 1 END) AS n_stop_ok, " +
+       "COUNT(CASE WHEN rep_ok THEN 1 END) AS n_rep_ok, " +
+       "COUNT(CASE WHEN curly_ok THEN 1 END) AS n_curly_ok, " +
+       "COUNT(CASE WHEN policy_ok THEN 1 END) AS n_policy_ok, " +
+       "COUNT(CASE WHEN wc_ok AND mwl_ok AND sym_ok AND bullet_ok " +
+       "AND ell_ok AND alpha_ok AND stop_ok AND rep_ok AND " +
+       "curly_ok AND policy_ok THEN 1 END) AS n_keep " +
+       "FROM fl GROUP BY source ORDER BY source NULLS FIRST"),
     // q89: same md5 hash space as q37 (h % 700 so the %20/%7/%25
     // slices share one hash), same v2 derivation, FULL OUTER join
     // on the id comparing md5 content fingerprints

@@ -220,7 +220,8 @@ object ExplainAudit {
         "q49_typicality", "q50_pii_scan", "q76_sketch_profile",
         "q79_pii_redact", "q80_zorder_census", "q85_heavy_hitters",
         "q87_inverted_index", "q88_pair_counts",
-        "q93_daily_distinct", "q100_profile_drift")
+        "q93_daily_distinct", "q100_profile_drift",
+        "q108_quality_census")
       .foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -1012,7 +1012,8 @@ object Dedup {
     */
   def corpusOverlapMatrix(df: DataFrame, group: Column, text: Column,
                           numHashes: Int = 64, shingleK: Int = 5,
-                          withExact: Boolean = true): DataFrame = {
+                          withExact: Boolean = true,
+                          maxPairRows: Long = 2000000000L): DataFrame = {
     val sigs = minHashSignatures(df, group, text, numHashes, shingleK)
       .where(col("sig").isNotNull)
     // group signature = elementwise min (8-hex-char strings: lexical
@@ -1034,6 +1035,26 @@ object Dedup {
         .select(col("id").as("g"),
           substring(md5(col("s")), 1, 16).as("s"))
         .distinct()
+      // the exact self-join materializes Σ_s G_s·(G_s−1)/2 rows
+      // (G_s = number of groups sharing digest s, bounded by the
+      // group count, NOT document frequency — but a boilerplate
+      // digest present in every one of many groups still multiplies
+      // the join). Price it pre-flight on the slim distinct rows
+      // and REFUSE past budget, the same contract as every other
+      // candidate join in this module.
+      val priced = shd.groupBy(col("s"))
+        .agg(count(lit(1)).as("gs"))
+        .agg(sum(expr("CAST(gs * (gs - 1) DIV 2 AS DECIMAL(38,0))"))
+          .as("pair_rows"))
+        .first().getDecimal(0)
+      if (priced != null && priced.compareTo(
+          java.math.BigDecimal.valueOf(maxPairRows)) > 0)
+        throw new IllegalStateException(
+          s"corpusOverlapMatrix: exact digest self-join would " +
+          s"materialize $priced pair rows (> budget $maxPairRows). " +
+          "Run with withExact = false (the MinHash estimate needs " +
+          "no pair materialization), reduce the group count, or " +
+          "raise maxPairRows explicitly.")
       val sizes = shd.groupBy(col("g")).agg(count(lit(1)).as("n"))
       val inter = shd.as("x")
         .join(shd.as("y"),

@@ -1,7 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** What [[Layout.compactFiles]] did: input/output file counts and
+  * byte totals (post-rewrite bytes re-listed, since parquet
+  * re-encoding changes compressed size).
+  */
+final case class CompactionReport(filesBefore: Int, bytesBefore: Long,
+                                  filesAfter: Int, bytesAfter: Long,
+                                  targetBytes: Long)
 
 /** Data-layout clustering for multidimensional scan pruning.
   *
@@ -83,6 +91,86 @@ object Layout {
         withZ.repartitionByRange(numPartitions, col("__z"))
       else withZ.repartitionByRange(col("__z"))
     parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
+
+  /** Small-file compaction: bin-pack a flat parquet directory into
+    * files of ~`targetBytes` — the most common lakehouse maintenance
+    * operation (streaming sinks, per-task writers, and incremental
+    * appends all fragment tables into thousands of sub-MB files,
+    * and at 100 TB each tiny file costs a scan task plus a
+    * footer/name-node round trip).
+    *
+    * The output file count derives from the INPUT's listed bytes
+    * (one driver-side metadata listing, no data read), so the
+    * rewrite is a single round-robin exchange — or, when `sortBy`
+    * is given, a range exchange plus in-partition sort that
+    * RE-ESTABLISHES the clustering contract ([[zOrderLayout]]'s
+    * envelope survives compaction instead of being shredded by
+    * round-robin). Rewrite goes to a staging directory first and
+    * swaps in with two metadata operations; a manifest-committing
+    * table format would make the swap atomic — plain parquet
+    * directories get the smallest practical exposure window.
+    */
+  def compactFiles(spark: SparkSession, path: String,
+                   targetBytes: Long,
+                   sortBy: Seq[String] = Nil): CompactionReport = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def listParquet() = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = listParquet()
+    require(before.nonEmpty, s"no parquet files under $path")
+    val bytesBefore = before.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df.repartition(nOut)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + ".__compact_tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath),
+      s"compaction swap failed: could not rename $tmp to $hPath")
+    val after = listParquet()
+    CompactionReport(before.length, bytesBefore,
+      after.length, after.map(_.getLen).sum, targetBytes)
+  }
+
+  /** Compact a BUCKETED table's per-bucket file fragments into a new
+    * table carrying the identical bucketing contract: repartitioning
+    * on the bucket key with exactly `numBuckets` partitions aligns
+    * Spark's exchange hash (murmur3 pmod n) with the bucket-file
+    * hash, so the writer emits ONE file per bucket instead of one
+    * per (task, bucket) fragment — and every zero-exchange join the
+    * original table participated in works unchanged against the
+    * compacted one (BucketedJoinSpec pins the no-Exchange plan).
+    * A new table/path is required because Spark refuses to overwrite
+    * a table that is also the read source.
+    */
+  def compactBucketed(spark: SparkSession, fromTable: String,
+                      toTable: String, toPath: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(fromTable))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$fromTable is not bucketed; use compactFiles for plain dirs"))
+    val key = spec.bucketColumnNames.head
+    // read the table's FILES as plain parquet, not via the catalog:
+    // a bucketed scan advertises HashPartitioning(key, n), which
+    // makes the planner elide the alignment repartition — and then
+    // DisableUnnecessaryBucketedScan can downgrade the scan to
+    // arbitrary file splits, leaving the write with one file per
+    // (task, bucket) again. A plain scan keeps the exchange in the
+    // plan, so tasks align 1:1 with buckets.
+    val df = spark.read.parquet(meta.location.toString)
+      .repartition(spec.numBuckets, col(key))
+    writeBucketed(df, toTable, toPath, key, spec.numBuckets,
+      sorted = spec.sortColumnNames.nonEmpty)
   }
 
   /** Salted shuffle join for a SKEWED key distribution when the

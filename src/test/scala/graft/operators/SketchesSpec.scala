@@ -126,4 +126,28 @@ class CorpusOverlapSpec extends AnyFunSuite with BeforeAndAfterAll {
     val est = r.getAs[Long]("n_match_sig")
     assert(est > 0 && est < 64, s"est=$est")
   }
+
+  test("exact overlap self-join refuses past the pair-row budget; " +
+       "the estimate path stays available") {
+    val s = spark
+    import s.implicits._
+    // one boilerplate document shared by every group: each of its
+    // shingle digests appears in all 6 groups -> sum gs*(gs-1)/2
+    // well above a budget of 10
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val df = (0 until 6).map(g => (s"g$g", boiler))
+      .toDF("source", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.corpusOverlapMatrix(df, col("source"), col("text"),
+        maxPairRows = 10L).collect()
+    }
+    assert(ex.getMessage.contains("pair rows"), ex.getMessage)
+    // withExact = false never materializes pairs, so the same call
+    // under the same budget succeeds
+    val est = Dedup.corpusOverlapMatrix(df, col("source"),
+        col("text"), withExact = false, maxPairRows = 10L)
+      .collect()
+    assert(est.length == 15) // all 6-choose-2 pairs, all identical
+    assert(est.forall(_.getAs[Long]("n_match_sig") == 64L))
+  }
 }

@@ -158,8 +158,10 @@ object PipelineQueries {
       while (it.hasNext) {
         val p = it.next()
         val name = p.getFileName.toString
-        if (name.startsWith("graft_serving_index_") &&
+        if ((name.startsWith("graft_serving_index_") ||
+              name.startsWith("graft_multisrc_")) &&
             p.toString != ServingIndexDir &&
+            p.toString != MultiSrcDir &&
             java.nio.file.Files.getLastModifiedTime(p).toMillis <
               cutoff) {
           import scala.jdk.CollectionConverters._
@@ -190,6 +192,71 @@ object PipelineQueries {
         "vec_id", "embedding", k = 4, iters = 2), s"$dir/ivf")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(marker,
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
+  /** Location of q109's mixed-format fixture (JSONL + CSV + YAML
+    * shards of one logical table), per-process like the serving
+    * index so concurrent graft JVMs never race the writes.
+    */
+  private val MultiSrcDir =
+    "/tmp/graft_multisrc_" + ProcessHandle.current().pid()
+
+  /** Derive the q109 fixture deterministically from the documents
+    * table: the 300 smallest doc_ids as (doc_id, ntok, score) rows,
+    * sharded by doc_id % 3 into a JSONL file, a CSV file, and a
+    * YAML file. Every value round-trips exactly through all three
+    * text formats (longs, and floats with an exact binary fraction),
+    * so the DuckDB oracle can re-derive the merged verdicts from
+    * the parquet table alone.
+    */
+  private def ensureMultiSourceFixture(s: SparkSession,
+                                       d: String): String = {
+    sweepStaleServingIndexes()
+    val dir = MultiSrcDir
+    val marker = java.nio.file.Paths.get(dir, "_built_from")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == d
+    if (!fresh) {
+      val rows = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("ntok"))
+        .orderBy(col("doc_id").asc)
+        .limit(300)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir))
+      def write(name: String, body: String): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // every shard ships STRING-typed values (quoted in JSON/YAML;
+      // CSV is strings by the reference quirk): a CSV source always
+      // analyzes as `str of int`, and mixing that with native-int
+      // JSON degrades the fold to ⊤ (reference mixed-type-list
+      // semantics) — string-typed exports keep all three trees
+      // structurally matched so the merged verdict is the UNION's
+      // numeric-string range, the shape this query gates
+      def score(ntok: Long): String = s"$ntok.5"
+      val shards = rows.groupBy { case (id, _) => id % 3 }
+      write("part0.jsonl", shards.getOrElse(0L, Array.empty)
+        .map { case (id, nt) =>
+          s"""{"doc_id": "$id", "ntok": "$nt", "score": "${score(nt)}"}"""
+        }.mkString("", "\n", "\n"))
+      write("part1.csv", "doc_id,ntok,score\n" +
+        shards.getOrElse(1L, Array.empty)
+          .map { case (id, nt) => s"$id,$nt,${score(nt)}" }
+          .mkString("", "\n", "\n"))
+      write("part2.yaml", shards.getOrElse(2L, Array.empty)
+        .map { case (id, nt) =>
+          s"- doc_id: '$id'\n  ntok: '$nt'\n  score: '${score(nt)}'"
+        }.mkString("", "\n", "\n"))
       java.nio.file.Files.write(marker,
         d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -1630,6 +1697,56 @@ object PipelineQueries {
     "q71_analyze_events" -> ((s, d) =>
       analyzeDump(s, s.read.parquet(s"$d/events.parquet"))),
 
+    // distributed multi-format analyze, end-to-end at the driver
+    // gate: detect + scan a JSONL shard and a CSV shard on
+    // executors (SparkAnalyzer), the YAML shard on the driver
+    // (TreeAnalyzer — no native YAML source), then merge the three
+    // trees through the AnalyzeDist fold and fix-point. The three
+    // shards carry one logical table, so the verdicts must be the
+    // UNION's ranges — which the oracle re-derives from the parquet
+    // table the fixture was cut from
+    "q109_analyze_multisource" -> ((s, d) => {
+      val dir = ensureMultiSourceFixture(s, d)
+      val analyzer = new graft.analyzer.SparkAnalyzer()
+      val treeAnalyzer = new graft.analyzer.TreeAnalyzer()
+      val trees = Seq(
+        analyzer.analyzeTable(
+          graft.sources.Source.sparkRead(s, s"$dir/part0.jsonl")),
+        analyzer.analyzeTable(
+          graft.sources.Source.sparkRead(s, s"$dir/part1.csv")),
+        treeAnalyzer.analyze(
+          graft.sources.Source.load(s"$dir/part2.yaml")))
+      val folded = trees.reduceLeft { (acc, t) =>
+        if (acc.isInstanceOf[graft.core.SValue]) acc
+        else if (graft.core.SType.matches(acc, t))
+          try graft.core.SType.merge(acc, t)
+          catch { case _: IllegalArgumentException =>
+            graft.core.SValue() }
+        else graft.core.SValue()
+      }
+      val tree = graft.core.SSourcesList(
+        graft.core.Stats.fromCounter(graft.core.ValueCounter(Map(
+          (trees.length.toLong: Any) -> 1L))), folded)
+      val merged = treeAnalyzer.mergeToFixpoint(tree)
+      // the sources list wraps the per-file LIST-of-dicts trees, so
+      // the row dict sits two levels down (sources -> rows -> dict)
+      val rows = merged match {
+        case srcs: graft.core.SSourcesList => srcs.content match {
+          case l: graft.core.SList => l.content match {
+            case dict: graft.core.SDict => dict.content.map(f =>
+              (f.key.asInstanceOf[graft.core.SField].value.toString,
+                f.value.render))
+            case other => Vector(("", other.render))
+          }
+          case other => Vector(("", other.render))
+        }
+        case other => Vector(("", other.render))
+      }
+      import s.implicits._
+      rows.toDF("column_name", "inferred")
+        .orderBy(col("column_name").asc_nulls_first)
+    }),
+
     // the daily-ingest path: analyze HALF the corpus, fold the other
     // half in as a delta via the merge monoid — must reproduce the
     // whole-corpus verdicts bit-for-bit (same oracle as q33), so the
@@ -2583,6 +2700,34 @@ object PipelineQueries {
        "WHERE len(l) >= 2) " +
        "SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair " +
        "ORDER BY cnt DESC, pair LIMIT 10"),
+    // q109: the fixture is cut deterministically from documents
+    // (300 smallest doc_ids, sharded doc_id % 3 across JSONL/CSV/
+    // YAML), so the merged multi-source verdicts re-derive from the
+    // parquet table: numeric-string ranges over the UNION, the q71
+    // int ladder, and the exact x.5 float endpoints
+    "q109_analyze_multisource" ->
+      ("WITH sub AS (SELECT doc_id, " +
+       "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS " +
+       "BIGINT) AS ntok FROM documents ORDER BY doc_id LIMIT 300), " +
+       "ir AS (SELECT 'doc_id' AS column_name, MIN(doc_id) AS mn, " +
+       "MAX(doc_id) AS mx FROM sub " +
+       "UNION ALL SELECT 'ntok', MIN(ntok), MAX(ntok) FROM sub), " +
+       "fmtd AS (SELECT column_name, " +
+       "CASE WHEN abs(mn) < 1000 THEN CAST(mn AS VARCHAR) " +
+       "WHEN abs(mn) < 1000000 THEN printf('%.1fK', mn / 1000.0) " +
+       "ELSE printf('%.1fM', mn / 1000000.0) END AS fmn, " +
+       "CASE WHEN abs(mx) < 1000 THEN CAST(mx AS VARCHAR) " +
+       "WHEN abs(mx) < 1000000 THEN printf('%.1fK', mx / 1000.0) " +
+       "ELSE printf('%.1fM', mx / 1000000.0) END AS fmx FROM ir), " +
+       "ints AS (SELECT column_name, 'str of int range=' || fmn || " +
+       "'..' || fmx || ' pattern=d' AS inferred FROM fmtd), " +
+       "fl AS (SELECT 'score' AS column_name, " +
+       "'str of float range=' || CAST(MIN(ntok) AS VARCHAR) || " +
+       "'.5..' || CAST(MAX(ntok) AS VARCHAR) || '.5 pattern=f' AS " +
+       "inferred FROM sub) " +
+       "SELECT column_name, inferred FROM (SELECT * FROM ints " +
+       "UNION ALL SELECT * FROM fl) " +
+       "ORDER BY column_name NULLS FIRST"),
     // q107: the 6 training rounds unrolled; see bpeSql
     "q107_bpe_train" -> bpeSql(6),
     // q108: the same integer-threshold rules per document (q42's

@@ -435,11 +435,22 @@ final class SparkAnalyzer(val config: AnalyzerConfig = AnalyzerConfig(),
           probe(c.rlike("^[+-]?[0-9]+$")).as(s"${id}__id"),
           probe(c.rlike("^[+-]?(0[xX])?[0-9A-Fa-f]+$"))
             .as(s"${id}__ix"),
-          probe(c.try_cast(DoubleType).isNotNull).as(s"${id}__f")) ++
+          probe(c.try_cast(DoubleType).isNotNull).as(s"${id}__f")) ++ {
+          // first-char dispatch on the datetime probes: every
+          // distributed format starts with yyyy, so a successful
+          // parse must begin with a digit (or a sign — Java's
+          // EXCEEDS_PAD years). The guard changes no witness count,
+          // but try_to_timestamp is the witness pass's dominant cost
+          // (measured 4.1 s of q71's 6.1 s at sf0.1) and non-numeric
+          // strings — enums, JSON, prose — skip all of it lazily.
+          val dtCandidate = short && c.rlike("^[0-9+-]")
+          def probeDt(cond: Column): Column =
+            count(when(dtCandidate && cond, 1))
           sparkDateTimeFormats.zipWithIndex.map { case ((_, fmt), i) =>
-            probe(try_to_timestamp(c, lit(fmt)).isNotNull)
+            probeDt(try_to_timestamp(c, lit(fmt)).isNotNull)
               .as(s"${id}__dt$i")
           }
+        }
       case _ => Seq.empty
     }
     base ++ ordered ++ stringy

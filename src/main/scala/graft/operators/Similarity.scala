@@ -832,6 +832,72 @@ object Similarity {
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): k-means
+    * cluster the embedding space, then find near-duplicates ONLY
+    * within each cluster — the cluster assignment replaces LSH
+    * bucketing as the candidate generator, cutting the pair space by
+    * ~k while targeting SEMANTIC duplicates (paraphrases, templated
+    * rewrites) that exact/minhash dedup cannot see. Cross-cluster
+    * near-dups are the algorithm's accepted miss, exactly as
+    * published.
+    *
+    * 100 TB shape: clustering is [[kmeansLabels]] (exact integer
+    * centroid sums, broadcast joins, deterministic); the candidate
+    * join keys on the cluster label after ONE repartition; pair
+    * volume Σ c·(c−1)/2 over cluster sizes is priced pre-flight and
+    * REFUSED past `maxPairRows` (at real scale k scales with corpus
+    * size to keep clusters at ~10³–10⁴ vectors, and the refusal
+    * names exactly that knob); components collapse via the bounded
+    * [[graft.operators.Dedup.connectedComponents]] and every
+    * component keeps its minimum id.
+    *
+    * Returns the KEPT rows of `df` (same schema), like
+    * [[deduplicateEmbeddings]].
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int = 2, threshold: Double = 0.8,
+               maxPairRows: Long = 2000000000L,
+               maxIter: Int = 25): DataFrame = {
+    // iters = 0 would label only the k seed rows, silently exempting
+    // everything else from dedup consideration
+    require(iters >= 1, s"semDedup needs iters >= 1: $iters")
+    val labels = kmeansLabels(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("label"))
+    val prepped = df.select(col(idCol).as("id"),
+        col(vecCol).as("v"),
+        dotQ(col(vecCol), col(vecCol)).as("n2"))
+      .join(labels, Seq("id"))
+      .repartition(col("label"))
+    val priced = prepped.groupBy(col("label"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("CAST(c * (c - 1) DIV 2 AS DECIMAL(38,0))"))
+        .as("pair_rows"))
+      .first().getDecimal(0)
+    if (priced != null && priced.compareTo(
+        java.math.BigDecimal.valueOf(maxPairRows)) > 0)
+      throw new IllegalStateException(
+        s"semDedup: within-cluster self-join would materialize " +
+        s"$priced pair rows (> budget $maxPairRows). Raise k so " +
+        "clusters shrink (SemDeDup scales k with corpus size), or " +
+        "raise maxPairRows explicitly.")
+    val a = prepped.as("a")
+    val b = prepped.as("b")
+    val dot = dotQ(col("a.v"), col("b.v"))
+    val pairs = a.join(b, col("a.label") === col("b.label") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (dot.cast("double") /
+          (sqrt(col("a.n2").cast("double")) *
+           sqrt(col("b.n2").cast("double")))).as("cosine"))
+      .where(col("cosine") >= threshold)
+    val comps = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("id1"), col("id2")), maxIter)
+    val drops = graft.operators.Dedup.dedupDropList(comps)
+      .withColumnRenamed("id", "__drop_id")
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** A persisted PQ index: the (id, codes) word table and the
     * (sub, label, dim, cs, n) codebooks — everything [[pqTopKAdc]] /
     * [[ivfPqTopK]] need, so serving never re-trains or re-reads

@@ -735,6 +735,19 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // SemDeDup: k-means clusters as the candidate generator, then
+    // quantized-cosine near-dup pairs WITHIN each cluster only,
+    // connected components, keep-min-id — semantic dedup with the
+    // pair space cut by ~k (cross-cluster misses are the published
+    // algorithm's trade). Census form (q66's shape)
+    "q110_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding", k = 4,
+          iters = 2, threshold = 0.8)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).cast("long").as("sum_ids"))
+    }),
+
     // composite Gopher/C4 quality filter: every rule boolean plus
     // the keep verdict from ONE projection (single corpus scan —
     // pinned by ExplainAudit), per-source pass counts as the census
@@ -2046,7 +2059,7 @@ object PipelineQueries {
     * kmeansLabels. Shared by q48 (flat) and q56 (hierarchical with
     * one coarse cell, which degenerates to the flat algorithm).
     */
-  private val kmeansSql =
+  private val kmeansAssignCtes =
     "WITH hv AS (SELECT vec_id, CAST('0x' || " +
     "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
     "FROM embeddings), " +
@@ -2078,10 +2091,42 @@ object PipelineQueries {
     "a2 AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
     "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot " +
     "AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn " +
-    "FROM sc2 JOIN n1 USING (label)) WHERE rn = 1) " +
-    "SELECT label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
+    "FROM sc2 JOIN n1 USING (label)) WHERE rn = 1)"
+
+  private val kmeansSql =
+    kmeansAssignCtes +
+    " SELECT label, COUNT(*) AS n_vectors, MIN(vec_id) AS " +
     "min_vec_id FROM a2 GROUP BY label ORDER BY label " +
     "NULLS FIRST"
+
+  /** q110: the kmeansSql assignment recurrence, then near-dup pairs
+    * ONLY within each cluster (the SemDeDup candidate generator),
+    * the same HUGEINT quantized cosine as q66, recursive transitive
+    * closure, keep-min-id census.
+    */
+  private val semDedupSql =
+    kmeansAssignCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    ", pr AS (SELECT x.vec_id AS id1, y.vec_id AS id2 FROM a2 x " +
+    "JOIN a2 y ON x.label = y.label AND x.vec_id < y.vec_id)" +
+    ", n2 AS (SELECT vec_id, SUM(CAST(qx AS HUGEINT) * qx) AS n2 " +
+    "FROM qc GROUP BY 1)" +
+    ", dots AS (SELECT pr.id1, pr.id2, SUM(CAST(qa.qx AS HUGEINT) " +
+    "* qb.qx) AS dot FROM pr JOIN qc qa ON qa.vec_id = pr.id1 " +
+    "JOIN qc qb ON qb.vec_id = pr.id2 AND qb.dim = qa.dim " +
+    "GROUP BY 1, 2)" +
+    ", nd AS (SELECT id1, id2 FROM dots " +
+    "JOIN n2 a ON a.vec_id = id1 JOIN n2 b ON b.vec_id = id2 " +
+    "WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * " +
+    "sqrt(CAST(b.n2 AS DOUBLE))) >= 0.8)" +
+    ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
+    "SELECT id2, id1 FROM nd)" +
+    ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
+    ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
+    "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
+    ", lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id) " +
+    "SELECT COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS " +
+    "sum_ids FROM embeddings WHERE vec_id NOT IN " +
+    "(SELECT id FROM lab WHERE id <> label)"
 
   // the per-subspace PQ recurrence: kmeansSql with a `sub` column
   // threaded through every step (m=4 subspaces of 16 dims over the
@@ -3360,6 +3405,7 @@ object PipelineQueries {
        "BIGINT), doc_id) AS rn FROM documents) " +
        "WHERE rn <= 7 ORDER BY source NULLS FIRST, doc_id"),
     "q48_kmeans" -> kmeansSql,
+    "q110_semdedup" -> semDedupSql,
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
     "q64_ivfpq_topk" -> ivfPqSql,

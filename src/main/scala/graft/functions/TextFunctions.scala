@@ -181,6 +181,14 @@ object TextFunctions {
     *  - `policy_ok`  none of [[C4PolicyPhrases]] (C4 boilerplate)
     *  - `keep`       AND of all of the above
     */
+  /** Field order of [[qualityFlags]]'s struct — shared by the batch
+    * census (q108) and its streaming twin so the two aggregations
+    * cannot drift.
+    */
+  val QualityRuleNames: Seq[String] = Seq("wc_ok", "mwl_ok",
+    "sym_ok", "bullet_ok", "ell_ok", "alpha_ok", "stop_ok",
+    "rep_ok", "curly_ok", "policy_ok", "keep")
+
   def qualityFlags(text: Column): Column = {
     import graft.functions.TopNGramExpr.topNGramNative
     val toks = tokens(text)

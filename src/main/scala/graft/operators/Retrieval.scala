@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Ranked retrieval over the corpus — the "mine training data
+  * relevant to X" primitive (targeted curation, eval-set
+  * construction, contamination triage all start with a ranked
+  * keyword query against the corpus).
+  *
+  * Scoring is BM25 (Robertson-Spärck Jones) with two deliberate,
+  * documented determinism substitutions, because this repo's
+  * correctness gate hash-compares against a second engine and
+  * transcendental libm calls (`ln`) are NOT bit-identical across
+  * engines (the q44 rule):
+  *
+  *  - `k1 = 6/5`, `b = 3/4` — the standard defaults, as exact
+  *    rationals;
+  *  - idf surrogate `(N − df + 1) / (df + 1)` instead of
+  *    `ln((N − df + 0.5) / (df + 0.5))` — the same monotone
+  *    rare-term ordering, exactly representable.
+  *
+  * With those, each term's score is a ratio of two EXACT BIGINT
+  * products: `22·tf·(N−df+1)·T` over `(df+1)·(10·tf·T + 3·T +
+  * 9·dl·N)` (T = total corpus tokens, so `avgdl = T/N` never
+  * materializes as a rounded double). The ONLY floating-point
+  * operations are one IEEE division per term and a fixed-order sum
+  * over the ≤ handful of query terms — both bit-deterministic and
+  * replayed identically by the SQL oracle.
+  *
+  * Shape at 100 TB: query terms are literals, so per-document term
+  * frequencies come from `size(filter(tokens, == term))` — a pure
+  * projection, no token explode, no join; corpus statistics are ONE
+  * 1-row aggregate broadcast back over the scan; ranking is
+  * TakeOrdered(K). Two corpus scans total (stats, then scoring) —
+  * the irreducible BM25 structure — and nothing shuffles more than
+  * the 1-row stats frame.
+  */
+object Retrieval {
+
+  /** Top-`k` documents for `terms` by the deterministic BM25 above.
+    * Output: `(id, score, dl)` ordered by (score desc, id asc).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.size <= 16,
+      s"fixed-order float summation is specified for <= 16 terms: " +
+        s"${terms.size}")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(
+      col(idCol).as("id") +:
+        size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long")
+            .as(s"tf$i")
+        }: _*)
+    val statCols = sum(col("dl")).cast("long").as("T") +:
+      terms.indices.map(i =>
+        count(when(col(s"tf$i") > 0L, 1)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("N"), statCols: _*)
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val a = lit(22L) * tf * (col("N") - col(s"df$i") + lit(1L)) *
+        col("T")
+      val bDen = (col(s"df$i") + lit(1L)) *
+        (lit(10L) * tf * col("T") + lit(3L) * col("T") +
+          lit(9L) * col("dl") * col("N"))
+      when(tf > 0L, a.cast("double") / bDen.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("id"),
+        perTerm.reduceLeft(_ + _).as("score"), col("dl"))
+      .orderBy(col("score").desc, col("id").asc_nulls_first)
+      .limit(k)
+  }
+}

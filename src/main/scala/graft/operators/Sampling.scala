@@ -69,6 +69,45 @@ object Sampling {
     df.where(pmod(hash32(key), lit(of.toLong)) === bucket.toLong)
   }
 
+  /** Leakage-free train/test split: assign every row a split by key
+    * hash (test = residue `testBucket` of `of`, the [[hashSplit]]
+    * convention), then MOVE to train every test document with a
+    * cross-split MinHash band collision — a near-duplicate of a
+    * training document sitting in the eval split silently inflates
+    * every benchmark built from it, which is the leakage direction
+    * that matters.
+    *
+    * The guard is candidate-level (band collision, not verified
+    * Jaccard) ON PURPOSE: eval integrity wants the conservative
+    * side, and the move direction only ever grows train. Scale
+    * shape: [[graft.operators.Dedup.lshPairsAgainst]] keys the join
+    * on band signatures with per-side hot-bucket caps, and the test
+    * side is a 1/`of` slice — the 100 TB cost is the linear
+    * signature pass plus a test-sized band join, never pairwise.
+    *
+    * Returns `df` plus a `split` column (`train` | `test`).
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: Column, textCol: Column,
+                       of: Int = 5, testBucket: Int = 0,
+                       numHashes: Int = 64, bandSize: Int = 4,
+                       shingleK: Int = 5,
+                       maxBucketSize: Long = 10000L): DataFrame = {
+    require(of > 0 && testBucket >= 0 && testBucket < of,
+      s"testBucket must be in [0, $of): $testBucket")
+    val isTest = pmod(hash32(idCol), lit(of.toLong)) ===
+      testBucket.toLong
+    val leaked = graft.operators.Dedup.lshPairsAgainst(
+        df.where(!isTest), idCol, textCol,
+        df.where(isTest), idCol, textCol,
+        numHashes, bandSize, shingleK, maxBucketSize)
+      .select(col("new_id").as("__leak_id")).distinct()
+    df.join(leaked, idCol === col("__leak_id"), "left")
+      .withColumn("split",
+        when(isTest && col("__leak_id").isNull, lit("test"))
+          .otherwise(lit("train")))
+      .drop("__leak_id")
+  }
+
   /** Deterministic shard id in [0, numShards): the 32-bit hash space
     * cut into `numShards` equal ranges, `shard = h·S >> 32` — exact
     * integer arithmetic (h < 2^32 and S ≤ 2^20 keep the product

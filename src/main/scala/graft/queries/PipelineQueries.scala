@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Delta, Layout, Multimodal, Sampling,
-  Similarity, Sketches, Temporal}
+import graft.operators.{Dedup, Delta, Layout, Multimodal, Retrieval,
+  Sampling, Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -735,6 +735,26 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // leakage-free train/test split: hash-assigned split, then every
+    // test doc with a cross-split MinHash band candidate (the q63
+    // machinery) moves to train — the conservative guard against
+    // eval contamination. Census pins sizes AND membership
+    "q112_leakage_split" -> ((s, d) =>
+      Sampling.leakageFreeSplit(t(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("split").asc_nulls_first)),
+
+    // BM25 ranked retrieval (deterministic rational variant — see
+    // Retrieval scaladoc): mine the corpus for documents matching a
+    // keyword query; literal-term tfs are a pure projection (no
+    // explode/join), corpus stats one broadcast row, TakeOrdered(K)
+    "q111_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Bm25Terms, k = 25)),
+
     // SemDeDup: k-means clusters as the candidate generator, then
     // quantized-cosine near-dup pairs WITHIN each cluster only,
     // connected components, keep-min-id — semantic dedup with the
@@ -751,19 +771,11 @@ object PipelineQueries {
     // composite Gopher/C4 quality filter: every rule boolean plus
     // the keep verdict from ONE projection (single corpus scan —
     // pinned by ExplainAudit), per-source pass counts as the census
-    "q108_quality_census" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val rules = Seq("wc_ok", "mwl_ok", "sym_ok", "bullet_ok",
-        "ell_ok", "alpha_ok", "stop_ok", "rep_ok", "curly_ok",
-        "policy_ok", "keep")
-      docs.select(col("source"),
-          TextFunctions.qualityFlags(col("text")).as("qf"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          rules.map(r => count(when(col(s"qf.$r"), 1))
-            .as(s"n_$r")): _*)
-        .orderBy(col("source").asc_nulls_first)
-    }),
+    "q108_quality_census" -> ((s, d) =>
+      graft.streaming.StreamingStructure
+        .qualityCensus(t(s, d, "documents"), "source", "text")
+        .orderBy(col("group").asc_nulls_first)
+        .withColumnRenamed("group", "source")),
 
     // full BPE tokenizer TRAINING (q88 is its inner loop): 6 merge
     // rounds over the word-frequency table — the corpus collapses in
@@ -2041,6 +2053,68 @@ object PipelineQueries {
           s"cnt FROM m$r").mkString(" UNION ALL ") +
       ") ORDER BY merge_rank"
     sb.toString
+  }
+
+  private val splitHashSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS " +
+    "BIGINT) % 5"
+
+  /** Cross-split MinHash band candidates (new = hash residue 0, old
+    * = the rest), with per-side hot-bucket caps mirroring
+    * lshPairsAgainst's dropHotBuckets on EACH side (q58/q66
+    * convention; inert at sf0.01 but load-bearing the first time a
+    * band bucket tops the cap at larger scale). Shared by q63
+    * (candidate census) and q112 (leakage-free split).
+    */
+  private val crossSplitCandCtes =
+    "WITH " + minhashSideCtes("n", s"$splitHashSql = 0") + ", " +
+    minhashSideCtes("o", s"$splitHashSql <> 0") + ", " +
+    "hotn AS (SELECT band, key FROM bandsn GROUP BY band, key " +
+    "HAVING COUNT(*) > 10000), " +
+    "hoto AS (SELECT band, key FROM bandso GROUP BY band, key " +
+    "HAVING COUNT(*) > 10000), " +
+    "kn AS (SELECT doc_id, band, key FROM bandsn b WHERE NOT " +
+    "EXISTS (SELECT 1 FROM hotn h WHERE h.band = b.band AND " +
+    "h.key = b.key)), " +
+    "ko AS (SELECT doc_id, band, key FROM bandso b WHERE NOT " +
+    "EXISTS (SELECT 1 FROM hoto h WHERE h.band = b.band AND " +
+    "h.key = b.key)), " +
+    "pr AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS " +
+    "old_id FROM kn n JOIN ko o ON n.band = o.band AND " +
+    "n.key = o.key)"
+
+  /** q111's query terms — drawn from the synthetic corpus dictionary
+    * with a spread of document frequencies.
+    */
+  private val Bm25Terms = Seq("spark", "join", "group", "fast")
+
+  /** The BM25 oracle: identical BIGINT numerator/denominator
+    * products, one IEEE division per term, the same fixed-order
+    * left-associated sum. Generated from the same term list as the
+    * engine call so the two cannot drift.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter($toks, x -> x = '$t')) AS BIGINT) " +
+        s"AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS BIGINT) " +
+        s"AS df$i").mkString(", ")
+    val termExprs = terms.indices.map { i =>
+      s"(CASE WHEN tf$i > 0 THEN " +
+        s"CAST(22 * tf$i * (N - df$i + 1) * T AS DOUBLE) / " +
+        s"CAST((df$i + 1) * (10 * tf$i * T + 3 * T + 9 * dl * N) " +
+        s"AS DOUBLE) ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"WITH base AS (SELECT doc_id AS id, " +
+      s"CAST(len($toks) AS BIGINT) AS dl, $tfCols FROM documents), " +
+      s"st AS (SELECT CAST(COUNT(*) AS BIGINT) AS N, " +
+      s"CAST(SUM(dl) AS BIGINT) AS T, $dfCols FROM base) " +
+      s"SELECT id, $termExprs AS score, dl " +
+      s"FROM base CROSS JOIN st " +
+      s"ORDER BY score DESC, id NULLS FIRST LIMIT $k"
   }
 
   private val asofSql =
@@ -3406,6 +3480,7 @@ object PipelineQueries {
        "WHERE rn <= 7 ORDER BY source NULLS FIRST, doc_id"),
     "q48_kmeans" -> kmeansSql,
     "q110_semdedup" -> semDedupSql,
+    "q111_bm25_topk" -> bm25Sql(Bm25Terms, 25),
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
     "q64_ivfpq_topk" -> ivfPqSql,
@@ -3470,34 +3545,25 @@ object PipelineQueries {
        "COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS " +
        "sum_tokens FROM cc GROUP BY shard, bin " +
        "ORDER BY shard NULLS FIRST, bin NULLS FIRST"),
-    "q63_dedup_against" -> {
-      val h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
-        "8) AS BIGINT) % 5"
-      "WITH " + minhashSideCtes("n", s"$h = 0") + ", " +
-      minhashSideCtes("o", s"$h <> 0") + ", " +
-      // per-side hot-bucket caps, mirroring lshPairsAgainst's
-      // dropHotBuckets on EACH side (q58/q66 convention); inert at
-      // sf0.01 but load-bearing the first time a band bucket tops
-      // the cap at larger scale
-      "hotn AS (SELECT band, key FROM bandsn GROUP BY band, key " +
-      "HAVING COUNT(*) > 10000), " +
-      "hoto AS (SELECT band, key FROM bandso GROUP BY band, key " +
-      "HAVING COUNT(*) > 10000), " +
-      "kn AS (SELECT doc_id, band, key FROM bandsn b WHERE NOT " +
-      "EXISTS (SELECT 1 FROM hotn h WHERE h.band = b.band AND " +
-      "h.key = b.key)), " +
-      "ko AS (SELECT doc_id, band, key FROM bandso b WHERE NOT " +
-      "EXISTS (SELECT 1 FROM hoto h WHERE h.band = b.band AND " +
-      "h.key = b.key)), " +
-      "pr AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS " +
-      "old_id FROM kn n JOIN ko o ON n.band = o.band AND " +
-      "n.key = o.key), " +
-      "per AS (SELECT new_id, COUNT(*) AS n_old FROM pr GROUP BY " +
+    "q63_dedup_against" ->
+      (crossSplitCandCtes +
+      ", per AS (SELECT new_id, COUNT(*) AS n_old FROM pr GROUP BY " +
       "new_id) " +
       "SELECT COUNT(*) AS n_flagged, CAST(COALESCE(SUM(n_old), 0) " +
       "AS BIGINT) AS total_cands, CAST(COALESCE(MAX(n_old), 0) AS " +
-      "BIGINT) AS max_cands FROM per"
-    },
+      "BIGINT) AS max_cands FROM per"),
+    // q112: the same cross-split band-candidate CTEs; every flagged
+    // test doc moves to train, census pins split sizes AND exact
+    // membership (sum of ids)
+    "q112_leakage_split" ->
+      (crossSplitCandCtes +
+      ", mv AS (SELECT DISTINCT new_id AS doc_id FROM pr), " +
+      "asg AS (SELECT doc_id, CASE WHEN " + splitHashSql +
+      " = 0 AND doc_id NOT IN (SELECT doc_id FROM mv) THEN 'test' " +
+      "ELSE 'train' END AS split FROM documents) " +
+      "SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS " +
+      "BIGINT) AS sum_ids FROM asg GROUP BY split " +
+      "ORDER BY split NULLS FIRST"),
     "q62_shard_census" ->
       ("WITH hd AS (SELECT doc_id, CAST('0x' || " +
        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +

@@ -88,6 +88,25 @@ object StreamingStructure {
     graft.operators.Sketches.corpusProfile(df, col(groupCol),
       col(textCol), rsd, accuracy)
 
+  /** Gopher/C4 quality census (q108's aggregation, batch or
+    * streaming): per-group document counts plus per-rule pass counts
+    * from [[graft.functions.TextFunctions.qualityFlags]]'s single
+    * projection. On a stream this is an ordinary incremental
+    * grouped aggregation — the per-document flags are a stateless
+    * map, the counts fold in the state store, so the census over an
+    * unbounded ingest carries O(groups × rules) state total.
+    */
+  def qualityCensus(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    df.select(col(groupCol).as("group"),
+        TextFunctions.qualityFlags(col(textCol)).as("qf"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        TextFunctions.QualityRuleNames.map(r =>
+          count(when(col(s"qf.$r"), 1)).as(s"n_$r")): _*)
+  }
+
   /** Streaming STRUCTURE INFERENCE — the flagship analyzer over an
     * unbounded ingest: each micro-batch is analyzed distributedly
     * ([[graft.analyzer.SparkAnalyzer.analyzeTable]]) and folded into

@@ -335,6 +335,32 @@ object ExplainAudit {
         s"cartesian anywhere in the plan (found nested=$nested)")
     }
 
+    // ---- BM25 retrieval shape ------------------------------------
+    // the irreducible BM25 structure and nothing more: two corpus
+    // scans (stats, then scoring), the 1-row stats frame broadcast,
+    // TakeOrdered for the top-K (no global sort), and zero keyed
+    // exchanges — literal-term tfs are projections, never joins
+    guarded("q111_bm25_topk") {
+      val df = graft.SparkEntry.queries("q111_bm25_topk")(spark,
+        sfDir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
+      def count(pat: String) = finalPlan.split(pat, -1).length - 1
+      val nScan = count("Scan parquet")
+      val nHashExch = count("Exchange hashpartitioning")
+      val takeOrdered = finalPlan.contains("TakeOrderedAndProject")
+      val broadcastStats = finalPlan.contains("BroadcastExchange")
+      val ok = nScan == 2 && nHashExch == 0 && takeOrdered &&
+        broadcastStats
+      if (!ok) failures += 1
+      println(s"\n=== q111_bm25_topk — two-scan broadcast-stats " +
+        "TakeOrdered shape ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] scans=$nScan " +
+        s"(want 2), hashExchange=$nHashExch (want 0), " +
+        s"TakeOrdered=$takeOrdered, broadcastStats=$broadcastStats")
+    }
+
     // ---- CDC compaction shape check ------------------------------
     // compactLatest must plan as ONE keyed aggregation (partial +
     // final over a single hash exchange) with NO Window exec and no

@@ -150,6 +150,73 @@ object Sketches {
           lit(true)).as("depth_ok"))
   }
 
+  /** Count-Min sketch counter table (Cormode, Muthukrishnan, "An
+    * improved data stream summary: the count-min sketch and its
+    * applications", J. Algorithms 2005): per group, `d` hash rows ×
+    * `w` buckets of summed occurrence counts — point-frequency
+    * estimates over an UNBOUNDED item domain in `d·w` counters per
+    * group, where the exact `GROUP BY item` table is unbounded.
+    * Estimates (see [[countMinEstimate]]) never undercount, and
+    * overcount by ≤ 2n/w with probability 1 − 2^−d each.
+    *
+    * Deterministic by construction: row i's bucket is
+    * `hash32(i || ':' || item) mod w` (the repo-wide md5 hash32), so
+    * the table — and every estimate — is a pure function of the
+    * data, replayed EXACTLY by the DuckDB oracle (no probabilistic
+    * gate needed). Mergeability is free: counters are plain sums,
+    * so shards/days combine by adding tables. Scale shape: one
+    * explode to (group, row, bucket) and one keyed count with
+    * map-side partials; aggregation state is d·w per group
+    * regardless of item cardinality.
+    */
+  def countMinTable(df: DataFrame, group: Column, item: Column,
+                    w: Int = 64, d: Int = 4): DataFrame = {
+    require(w > 0 && d > 0, s"need w > 0, d > 0: $w/$d")
+    val rows = (0 until d).map { i =>
+      struct(lit(i).as("row"),
+        pmod(Sampling.hash32(
+          concat_ws(":", lit(i.toString), col("__it"))),
+          lit(w.toLong)).as("bucket"))
+    }
+    df.select(group.as("group"), item.as("__it"))
+      .where(col("__it").isNotNull)
+      .select(col("group"), explode(array(rows: _*)).as("rb"))
+      .groupBy(col("group"), col("rb.row").as("row"),
+        col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinTable]]: for each
+    * probe term, the MIN over the `d` rows of that term's bucket
+    * counter (a missing counter row is 0). Probes are literals, so
+    * their buckets are compile-time constants — the lookup is a
+    * `d × probes`-row broadcast join against the counter table,
+    * never a scan of anything item-sized.
+    */
+  def countMinEstimate(cm: DataFrame, probes: Seq[String],
+                       w: Int = 64, d: Int = 4): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe term")
+    val spark = cm.sparkSession
+    import spark.implicits._
+    val probeRows = for {
+      t <- probes
+      i <- 0 until d
+    } yield (t, i)
+    val pdf = probeRows.toDF("term", "row")
+      .withColumn("bucket",
+        pmod(Sampling.hash32(
+          concat_ws(":", col("row").cast("string"), col("term"))),
+          lit(w.toLong)))
+    // left join so an EMPTY bucket contributes 0 to the min — a
+    // probe absent from the data must estimate 0, not the min of
+    // whatever buckets happen to be non-empty
+    cm.select(col("group")).distinct()
+      .crossJoin(broadcast(pdf))
+      .join(cm, Seq("group", "row", "bucket"), "left")
+      .groupBy(col("group"), col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Data-quality drift monitor: compare two slices of a corpus
     * (A/B split, yesterday/today, crawl v1/v2 — any binary `split`
     * expression) per group in ONE pass — conditional aggregation,

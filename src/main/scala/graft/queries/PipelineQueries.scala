@@ -735,6 +735,33 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // Count-Min point-frequency sketch: d x w counters per source
+    // replace the unbounded exact token table; estimates are
+    // deterministic (md5 row-salted buckets), so the oracle pins the
+    // ESTIMATES exactly alongside exact counts and the
+    // never-undercount law — no probabilistic gate
+    "q113_countmin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val cm = Sketches.countMinTable(tk, col("source"), col("tok"),
+        w = 64, d = 4)
+      val probes = Bm25Terms :+ "zzz_absent"
+      val exact = tk.where(col("tok").isin(probes: _*))
+        .groupBy(col("source"), col("tok").as("term"))
+        .agg(count(lit(1)).as("exact"))
+      Sketches.countMinEstimate(cm, probes, w = 64, d = 4)
+        .withColumnRenamed("group", "source")
+        .join(exact, Seq("source", "term"), "left")
+        .select(col("source"), col("term"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L)))
+            .as("no_undercount"))
+        .orderBy(col("source").asc_nulls_first,
+          col("term").asc_nulls_first)
+    }),
+
     // leakage-free train/test split: hash-assigned split, then every
     // test doc with a cross-split MinHash band candidate (the q63
     // machinery) moves to train — the conservative guard against
@@ -3481,6 +3508,40 @@ object PipelineQueries {
     "q48_kmeans" -> kmeansSql,
     "q110_semdedup" -> semDedupSql,
     "q111_bm25_topk" -> bm25Sql(Bm25Terms, 25),
+    // q113: identical row-salted md5 buckets, identical min-of-
+    // coalesced-counters — the estimates pin exactly
+    "q113_countmin" -> {
+      val probes = Bm25Terms :+ "zzz_absent"
+      val probeValues = probes.map(t => s"('$t')").mkString(", ")
+      "WITH tk AS (SELECT source, tok FROM (SELECT source, " +
+      "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok " +
+      "FROM documents) WHERE tok <> ''), " +
+      "rb AS (SELECT source, r.i AS row, CAST('0x' || " +
+      "substr(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 8) AS " +
+      "BIGINT) % 64 AS bucket FROM tk, " +
+      "(SELECT unnest(range(4)) AS i) r), " +
+      "cm AS (SELECT source, row, bucket, CAST(COUNT(*) AS BIGINT) " +
+      "AS cnt FROM rb GROUP BY 1, 2, 3), " +
+      s"pr AS (SELECT t.term, r.i AS row, CAST('0x' || " +
+      "substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8) " +
+      "AS BIGINT) % 64 AS bucket FROM " +
+      s"(VALUES $probeValues) t(term), " +
+      "(SELECT unnest(range(4)) AS i) r), " +
+      "g AS (SELECT DISTINCT source FROM tk), " +
+      "est AS (SELECT g.source, pr.term, MIN(COALESCE(cm.cnt, 0)) " +
+      "AS est FROM g CROSS JOIN pr LEFT JOIN cm ON " +
+      "cm.source = g.source AND cm.row = pr.row AND " +
+      "cm.bucket = pr.bucket GROUP BY 1, 2), " +
+      "ex AS (SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) " +
+      s"AS exact FROM tk WHERE tok IN (${probes.map(t => s"'$t'")
+        .mkString(", ")}) GROUP BY 1, 2) " +
+      "SELECT est.source, est.term, est.est, " +
+      "COALESCE(ex.exact, 0) AS exact, " +
+      "est.est >= COALESCE(ex.exact, 0) AS no_undercount " +
+      "FROM est LEFT JOIN ex ON est.source = ex.source AND " +
+      "est.term = ex.term " +
+      "ORDER BY est.source NULLS FIRST, est.term NULLS FIRST"
+    },
     "q60_pq_codes" -> pqCodesSql,
     "q61_pq_adc" -> pqAdcSql,
     "q64_ivfpq_topk" -> ivfPqSql,

@@ -735,6 +735,30 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // BPE ENCODING with trained rules (q107's artifact applied):
+    // train 4 merges, collect the 4-row merge table, then encoding
+    // is a pure column expression over the corpus — per-source
+    // compression census (subwords <= code points, >= tokens).
+    // The oracle derives each word's subword count by joining the
+    // corpus words against the final trained vocabulary w5
+    "q114_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rules = graft.operators.Bpe
+        .train(docs, col("text"), numMerges = 4)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("ntok"),
+          size(graft.operators.Bpe.encode(col("text"), rules))
+            .cast("long").as("nsub"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("sum_tokens"),
+          sum(col("nsub")).cast("long").as("sum_subwords"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // Count-Min point-frequency sketch: d x w counters per source
     // replace the unbounded exact token table; estimates are
     // deterministic (md5 row-salted buckets), so the oracle pins the
@@ -2035,7 +2059,20 @@ object PipelineQueries {
     * are code points (`regexp_extract_all(word, '(?s).')`), matching
     * `Bpe.chars` so supplementary-plane text agrees byte-for-byte.
     */
-  private def bpeSql(rounds: Int): String = {
+  private def bpeSql(rounds: Int): String =
+    bpeCtes(rounds, applyAll = false) +
+      " SELECT * FROM (" +
+      (1 to rounds).map(r =>
+        s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"cnt FROM m$r").mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+
+  /** The training CTE chain alone: w1..w{rounds(+1 when applyAll)},
+    * pc/m per round. `applyAll` also applies the LAST round's merge,
+    * yielding the final vocabulary w{rounds+1} — what the encode
+    * oracle (q114) joins words against.
+    */
+  private def bpeCtes(rounds: Int, applyAll: Boolean): String = {
     val sb = new StringBuilder
     sb ++= "WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f " +
       "FROM (SELECT unnest(regexp_split_to_array(trim(text), " +
@@ -2052,7 +2089,7 @@ object PipelineQueries {
         s"len(l) >= 2) GROUP BY 1, 2)" +
         s", m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc$r " +
         s"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
-      if (r < rounds) {
+      if (r < rounds || applyAll) {
         sb ++= s", e$r AS (SELECT wid, f, generate_subscripts(l, 1) " +
           s"AS i, unnest(l) AS s FROM w$r)" +
           s", x$r AS (SELECT wid, f, i, s, " +
@@ -2074,11 +2111,6 @@ object PipelineQueries {
           s"WHERE COALESCE(prev_m, 0) <> 1 GROUP BY wid)"
       }
     }
-    sb ++= " SELECT * FROM (" +
-      (1 to rounds).map(r =>
-        s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, " +
-          s"cnt FROM m$r").mkString(" UNION ALL ") +
-      ") ORDER BY merge_rank"
     sb.toString
   }
 
@@ -2876,6 +2908,24 @@ object PipelineQueries {
        "ORDER BY column_name NULLS FIRST"),
     // q107: the 6 training rounds unrolled; see bpeSql
     "q107_bpe_train" -> bpeSql(6),
+    // q114: 4 training rounds INCLUDING the last apply (w5 = final
+    // vocabulary); every corpus word's subword count is len(w5.l)
+    "q114_bpe_encode" ->
+      (bpeCtes(4, applyAll = true) +
+       ", wd AS (SELECT source, " +
+       "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+       "FROM documents)" +
+       ", wl AS (SELECT source, word FROM wd WHERE word <> '')" +
+       ", enc AS (SELECT w.source, CAST(SUM(len(v.l)) AS BIGINT) " +
+       "AS sum_subwords FROM wl w JOIN w5 v ON v.wid = w.word " +
+       "GROUP BY 1)" +
+       ", tot AS (SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) " +
+       "AS BIGINT) AS sum_tokens FROM documents GROUP BY source) " +
+       "SELECT tot.source, n_docs, sum_tokens, " +
+       "COALESCE(sum_subwords, 0) AS sum_subwords FROM tot " +
+       "LEFT JOIN enc ON tot.source = enc.source " +
+       "ORDER BY tot.source NULLS FIRST"),
     // q108: the same integer-threshold rules per document (q42's
     // n-gram CTE pattern for the repetition rule), aggregated to
     // per-source pass counts

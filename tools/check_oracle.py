@@ -40,6 +40,15 @@ def norm(v):
 
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
+    # a missing dump is a failure (the engine builder threw in
+    # Verify) — but fail FAST, before spending minutes running the
+    # oracle SQL whose comparison target doesn't exist (a subset
+    # SPARK_GRAFT_ONLY dump otherwise stalls on the heavyweight
+    # oracles of queries that were never dumped)
+    if not os.path.isdir(f"{outdir}/{name}"):
+        print(f"FAIL {name}: no engine dump at {outdir}/{name}")
+        n_fail += 1
+        continue
     try:
         odf = con.execute(sql).fetchdf()
         ocols = sorted(odf.columns)

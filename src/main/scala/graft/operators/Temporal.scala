@@ -421,4 +421,47 @@ object Temporal {
         struct(rowCols: _*).as("__row"))).as("__m"))
       .select(col("__m.__row.*"))
   }
+
+  /** Time-decayed counts — recency-weighted popularity ("what's hot
+    * in the corpus NOW"), the feedback signal source/domain mixture
+    * tuning runs nightly. Half-life decay, made EXACT: an event
+    * `age` days old (relative to the newest event, derived in-plan)
+    * contributes weight `2^-(age div halfLifeDays)` — step-wise
+    * dyadic decay, so the per-key sum is an exact BIGINT at scale
+    * `2^H` (`H = horizonDays div halfLifeDays`; older events are
+    * cut). The reported `score` divides by `2^H` at the very end —
+    * division by a power of two only changes the exponent, so even
+    * the double is EXACT and engine-independent (no transcendental
+    * decay exponentials, no order-dependent float sums).
+    *
+    * Shape: one 1-row max-day aggregate broadcast over the scan,
+    * one keyed count/sum with map-side partials. `day` is any
+    * integral day-bucket expression (pair with the caller's epoch
+    * day convention, which handles the ts dtype).
+    */
+  def decayedCounts(df: DataFrame, day: Column, key: Column,
+                    halfLifeDays: Int = 7,
+                    horizonDays: Int = 63): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays >= 1: $halfLifeDays")
+    require(horizonDays >= halfLifeDays,
+      s"horizonDays >= halfLifeDays: $horizonDays")
+    val h = horizonDays / halfLifeDays
+    val maxDay = df.agg(max(day).as("__maxday"))
+    df.select(key.as("key"), day.as("__day"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("key"),
+        // ages are non-negative (maxday is the max), so truncation
+        // == floor; DIV keeps the arithmetic integral end to end
+        expr(s"(__maxday - __day) DIV ${halfLifeDays}L")
+          .cast("long").as("__hl"))
+      .where(col("__hl") >= 0L && col("__hl") <= h.toLong)
+      .select(col("key"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($h - __hl AS INT))").as("__w"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).cast("long").as("score_scaled"))
+      .withColumn("score",
+        col("score_scaled").cast("double") / lit(math.pow(2.0, h)))
+  }
 }

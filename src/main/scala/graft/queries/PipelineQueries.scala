@@ -735,6 +735,17 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // exact time-decayed popularity: step-wise dyadic half-life
+    // decay keeps the per-key sum an exact BIGINT at scale 2^H, and
+    // the final score divides by 2^H — an exponent-only operation,
+    // so even the double is exact and engine-independent
+    "q115_decayed_counts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Temporal.decayedCounts(ev, epochDay(ev), col("event_type"),
+          halfLifeDays = 7, horizonDays = 63)
+        .orderBy(col("key").asc_nulls_first)
+    }),
+
     // BPE ENCODING with trained rules (q107's artifact applied):
     // train 4 merges, collect the 4-row merge table, then encoding
     // is a pure column expression over the corpus — per-source
@@ -3558,6 +3569,22 @@ object PipelineQueries {
     "q48_kmeans" -> kmeansSql,
     "q110_semdedup" -> semDedupSql,
     "q111_bm25_topk" -> bm25Sql(Bm25Terms, 25),
+    // q115: same integral day buckets (q93's convention), same
+    // integer half-life ladder, same BIGINT shift weights; the final
+    // /512 is exact in both engines
+    "q115_decayed_counts" ->
+      ("WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+       "AS day FROM events), " +
+       "m AS (SELECT MAX(day) AS maxday FROM d), " +
+       "w AS (SELECT event_type, (maxday - day) // 7 AS hl FROM d " +
+       "CROSS JOIN m), " +
+       "k AS (SELECT event_type, CAST(1 AS BIGINT) << " +
+       "CAST(9 - hl AS INT) AS wgt FROM w WHERE hl >= 0 AND " +
+       "hl <= 9) " +
+       "SELECT event_type AS key, COUNT(*) AS n_events, " +
+       "CAST(SUM(wgt) AS BIGINT) AS score_scaled, " +
+       "CAST(SUM(wgt) AS DOUBLE) / 512 AS score " +
+       "FROM k GROUP BY 1 ORDER BY key NULLS FIRST"),
     // q113: identical row-salted md5 buckets, identical min-of-
     // coalesced-counters — the estimates pin exactly
     "q113_countmin" -> {

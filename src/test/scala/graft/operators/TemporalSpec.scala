@@ -491,4 +491,29 @@ class SamplingMixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       (Some("t"), 3L)).toDF("__g3", "__scnt")
     assert(Sampling.quotaShortfall(cnts, full, quota = 5).isEmpty)
   }
+
+  test("decayedCounts: exact dyadic half-life weights, horizon cut, " +
+      "exact double score") {
+    val s = spark
+    import s.implicits._
+    // day 100 is the max; half-life 2 days, horizon 8 days -> H = 4
+    // weights: age 0-1 -> 16, 2-3 -> 8, 4-5 -> 4, 6-7 -> 2,
+    // 8(-9) -> 1, age > 9 (hl > 4) -> cut
+    val rows = Seq(
+      ("a", 100L), ("a", 99L),   // 16 + 16
+      ("a", 97L),                // 8
+      ("a", 92L),                // 4... age 8 -> hl 4 -> weight 1
+      ("a", 80L),                // cut (hl 10)
+      ("b", 96L),                // age 4 -> hl 2 -> 4
+      ("b", 91L))                // age 9 -> hl 4 -> 1
+    val out = Temporal.decayedCounts(rows.toDF("k", "day"),
+        col("day"), col("k"), halfLifeDays = 2, horizonDays = 8)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("score_scaled"),
+          r.getAs[Double]("score"))).toMap
+    assert(out("a") === ((4L, 16L + 16L + 8L + 1L, 41.0 / 16.0)))
+    assert(out("b") === ((2L, 4L + 1L, 5.0 / 16.0)))
+    // the double is EXACT (dyadic / power of two)
+    assert(out("a")._3 * 16.0 === out("a")._2.toDouble)
+  }
 }

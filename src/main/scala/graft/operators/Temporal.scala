@@ -422,6 +422,36 @@ object Temporal {
       .select(col("__m.__row.*"))
   }
 
+  /** EXACT sliding-window active users (the 7-day-active metric) —
+    * without a window sort and without the double-counting that
+    * summing daily uniques gives. Shape: collapse to distinct
+    * (day, user) with per-pair event counts (one keyed aggregation
+    * — the 100 TB stream becomes at most users × active-days rows),
+    * then each pair fans out to the `windowDays` target days it
+    * contributes to (a bounded `windowDays`× explode, NOT a range
+    * self-join), and one keyed count-distinct per target day
+    * finishes it. Target days past the data's max day are trimmed
+    * via a broadcast 1-row max.
+    */
+  def slidingActiveUsers(df: DataFrame, day: Column, user: Column,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1: $windowDays")
+    val base = df.select(day.as("__d"), user.as("__u"))
+      .where(col("__d").isNotNull && col("__u").isNotNull)
+      .groupBy(col("__d"), col("__u"))
+      .agg(count(lit(1)).as("__cnt"))
+    val maxDay = base.agg(max(col("__d")).as("__maxday"))
+    base
+      .select(explode(expr(
+          s"sequence(__d, __d + ${windowDays - 1}L)")).as("day"),
+        col("__u"), col("__cnt"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") <= col("__maxday"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("active_users"),
+        sum(col("__cnt")).cast("long").as("n_events"))
+  }
+
   /** Time-decayed counts — recency-weighted popularity ("what's hot
     * in the corpus NOW"), the feedback signal source/domain mixture
     * tuning runs nightly. Half-life decay, made EXACT: an event

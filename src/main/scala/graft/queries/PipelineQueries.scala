@@ -735,6 +735,16 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // exact 7-day sliding active users: distinct (day, user) pairs
+    // fan out to their 7 target days (bounded explode, no range
+    // self-join, no window sort), one keyed count-distinct per day
+    "q116_sliding_active" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Temporal.slidingActiveUsers(ev, epochDay(ev), col("user_id"),
+          windowDays = 7)
+        .orderBy(col("day").asc_nulls_first)
+    }),
+
     // exact time-decayed popularity: step-wise dyadic half-life
     // decay keeps the per-key sum an exact BIGINT at scale 2^H, and
     // the final score divides by 2^H — an exponent-only operation,
@@ -3569,6 +3579,19 @@ object PipelineQueries {
     "q48_kmeans" -> kmeansSql,
     "q110_semdedup" -> semDedupSql,
     "q111_bm25_topk" -> bm25Sql(Bm25Terms, 25),
+    // q116: same day buckets; range(day, day+7) end-exclusive ==
+    // sequence(d, d+6) inclusive — each (day,user) pair lands on
+    // its 7 target days, trimmed at the data's max day
+    "q116_sliding_active" ->
+      ("WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+       "m AS (SELECT MAX(day) AS maxday FROM d), " +
+       "e AS (SELECT unnest(range(day, day + 7)) AS tday, " +
+       "user_id, cnt FROM d) " +
+       "SELECT tday AS day, COUNT(DISTINCT user_id) AS " +
+       "active_users, CAST(SUM(cnt) AS BIGINT) AS n_events " +
+       "FROM e CROSS JOIN m WHERE tday <= maxday " +
+       "GROUP BY 1 ORDER BY day NULLS FIRST"),
     // q115: same integral day buckets (q93's convention), same
     // integer half-life ladder, same BIGINT shift weights; the final
     // /512 is exact in both engines

@@ -380,6 +380,56 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Temporal.rangeJoin(rjLeft, bad, Seq("k"), "ts", "ws", "we", 10L)
     }
   }
+  test("decayedCounts: exact dyadic half-life weights, horizon cut, " +
+      "exact double score") {
+    val s = spark
+    import s.implicits._
+    // day 100 is the max; half-life 2 days, horizon 8 days -> H = 4
+    // weights: age 0-1 -> 16, 2-3 -> 8, 4-5 -> 4, 6-7 -> 2,
+    // 8(-9) -> 1, age > 9 (hl > 4) -> cut
+    val rows = Seq(
+      ("a", 100L), ("a", 99L),   // 16 + 16
+      ("a", 97L),                // 8
+      ("a", 92L),                // 4... age 8 -> hl 4 -> weight 1
+      ("a", 80L),                // cut (hl 10)
+      ("b", 96L),                // age 4 -> hl 2 -> 4
+      ("b", 91L))                // age 9 -> hl 4 -> 1
+    val out = Temporal.decayedCounts(rows.toDF("k", "day"),
+        col("day"), col("k"), halfLifeDays = 2, horizonDays = 8)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("score_scaled"),
+          r.getAs[Double]("score"))).toMap
+    assert(out("a") === ((4L, 16L + 16L + 8L + 1L, 41.0 / 16.0)))
+    assert(out("b") === ((2L, 4L + 1L, 5.0 / 16.0)))
+    // the double is EXACT (dyadic / power of two)
+    assert(out("a")._3 * 16.0 === out("a")._2.toDouble)
+  }
+  test("slidingActiveUsers: exact windowed distinct, no " +
+      "double-count, trimmed at max day") {
+    val s = spark
+    import s.implicits._
+    // u1 active on days 10 and 12 (must count ONCE in any window
+    // covering both); u2 on day 12 only; u3 on day 1 (outside any
+    // window that includes day 10+)
+    val rows = Seq(
+      (10L, "u1"), (10L, "u1"), (12L, "u1"), (12L, "u2"), (1L, "u3"))
+    val out = Temporal.slidingActiveUsers(rows.toDF("day", "u"),
+        col("day"), col("u"), windowDays = 3)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("active_users"), r.getAs[Long]("n_events")))
+      .toMap
+    // day 12 window = days 10..12: u1 (3 events), u2 (1) -> 2 users
+    assert(out(12L) === ((2L, 4L)))
+    // day 11 window = 9..11: only u1's day-10 activity
+    assert(out(11L) === ((1L, 2L)))
+    // day 10 window = 8..10: u1
+    assert(out(10L) === ((1L, 2L)))
+    // u3 contributes to days 1..3 only
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(3L) === ((1L, 1L)))
+    // nothing past the max data day
+    assert(!out.contains(13L) && !out.contains(14L))
+  }
 }
 
 /** Mixture-rate sampling and the quota-sample shortfall detector. */
@@ -492,28 +542,5 @@ class SamplingMixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.quotaShortfall(cnts, full, quota = 5).isEmpty)
   }
 
-  test("decayedCounts: exact dyadic half-life weights, horizon cut, " +
-      "exact double score") {
-    val s = spark
-    import s.implicits._
-    // day 100 is the max; half-life 2 days, horizon 8 days -> H = 4
-    // weights: age 0-1 -> 16, 2-3 -> 8, 4-5 -> 4, 6-7 -> 2,
-    // 8(-9) -> 1, age > 9 (hl > 4) -> cut
-    val rows = Seq(
-      ("a", 100L), ("a", 99L),   // 16 + 16
-      ("a", 97L),                // 8
-      ("a", 92L),                // 4... age 8 -> hl 4 -> weight 1
-      ("a", 80L),                // cut (hl 10)
-      ("b", 96L),                // age 4 -> hl 2 -> 4
-      ("b", 91L))                // age 9 -> hl 4 -> 1
-    val out = Temporal.decayedCounts(rows.toDF("k", "day"),
-        col("day"), col("k"), halfLifeDays = 2, horizonDays = 8)
-      .collect().map(r => r.getAs[String]("key") ->
-        (r.getAs[Long]("n_events"), r.getAs[Long]("score_scaled"),
-          r.getAs[Double]("score"))).toMap
-    assert(out("a") === ((4L, 16L + 16L + 8L + 1L, 41.0 / 16.0)))
-    assert(out("b") === ((2L, 4L + 1L, 5.0 / 16.0)))
-    // the double is EXACT (dyadic / power of two)
-    assert(out("a")._3 * 16.0 === out("a")._2.toDouble)
-  }
+
 }

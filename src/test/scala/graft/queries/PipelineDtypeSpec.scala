@@ -76,7 +76,8 @@ class PipelineDtypeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q55_asof_bucketed", "q59_range_join", "q80_zorder_census",
         "q84_rolling_features", "q86_latest_snapshot",
         "q93_daily_distinct", "q94_funnel", "q95_retention",
-        "q97_rollup", "q98_pivot")) {
+        "q97_rollup", "q98_pivot",
+        "q115_decayed_counts", "q116_sliding_active")) {
       val a = PipelineQueries.queries(q)(s, nsDir).collect()
         .map(_.toString).sorted.toSeq
       val b = PipelineQueries.queries(q)(s, usDir).collect()

@@ -619,6 +619,21 @@ object PipelineQueries {
         .orderBy(col("bucket").asc_nulls_first)
     }),
 
+    // Hilbert-curve clustering census over the same (user, day)
+    // plane as q80 — the better-locality write layout (no Morton
+    // seams); the oracle replays the identical unrolled xy2d levels
+    "q117_hilbert_census" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val day = epochDay(ev)
+      val h = Layout.hilbertValue2(pmod(col("user_id"), lit(256L)),
+        pmod(day, lit(256L)), bits = 8)
+      ev.select(h.as("h"))
+        .groupBy(shiftright(col("h"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(col("bucket").asc_nulls_first)
+    }),
+
     // disjoint deterministic train/val/test split census: the same
     // md5 bucket arithmetic as Sampling.hashSplit, all buckets in one
     // pass — membership is a pure function of the key (stable across
@@ -2837,6 +2852,33 @@ object PipelineQueries {
       "SELECT z >> 8 AS bucket, COUNT(*) AS n_events, " +
       "MIN(z) AS min_z, MAX(z) AS max_z FROM zs GROUP BY 1 " +
       "ORDER BY 1 NULLS FIRST"
+    },
+    // q117: the xy2d walk unrolled, one MATERIALIZED CTE per bit
+    // level (rotation state is sequential; materialization stops
+    // DuckDB re-inlining the whole prefix per reference)
+    "q117_hilbert_census" -> {
+      val bits = 8
+      val n1 = (1 << bits) - 1
+      val sb = new StringBuilder
+      sb ++= "WITH h0 AS (SELECT CAST(user_id % 256 AS BIGINT) AS " +
+        "x, CAST((epoch_us(ts) // 86400000000) % 256 AS BIGINT) " +
+        "AS y, CAST(0 AS BIGINT) AS d FROM events)"
+      for (i <- 0 until bits) {
+        val s = 1L << (bits - 1 - i)
+        sb ++= s", h${i + 1} AS MATERIALIZED (SELECT " +
+          s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $n1 - y " +
+          s"ELSE y END ELSE x END AS x, " +
+          s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $n1 - x " +
+          s"ELSE x END ELSE y END AS y, " +
+          s"d + ${s * s} * xor(3 * rx, ry) AS d FROM " +
+          s"(SELECT x, y, d, CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 " +
+          s"END AS rx, CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END " +
+          s"AS ry FROM h$i))"
+      }
+      sb ++= s" SELECT d >> 8 AS bucket, COUNT(*) AS n_events, " +
+        s"MIN(d) AS min_h, MAX(d) AS max_h FROM h$bits GROUP BY 1 " +
+        "ORDER BY 1 NULLS FIRST"
+      sb.toString
     },
     // q83: pmod over the same md5 hash space as q37
     "q83_hash_split_census" ->

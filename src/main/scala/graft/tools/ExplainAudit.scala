@@ -221,7 +221,7 @@ object ExplainAudit {
         "q79_pii_redact", "q80_zorder_census", "q85_heavy_hitters",
         "q87_inverted_index", "q88_pair_counts",
         "q93_daily_distinct", "q100_profile_drift",
-        "q108_quality_census")
+        "q108_quality_census", "q117_hilbert_census")
       .foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

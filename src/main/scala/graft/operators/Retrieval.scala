@@ -77,4 +77,71 @@ object Retrieval {
       .orderBy(col("score").desc, col("id").asc_nulls_first)
       .limit(k)
   }
+
+  /** 0-based start positions of the exact token phrase inside the
+    * whitespace token stream of `textCol`, as a pure column
+    * expression over the token array — no explode, no join, no
+    * shuffle: `filter(sequence(0, n-k), p -> ∧_i tokens[p+i] =
+    * phrase(i))`. The array is referenced k times per candidate
+    * position (k = phrase length, a small constant), never
+    * recursively, so the expression stays flat. Guarded for
+    * documents shorter than the phrase (`sequence` with a negative
+    * upper bound would otherwise fabricate a negative-step range).
+    */
+  def phrasePositions(textCol: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrasePositions needs a non-empty phrase")
+    require(phrase.size <= 16,
+      s"flat per-position conjunction is specified for <= 16 " +
+        s"tokens: ${phrase.size}")
+    val ts = TextFunctions.tokens(textCol)
+    val k = phrase.size
+    val starts = filter(
+      sequence(lit(0), size(ts) - k),
+      p => phrase.zipWithIndex.map { case (w, i) =>
+        element_at(ts, p + lit(i + 1)) === lit(w)
+      }.reduceLeft(_ && _))
+    when(size(ts) >= k, starts)
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** Exact phrase search — "grep at corpus scale": every document
+    * containing the exact whitespace-token phrase, with its
+    * occurrence count and first 0-based match position. One
+    * zero-shuffle projection over the corpus scan (the positional
+    * inverted-index answer without building the index): at 100 TB
+    * this is a map-only job whose output is bounded by the matching
+    * documents, and the text column is the only one read beyond the
+    * id.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        phrasePositions(col(textCol), phrase).as("__ps"))
+      .where(size(col("__ps")) > 0)
+      .select(col("id"),
+        size(col("__ps")).cast("long").as("n_occ"),
+        element_at(col("__ps"), 1).cast("long").as("first_pos"))
+
+  /** The corpus's most frequent token bigram, ties broken by the
+    * lexicographically smallest bigram — the deterministic "give me
+    * a phrase that actually occurs" picker for [[phraseSearch]]
+    * demos and gates. One token-explode + keyed count + global
+    * top-1 (TakeOrdered over the aggregated bigram counts, never a
+    * full sort of the corpus).
+    */
+  def topBigram(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val ts = TextFunctions.tokens(col(textCol))
+    val bigrams = when(size(ts) >= 2,
+        transform(sequence(lit(0), size(ts) - 2),
+          p => concat_ws(" ", element_at(ts, p + 1),
+            element_at(ts, p + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(bigrams).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg").asc_nulls_first)
+      .limit(1)
+  }
 }

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Delta, Layout, Multimodal, Retrieval,
-  Sampling, Similarity, Sketches, Temporal}
+import graft.operators.{Dedup, Delta, Layout, Mixing, Multimodal,
+  Retrieval, Sampling, Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -821,6 +821,73 @@ object PipelineQueries {
         .orderBy(col("source").asc_nulls_first,
           col("term").asc_nulls_first)
     }),
+
+    // single-document similarity probe: "find near-dups of THIS
+    // doc" — the serving-side question every takedown / provenance
+    // / contamination triage starts with. One banded probe of a
+    // 1-row query side against the corpus (q63's delta machinery
+    // with a singleton delta — the probe cost is the query's own
+    // signature plus a band-keyed lookup, never a corpus pair join)
+    "q118_similar_to" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val isNew = pmod(Sampling.hash32(col("doc_id")), lit(5L)) === 0L
+      // probe selection: the smallest flagged new_id of the q63
+      // hash-split candidates — a doc KNOWN to have matches, so the
+      // gate is non-vacuous; ONE bounded driver row, with a min
+      // doc_id fallback for a dup-free corpus
+      val flagged = Dedup.lshPairsAgainst(
+          docs.where(!isNew), col("doc_id"), col("text"),
+          docs.where(isNew), col("doc_id"), col("text"))
+        .agg(min(col("new_id")).as("m")).first()
+      val probeId =
+        if (flagged.isNullAt(0))
+          docs.agg(min(col("doc_id"))).first().getLong(0)
+        else flagged.getLong(0)
+      Dedup.lshPairsAgainst(
+          docs.where(col("doc_id") =!= probeId), col("doc_id"),
+          col("text"),
+          docs.where(col("doc_id") === probeId), col("doc_id"),
+          col("text"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(min(col("old_id")), lit(-1L)).cast("long")
+            .as("min_match"),
+          coalesce(max(col("old_id")), lit(-1L)).cast("long")
+            .as("max_match"),
+          coalesce(sum(col("old_id")), lit(0L)).cast("long")
+            .as("sum_matches"))
+    }),
+
+    // exact phrase search ("grep at corpus scale"): the corpus's
+    // most frequent bigram (1-row driver argmax — guaranteed to
+    // occur, so the gate is non-vacuous) located in every document
+    // via a zero-shuffle positional filter over the token array —
+    // no explode, no join, no index build
+    "q119_phrase_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bg = Retrieval.topBigram(docs, "doc_id", "text")
+        .collect()(0).getString(0)
+      Retrieval.phraseSearch(docs, "doc_id", "text",
+          bg.split(" ", -1).toSeq)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_occ")), lit(0L)).cast("long")
+            .as("n_occ"),
+          coalesce(sum(col("first_pos")), lit(0L)).cast("long")
+            .as("sum_first_pos"),
+          coalesce(max(col("n_occ")), lit(0L)).cast("long")
+            .as("max_occ"))
+        .select(lit(bg).as("phrase"), col("n_docs"), col("n_occ"),
+          col("sum_first_pos"), col("max_occ"))
+    }),
+
+    // domain-mixture weight solving: two-margin IPF (raking) over
+    // the (lang, source) contingency cells in EXACT scaled-integer
+    // arithmetic — balance the languages, hold the source marginals.
+    // One corpus scan builds the cells; each round is two keyed aggs
+    // + broadcast joins over a corpus-size-independent cell frame
+    "q120_mixture_weights" -> ((s, d) =>
+      Mixing.rakeRowCensus(t(s, d, "documents"), col("lang"),
+          col("source"))
+        .orderBy(col("row_key").asc_nulls_first)),
 
     // leakage-free train/test split: hash-assigned split, then every
     // test doc with a cross-split MinHash band candidate (the q63
@@ -1975,9 +2042,9 @@ object PipelineQueries {
     "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] FOR " +
     s"i IN range(greatest(array_length(t) - 4, 0))]) AS s FROM " +
     s"tok$tag), " +
-    s"sig$tag AS (SELECT doc_id, $mins FROM sh$tag GROUP BY " +
-    s"doc_id), " +
-    s"bands$tag AS ($bandSelects)"
+    s"sig$tag AS MATERIALIZED (SELECT doc_id, $mins FROM sh$tag " +
+    s"GROUP BY doc_id), " +
+    s"bands$tag AS MATERIALIZED ($bandSelects)"
   }
 
   /** round-half-away quantization identical in both engines. */
@@ -2162,21 +2229,73 @@ object PipelineQueries {
     * (candidate census) and q112 (leakage-free split).
     */
   private val crossSplitCandCtes =
-    "WITH " + minhashSideCtes("n", s"$splitHashSql = 0") + ", " +
-    minhashSideCtes("o", s"$splitHashSql <> 0") + ", " +
-    "hotn AS (SELECT band, key FROM bandsn GROUP BY band, key " +
-    "HAVING COUNT(*) > 10000), " +
-    "hoto AS (SELECT band, key FROM bandso GROUP BY band, key " +
-    "HAVING COUNT(*) > 10000), " +
-    "kn AS (SELECT doc_id, band, key FROM bandsn b WHERE NOT " +
-    "EXISTS (SELECT 1 FROM hotn h WHERE h.band = b.band AND " +
-    "h.key = b.key)), " +
-    "ko AS (SELECT doc_id, band, key FROM bandso b WHERE NOT " +
-    "EXISTS (SELECT 1 FROM hoto h WHERE h.band = b.band AND " +
-    "h.key = b.key)), " +
-    "pr AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS " +
-    "old_id FROM kn n JOIN ko o ON n.band = o.band AND " +
-    "n.key = o.key)"
+    candCtes(s"$splitHashSql = 0", s"$splitHashSql <> 0")
+
+  /** New-vs-old MinHash band candidates for arbitrary side
+    * predicates (q63/q112 use the hash split; q118 probes one
+    * document against the rest). `tag` suffixes every CTE name so
+    * two candidate chains can coexist in one WITH clause.
+    */
+  private def candBody(tag: String, newPred: String,
+                       oldPred: String): String =
+    minhashSideCtes(s"n$tag", newPred) + ", " +
+    minhashSideCtes(s"o$tag", oldPred) + ", " +
+    s"hotn$tag AS (SELECT band, key FROM bandsn$tag GROUP BY " +
+    "band, key HAVING COUNT(*) > 10000), " +
+    s"hoto$tag AS (SELECT band, key FROM bandso$tag GROUP BY " +
+    "band, key HAVING COUNT(*) > 10000), " +
+    s"kn$tag AS (SELECT doc_id, band, key FROM bandsn$tag b " +
+    s"WHERE NOT EXISTS (SELECT 1 FROM hotn$tag h WHERE " +
+    "h.band = b.band AND h.key = b.key)), " +
+    s"ko$tag AS (SELECT doc_id, band, key FROM bandso$tag b " +
+    s"WHERE NOT EXISTS (SELECT 1 FROM hoto$tag h WHERE " +
+    "h.band = b.band AND h.key = b.key)), " +
+    s"pr$tag AS MATERIALIZED (SELECT DISTINCT n.doc_id AS " +
+    s"new_id, o.doc_id AS old_id FROM kn$tag n JOIN ko$tag o ON " +
+    s"n.band = o.band AND n.key = o.key)"
+
+  private def candCtes(newPred: String, oldPred: String): String =
+    "WITH " + candBody("", newPred, oldPred)
+
+  /** q120's integer-IPF replay: 3 rounds of exact floor-division
+    * raking updates over the (lang, source) contingency cells in
+    * HUGEINT — bit-identical to the engine's DECIMAL(38,0)
+    * `(a - a mod b) / b` because both are exact integer floor
+    * divisions of non-negative operands.
+    */
+  private val rakeOracleSql: String = {
+    val sc = "1000000"
+    val rounds = (1 to 3).map { r =>
+      s"r$r AS MATERIALIZED (SELECT row_key, CAST(SUM(w) AS " +
+      s"HUGEINT) AS row_sum FROM w${r - 1} GROUP BY 1), " +
+      s"wa$r AS MATERIALIZED (SELECT b.row_key, b.col_key, b.n, " +
+      s"(b.w * rt.row_target) // r$r.row_sum AS w FROM w${r - 1} " +
+      s"b JOIN r$r ON b.row_key = r$r.row_key JOIN rt ON " +
+      s"b.row_key = rt.row_key), " +
+      s"c$r AS (SELECT col_key, CAST(SUM(w) AS HUGEINT) AS " +
+      s"col_sum FROM wa$r GROUP BY 1), " +
+      s"w$r AS MATERIALIZED (SELECT b.row_key, b.col_key, b.n, " +
+      s"(b.w * ct.col_target) // c$r.col_sum AS w FROM wa$r b " +
+      s"JOIN c$r ON b.col_key = c$r.col_key JOIN ct ON " +
+      s"b.col_key = ct.col_key)"
+    }.mkString(", ")
+    "WITH cells AS MATERIALIZED (SELECT lang AS row_key, source " +
+    "AS col_key, CAST(COUNT(*) AS HUGEINT) AS n FROM documents " +
+    "GROUP BY 1, 2), " +
+    "tot AS MATERIALIZED (SELECT CAST(SUM(n) AS HUGEINT) AS t, " +
+    "CAST(COUNT(DISTINCT row_key) AS HUGEINT) AS l FROM cells), " +
+    "rt AS MATERIALIZED (SELECT row_key, ((SELECT t FROM tot) * " +
+    s"$sc) // (SELECT l FROM tot) AS row_target FROM (SELECT " +
+    "DISTINCT row_key FROM cells)), " +
+    "ct AS MATERIALIZED (SELECT col_key, CAST(SUM(n) AS HUGEINT) " +
+    s"* $sc AS col_target FROM cells GROUP BY 1), " +
+    s"w0 AS MATERIALIZED (SELECT row_key, col_key, n, n * $sc AS " +
+    "w FROM cells), " + rounds +
+    " SELECT row_key, CAST(SUM(n) AS BIGINT) AS n_docs, " +
+    s"CAST(((SELECT t FROM tot) * $sc) // (SELECT l FROM tot) AS " +
+    "BIGINT) AS target, CAST(SUM(w) AS BIGINT) AS achieved FROM " +
+    "w3 GROUP BY row_key ORDER BY row_key NULLS FIRST"
+  }
 
   /** q111's query terms — drawn from the synthetic corpus dictionary
     * with a spread of document frequencies.
@@ -3755,6 +3874,51 @@ object PipelineQueries {
       "SELECT COUNT(*) AS n_flagged, CAST(COALESCE(SUM(n_old), 0) " +
       "AS BIGINT) AS total_cands, CAST(COALESCE(MAX(n_old), 0) AS " +
       "BIGINT) AS max_cands FROM per"),
+    // q118: pick a probe KNOWN to have matches (the smallest
+    // flagged new_id of the q63 hash-split candidates; fall back to
+    // the smallest doc_id on a dup-free corpus), then the
+    // singleton-probe candidate chain against everything else
+    "q118_similar_to" ->
+      ("WITH " +
+       candBody("", s"$splitHashSql = 0", s"$splitHashSql <> 0") +
+       ", probe AS MATERIALIZED (SELECT COALESCE(MIN(new_id), " +
+       "(SELECT MIN(doc_id) FROM documents)) AS pid FROM pr), " +
+       candBody("p", "doc_id = (SELECT pid FROM probe)",
+         "doc_id <> (SELECT pid FROM probe)") +
+       " SELECT COUNT(*) AS n_candidates, " +
+       "COALESCE(MIN(old_id), -1) AS min_match, " +
+       "COALESCE(MAX(old_id), -1) AS max_match, " +
+       "CAST(COALESCE(SUM(old_id), 0) AS BIGINT) AS sum_matches " +
+       "FROM prp"),
+    // q119: the top bigram by (count desc, bigram asc), then match
+    // positions per document via the same 0-based comprehension the
+    // engine's array filter uses
+    "q119_phrase_search" ->
+      ("WITH tok AS MATERIALIZED (SELECT doc_id, " +
+       "regexp_split_to_array(trim(text), '\\s+') AS t FROM " +
+       "documents), " +
+       "bgs AS (SELECT unnest([t[i+1] || ' ' || t[i+2] FOR i IN " +
+       "range(greatest(array_length(t) - 1, 0))]) AS bg FROM tok), " +
+       "top AS MATERIALIZED (SELECT bg, COUNT(*) AS cnt FROM bgs " +
+       "GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 1), " +
+       "w AS MATERIALIZED (SELECT string_split(bg, ' ')[1] AS w1, " +
+       "string_split(bg, ' ')[2] AS w2 FROM top), " +
+       // subqueries are not allowed inside DuckDB lambdas, so the
+       // phrase words join in as plain columns
+       "pos AS (SELECT doc_id, [i FOR i IN " +
+       "range(greatest(array_length(t) - 1, 0)) IF " +
+       "t[i+1] = w1 AND t[i+2] = w2] AS ps FROM tok CROSS JOIN w) " +
+       "SELECT (SELECT bg FROM top) AS phrase, " +
+       "COUNT(*) AS n_docs, " +
+       "CAST(COALESCE(SUM(array_length(ps)), 0) AS BIGINT) AS " +
+       "n_occ, " +
+       "CAST(COALESCE(SUM(ps[1]), 0) AS BIGINT) AS sum_first_pos, " +
+       "CAST(COALESCE(MAX(array_length(ps)), 0) AS BIGINT) AS " +
+       "max_occ FROM pos WHERE array_length(ps) > 0"),
+    // q120: the integer-IPF replay — 3 rounds of exact floor-division
+    // updates over the (lang, source) cells in HUGEINT (`//` is the
+    // same exact floor division the engine computes via a - a mod b)
+    "q120_mixture_weights" -> rakeOracleSql,
     // q112: the same cross-split band-candidate CTEs; every flagged
     // test doc moves to train, census pins split sizes AND exact
     // membership (sum of ids)

@@ -63,7 +63,11 @@ object Mixing {
     require(rounds >= 1 && rounds <= 16,
       s"driver-looped plan growth is specified for 1..16 rounds: " +
         s"$rounds")
-    val cells = contingencyCells(df, rowKey, colKey)
+    // one eager materialization of the (tiny, corpus-size-
+    // independent) cell frame: every downstream reference — targets,
+    // marginals, all rounds — reads it instead of re-scanning the
+    // corpus, so the corpus is scanned exactly once
+    val cells = contingencyCells(df, rowKey, colKey).localCheckpoint()
     val sc = lit(scale).cast(Dec)
     // uniform row target: floor(total·scale / L) — exact integers
     val tot = cells.agg(sum(col("n")).cast(Dec).as("t"),
@@ -91,6 +95,11 @@ object Mixing {
         .select(col("row_key"), col("col_key"), col("n"),
           floorDiv(col("w") * col("col_target"), col("col_sum"))
             .as("w"))
+        // each marginal references w twice (the sum and the join),
+        // so an uncut lineage doubles per half-round; one eager cut
+        // per round keeps the plan flat (one bounded driver action
+        // per round, the CC-loop contract)
+        .localCheckpoint()
     }
     w
   }

@@ -1316,4 +1316,80 @@ object Similarity {
           col("code") * col("span") * 2L) <= col("span"))
           .as("bound_ok"))
   }
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign for (input dim
+    * `i`, output dim `j`): +1 iff the first hex nibble of
+    * `md5("jl_<i>_<j>")` is even — reproducible in any engine with
+    * an md5 function, which is what lets a second engine replay the
+    * projection bit-for-bit.
+    */
+  def jlSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest(s"jl_${i}_$j".getBytes("UTF-8"))
+    if (((b(0) >> 4) & 1) == 0) 1 else -1
+  }
+
+  /** Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003)
+    * of a float-vector column down to `outDims` EXACT BIGINT
+    * coordinates: inputs quantize on the shared 2^25 grid, signs
+    * come from [[jlSign]], so every projected coordinate is an
+    * exact integer sum — no IEEE ordering hazard anywhere.
+    *
+    * Shape at 100 TB: a map-only projection (no shuffle, no join;
+    * the sign matrix is a plan literal) that shrinks every vector
+    * `inDim/outDims`-fold before any distance work — the standard
+    * prefilter that makes downstream ANN move 4-8x less data.
+    * Vectors shorter than `inDim` project to null via an explicit
+    * size guard (ANSI `element_at` would otherwise throw) — the
+    * caller's schema contract, surfaced rather than silently
+    * zero-padded.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDim: Int, outDims: Int): DataFrame = {
+    require(inDim >= 1 && inDim <= 4096,
+      s"sign-literal plan size is specified for inDim 1..4096: $inDim")
+    require(outDims >= 1 && outDims <= 64,
+      s"one fold per output dim is specified for 1..64: $outDims")
+    val v = col(vecCol)
+    val projCols = (0 until outDims).map { j =>
+      val signs = array(
+        (0 until inDim).map(i => lit(jlSign(i, j).toLong)): _*)
+      when(size(v) >= inDim,
+        aggregate(sequence(lit(1), lit(inDim)), lit(0L),
+          (acc, i) => acc +
+            quant25(element_at(v, i)) * element_at(signs, i)))
+        .otherwise(lit(null).cast("long"))
+        .as(s"__p$j")
+    }
+    df.select(col(idCol).as("id") +: projCols: _*)
+      .select(col("id"),
+        array((0 until outDims).map(j => col(s"__p$j")): _*)
+          .as("pv"))
+  }
+
+  /** Top-`k` nearest neighbours of the vector with id `queryId` in
+    * the JL-projected space — exact integer squared L2 over the
+    * `outDims` projected coordinates. The probe is one broadcast
+    * row; ranking is TakeOrdered(k). The candidate list this
+    * returns is the cheap prefilter stage; a caller wanting exact
+    * ranks re-scores just these k in the original space.
+    */
+  def jlTopK(df: DataFrame, idCol: String, vecCol: String,
+             inDim: Int, outDims: Int, queryId: Long,
+             k: Int): DataFrame = {
+    val pv = jlProject(df, idCol, vecCol, inDim, outDims)
+    val probe = pv.where(col("id") === queryId)
+      .select(col("pv").as("__qpv"))
+    val dist = aggregate(sequence(lit(1), lit(outDims)), lit(0L),
+      (acc, j) => {
+        val dj = element_at(col("pv"), j) -
+          element_at(col("__qpv"), j)
+        acc + dj * dj
+      })
+    pv.where(col("id") =!= queryId)
+      .crossJoin(broadcast(probe))
+      .select(col("id").as("vec_id"), dist.as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc_nulls_first)
+      .limit(k)
+  }
 }

@@ -889,6 +889,16 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // Johnson-Lindenstrauss ±1 projection (64 -> 16 dims) + top-k in
+    // the projected space — the map-only ANN prefilter that shrinks
+    // every vector 4x before any distance work. Exact integers
+    // end-to-end: 2^25-grid quantization, md5-derived signs, BIGINT
+    // squared L2; probe broadcast, ranking TakeOrdered
+    "q121_jl_topk" -> ((s, d) =>
+      Similarity.jlTopK(t(s, d, "embeddings"), "vec_id",
+        "embedding", inDim = 64, outDims = 16, queryId = 0L,
+        k = 10)),
+
     // leakage-free train/test split: hash-assigned split, then every
     // test doc with a cross-split MinHash band candidate (the q63
     // machinery) moves to train — the conservative guard against
@@ -3919,6 +3929,27 @@ object PipelineQueries {
     // updates over the (lang, source) cells in HUGEINT (`//` is the
     // same exact floor division the engine computes via a - a mod b)
     "q120_mixture_weights" -> rakeOracleSql,
+    // q121: signs from md5 parity, 2^25 quantization, exact BIGINT
+    // sums — the projection replayed coordinate-by-coordinate
+    "q121_jl_topk" ->
+      ("WITH sgn AS MATERIALIZED (SELECT i, j, CASE WHEN " +
+       "strpos('02468ace', substr(md5('jl_' || CAST(i AS VARCHAR) " +
+       "|| '_' || CAST(j AS VARCHAR)), 1, 1)) > 0 THEN 1 ELSE -1 " +
+       "END AS s FROM generate_series(0, 63) g1(i) CROSS JOIN " +
+       "generate_series(0, 15) g2(j)), " +
+       "q AS MATERIALIZED (SELECT vec_id, [CAST(round(CAST(x AS " +
+       "DOUBLE) * 33554432.0) AS BIGINT) FOR x IN embedding] AS " +
+       "qv FROM embeddings), " +
+       "p AS MATERIALIZED (SELECT vec_id, j, CAST(SUM(s * " +
+       "qv[i+1]) AS BIGINT) AS pj FROM q CROSS JOIN sgn GROUP BY " +
+       "vec_id, j), " +
+       "pv AS MATERIALIZED (SELECT vec_id, list(pj ORDER BY j) AS " +
+       "pv FROM p GROUP BY vec_id), " +
+       "pr AS (SELECT pv AS qpv FROM pv WHERE vec_id = 0) " +
+       "SELECT vec_id, CAST(list_sum([(pv[j+1] - qpv[j+1]) * " +
+       "(pv[j+1] - qpv[j+1]) FOR j IN range(16)]) AS BIGINT) AS " +
+       "dist FROM pv CROSS JOIN pr WHERE vec_id <> 0 " +
+       "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
     // q112: the same cross-split band-candidate CTEs; every flagged
     // test doc moves to train, census pins split sizes AND exact
     // membership (sum of ids)

@@ -221,7 +221,8 @@ object ExplainAudit {
         "q79_pii_redact", "q80_zorder_census", "q85_heavy_hitters",
         "q87_inverted_index", "q88_pair_counts",
         "q93_daily_distinct", "q100_profile_drift",
-        "q108_quality_census", "q117_hilbert_census")
+        "q108_quality_census", "q117_hilbert_census",
+        "q119_phrase_search")
       .foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -268,6 +269,52 @@ object ExplainAudit {
           s"(want $wantWin), hashExchange=$nExch (want $wantExch), " +
           s"keyedSort=$nSort (want $wantSort)")
         }
+    }
+
+    // ---- JL projected top-k shape check --------------------------
+    // q121 promises: the probe side joins as a BroadcastExchange
+    // (one row), ranking is TakeOrdered (never a global sort), and
+    // the embeddings table is read exactly twice (probe + corpus —
+    // the irreducible two sides)
+    guarded("q121_jl_topk") {
+      val df = graft.SparkEntry.queries("q121_jl_topk")(spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val scans = finalPlan.split("Scan parquet", -1).length - 1
+      val bcast = finalPlan.contains("BroadcastExchange")
+      val takeOrdered = finalPlan.contains("TakeOrderedAndProject")
+      val globalSort = finalPlan.contains("rangepartitioning")
+      val ok = scans == 2 && bcast && takeOrdered && !globalSort
+      if (!ok) failures += 1
+      println(s"\n=== q121_jl_topk — broadcast probe + TakeOrdered ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] scans=$scans " +
+        s"(want 2), broadcastProbe=$bcast, takeOrdered=$takeOrdered, " +
+        s"noGlobalSort=${!globalSort}")
+    }
+
+    // ---- IPF raking shape check ----------------------------------
+    // q120 promises: the corpus is scanned ONCE (the eager cell
+    // checkpoint — the corpus scan therefore cannot appear in the
+    // final census plan at all), every marginal joins back as a
+    // broadcast, and nothing sort-merge-joins (the cell frame is
+    // corpus-size-independent)
+    guarded("q120_mixture_weights") {
+      val df = graft.SparkEntry.queries("q120_mixture_weights")(
+        spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val scans = finalPlan.split("Scan parquet", -1).length - 1
+      val bcasts = finalPlan.split("BroadcastExchange", -1).length - 1
+      val merge = finalPlan.contains("SortMergeJoin")
+      val ok = scans == 0 && bcasts >= 1 && !merge
+      if (!ok) failures += 1
+      println(s"\n=== q120_mixture_weights — checkpointed " +
+        "broadcast-only raking ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] scans=$scans " +
+        s"(want 0: corpus read once at the cell checkpoint), " +
+        s"broadcasts=$bcasts (want >=1), noSortMergeJoin=${!merge}")
     }
 
     // ---- range-join shape check ----------------------------------

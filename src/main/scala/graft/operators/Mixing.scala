@@ -104,6 +104,30 @@ object Mixing {
     w
   }
 
+  /** Materialize the rebalanced corpus: every document joins its
+    * cell's solved weight (a broadcast join — the cell frame is
+    * corpus-size-independent) and survives iff
+    * `hash32(id) · n · scale < w · 2^32`, i.e. with probability
+    * `w / (n·scale)` under the deterministic md5 hash — all in
+    * exact DECIMAL(38,0) integer arithmetic, so a second engine
+    * replays the exact membership. Cells the solve UP-weights
+    * (`w >= n·scale`) keep every document — sampling cannot
+    * up-sample; the census shows the honest under-achievement.
+    * Shape at 100 TB: one corpus scan + one broadcast hash filter.
+    */
+  def rebalancedSample(df: DataFrame, rowKey: Column, colKey: Column,
+                       idCol: Column, rounds: Int = 3,
+                       scale: Long = 1000000L): DataFrame = {
+    val w = rakeMixtureWeights(df, rowKey, colKey, rounds, scale)
+    val sc = lit(scale).cast(Dec)
+    val h = Sampling.hash32(idCol).cast(Dec)
+    df.join(broadcast(w),
+        rowKey === col("row_key") && colKey === col("col_key"))
+      .where(h * col("n") * sc <
+        col("w") * lit(4294967296L).cast(Dec))
+      .drop("row_key", "col_key", "n", "w")
+  }
+
   /** Row-marginal census of the solved weights — the verdict frame
     * a curation run reads: per row key, the document count, the
     * scaled uniform target, and the achieved scaled marginal.

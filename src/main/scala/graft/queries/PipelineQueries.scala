@@ -889,6 +889,19 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // materialize the rebalanced corpus: each doc joins its cell's
+    // solved IPF weight (broadcast — cell frame is corpus-size-
+    // independent) and survives the deterministic md5-hash threshold
+    // with probability w/(n*scale), all in exact integers; the
+    // census pins EXACT membership (sum of kept ids) per lang
+    "q122_rebalanced_sample" -> ((s, d) =>
+      Mixing.rebalancedSample(t(s, d, "documents"), col("lang"),
+          col("source"), col("doc_id"))
+        .groupBy(col("lang").as("row_key"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("sum_kept_ids"))
+        .orderBy(col("row_key").asc_nulls_first)),
+
     // Johnson-Lindenstrauss ±1 projection (64 -> 16 dims) + top-k in
     // the projected space — the map-only ANN prefilter that shrinks
     // every vector 4x before any distance work. Exact integers
@@ -2273,7 +2286,18 @@ object PipelineQueries {
     * `(a - a mod b) / b` because both are exact integer floor
     * divisions of non-negative operands.
     */
-  private val rakeOracleSql: String = {
+  // NB: lazy so the earlier-declared SQL strings can reference it
+  // during object initialization
+  private lazy val rakeOracleSql: String =
+    "WITH " + rakeCtes + " SELECT row_key, CAST(SUM(n) AS BIGINT) " +
+    "AS n_docs, CAST(((SELECT t FROM tot) * 1000000) // (SELECT l " +
+    "FROM tot) AS BIGINT) AS target, CAST(SUM(w) AS BIGINT) AS " +
+    "achieved FROM w3 GROUP BY row_key ORDER BY row_key NULLS FIRST"
+
+  /** The shared raking CTE chain ending at `w3` (the solved cell
+    * weights) — q120 reads the marginals, q122 the membership.
+    */
+  private lazy val rakeCtes: String = {
     val sc = "1000000"
     val rounds = (1 to 3).map { r =>
       s"r$r AS MATERIALIZED (SELECT row_key, CAST(SUM(w) AS " +
@@ -2289,7 +2313,7 @@ object PipelineQueries {
       s"JOIN c$r ON b.col_key = c$r.col_key JOIN ct ON " +
       s"b.col_key = ct.col_key)"
     }.mkString(", ")
-    "WITH cells AS MATERIALIZED (SELECT lang AS row_key, source " +
+    "cells AS MATERIALIZED (SELECT lang AS row_key, source " +
     "AS col_key, CAST(COUNT(*) AS HUGEINT) AS n FROM documents " +
     "GROUP BY 1, 2), " +
     "tot AS MATERIALIZED (SELECT CAST(SUM(n) AS HUGEINT) AS t, " +
@@ -2300,11 +2324,7 @@ object PipelineQueries {
     "ct AS MATERIALIZED (SELECT col_key, CAST(SUM(n) AS HUGEINT) " +
     s"* $sc AS col_target FROM cells GROUP BY 1), " +
     s"w0 AS MATERIALIZED (SELECT row_key, col_key, n, n * $sc AS " +
-    "w FROM cells), " + rounds +
-    " SELECT row_key, CAST(SUM(n) AS BIGINT) AS n_docs, " +
-    s"CAST(((SELECT t FROM tot) * $sc) // (SELECT l FROM tot) AS " +
-    "BIGINT) AS target, CAST(SUM(w) AS BIGINT) AS achieved FROM " +
-    "w3 GROUP BY row_key ORDER BY row_key NULLS FIRST"
+    "w FROM cells), " + rounds
   }
 
   /** q111's query terms — drawn from the synthetic corpus dictionary
@@ -3929,6 +3949,17 @@ object PipelineQueries {
     // updates over the (lang, source) cells in HUGEINT (`//` is the
     // same exact floor division the engine computes via a - a mod b)
     "q120_mixture_weights" -> rakeOracleSql,
+    // q122: the raking chain, then the exact hash-threshold
+    // membership — kept iff hash32(id)*n*scale < w*2^32 in HUGEINT
+    "q122_rebalanced_sample" ->
+      ("WITH " + rakeCtes + ", kept AS (SELECT d.doc_id, d.lang " +
+       "FROM documents d JOIN w3 ON d.lang = w3.row_key AND " +
+       "d.source = w3.col_key WHERE CAST(CAST('0x' || " +
+       "substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) " +
+       "AS HUGEINT) * w3.n * 1000000 < w3.w * 4294967296) " +
+       "SELECT lang AS row_key, COUNT(*) AS n_kept, " +
+       "CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM kept " +
+       "GROUP BY lang ORDER BY row_key NULLS FIRST"),
     // q121: signs from md5 parity, 2^25 quantization, exact BIGINT
     // sums — the projection replayed coordinate-by-coordinate
     "q121_jl_topk" ->

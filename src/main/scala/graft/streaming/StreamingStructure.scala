@@ -107,6 +107,24 @@ object StreamingStructure {
           count(when(col(s"qf.$r"), 1)).as(s"n_$r")): _*)
   }
 
+  /** Streaming PHRASE WATCH — continuous exact phrase search
+    * ("alert when this exact string starts appearing in the
+    * ingest"): per-document match positions are the same stateless
+    * zero-shuffle projection batch phrase search uses
+    * ([[graft.operators.Retrieval.phrasePositions]]), and the
+    * census is exact incremental aggregation state — one row per
+    * group, bounded regardless of stream length.
+    */
+  def phraseWatch(df: DataFrame, groupCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame =
+    df.select(col(groupCol).as("group"),
+        graft.operators.Retrieval.phrasePositions(col(textCol),
+          phrase).as("__ps"))
+      .groupBy(col("group"))
+      .agg(count(when(size(col("__ps")) > 0, 1)).as("n_docs"),
+        coalesce(sum(size(col("__ps")).cast("long")), lit(0L))
+          .as("n_occ"))
+
   /** Streaming STRUCTURE INFERENCE — the flagship analyzer over an
     * unbounded ingest: each micro-batch is analyzed distributedly
     * ([[graft.analyzer.SparkAnalyzer.analyzeTable]]) and folded into

@@ -90,6 +90,24 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(colSums("book") - 3 * Scale) <= 4)
   }
 
+  test("rebalancedSample: up-weighted cells keep every document, " +
+      "kept rows are a subset, and membership is deterministic") {
+    val df = corpus(("en", "web", 8), ("de", "web", 2))
+    def kept() = Mixing.rebalancedSample(df, col("lang"),
+        col("source"), col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getString(0)).toSet
+    val k = kept()
+    val all = df.select(col("doc_id")).collect()
+      .map(_.getString(0)).toSet
+    assert(k.subsetOf(all))
+    // "de" is under-represented (2 of 10, target 5): its solved
+    // weight exceeds n*scale, so sampling keeps all its docs
+    assert(all.filter(_.startsWith("de")).subsetOf(k))
+    // "en" is over-represented: some of its docs must drop
+    assert(k.count(_.startsWith("en")) < 8)
+    assert(kept() == k)
+  }
+
   test("the solve is deterministic across runs") {
     val df = corpus(("en", "web", 5), ("en", "book", 1),
       ("fr", "web", 2), ("fr", "book", 3), ("de", "web", 1))

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Delta, Layout, Mixing, Multimodal,
-  Retrieval, Sampling, Similarity, Sketches, Temporal}
+import graft.operators.{Chunking, Dedup, Delta, Layout, Mixing,
+  Multimodal, Retrieval, Sampling, Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -888,6 +888,14 @@ object PipelineQueries {
       Mixing.rakeRowCensus(t(s, d, "documents"), col("lang"),
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
+
+    // fixed token-window chunking (the RAG / pretraining windowing
+    // primitive, the content-defined complement of q106): one scan,
+    // bounded per-doc explode, census pins exact token accounting
+    // plus the provable coverage + overlap-stitching invariants
+    "q123_token_chunks" -> ((s, d) =>
+      Chunking.chunkCensus(t(s, d, "documents"), col("source"),
+        col("doc_id"), col("text"), chunkSize = 64, overlap = 16)),
 
     // materialize the rebalanced corpus: each doc joins its cell's
     // solved IPF weight (broadcast — cell frame is corpus-size-
@@ -3949,6 +3957,27 @@ object PipelineQueries {
     // updates over the (lang, source) cells in HUGEINT (`//` is the
     // same exact floor division the engine computes via a - a mod b)
     "q120_mixture_weights" -> rakeOracleSql,
+    // q123: chunk starts are range(0, greatest(n-overlap, 1), step);
+    // the same exact-integer census identities replayed per group
+    "q123_token_chunks" ->
+      ("WITH tok AS MATERIALIZED (SELECT doc_id, source, " +
+       "regexp_split_to_array(trim(text), '\\s+') AS t FROM " +
+       "documents), " +
+       "d AS (SELECT doc_id, source, array_length(t) AS n FROM " +
+       "tok), " +
+       "ch AS (SELECT doc_id, array_length(t) AS n, " +
+       "unnest(range(0, greatest(array_length(t) - 16, 1), 48)) " +
+       "AS start FROM tok), " +
+       "pd AS (SELECT doc_id, COUNT(*) AS c, " +
+       "SUM(least(64, n - start)) AS sum_tok, MAX(start) AS " +
+       "max_start FROM ch GROUP BY doc_id) " +
+       "SELECT source AS grp, COUNT(*) AS n_docs, " +
+       "CAST(SUM(c) AS BIGINT) AS n_chunks, " +
+       "CAST(SUM(sum_tok) AS BIGINT) AS sum_chunk_tokens, " +
+       "bool_and(d.n - max_start <= 64) AS covered_ok, " +
+       "bool_and(sum_tok = d.n + 16 * (c - 1)) AS stitch_ok " +
+       "FROM d JOIN pd USING (doc_id) GROUP BY source " +
+       "ORDER BY grp NULLS FIRST"),
     // q122: the raking chain, then the exact hash-threshold
     // membership — kept iff hash32(id)*n*scale < w*2^32 in HUGEINT
     "q122_rebalanced_sample" ->

@@ -222,7 +222,7 @@ object ExplainAudit {
         "q87_inverted_index", "q88_pair_counts",
         "q93_daily_distinct", "q100_profile_drift",
         "q108_quality_census", "q117_hilbert_census",
-        "q119_phrase_search")
+        "q119_phrase_search", "q123_token_chunks")
       .foreach { name =>
       guarded(name) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -59,15 +59,25 @@ object Mixing {
     */
   def rakeMixtureWeights(df: DataFrame, rowKey: Column,
                          colKey: Column, rounds: Int = 3,
-                         scale: Long = 1000000L): DataFrame = {
-    require(rounds >= 1 && rounds <= 16,
-      s"driver-looped plan growth is specified for 1..16 rounds: " +
-        s"$rounds")
+                         scale: Long = 1000000L): DataFrame =
     // one eager materialization of the (tiny, corpus-size-
     // independent) cell frame: every downstream reference — targets,
     // marginals, all rounds — reads it instead of re-scanning the
     // corpus, so the corpus is scanned exactly once
-    val cells = contingencyCells(df, rowKey, colKey).localCheckpoint()
+    rakeFromCells(contingencyCells(df, rowKey, colKey)
+      .localCheckpoint(), rounds, scale)
+
+  /** The IPF solve over an already-aggregated cell frame
+    * `(row_key, col_key, n)` — the entry point the STREAMING twin
+    * uses (its cells come from incremental aggregation state, not a
+    * corpus scan). `cells` must be materialized (checkpointed /
+    * collected-from-state): the rounds reference it repeatedly.
+    */
+  def rakeFromCells(cells: DataFrame, rounds: Int = 3,
+                    scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"driver-looped plan growth is specified for 1..16 rounds: " +
+        s"$rounds")
     val sc = lit(scale).cast(Dec)
     // uniform row target: floor(total·scale / L) — exact integers
     val tot = cells.agg(sum(col("n")).cast(Dec).as("t"),
@@ -134,8 +144,15 @@ object Mixing {
     */
   def rakeRowCensus(df: DataFrame, rowKey: Column, colKey: Column,
                     rounds: Int = 3,
-                    scale: Long = 1000000L): DataFrame = {
-    val w = rakeMixtureWeights(df, rowKey, colKey, rounds, scale)
+                    scale: Long = 1000000L): DataFrame =
+    censusFromWeights(
+      rakeMixtureWeights(df, rowKey, colKey, rounds, scale), scale)
+
+  /** The row-marginal census over already-solved weights — shared
+    * by the batch census (q120) and the streaming twin.
+    */
+  def censusFromWeights(w: DataFrame,
+                        scale: Long = 1000000L): DataFrame = {
     val cells = w.groupBy(col("row_key"))
       .agg(sum(col("n")).cast(Dec).as("n_docs"),
         sum(col("w")).cast(Dec).as("achieved"))

@@ -123,6 +123,45 @@ object Retrieval {
         size(col("__ps")).cast("long").as("n_occ"),
         element_at(col("__ps"), 1).cast("long").as("first_pos"))
 
+  /** Exact phrase search by POSITIONAL POSTING JOIN — the
+    * index-accelerated twin of [[phraseSearch]] and the second
+    * physical strategy a serving stack wants: instead of scanning
+    * every document's token array, explode positional postings
+    * FILTERED TO THE PHRASE'S TERMS ONLY (the predicate reaches the
+    * explode, so the joined frames are document-frequency-sized,
+    * not corpus-sized) and equi-join term i's postings at
+    * `pos - i` against the anchor term. At 100 TB with a rare
+    * phrase this is orders of magnitude less work than the scan;
+    * the two strategies return IDENTICAL rows (cross-validated by
+    * the q119/q124 oracle pair and PhraseIndexSpec).
+    */
+  def phraseSearchIndexed(docs: DataFrame, idCol: String,
+                          textCol: String,
+                          phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty,
+      "phraseSearchIndexed needs a non-empty phrase")
+    require(phrase.size <= 16,
+      s"the join chain is specified for <= 16 tokens: ${phrase.size}")
+    val ts = TextFunctions.tokens(col(textCol))
+    val posts = docs
+      .select(col(idCol).as("id"),
+        posexplode(ts).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase.distinct: _*))
+    val anchor = posts.where(col("tok") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail
+      .foldLeft(anchor) { case (acc, (w, i)) =>
+        acc.join(posts.where(col("tok") === lit(w))
+            .select(col("id").as("__id2"),
+              (col("pos") - i).as("__p2")),
+          col("id") === col("__id2") && col("pos") === col("__p2"))
+          .select(col("id"), col("pos"))
+      }
+    matches.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
   /** The corpus's most frequent token bigram, ties broken by the
     * lexicographically smallest bigram — the deterministic "give me
     * a phrase that actually occurs" picker for [[phraseSearch]]

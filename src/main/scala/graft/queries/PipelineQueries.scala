@@ -889,6 +889,27 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // index-accelerated phrase search: positional postings FILTERED
+    // to the phrase's terms (document-frequency-sized, not
+    // corpus-sized), equi-joined at pos-i — the serving-path twin of
+    // q119's scan strategy; both pin the identical oracle census
+    "q124_indexed_phrase" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bg = Retrieval.topBigram(docs, "doc_id", "text")
+        .collect()(0).getString(0)
+      Retrieval.phraseSearchIndexed(docs, "doc_id", "text",
+          bg.split(" ", -1).toSeq)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_occ")), lit(0L)).cast("long")
+            .as("n_occ"),
+          coalesce(sum(col("first_pos")), lit(0L)).cast("long")
+            .as("sum_first_pos"),
+          coalesce(max(col("n_occ")), lit(0L)).cast("long")
+            .as("max_occ"))
+        .select(lit(bg).as("phrase"), col("n_docs"), col("n_occ"),
+          col("sum_first_pos"), col("max_occ"))
+    }),
+
     // fixed token-window chunking (the RAG / pretraining windowing
     // primitive, the content-defined complement of q106): one scan,
     // bounded per-doc explode, census pins exact token accounting
@@ -2294,6 +2315,34 @@ object PipelineQueries {
     * `(a - a mod b) / b` because both are exact integer floor
     * divisions of non-negative operands.
     */
+  /** q119/q124's shared oracle: the top bigram by (count desc,
+    * bigram asc), then 0-based match positions per document — one
+    * logical phrase-search answer that both the scan strategy
+    * (q119) and the posting-join strategy (q124) must hit.
+    */
+  private lazy val phraseOracleSql: String =
+    "WITH tok AS MATERIALIZED (SELECT doc_id, " +
+    "regexp_split_to_array(trim(text), '\\s+') AS t FROM " +
+    "documents), " +
+    "bgs AS (SELECT unnest([t[i+1] || ' ' || t[i+2] FOR i IN " +
+    "range(greatest(array_length(t) - 1, 0))]) AS bg FROM tok), " +
+    "top AS MATERIALIZED (SELECT bg, COUNT(*) AS cnt FROM bgs " +
+    "GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 1), " +
+    "w AS MATERIALIZED (SELECT string_split(bg, ' ')[1] AS w1, " +
+    "string_split(bg, ' ')[2] AS w2 FROM top), " +
+    // subqueries are not allowed inside DuckDB lambdas, so the
+    // phrase words join in as plain columns
+    "pos AS (SELECT doc_id, [i FOR i IN " +
+    "range(greatest(array_length(t) - 1, 0)) IF " +
+    "t[i+1] = w1 AND t[i+2] = w2] AS ps FROM tok CROSS JOIN w) " +
+    "SELECT (SELECT bg FROM top) AS phrase, " +
+    "COUNT(*) AS n_docs, " +
+    "CAST(COALESCE(SUM(array_length(ps)), 0) AS BIGINT) AS " +
+    "n_occ, " +
+    "CAST(COALESCE(SUM(ps[1]), 0) AS BIGINT) AS sum_first_pos, " +
+    "CAST(COALESCE(MAX(array_length(ps)), 0) AS BIGINT) AS " +
+    "max_occ FROM pos WHERE array_length(ps) > 0"
+
   // NB: lazy so the earlier-declared SQL strings can reference it
   // during object initialization
   private lazy val rakeOracleSql: String =
@@ -3931,28 +3980,11 @@ object PipelineQueries {
     // q119: the top bigram by (count desc, bigram asc), then match
     // positions per document via the same 0-based comprehension the
     // engine's array filter uses
-    "q119_phrase_search" ->
-      ("WITH tok AS MATERIALIZED (SELECT doc_id, " +
-       "regexp_split_to_array(trim(text), '\\s+') AS t FROM " +
-       "documents), " +
-       "bgs AS (SELECT unnest([t[i+1] || ' ' || t[i+2] FOR i IN " +
-       "range(greatest(array_length(t) - 1, 0))]) AS bg FROM tok), " +
-       "top AS MATERIALIZED (SELECT bg, COUNT(*) AS cnt FROM bgs " +
-       "GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 1), " +
-       "w AS MATERIALIZED (SELECT string_split(bg, ' ')[1] AS w1, " +
-       "string_split(bg, ' ')[2] AS w2 FROM top), " +
-       // subqueries are not allowed inside DuckDB lambdas, so the
-       // phrase words join in as plain columns
-       "pos AS (SELECT doc_id, [i FOR i IN " +
-       "range(greatest(array_length(t) - 1, 0)) IF " +
-       "t[i+1] = w1 AND t[i+2] = w2] AS ps FROM tok CROSS JOIN w) " +
-       "SELECT (SELECT bg FROM top) AS phrase, " +
-       "COUNT(*) AS n_docs, " +
-       "CAST(COALESCE(SUM(array_length(ps)), 0) AS BIGINT) AS " +
-       "n_occ, " +
-       "CAST(COALESCE(SUM(ps[1]), 0) AS BIGINT) AS sum_first_pos, " +
-       "CAST(COALESCE(MAX(array_length(ps)), 0) AS BIGINT) AS " +
-       "max_occ FROM pos WHERE array_length(ps) > 0"),
+    "q119_phrase_search" -> phraseOracleSql,
+    // q124: the SAME oracle — the posting-join strategy is an
+    // alternative physical plan for the identical logical operator,
+    // so both gates pin the identical census
+    "q124_indexed_phrase" -> phraseOracleSql,
     // q120: the integer-IPF replay — 3 rounds of exact floor-division
     // updates over the (lang, source) cells in HUGEINT (`//` is the
     // same exact floor division the engine computes via a - a mod b)

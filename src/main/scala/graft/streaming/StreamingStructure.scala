@@ -125,6 +125,41 @@ object StreamingStructure {
         coalesce(sum(size(col("__ps")).cast("long")), lit(0L))
           .as("n_occ"))
 
+  /** Streaming MIXTURE MONITOR — the ingest-side twin of the IPF
+    * mixture solve (q120): the contingency cells are exact
+    * incremental aggregation state (one count per distinct
+    * (row, col) cell — bounded by the attribute space, not the
+    * stream length), and each micro-batch re-solves the
+    * exact-integer raking over that tiny snapshot in foreachBatch,
+    * handing the solved row census to `onUpdate`. A curation ingest
+    * watches its language balance drift — and the weights it would
+    * need to fix it — continuously. Returns the query; the caller
+    * owns its lifecycle.
+    */
+  def mixtureCensusStream(df: DataFrame, rowKeyCol: String,
+                          colKeyCol: String, rounds: Int = 3,
+                          scale: Long = 1000000L,
+                          onUpdate: Array[org.apache.spark.sql.Row]
+                            => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.select(col(rowKeyCol).as("row_key"),
+        col(colKeyCol).as("col_key"))
+      .groupBy(col("row_key"), col("col_key"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      .writeStream
+      .foreachBatch { (cells: DataFrame, _: Long) =>
+        if (!cells.isEmpty) {
+          val census = graft.operators.Mixing.censusFromWeights(
+            graft.operators.Mixing.rakeFromCells(
+              cells.localCheckpoint(), rounds, scale), scale)
+            .orderBy(col("row_key").asc_nulls_first)
+            .collect()
+          onUpdate(census)
+        }
+      }
+      .outputMode("complete")
+      .start()
+
   /** Streaming STRUCTURE INFERENCE — the flagship analyzer over an
     * unbounded ingest: each micro-batch is analyzed distributedly
     * ([[graft.analyzer.SparkAnalyzer.analyzeTable]]) and folded into

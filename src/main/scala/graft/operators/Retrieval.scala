@@ -162,22 +162,30 @@ object Retrieval {
         min(col("pos")).cast("long").as("first_pos"))
   }
 
-  /** The corpus's most frequent token bigram, ties broken by the
-    * lexicographically smallest bigram — the deterministic "give me
-    * a phrase that actually occurs" picker for [[phraseSearch]]
-    * demos and gates. One token-explode + keyed count + global
-    * top-1 (TakeOrdered over the aggregated bigram counts, never a
-    * full sort of the corpus).
+  /** The most frequent token bigram of a deterministic 1-in-
+    * `sampleDen` hash sample of the corpus, ties broken by the
+    * lexicographically smallest bigram — the "give me a phrase that
+    * actually occurs" picker for [[phraseSearch]] demos and gates.
+    * The picker's answer only seeds a probe, so it does not need
+    * the full corpus: sampling cuts the bigram explode+shuffle by
+    * `sampleDen`x while staying bit-reproducible (md5 hash sample,
+    * exact counts within the sample). `sampleDen = 1` scans
+    * everything. One token-explode + keyed count + global top-1
+    * (TakeOrdered over the aggregated counts, never a full sort).
     */
-  def topBigram(docs: DataFrame, idCol: String,
-                textCol: String): DataFrame = {
+  def topBigram(docs: DataFrame, idCol: String, textCol: String,
+                sampleDen: Long = 1L): DataFrame = {
+    require(sampleDen >= 1, s"sampleDen must be >= 1: $sampleDen")
     val ts = TextFunctions.tokens(col(textCol))
     val bigrams = when(size(ts) >= 2,
         transform(sequence(lit(0), size(ts) - 2),
           p => concat_ws(" ", element_at(ts, p + 1),
             element_at(ts, p + 2))))
       .otherwise(array().cast("array<string>"))
-    docs.select(explode(bigrams).as("bg"))
+    docs
+      .where(pmod(Sampling.hash32(col(idCol)), lit(sampleDen))
+        === 0L)
+      .select(explode(bigrams).as("bg"))
       .groupBy(col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bg").asc_nulls_first)

@@ -864,7 +864,8 @@ object PipelineQueries {
     // no explode, no join, no index build
     "q119_phrase_search" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val bg = Retrieval.topBigram(docs, "doc_id", "text")
+      val bg = Retrieval.topBigram(docs, "doc_id", "text",
+          sampleDen = 20L)
         .collect()(0).getString(0)
       Retrieval.phraseSearch(docs, "doc_id", "text",
           bg.split(" ", -1).toSeq)
@@ -895,7 +896,8 @@ object PipelineQueries {
     // q119's scan strategy; both pin the identical oracle census
     "q124_indexed_phrase" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val bg = Retrieval.topBigram(docs, "doc_id", "text")
+      val bg = Retrieval.topBigram(docs, "doc_id", "text",
+          sampleDen = 20L)
         .collect()(0).getString(0)
       Retrieval.phraseSearchIndexed(docs, "doc_id", "text",
           bg.split(" ", -1).toSeq)
@@ -2324,8 +2326,12 @@ object PipelineQueries {
     "WITH tok AS MATERIALIZED (SELECT doc_id, " +
     "regexp_split_to_array(trim(text), '\\s+') AS t FROM " +
     "documents), " +
+    // the probe picker samples 1-in-20 docs (the engine's hash
+    // sample) — the search side below still scans every document
     "bgs AS (SELECT unnest([t[i+1] || ' ' || t[i+2] FOR i IN " +
-    "range(greatest(array_length(t) - 1, 0))]) AS bg FROM tok), " +
+    "range(greatest(array_length(t) - 1, 0))]) AS bg FROM tok " +
+    "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, " +
+    "8) AS BIGINT) % 20 = 0), " +
     "top AS MATERIALIZED (SELECT bg, COUNT(*) AS cnt FROM bgs " +
     "GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 1), " +
     "w AS MATERIALIZED (SELECT string_split(bg, ' ')[1] AS w1, " +

@@ -823,19 +823,30 @@ object Dedup {
                       newId: Column, newText: Column,
                       numHashes: Int = 64, bandSize: Int = 4,
                       shingleK: Int = 5,
-                      maxBucketSize: Long = 10000L): DataFrame = {
-    val oldKept = dropHotBuckets(lshBands(minHashSignatures(corpus,
-      corpusId, corpusText, numHashes, shingleK), numHashes,
-      bandSize), maxBucketSize)
-    val newKept = dropHotBuckets(lshBands(minHashSignatures(newDf,
-      newId, newText, numHashes, shingleK), numHashes,
-      bandSize), maxBucketSize)
-    newKept.as("n")
-      .join(oldKept.as("o"), col("n.band") === col("o.band") &&
-        col("n.key") === col("o.key"))
+                      maxBucketSize: Long = 10000L): DataFrame =
+    lshPairsFromBands(
+      lshBands(minHashSignatures(corpus, corpusId, corpusText,
+        numHashes, shingleK), numHashes, bandSize),
+      lshBands(minHashSignatures(newDf, newId, newText,
+        numHashes, shingleK), numHashes, bandSize),
+      maxBucketSize)
+
+  /** The band-join half of [[lshPairsAgainst]], for callers that
+    * already hold `(id, band, key)` frames — e.g. a serving path
+    * that computes the corpus bands ONCE and probes them with many
+    * predicates (q118 runs probe selection and the probe lookup off
+    * one materialized band frame instead of re-signing the corpus
+    * per chain). Each side is hot-bucket capped independently, the
+    * same guard the one-call form applies.
+    */
+  def lshPairsFromBands(oldBands: DataFrame, newBands: DataFrame,
+                        maxBucketSize: Long = 10000L): DataFrame =
+    dropHotBuckets(newBands, maxBucketSize).as("n")
+      .join(dropHotBuckets(oldBands, maxBucketSize).as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.key") === col("o.key"))
       .select(col("n.id").as("new_id"), col("o.id").as("old_id"))
       .distinct()
-  }
 
   /** Incremental one-call deduplication: the NEW batch minus exact
     * and near-duplicates of the corpus AND of itself — the

@@ -830,24 +830,27 @@ object PipelineQueries {
     // signature plus a band-keyed lookup, never a corpus pair join)
     "q118_similar_to" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val isNew = pmod(Sampling.hash32(col("doc_id")), lit(5L)) === 0L
+      // the corpus is signed + banded ONCE (eagerly materialized —
+      // (id, band, key) rows, slim); both the probe-selection chain
+      // and the probe lookup run off this frame, which is exactly
+      // how a serving index would be held
+      val bands = Dedup.lshBands(Dedup.minHashSignatures(docs,
+        col("doc_id"), col("text"))).localCheckpoint()
+      val isNew = pmod(Sampling.hash32(col("id")), lit(5L)) === 0L
       // probe selection: the smallest flagged new_id of the q63
       // hash-split candidates — a doc KNOWN to have matches, so the
       // gate is non-vacuous; ONE bounded driver row, with a min
       // doc_id fallback for a dup-free corpus
-      val flagged = Dedup.lshPairsAgainst(
-          docs.where(!isNew), col("doc_id"), col("text"),
-          docs.where(isNew), col("doc_id"), col("text"))
+      val flagged = Dedup.lshPairsFromBands(
+          bands.where(!isNew), bands.where(isNew))
         .agg(min(col("new_id")).as("m")).first()
       val probeId =
         if (flagged.isNullAt(0))
           docs.agg(min(col("doc_id"))).first().getLong(0)
         else flagged.getLong(0)
-      Dedup.lshPairsAgainst(
-          docs.where(col("doc_id") =!= probeId), col("doc_id"),
-          col("text"),
-          docs.where(col("doc_id") === probeId), col("doc_id"),
-          col("text"))
+      Dedup.lshPairsFromBands(
+          bands.where(col("id") =!= probeId),
+          bands.where(col("id") === probeId))
         .agg(count(lit(1)).as("n_candidates"),
           coalesce(min(col("old_id")), lit(-1L)).cast("long")
             .as("min_match"),

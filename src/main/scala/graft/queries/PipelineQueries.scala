@@ -893,6 +893,65 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // RAG indexing pipeline, end to end: token-window chunks (q123)
+    // -> per-chunk STUB embedding (the documented md5 16-bin fake —
+    // the real-image-decode stand-in contract) -> JL projection
+    // (q121) -> sign-bit buckets (256 cells) -> a probe chunk's
+    // bucket-limited top-5 — the whole chunk-level serving path as
+    // one composed plan, exact integers end to end. The banded
+    // chunk index is materialized once (the serving-index shape);
+    // the probe is one broadcast row
+    "q125_rag_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val chunks = Chunking.tokenChunks(docs, col("doc_id"),
+          col("text"), chunkSize = 64, overlap = 16)
+        .select(concat(col("id").cast("string"), lit("#"),
+            col("chunk_idx").cast("string")).as("cid"),
+          Multimodal.fakeDecodeFeatures(
+            col("chunk_text").cast("binary")).as("emb"))
+      val pv = Similarity.jlProject(chunks, "cid", "emb",
+        inDim = 16, outDims = 8)
+      val bucket = (0 until 8).map(j =>
+          when(element_at(col("pv"), j + 1) > 0L, lit(1L << j))
+            .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val bf = pv.select(col("id").as("cid"), col("pv"),
+        bucket.as("bucket")).localCheckpoint()
+      val minDoc = docs.agg(min(col("doc_id"))).first().getLong(0)
+      val probeCid = s"$minDoc#0"
+      val probe = bf.where(col("cid") === probeCid)
+        .select(col("pv").as("__qpv"), col("bucket").as("__qb"))
+      val dist = (0 until 8).map { j =>
+        val dj = element_at(col("pv"), j + 1) -
+          element_at(col("__qpv"), j + 1)
+        dj * dj
+      }.reduce(_ + _)
+      val cands = bf.crossJoin(broadcast(probe))
+        .where(col("bucket") === col("__qb") &&
+          col("cid") =!= probeCid)
+        .select(col("cid"), dist.as("dist"))
+      val stats = bf.agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      val bmax = bf.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_bucket"))
+      val top5 = cands.orderBy(col("dist").asc,
+          col("cid").asc_nulls_first).limit(5)
+        .agg(min(struct(col("dist"), col("cid"))).as("t1"),
+          sum(col("dist")).cast("long").as("sum_top5_dist"))
+        .select(col("t1.cid").as("top1_cid"),
+          col("t1.dist").cast("long").as("top1_dist"),
+          col("sum_top5_dist"))
+      val nc = cands.agg(count(lit(1)).as("n_cands"))
+      stats.crossJoin(broadcast(bmax)).crossJoin(broadcast(nc))
+        .crossJoin(broadcast(top5))
+        .select(col("n_chunks").cast("long").as("n_chunks"),
+          col("n_buckets").cast("long").as("n_buckets"),
+          col("max_bucket").cast("long").as("max_bucket"),
+          col("n_cands").cast("long").as("n_cands"),
+          col("top1_cid"), col("top1_dist"), col("sum_top5_dist"))
+    }),
+
     // index-accelerated phrase search: positional postings FILTERED
     // to the phrase's terms (document-frequency-sized, not
     // corpus-sized), equi-joined at pos-i — the serving-path twin of
@@ -4030,6 +4089,53 @@ object PipelineQueries {
        "SELECT lang AS row_key, COUNT(*) AS n_kept, " +
        "CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM kept " +
        "GROUP BY lang ORDER BY row_key NULLS FIRST"),
+    // q125: the full RAG-index replay — q123's chunk starts, the md5
+    // stub embedding bytes, q121's md5-parity signs, sign-bit
+    // buckets, bucket-limited top-5; exact integers end to end
+    "q125_rag_index" ->
+      ("WITH tok AS MATERIALIZED (SELECT doc_id, " +
+       "regexp_split_to_array(trim(text), '\\s+') AS t FROM " +
+       "documents), " +
+       "ch AS MATERIALIZED (SELECT CAST(doc_id AS VARCHAR) || '#' " +
+       "|| CAST(start // 48 AS VARCHAR) AS cid, " +
+       "array_to_string(t[start+1 : start+64], ' ') AS ct FROM " +
+       "(SELECT doc_id, t, unnest(range(0, " +
+       "greatest(array_length(t) - 16, 1), 48)) AS start FROM " +
+       "tok)), " +
+       "qv AS MATERIALIZED (SELECT cid, [CAST(round((CAST('0x' || " +
+       "substr(md5(ct), i*2+1, 2) AS INTEGER) / 255.0) * " +
+       "33554432.0) AS BIGINT) FOR i IN range(16)] AS q FROM ch), " +
+       "sgn AS MATERIALIZED (SELECT i, j, CASE WHEN " +
+       "strpos('02468ace', substr(md5('jl_' || CAST(i AS VARCHAR) " +
+       "|| '_' || CAST(j AS VARCHAR)), 1, 1)) > 0 THEN 1 ELSE -1 " +
+       "END AS s FROM generate_series(0, 15) g1(i) CROSS JOIN " +
+       "generate_series(0, 7) g2(j)), " +
+       "p AS MATERIALIZED (SELECT cid, j, CAST(SUM(s * q[i+1]) AS " +
+       "BIGINT) AS pj FROM qv CROSS JOIN sgn GROUP BY cid, j), " +
+       "pb AS MATERIALIZED (SELECT cid, list(pj ORDER BY j) AS pv, " +
+       "CAST(SUM(CASE WHEN pj > 0 THEN (CAST(1 AS BIGINT) << j) " +
+       "ELSE 0 END) AS BIGINT) AS bucket FROM p GROUP BY cid), " +
+       "prb AS MATERIALIZED (SELECT CAST(MIN(doc_id) AS VARCHAR) " +
+       "|| '#0' AS pcid FROM documents), " +
+       "pr AS MATERIALIZED (SELECT pv AS qpv, bucket AS qb FROM " +
+       "pb CROSS JOIN prb WHERE cid = pcid), " +
+       "cand AS MATERIALIZED (SELECT cid, " +
+       "CAST(list_sum([(pv[j+1] - qpv[j+1]) * (pv[j+1] - " +
+       "qpv[j+1]) FOR j IN range(8)]) AS BIGINT) AS dist FROM pb " +
+       "CROSS JOIN pr CROSS JOIN prb WHERE bucket = qb AND " +
+       "cid <> pcid), " +
+       "t5 AS MATERIALIZED (SELECT dist, cid FROM cand ORDER BY " +
+       "dist ASC, cid ASC LIMIT 5) " +
+       "SELECT (SELECT COUNT(*) FROM pb) AS n_chunks, " +
+       "(SELECT COUNT(DISTINCT bucket) FROM pb) AS n_buckets, " +
+       "(SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM pb GROUP " +
+       "BY bucket)) AS max_bucket, " +
+       "(SELECT COUNT(*) FROM cand) AS n_cands, " +
+       "(SELECT cid FROM t5 ORDER BY dist ASC, cid ASC LIMIT 1) " +
+       "AS top1_cid, " +
+       "(SELECT MIN(dist) FROM t5) AS top1_dist, " +
+       "CAST((SELECT SUM(dist) FROM t5) AS BIGINT) AS " +
+       "sum_top5_dist"),
     // q121: signs from md5 parity, 2^25 quantization, exact BIGINT
     // sums — the projection replayed coordinate-by-coordinate
     "q121_jl_topk" ->

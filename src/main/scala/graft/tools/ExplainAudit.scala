@@ -317,6 +317,30 @@ object ExplainAudit {
         s"broadcasts=$bcasts (want >=1), noSortMergeJoin=${!merge}")
     }
 
+    // ---- RAG index shape check -----------------------------------
+    // q125 promises: the chunk index is materialized once (zero
+    // parquet scans in the final census plan), the probe and census
+    // frames join as broadcasts, the top-5 is TakeOrdered, and
+    // nothing sort-merge-joins
+    guarded("q125_rag_index") {
+      val df = graft.SparkEntry.queries("q125_rag_index")(spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      val scans = finalPlan.split("Scan parquet", -1).length - 1
+      val bcasts = finalPlan.split("BroadcastExchange", -1).length - 1
+      val takeOrdered = finalPlan.contains("TakeOrderedAndProject")
+      val merge = finalPlan.contains("SortMergeJoin")
+      val ok = scans == 0 && bcasts >= 3 && takeOrdered && !merge
+      if (!ok) failures += 1
+      println(s"\n=== q125_rag_index — checkpointed index + " +
+        "broadcast serving ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] scans=$scans " +
+        s"(want 0: chunk index materialized once), " +
+        s"broadcasts=$bcasts (want >=3), takeOrdered=$takeOrdered, " +
+        s"noSortMergeJoin=${!merge}")
+    }
+
     // ---- range-join shape check ----------------------------------
     // the bucketed interval join must plan as a HASH equi-join on
     // (key, bucket) — never a BroadcastNestedLoopJoin / cartesian

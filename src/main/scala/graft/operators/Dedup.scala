@@ -1267,4 +1267,53 @@ object Dedup {
       .select(col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  // ---- exact line-level dedup (CCNet/RefinedWeb boilerplate) -----
+
+  /** Remove every LINE that appears verbatim in >= `minDocs`
+    * DISTINCT documents — the web-corpus boilerplate filter
+    * (navbars, cookie banners, license headers repeat across pages;
+    * prose lines don't). Returns one row per document:
+    * `(id, n_lines, n_removed, clean_md5, clean_nchars)` with the
+    * survivors rejoined in original order by '\n'.
+    *
+    * All-whitespace lines are never counted frequent (removing them
+    * would reflow every document's formatting for no dedup gain).
+    *
+    * Shape at 100 TB: the frequency pass shuffles md5 LINE DIGESTS
+    * only, with map-side partial counts; the frequent set is
+    * boilerplate-sized (df >= minDocs prunes the prose long tail),
+    * so AQE turns the removal join into a broadcast against the
+    * line scan. Reassembly is one per-document aggregation whose
+    * state is bounded by document size — the removeRepeatedRuns
+    * pattern.
+    */
+  def removeFrequentLines(df: DataFrame, id: Column, text: Column,
+                          minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = df
+      .select(id.as("id"), posexplode(split(text, "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val freq = lines
+      .where(trim(col("line")) =!= "")
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("lh"), lit(true).as("dup"))
+    val flagged = lines
+      .join(freq, Seq("lh"), "left")
+      .withColumn("keep", col("dup").isNull)
+    flagged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_sort(collect_list(struct(col("pos"), col("line"),
+          col("keep")))).as("arr"))
+      .withColumn("clean_text",
+        array_join(transform(filter(col("arr"),
+          s => s.getField("keep")), s => s.getField("line")), "\n"))
+      .select(col("id"), col("n_lines"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_nchars"))
+  }
 }

@@ -893,6 +893,36 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // exact line-level dedup (the CCNet/RefinedWeb boilerplate
+    // filter): the corpus wrapped in deterministic page furniture —
+    // a per-source header on 3/4 of docs, a global footer on 2/3 —
+    // and the operator must strip the furniture wherever it occurs
+    // while every prose line survives untouched. Only md5 line
+    // digests shuffle in the frequency pass; the frequent set is
+    // boilerplate-sized, so the removal join broadcasts under AQE
+    "q126_line_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val header = when(col("doc_id") % 4 =!= 0,
+        concat(lit("== "), col("source"), lit(" portal ==")))
+      val footer = when(col("doc_id") % 3 =!= 0,
+        lit("contact us at example dot com"))
+      val wrapped = docs.select(col("doc_id"), col("source"),
+        concat_ws("\n", header, col("text"), footer).as("page"))
+      Dedup.removeFrequentLines(wrapped, col("doc_id"),
+          col("page"), minDocs = 2)
+        .join(docs.select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_lines")).cast("long").as("sum_lines"),
+          sum(col("n_removed")).cast("long").as("sum_removed"),
+          sum(col("clean_nchars")).cast("long")
+            .as("sum_clean_nchars"),
+          sum(conv(substring(col("clean_md5"), 1, 8), 16, 10)
+            .cast("long")).cast("long").as("sum_md5h"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // RAG indexing pipeline, end to end: token-window chunks (q123)
     // -> per-chunk STUB embedding (the documented md5 16-bin fake —
     // the real-image-decode stand-in contract) -> JL projection
@@ -4089,6 +4119,35 @@ object PipelineQueries {
        "SELECT lang AS row_key, COUNT(*) AS n_kept, " +
        "CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM kept " +
        "GROUP BY lang ORDER BY row_key NULLS FIRST"),
+    // q126: full line-dedup replay — same page wrapping, same
+    // df >= 2 frequency bar, same order-preserving reassembly
+    "q126_line_dedup" ->
+      ("WITH pg AS (SELECT doc_id, source, concat_ws(chr(10), " +
+       "CASE WHEN doc_id % 4 <> 0 THEN '== ' || source || " +
+       "' portal ==' END, text, CASE WHEN doc_id % 3 <> 0 THEN " +
+       "'contact us at example dot com' END) AS page FROM " +
+       "documents), " +
+       "ln AS (SELECT doc_id, source, string_split(page, chr(10)) " +
+       "AS ls FROM pg), " +
+       "ex AS (SELECT doc_id, source, unnest(ls) AS line, " +
+       "unnest(range(len(ls))) AS pos FROM ln), " +
+       "fr AS (SELECT line FROM (SELECT line, count(DISTINCT " +
+       "doc_id) AS df FROM ex WHERE trim(line) <> '' GROUP BY 1) " +
+       "WHERE df >= 2), " +
+       "fl AS (SELECT e.doc_id, e.source, e.pos, e.line, " +
+       "(f.line IS NULL) AS keep FROM ex e LEFT JOIN fr f ON " +
+       "e.line = f.line), " +
+       "cl AS (SELECT doc_id, source, count(*) AS n_lines, " +
+       "sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed, " +
+       "coalesce(string_agg(CASE WHEN keep THEN line END, " +
+       "chr(10) ORDER BY pos), '') AS ct FROM fl GROUP BY doc_id, " +
+       "source) " +
+       "SELECT source, count(*) AS n_docs, CAST(sum(n_lines) AS " +
+       "BIGINT) AS sum_lines, CAST(sum(n_removed) AS BIGINT) AS " +
+       "sum_removed, CAST(sum(length(ct)) AS BIGINT) AS " +
+       "sum_clean_nchars, CAST(sum(CAST('0x' || substr(md5(ct), " +
+       "1, 8) AS BIGINT)) AS BIGINT) AS sum_md5h FROM cl GROUP BY " +
+       "source ORDER BY source NULLS FIRST"),
     // q125: the full RAG-index replay — q123's chunk starts, the md5
     // stub embedding bytes, q121's md5-parity signs, sign-bit
     // buckets, bucket-limited top-5; exact integers end to end

@@ -76,6 +76,25 @@ object TextFunctions {
       typedLit(Array.empty[Long]))
   }
 
+  /** Feature-hashing linear classifier score — model inference as a
+    * map-only projection (the fastText-style quality/topic classifier
+    * shape; hashing trick per Weinberger et al., ICML 2009). Each
+    * whitespace token hashes into one of `numBuckets` md5 buckets,
+    * and the model weight for bucket b is a deterministic integer in
+    * [-1000, 1000] via a Knuth multiplicative mix — the documented
+    * stand-in for a trained weight vector shipped as a formula (swap
+    * a broadcast bucket->weight lookup in for real weights; the plan
+    * shape is identical). The score folds over the token array IN
+    * PLACE as an exact BIGINT: no explode, no join, no shuffle — at
+    * 100 TB this runs at scan speed next to the parquet reader.
+    */
+  def hashClassifierScore(text: Column, numBuckets: Int = 64): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => {
+      val b = pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(numBuckets.toLong))
+      acc + pmod(b * lit(2654435761L), lit(2001L)) - lit(1000L)
+    })
+
   /** Punctuation character count (sentence-level quality signal). */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", ""))

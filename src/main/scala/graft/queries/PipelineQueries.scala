@@ -893,6 +893,24 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // feature-hashing linear classifier inference (the fastText-
+    // style corpus quality/topic scorer): md5-bucketed unigram
+    // weights folded over each token array in place — model
+    // inference at scan speed, zero shuffle beyond the census agg
+    "q127_hash_classifier" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          TextFunctions.hashClassifierScore(col("text"), 64)
+            .as("score"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0L, 1L).otherwise(0L))
+            .as("n_pos"),
+          sum(col("score")).cast("long").as("sum_score"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("source").asc_nulls_first)),
+
     // exact line-level dedup (the CCNet/RefinedWeb boilerplate
     // filter): the corpus wrapped in deterministic page furniture —
     // a per-source header on 3/4 of docs, a global footer on 2/3 —
@@ -4119,6 +4137,18 @@ object PipelineQueries {
        "SELECT lang AS row_key, COUNT(*) AS n_kept, " +
        "CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM kept " +
        "GROUP BY lang ORDER BY row_key NULLS FIRST"),
+    // q127: hashed-classifier replay — same md5 bucket, same Knuth
+    // mix weight formula, folded with a list comprehension
+    "q127_hash_classifier" ->
+      ("WITH sc AS (SELECT source, CAST(list_sum([((CAST('0x' || " +
+       "substr(md5(t), 1, 8) AS BIGINT) % 64) * 2654435761) % " +
+       "2001 - 1000 FOR t IN regexp_split_to_array(trim(text), " +
+       "'\\s+')]) AS BIGINT) AS score FROM documents) " +
+       "SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN " +
+       "score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+       "CAST(sum(score) AS BIGINT) AS sum_score, min(score) AS " +
+       "min_score, max(score) AS max_score FROM sc GROUP BY " +
+       "source ORDER BY source NULLS FIRST"),
     // q126: full line-dedup replay — same page wrapping, same
     // df >= 2 frequency bar, same order-preserving reassembly
     "q126_line_dedup" ->

@@ -929,6 +929,74 @@ object Similarity {
     PqIndex(spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/codebooks"))
 
+  /** PQ-encode a batch against FROZEN codebooks (no training): per
+    * subspace, the code is the argmax-cosine codebook centroid —
+    * the same exact-integer scoring as [[pqAssign]]'s Lloyd step,
+    * against the persisted (sub, label, dim, cs) sums (cosine is
+    * scale-invariant, so the sums serve as centroids directly).
+    * Returns assignment rows (id, sub, label); collapse with
+    * [[pqCodes]].
+    *
+    * Shape: the codebook frame is m·ksub·(d/m) rows independent of
+    * corpus size — both joins broadcast, so encoding N vectors is a
+    * map-side O(N·ksub·d) scoring pass and one per-(id, sub)
+    * argmax. This is the serving-time encoder AND the incremental
+    * append path's workhorse.
+    */
+  def pqEncodeWith(delta: DataFrame, idCol: String, vecCol: String,
+                   dims: Int, m: Int,
+                   codebooks: DataFrame): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims must split evenly into m subspaces: dims=$dims m=$m")
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dims / m
+    val comps = delta.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
+        .as("sub"), col("dim"), quant25(col("x")).as("qx"))
+    val cents = codebooks.select(col("sub"), col("label"),
+      col("dim"), col("cs"))
+    val norms = cents.groupBy(col("sub"), col("label"))
+      .agg(sum(col("cs").cast("decimal(38,0)") * col("cs"))
+        .as("s2"))
+    val wid = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__sc").desc, col("label").asc_nulls_first)
+    comps.join(broadcast(cents), Seq("sub", "dim"))
+      .groupBy(col("id"), col("sub"), col("label"))
+      .agg(sum(col("qx").cast("decimal(38,0)") * col("cs"))
+        .as("dot"))
+      .join(broadcast(norms), Seq("sub", "label"))
+      .select(col("id"), col("sub"), col("label"),
+        (col("dot").cast("double") /
+          sqrt(col("s2").cast("double"))).as("__sc"))
+      .withColumn("__rn", row_number().over(wid))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("label"))
+  }
+
+  /** Incremental index maintenance: place a DELTA batch into an
+    * EXISTING IVF+PQ index without retraining and without touching
+    * the stored corpus — coarse-assign each new vector to its
+    * nearest frozen IVF centroid (exact-integer cosine, label-asc
+    * ties) and PQ-encode it with [[pqEncodeWith]]. Returns the
+    * delta's (id, label) IVF rows and (id, codes) words, union-ready
+    * with the persisted tables ([[writeIvfIndex]]/[[writePqIndex]]
+    * in append mode at the storage layer). Cost is delta-sized ×
+    * broadcast centroid frames — a 100 TB index absorbs a daily
+    * batch at the batch's scan cost, with periodic retrains only
+    * when drift census (q100-style) says the centroids went stale.
+    */
+  def appendToIvfPq(delta: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, m: Int, ivfCentroids: DataFrame,
+                    codebooks: DataFrame): (DataFrame, DataFrame) = {
+    val labels = ivfProbes(ivfCentroids, delta, idCol, vecCol,
+        nprobe = 1)
+      .select(col("qid").as("id"), col("label"))
+    val codes = pqCodes(
+      pqEncodeWith(delta, idCol, vecCol, dims, m, codebooks))
+    (labels, codes)
+  }
+
   /** IVF + PQ — the production ANN serving composition at 100 TB:
     * the corpus lives as PQ code words partitioned by IVF cell, a
     * query scores the (slim, prebuilt) centroid table to pick its

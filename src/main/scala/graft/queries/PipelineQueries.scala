@@ -893,6 +893,42 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // incremental ANN index maintenance: train IVF (k=4) + PQ (m=4,
+    // ksub=4) on the 80% "existing corpus" hash-split, then place
+    // the 20% delta batch with FROZEN centroids/codebooks — no
+    // retraining, no touch of stored codes; census pins every
+    // delta vector's coarse cell and every subspace code against
+    // the oracle's full replay. Append cost is delta-sized scoring
+    // vs broadcast centroid frames — the daily-batch shape
+    "q128_index_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val old = emb.where(col("vec_id") % 5 =!= 0)
+      val delta = emb.where(col("vec_id") % 5 === 0)
+      val ivf = Similarity.buildIvfIndex(old, "vec_id",
+        "embedding", k = 4, iters = 2)
+      val pq = Similarity.buildPqIndex(old, "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 4, iters = 2)
+      val (dLabels, dCodes) = Similarity.appendToIvfPq(delta,
+        "vec_id", "embedding", dims = 64, m = 4, ivf.centroids,
+        pq.codebooks)
+      val pqCensus = dCodes
+        .select(col("id"),
+          posexplode(col("codes")).as(Seq("sub", "label")))
+        .groupBy(col("sub").cast("long").as("sub"), col("label"))
+        .agg(count(lit(1)).as("n_delta"),
+          min(col("id")).as("min_delta"))
+        .select(lit("pq").as("kind"), col("sub"), col("label"),
+          col("n_delta"), col("min_delta"))
+      val ivfCensus = dLabels.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_delta"),
+          min(col("id")).as("min_delta"))
+        .select(lit("ivf").as("kind"), lit(-1L).as("sub"),
+          col("label"), col("n_delta"), col("min_delta"))
+      pqCensus.unionByName(ivfCensus)
+        .orderBy(col("kind").asc_nulls_first,
+          col("sub").asc_nulls_first, col("label").asc_nulls_first)
+    }),
+
     // feature-hashing linear classifier inference (the fastText-
     // style corpus quality/topic scorer): md5-bucketed unigram
     // weights folded over each token array in place — model
@@ -2775,6 +2811,106 @@ object PipelineQueries {
     "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
+  /** q128: incremental-append replay — the pqPrefix and kmeansCtes
+    * recurrences restricted to the 80% "old" split (vec_id % 5 <> 0),
+    * final codebooks/centroid sums from each chain's a2, then the
+    * delta (vec_id % 5 = 0) encoded against the FROZEN sums: per-sub
+    * argmax cosine for PQ codes, nearest coarse centroid for the IVF
+    * cell, census over the delta only.
+    */
+  private val indexAppendSql =
+    "WITH hv AS (SELECT vec_id, CAST('0x' || " +
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+    "FROM embeddings WHERE vec_id % 5 <> 0), " +
+    "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h, " +
+    "vec_id) - 1 AS BIGINT) AS label FROM hv ORDER BY h, vec_id " +
+    "LIMIT 4), " +
+    "sseeds AS (SELECT vec_id, s.sub, label FROM seeds, " +
+    "(SELECT unnest(range(4)) AS sub) s), " +
+    "qco AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, " +
+    "i AS dim, CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS " +
+    "BIGINT) AS qx FROM (SELECT vec_id, " +
+    "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
+    "x FROM embeddings WHERE vec_id % 5 <> 0)), " +
+    "c0 AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
+    "AS cs FROM qco q JOIN sseeds a ON q.vec_id = a.vec_id AND " +
+    "q.sub = a.sub GROUP BY 1, 2, 3), " +
+    "n0 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM c0 GROUP BY 1, 2), " +
+    "sc1 AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qco q JOIN c0 c ON q.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "a1 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM sc1 JOIN n0 USING (sub, label)) WHERE rn = 1), " +
+    "c1 AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
+    "AS cs FROM qco q JOIN a1 a ON q.vec_id = a.vec_id AND " +
+    "q.sub = a.sub GROUP BY 1, 2, 3), " +
+    "n1 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM c1 GROUP BY 1, 2), " +
+    "sc2 AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qco q JOIN c1 c ON q.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "a2 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM sc2 JOIN n1 USING (sub, label)) WHERE rn = 1), " +
+    "cb AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
+    "AS cs FROM qco q JOIN a2 a ON q.vec_id = a.vec_id AND " +
+    "q.sub = a.sub GROUP BY 1, 2, 3), " +
+    "nb AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM cb GROUP BY 1, 2), " +
+    "qcd AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, " +
+    "i AS dim, CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS " +
+    "BIGINT) AS qx FROM (SELECT vec_id, " +
+    "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
+    "x FROM embeddings WHERE vec_id % 5 = 0)), " +
+    "scd AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qcd q JOIN cb c ON q.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "ad AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM scd JOIN nb USING (sub, label)) WHERE rn = 1), " +
+    "c0f AS (SELECT s.label, q.dim, CAST(SUM(qx) AS BIGINT) AS " +
+    "cs FROM qco q JOIN seeds s USING (vec_id) GROUP BY 1, 2), " +
+    "n0f AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+    "FROM c0f GROUP BY 1), " +
+    "sc1f AS (SELECT q.vec_id, c.label, SUM(CAST(qx AS HUGEINT) " +
+    "* cs) AS dot FROM qco q JOIN c0f c ON q.dim = c.dim " +
+    "GROUP BY 1, 2), " +
+    "a1f AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot AS " +
+    "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
+    "sc1f JOIN n0f USING (label)) WHERE rn = 1), " +
+    "c1f AS (SELECT a.label, q.dim, CAST(SUM(qx) AS BIGINT) AS " +
+    "cs FROM qco q JOIN a1f a USING (vec_id) GROUP BY 1, 2), " +
+    "n1f AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
+    "FROM c1f GROUP BY 1), " +
+    "sc2f AS (SELECT q.vec_id, c.label, SUM(CAST(qx AS HUGEINT) " +
+    "* cs) AS dot FROM qco q JOIN c1f c ON q.dim = c.dim " +
+    "GROUP BY 1, 2), " +
+    "a2f AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot AS " +
+    "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
+    "sc2f JOIN n1f USING (label)) WHERE rn = 1), " +
+    "cvf AS (SELECT a.label, q.dim, CAST(SUM(qx) AS BIGINT) AS s " +
+    "FROM qco q JOIN a2f a USING (vec_id) GROUP BY 1, 2), " +
+    "scvd AS (SELECT q.vec_id, c.label, SUM(CAST(s AS HUGEINT) * " +
+    "qx) AS dot, SUM(CAST(s AS HUGEINT) * s) AS s2 FROM cvf c " +
+    "JOIN qcd q ON c.dim = q.dim GROUP BY 1, 2), " +
+    "ivfd AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot AS " +
+    "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
+    "scvd) WHERE rn = 1) " +
+    "SELECT kind, sub, label, n_delta, min_delta FROM (" +
+    "SELECT 'pq' AS kind, sub, label, COUNT(*) AS n_delta, " +
+    "MIN(vec_id) AS min_delta FROM ad GROUP BY 2, 3 " +
+    "UNION ALL SELECT 'ivf', CAST(-1 AS BIGINT), label, " +
+    "COUNT(*), MIN(vec_id) FROM ivfd GROUP BY 3) " +
+    "ORDER BY kind NULLS FIRST, sub NULLS FIRST, label NULLS FIRST"
+
   /** Serving-only oracle: re-derives the IVF+PQ top-k from the SAME
     * persisted index tables q67 reads (no re-training) — 0-based
     * dims, codes arrays unnested back to assignment rows, then the
@@ -4137,6 +4273,7 @@ object PipelineQueries {
        "SELECT lang AS row_key, COUNT(*) AS n_kept, " +
        "CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM kept " +
        "GROUP BY lang ORDER BY row_key NULLS FIRST"),
+    "q128_index_append" -> indexAppendSql,
     // q127: hashed-classifier replay — same md5 bucket, same Knuth
     // mix weight formula, folded with a list comprehension
     "q127_hash_classifier" ->

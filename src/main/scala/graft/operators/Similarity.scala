@@ -974,6 +974,76 @@ object Similarity {
       .select(col("id"), col("sub"), col("label"))
   }
 
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein, SIGIR
+    * '98) at λ = 1/2, in exact integers end to end: relevance is the
+    * quantized inner product with the single query row, and each
+    * greedy step selects argmax of `rel − max sim-to-selected` (at
+    * λ = 1/2 the MMR objective is that integer difference scaled by
+    * 2 — no floats anywhere), ties id-asc. Returns one row per
+    * selection: (step, id, rel, penalty, score).
+    *
+    * Shape at 100 TB: ONE distributed scoring pass + TakeOrdered
+    * bounds the candidates to a constant-size frame (candN rows);
+    * the candN² pairwise sims and the k-step greedy then run over
+    * that constant — the broadcast-LUT pattern (bounded driver math
+    * over a corpus-size-independent frame), never a corpus×corpus
+    * join. The greedy is inherently sequential, which is exactly why
+    * it must only ever see a bounded candidate set.
+    */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, qidCol: String, qvecCol: String,
+              candN: Int = 20, k: Int = 6): DataFrame = {
+    require(candN > 0 && candN <= 10000,
+      s"candN bounds the driver-side frame; got $candN")
+    require(k > 0 && k <= candN, s"need 0 < k <= candN: $k/$candN")
+    val spark = df.sparkSession
+    val qq = query
+      .select(col(qidCol).as("qid"),
+        posexplode(col(qvecCol)).as(Seq("dim", "x")))
+      .select(col("qid"), col("dim"), quant25(col("x")).as("qy"))
+    val comps = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), quant25(col("x")).as("qx"))
+    val candRows = comps.join(broadcast(qq), Seq("dim"))
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("id"))
+      .agg(sum(col("qx").cast("decimal(38,0)") * col("qy"))
+        .as("relD"))
+      .select(col("id"), col("relD").cast("long").as("rel"))
+      .orderBy(col("rel").desc, col("id").asc_nulls_first)
+      .limit(candN)
+      .collect()
+    val candIds = candRows.map(_.getLong(0)).toSeq
+    val relMap = candRows.map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val cc = comps.where(col("id").isin(candIds: _*))
+    val simMap = cc.as("a").join(broadcast(cc.as("b")),
+        col("a.dim") === col("b.dim") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(sum(col("a.qx").cast("decimal(38,0)") * col("b.qx"))
+        .cast("long").as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    for (step <- 1 to math.min(k, candIds.length)) {
+      val scored = candIds.filterNot(selected.contains).map { c =>
+        val pen =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simMap.getOrElse((c, s), 0L)).max
+        (c, relMap(c), pen, relMap(c) - pen)
+      }
+      val (id, rel, pen, score) =
+        scored.minBy { case (c, _, _, sc) => (-sc, c) }
+      selected += id
+      out += ((step.toLong, id, rel, pen, score))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "id", "rel", "penalty", "score")
+  }
+
   /** Incremental index maintenance: place a DELTA batch into an
     * EXISTING IVF+PQ index without retraining and without touching
     * the stored corpus — coarse-assign each new vector to its

@@ -893,6 +893,22 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // maximal-marginal-relevance retrieval: top-20 candidates by
+    // exact quantized inner product with the corpus's first vector,
+    // then 6 greedy λ=1/2 MMR selections — relevance minus max-sim-
+    // to-selected, all integers. One distributed scoring pass +
+    // TakeOrdered; the greedy touches only the constant-size
+    // candidate frame
+    "q129_mmr_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.orderBy(col("vec_id").asc_nulls_first).limit(1)
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, "vec_id",
+          "embedding", candN = 20, k = 6)
+        .select(col("step"), col("id").as("vec_id"), col("rel"),
+          col("penalty"), col("score"))
+        .orderBy(col("step").asc_nulls_first)
+    }),
+
     // incremental ANN index maintenance: train IVF (k=4) + PQ (m=4,
     // ksub=4) on the 80% "existing corpus" hash-split, then place
     // the 20% delta batch with FROZEN centroids/codebooks — no
@@ -2811,6 +2827,55 @@ object PipelineQueries {
     "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
+  /** q129: MMR replay — candidate top-20 by quantized inner product
+    * against the min-vec_id query, candidate-pair sims, then the six
+    * greedy steps UNROLLED as CTE pairs (m_i: per-remaining-candidate
+    * max sim to the selected set; s_i: the argmax pick), every score
+    * an exact BIGINT. MATERIALIZED is load-bearing: the selected-set
+    * subqueries reference earlier CTEs many times over.
+    */
+  private val mmrSql: String = {
+    val steps = 6
+    val head =
+      "WITH qv AS MATERIALIZED (SELECT i AS dim, " +
+      "CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS " +
+      "qy FROM (SELECT generate_subscripts(embedding, 1) AS i, " +
+      "unnest(embedding) AS x FROM embeddings WHERE vec_id = " +
+      "(SELECT min(vec_id) FROM embeddings))), " +
+      "qc AS MATERIALIZED (SELECT vec_id, i AS dim, " +
+      "CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS " +
+      "qx FROM (SELECT vec_id, generate_subscripts(embedding, 1) " +
+      "AS i, unnest(embedding) AS x FROM embeddings)), " +
+      "cand AS MATERIALIZED (SELECT vec_id, rel FROM (SELECT " +
+      "q.vec_id, CAST(SUM(CAST(qx AS HUGEINT) * qy) AS BIGINT) " +
+      "AS rel FROM qc q JOIN qv ON q.dim = qv.dim WHERE " +
+      "q.vec_id <> (SELECT min(vec_id) FROM embeddings) GROUP BY " +
+      "1) ORDER BY rel DESC, vec_id LIMIT 20), " +
+      "pairs AS MATERIALIZED (SELECT a.vec_id AS id1, b.vec_id " +
+      "AS id2, CAST(SUM(CAST(a.qx AS HUGEINT) * b.qx) AS BIGINT) " +
+      "AS sim FROM qc a JOIN qc b ON a.dim = b.dim AND a.vec_id " +
+      "<> b.vec_id WHERE a.vec_id IN (SELECT vec_id FROM cand) " +
+      "AND b.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1, 2), " +
+      "s1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS BIGINT) " +
+      "AS penalty FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"
+    val mids = (2 to steps).map { i =>
+      val prev = (1 until i)
+        .map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s", m$i AS MATERIALIZED (SELECT c.vec_id, c.rel, " +
+      s"MAX(p.sim) AS ms FROM cand c JOIN pairs p ON p.id1 = " +
+      s"c.vec_id AND p.id2 IN ($prev) WHERE c.vec_id NOT IN " +
+      s"($prev) GROUP BY 1, 2), " +
+      s"s$i AS MATERIALIZED (SELECT vec_id, rel, ms AS penalty " +
+      s"FROM m$i ORDER BY rel - ms DESC, vec_id LIMIT 1)"
+    }.mkString
+    val sel = (1 to steps)
+      .map(i => s"SELECT $i AS step, vec_id, rel, penalty FROM s$i")
+      .mkString(" UNION ALL ")
+    head + mids +
+    s" SELECT CAST(step AS BIGINT) AS step, vec_id, rel, penalty, " +
+    s"rel - penalty AS score FROM ($sel) ORDER BY step"
+  }
+
   /** q128: incremental-append replay — the pqPrefix and kmeansCtes
     * recurrences restricted to the 80% "old" split (vec_id % 5 <> 0),
     * final codebooks/centroid sums from each chain's a2, then the
@@ -4274,6 +4339,7 @@ object PipelineQueries {
        "CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM kept " +
        "GROUP BY lang ORDER BY row_key NULLS FIRST"),
     "q128_index_append" -> indexAppendSql,
+    "q129_mmr_topk" -> mmrSql,
     // q127: hashed-classifier replay — same md5 bucket, same Knuth
     // mix weight formula, folded with a list comprehension
     "q127_hash_classifier" ->

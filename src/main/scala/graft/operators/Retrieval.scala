@@ -78,6 +78,39 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09):
+    * merge two ranked lists by `Σ 1/(c + rank)` — the standard way a
+    * RAG stack combines BM25 and vector retrieval without score
+    * calibration. Inputs are `(id, rank)` frames (rank 1-based;
+    * absence contributes 0); output is the fused top-`k` as
+    * `(id, rank_a, rank_b, rrf)` with 0 marking absence.
+    *
+    * Determinism: each contribution is ONE IEEE division and the two
+    * terms add in fixed (a, b) order, ties id-asc — the q44/BM25
+    * float rule, replayed verbatim by the SQL oracle. Both inputs are
+    * top-k lists (constant frames), so the full-outer join and sort
+    * are driver-trivial regardless of corpus size — the expensive
+    * part of hybrid retrieval is producing the lists, not fusing
+    * them.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              c: Int = 60): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    require(c >= 0, s"c must be >= 0: $c")
+    val fa = a.select(col("id"), col("rank").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").as("rank_b"))
+    def term(r: Column) = when(r > 0L,
+      lit(1.0) / (lit(c.toLong) + r).cast("double"))
+      .otherwise(lit(0.0))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"))
+      .withColumn("rrf", term(col("rank_a")) + term(col("rank_b")))
+      .orderBy(col("rrf").desc, col("id").asc_nulls_first)
+      .limit(k)
+  }
+
   /** 0-based start positions of the exact token phrase inside the
     * whitespace token stream of `textCol`, as a pure column
     * expression over the token array — no explode, no join, no

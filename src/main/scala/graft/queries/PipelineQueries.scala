@@ -893,6 +893,48 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // hybrid retrieval: BM25 top-25 (q111's exact-rational scorer)
+    // fused with md5-feature vector top-25 (exact integer dots
+    // against the min-doc probe) by reciprocal-rank fusion — the
+    // RAG-stack combiner. Both lists are constant frames; fusion
+    // cost is independent of corpus size
+    "q130_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val wb = Window.partitionBy(lit(1))
+        .orderBy(col("score").desc, col("id").asc_nulls_first)
+      val bmRanks = Retrieval.bm25TopK(docs, "doc_id", "text",
+          Bm25Terms, k = 25)
+        .select(col("id"),
+          row_number().over(wb).cast("long").as("rank"))
+      def emb(c: Column) = array((0 until 16).map(i =>
+        conv(substring(md5(c), i * 2 + 1, 2), 16, 10)
+          .cast("long")): _*)
+      val probe = docs.orderBy(col("doc_id").asc_nulls_first)
+        .limit(1)
+        .select(col("doc_id").as("pid"), emb(col("text"))
+          .as("pemb"))
+      val wv = Window.partitionBy(lit(1))
+        .orderBy(col("dot").desc, col("id").asc_nulls_first)
+      val vecRanks = docs
+        .select(col("doc_id").as("id"), emb(col("text"))
+          .as("demb"))
+        .crossJoin(broadcast(probe))
+        .where(col("id") =!= col("pid"))
+        .select(col("id"),
+          aggregate(zip_with(col("demb"), col("pemb"),
+            (x, y) => x * y), lit(0L), (a, x) => a + x).as("dot"))
+        .orderBy(col("dot").desc, col("id").asc_nulls_first)
+        .limit(25)
+        .select(col("id"),
+          row_number().over(wv).cast("long").as("rank"))
+      Retrieval.rrfFuse(bmRanks, vecRanks, k = 10)
+        .select(col("id").as("doc_id"),
+          col("rank_a").as("rank_bm25"),
+          col("rank_b").as("rank_vec"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc_nulls_first)
+    }),
+
     // maximal-marginal-relevance retrieval: top-20 candidates by
     // exact quantized inner product with the corpus's first vector,
     // then 6 greedy λ=1/2 MMR selections — relevance minus max-sim-
@@ -2827,6 +2869,59 @@ object PipelineQueries {
     "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
+  /** q130: hybrid-fusion replay — the bm25Sql scorer ranked 1..25,
+    * the md5 16-byte-feature integer dots against the min-doc probe
+    * ranked 1..25, full-outer joined and fused by 1/(60+rank) with
+    * the same fixed term order and id tie-break as the engine.
+    */
+  private val hybridRrfSql: String = {
+    val terms = Bm25Terms
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter($toks, x -> x = '$t')) AS BIGINT) " +
+        s"AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS BIGINT) " +
+        s"AS df$i").mkString(", ")
+    val termExprs = terms.indices.map { i =>
+      s"(CASE WHEN tf$i > 0 THEN " +
+        s"CAST(22 * tf$i * (N - df$i + 1) * T AS DOUBLE) / " +
+        s"CAST((df$i + 1) * (10 * tf$i * T + 3 * T + 9 * dl * N) " +
+        s"AS DOUBLE) ELSE 0.0 END)"
+    }.mkString(" + ")
+    val feat = "[CAST('0x' || substr(md5(text), i * 2 + 1, 2) AS " +
+      "BIGINT) FOR i IN range(16)]"
+    "WITH base AS (SELECT doc_id AS id, " +
+    s"CAST(len($toks) AS BIGINT) AS dl, $tfCols FROM documents), " +
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS N, " +
+    s"CAST(SUM(dl) AS BIGINT) AS T, $dfCols FROM base), " +
+    s"bt AS (SELECT id, $termExprs AS score FROM base CROSS JOIN " +
+    "st ORDER BY score DESC, id NULLS FIRST LIMIT 25), " +
+    "bm AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, " +
+    "id NULLS FIRST) AS rank FROM bt), " +
+    s"pe AS (SELECT $feat AS pemb FROM documents WHERE doc_id = " +
+    "(SELECT min(doc_id) FROM documents)), " +
+    s"de AS (SELECT doc_id AS id, $feat AS demb FROM documents " +
+    "WHERE doc_id <> (SELECT min(doc_id) FROM documents)), " +
+    "dots AS (SELECT id, CAST(list_sum([demb[j+1] * pemb[j+1] " +
+    "FOR j IN range(16)]) AS BIGINT) AS dot FROM de CROSS JOIN " +
+    "pe), " +
+    "vt AS (SELECT id, dot FROM dots ORDER BY dot DESC, id NULLS " +
+    "FIRST LIMIT 25), " +
+    "vr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY dot DESC, id " +
+    "NULLS FIRST) AS rank FROM vt), " +
+    "f AS (SELECT COALESCE(b.id, v.id) AS doc_id, " +
+    "CAST(COALESCE(b.rank, 0) AS BIGINT) AS rank_bm25, " +
+    "CAST(COALESCE(v.rank, 0) AS BIGINT) AS rank_vec FROM bm b " +
+    "FULL OUTER JOIN vr v ON b.id = v.id) " +
+    "SELECT doc_id, rank_bm25, rank_vec, " +
+    "(CASE WHEN rank_bm25 > 0 THEN 1.0 / CAST(60 + rank_bm25 AS " +
+    "DOUBLE) ELSE 0.0 END) + (CASE WHEN rank_vec > 0 THEN 1.0 / " +
+    "CAST(60 + rank_vec AS DOUBLE) ELSE 0.0 END) AS rrf " +
+    "FROM f ORDER BY rrf DESC, doc_id NULLS FIRST LIMIT 10"
+  }
+
   /** q129: MMR replay — candidate top-20 by quantized inner product
     * against the min-vec_id query, candidate-pair sims, then the six
     * greedy steps UNROLLED as CTE pairs (m_i: per-remaining-candidate
@@ -4340,6 +4435,7 @@ object PipelineQueries {
        "GROUP BY lang ORDER BY row_key NULLS FIRST"),
     "q128_index_append" -> indexAppendSql,
     "q129_mmr_topk" -> mmrSql,
+    "q130_hybrid_rrf" -> hybridRrfSql,
     // q127: hashed-classifier replay — same md5 bucket, same Knuth
     // mix weight formula, folded with a list comprehension
     "q127_hash_classifier" ->

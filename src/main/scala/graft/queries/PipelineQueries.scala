@@ -893,46 +893,79 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // cluster topic labeling (the data-map / SemDeDup browsing
+    // companion): k-means cells over the embeddings joined to their
+    // documents, then each cell's top-3 tokens by LIFT — cell token
+    // share over corpus token share, exact integer products with one
+    // IEEE division for ranking. One token explode + keyed aggs;
+    // the per-cell window sorts vocabulary rows, never documents
+    "q131_cluster_topics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = Similarity.kmeansLabels(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)
+      val tk = t(s, d, "documents")
+        .join(labels.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"))
+        .select(col("label"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val ct = tk.groupBy(col("label"), col("tok"))
+        .agg(count(lit(1)).as("nc"))
+      val tt = ct.groupBy(col("tok"))
+        .agg(sum(col("nc")).cast("long").as("nt"))
+      val lt = ct.groupBy(col("label"))
+        .agg(sum(col("nc")).cast("long").as("tc"))
+      val tot = ct.agg(sum(col("nc")).cast("long").as("t"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("lift").desc, col("tok").asc_nulls_first)
+      ct.join(tt, Seq("tok"))
+        .join(broadcast(lt), Seq("label"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift", (col("nc") * col("t")).cast("double") /
+          (col("nt") * col("tc")).cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("label"), col("rank"), col("tok"),
+          col("nc").as("n_in_cluster"), col("nt").as("n_total"))
+        .orderBy(col("label").asc_nulls_first,
+          col("rank").asc_nulls_first)
+    }),
+
     // hybrid retrieval: BM25 top-25 (q111's exact-rational scorer)
     // fused with md5-feature vector top-25 (exact integer dots
     // against the min-doc probe) by reciprocal-rank fusion — the
     // RAG-stack combiner. Both lists are constant frames; fusion
     // cost is independent of corpus size
     "q130_hybrid_rrf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-      val wb = Window.partitionBy(lit(1))
-        .orderBy(col("score").desc, col("id").asc_nulls_first)
-      val bmRanks = Retrieval.bm25TopK(docs, "doc_id", "text",
-          Bm25Terms, k = 25)
-        .select(col("id"),
-          row_number().over(wb).cast("long").as("rank"))
-      def emb(c: Column) = array((0 until 16).map(i =>
-        conv(substring(md5(c), i * 2 + 1, 2), 16, 10)
-          .cast("long")): _*)
-      val probe = docs.orderBy(col("doc_id").asc_nulls_first)
-        .limit(1)
-        .select(col("doc_id").as("pid"), emb(col("text"))
-          .as("pemb"))
-      val wv = Window.partitionBy(lit(1))
-        .orderBy(col("dot").desc, col("id").asc_nulls_first)
-      val vecRanks = docs
-        .select(col("doc_id").as("id"), emb(col("text"))
-          .as("demb"))
-        .crossJoin(broadcast(probe))
-        .where(col("id") =!= col("pid"))
-        .select(col("id"),
-          aggregate(zip_with(col("demb"), col("pemb"),
-            (x, y) => x * y), lit(0L), (a, x) => a + x).as("dot"))
-        .orderBy(col("dot").desc, col("id").asc_nulls_first)
-        .limit(25)
-        .select(col("id"),
-          row_number().over(wv).cast("long").as("rank"))
+      val (bmRanks, vecRanks) = hybridLists(s, d)
       Retrieval.rrfFuse(bmRanks, vecRanks, k = 10)
         .select(col("id").as("doc_id"),
           col("rank_a").as("rank_bm25"),
           col("rank_b").as("rank_vec"), col("rrf"))
         .orderBy(col("rrf").desc, col("doc_id").asc_nulls_first)
+    }),
+
+    // hard-negative mining (the DPR-style triplet builder): docs the
+    // LEXICAL ranker loves that the vector ranker rejects are the
+    // hard negatives for the probe query; the vector top-5 are the
+    // positives. Pure set algebra over the two constant rank lists
+    "q132_hard_negatives" -> ((s, d) => {
+      val (bm, vr) = hybridLists(s, d)
+      bm.select(col("id"), col("rank").as("rb"))
+        .join(vr.select(col("id"), col("rank").as("rv")),
+          Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("rb"), lit(0L)).as("rank_bm25"),
+          coalesce(col("rv"), lit(0L)).as("rank_vec"),
+          when(col("rv").isNotNull && col("rv") <= 5, lit("pos"))
+            .when(col("rb").isNotNull && col("rv").isNull,
+              lit("hard_neg"))
+            .otherwise(lit("other")).as("role"))
+        .where(col("role") =!= "other")
+        .orderBy(col("role").asc_nulls_first,
+          col("rank_bm25").asc_nulls_first,
+          col("rank_vec").asc_nulls_first,
+          col("doc_id").asc_nulls_first)
     }),
 
     // maximal-marginal-relevance retrieval: top-20 candidates by
@@ -2869,12 +2902,51 @@ object PipelineQueries {
     "SELECT qid, vec_id, rank FROM rv WHERE rank <= 5 " +
     "ORDER BY qid NULLS FIRST, rank NULLS FIRST"
 
+  /** Shared by q130/q132: the two constant-size rank lists of the
+    * hybrid-retrieval stack — BM25 top-25 over `Bm25Terms` (rank by
+    * score desc, id asc) and the md5 16-byte-feature integer-dot
+    * top-25 against the min-doc_id probe (self excluded). Both are
+    * one corpus scan + TakeOrdered; the row_number windows only ever
+    * see the 25-row frames.
+    */
+  private def hybridLists(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val wb = Window.partitionBy(lit(1))
+      .orderBy(col("score").desc, col("id").asc_nulls_first)
+    val bmRanks = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Bm25Terms, k = 25)
+      .select(col("id"),
+        row_number().over(wb).cast("long").as("rank"))
+    def emb(c: Column) = array((0 until 16).map(i =>
+      conv(substring(md5(c), i * 2 + 1, 2), 16, 10)
+        .cast("long")): _*)
+    val probe = docs.orderBy(col("doc_id").asc_nulls_first)
+      .limit(1)
+      .select(col("doc_id").as("pid"), emb(col("text")).as("pemb"))
+    val wv = Window.partitionBy(lit(1))
+      .orderBy(col("dot").desc, col("id").asc_nulls_first)
+    val vecRanks = docs
+      .select(col("doc_id").as("id"), emb(col("text")).as("demb"))
+      .crossJoin(broadcast(probe))
+      .where(col("id") =!= col("pid"))
+      .select(col("id"),
+        aggregate(zip_with(col("demb"), col("pemb"),
+          (x, y) => x * y), lit(0L), (a, x) => a + x).as("dot"))
+      .orderBy(col("dot").desc, col("id").asc_nulls_first)
+      .limit(25)
+      .select(col("id"),
+        row_number().over(wv).cast("long").as("rank"))
+    (bmRanks, vecRanks)
+  }
+
   /** q130: hybrid-fusion replay — the bm25Sql scorer ranked 1..25,
     * the md5 16-byte-feature integer dots against the min-doc probe
     * ranked 1..25, full-outer joined and fused by 1/(60+rank) with
     * the same fixed term order and id tie-break as the engine.
     */
-  private val hybridRrfSql: String = {
+  private lazy val hybridListsCtes: String = {
     val terms = Bm25Terms
     val toks = "regexp_split_to_array(trim(text), '\\s+')"
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -2910,7 +2982,10 @@ object PipelineQueries {
     "vt AS (SELECT id, dot FROM dots ORDER BY dot DESC, id NULLS " +
     "FIRST LIMIT 25), " +
     "vr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY dot DESC, id " +
-    "NULLS FIRST) AS rank FROM vt), " +
+    "NULLS FIRST) AS rank FROM vt)"
+  }
+
+  private lazy val hybridRrfSql: String = hybridListsCtes + ", " +
     "f AS (SELECT COALESCE(b.id, v.id) AS doc_id, " +
     "CAST(COALESCE(b.rank, 0) AS BIGINT) AS rank_bm25, " +
     "CAST(COALESCE(v.rank, 0) AS BIGINT) AS rank_vec FROM bm b " +
@@ -2920,7 +2995,21 @@ object PipelineQueries {
     "DOUBLE) ELSE 0.0 END) + (CASE WHEN rank_vec > 0 THEN 1.0 / " +
     "CAST(60 + rank_vec AS DOUBLE) ELSE 0.0 END) AS rrf " +
     "FROM f ORDER BY rrf DESC, doc_id NULLS FIRST LIMIT 10"
-  }
+
+  /** q132: the same two lists, roles instead of fusion — vector
+    * top-5 are positives, BM25-only docs are the hard negatives.
+    */
+  private lazy val hardNegSql: String = hybridListsCtes + ", " +
+    "f2 AS (SELECT COALESCE(b.id, v.id) AS doc_id, " +
+    "CAST(COALESCE(b.rank, 0) AS BIGINT) AS rank_bm25, " +
+    "CAST(COALESCE(v.rank, 0) AS BIGINT) AS rank_vec, " +
+    "CASE WHEN v.rank IS NOT NULL AND v.rank <= 5 THEN 'pos' " +
+    "WHEN b.rank IS NOT NULL AND v.rank IS NULL THEN 'hard_neg' " +
+    "ELSE 'other' END AS role FROM bm b FULL OUTER JOIN vr v ON " +
+    "b.id = v.id) " +
+    "SELECT doc_id, rank_bm25, rank_vec, role FROM f2 WHERE " +
+    "role <> 'other' ORDER BY role NULLS FIRST, rank_bm25 NULLS " +
+    "FIRST, rank_vec NULLS FIRST, doc_id NULLS FIRST"
 
   /** q129: MMR replay — candidate top-20 by quantized inner product
     * against the min-vec_id query, candidate-pair sims, then the six
@@ -4436,6 +4525,30 @@ object PipelineQueries {
     "q128_index_append" -> indexAppendSql,
     "q129_mmr_topk" -> mmrSql,
     "q130_hybrid_rrf" -> hybridRrfSql,
+    "q132_hard_negatives" -> hardNegSql,
+    // q131: the kmeansAssignCtes recurrence to a2, documents joined
+    // on vec_id = doc_id, per-cell lift ranking with tok tie-break
+    "q131_cluster_topics" ->
+      (kmeansAssignCtes + ", " +
+       "tkc AS (SELECT a2.label, unnest(regexp_split_to_array(" +
+       "trim(d.text), '\\s+')) AS tok FROM documents d JOIN a2 ON " +
+       "a2.vec_id = d.doc_id), " +
+       "ctc AS (SELECT label, tok, COUNT(*) AS nc FROM tkc WHERE " +
+       "tok <> '' GROUP BY 1, 2), " +
+       "ttc AS (SELECT tok, CAST(SUM(nc) AS BIGINT) AS nt FROM " +
+       "ctc GROUP BY 1), " +
+       "ltc AS (SELECT label, CAST(SUM(nc) AS BIGINT) AS tc FROM " +
+       "ctc GROUP BY 1), " +
+       "totc AS (SELECT CAST(SUM(nc) AS BIGINT) AS t FROM ctc), " +
+       "rc AS (SELECT ctc.label, ctc.tok, CAST(ctc.nc AS BIGINT) " +
+       "AS n_in_cluster, ttc.nt AS n_total, ROW_NUMBER() OVER " +
+       "(PARTITION BY ctc.label ORDER BY CAST(ctc.nc * (SELECT t " +
+       "FROM totc) AS DOUBLE) / CAST(ttc.nt * ltc.tc AS DOUBLE) " +
+       "DESC, ctc.tok) AS rn FROM ctc JOIN ttc USING (tok) JOIN " +
+       "ltc USING (label)) " +
+       "SELECT label, CAST(rn AS BIGINT) AS rank, tok, " +
+       "n_in_cluster, n_total FROM rc WHERE rn <= 3 ORDER BY " +
+       "label NULLS FIRST, rank NULLS FIRST"),
     // q127: hashed-classifier replay — same md5 bucket, same Knuth
     // mix weight formula, folded with a list comprehension
     "q127_hash_classifier" ->

@@ -1288,6 +1288,26 @@ object Dedup {
     * state is bounded by document size — the removeRepeatedRuns
     * pattern.
     */
+  /** The frequency half of [[removeFrequentLines]], exposed so the
+    * streaming screen ([[graft.streaming.StreamingStructure
+    * .lineScreenStream]]) can reuse the batch-built digest set: md5
+    * digests of every line appearing in >= `minDocs` DISTINCT
+    * documents (all-whitespace lines excluded). One column `lh`;
+    * boilerplate-sized — persist it beside the corpus like any other
+    * screen artifact.
+    */
+  def frequentLineDigests(df: DataFrame, id: Column, text: Column,
+                          minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    df.select(id.as("id"), explode(split(text, "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col("id"), md5(col("line")).as("lh"))
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("lh"))
+  }
+
   def removeFrequentLines(df: DataFrame, id: Column, text: Column,
                           minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
@@ -1295,12 +1315,8 @@ object Dedup {
       .select(id.as("id"), posexplode(split(text, "\n"))
         .as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
-    val freq = lines
-      .where(trim(col("line")) =!= "")
-      .groupBy(col("lh"))
-      .agg(countDistinct(col("id")).as("df"))
-      .where(col("df") >= minDocs)
-      .select(col("lh"), lit(true).as("dup"))
+    val freq = frequentLineDigests(df, id, text, minDocs)
+      .withColumn("dup", lit(true))
     val flagged = lines
       .join(freq, Seq("lh"), "left")
       .withColumn("keep", col("dup").isNull)

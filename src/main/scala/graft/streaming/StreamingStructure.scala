@@ -107,6 +107,41 @@ object StreamingStructure {
           count(when(col(s"qf.$r"), 1)).as(s"n_$r")): _*)
   }
 
+  /** Streaming BOILERPLATE-LINE SCREEN — the ingest-side twin of
+    * [[graft.operators.Dedup.removeFrequentLines]]'s removal half.
+    * The frequent-line digest set comes from the BATCH frequency
+    * pass over the existing corpus
+    * ([[graft.operators.Dedup.frequentLineDigests]] — boilerplate-
+    * sized, persisted beside the corpus like the decontamination
+    * screen), and each arriving document is cleaned STATELESSLY: its
+    * line array is filtered against the digest literal in a pure
+    * projection — no streaming state, no shuffle, survives any
+    * ingest rate. Adds `clean_text`, `n_lines`, `n_removed`.
+    *
+    * The digest set is collected to a single in-plan literal (the
+    * broadcast-LUT pattern); `maxDigests` prices the collect and
+    * REFUSES a set that would not be boilerplate-sized — at that
+    * point the corpus needs the batch path, not a screen.
+    */
+  def lineScreenStream(stream: DataFrame, textCol: String,
+                       freqLines: DataFrame,
+                       maxDigests: Int = 100000): DataFrame = {
+    val digests = freqLines.select(col("lh"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(digests.length <= maxDigests,
+      s"frequent-line set has ${digests.length} digests > " +
+        s"$maxDigests — not boilerplate-sized; run the batch " +
+        "removeFrequentLines instead")
+    val arr = typedLit(digests)
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => !array_contains(arr, md5(l)))
+    stream
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_removed",
+        (size(lines) - size(kept)).cast("long"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
   /** Streaming PHRASE WATCH — continuous exact phrase search
     * ("alert when this exact string starts appearing in the
     * ingest"): per-document match positions are the same stateless

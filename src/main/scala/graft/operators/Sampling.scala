@@ -333,6 +333,56 @@ object Sampling {
     * engines, and partitionings agree — ablations can cite
     * (shard, bin) coordinates.
     */
+  /** Global EXCLUSIVE prefix sum of `len` in ascending `key` order —
+    * the "lay the corpus out as one contiguous token stream"
+    * position assigner: every document learns the exact offset its
+    * tokens start at in the packed corpus (pairs with
+    * [[packBins]]/[[writeShards]] for the physical layout; keys must
+    * be unique for the order to be total). Returns (id, len,
+    * tok_offset).
+    *
+    * The classic two-pass distributed scan, NOT a single-partition
+    * global window: range-repartition by key, running sums inside
+    * each range-disjoint partition, then ONE bounded collect of
+    * per-partition totals whose exclusive scan broadcasts back as
+    * each partition's base. Partition boundaries cancel out — the
+    * result is a pure function of (key, len), which is what lets the
+    * SQL oracle replay it with a single SUM OVER window while the
+    * engine never sorts the corpus on one executor. The locally
+    * checkpointed scan is shared by both passes, so the sampled
+    * range bounds cannot drift between them.
+    */
+  def globalOffsets(df: DataFrame, key: Column, len: Column,
+                    partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.select(key.as("id"), len.cast("long").as("len"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum(col("len")).over(w))
+      .localCheckpoint(true)
+    // one row per partition — bounded by the partition count
+    val totals = local.groupBy(col("__pid"))
+      .agg(sum(col("len")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val bases = totals.keys.toSeq.sorted.map { p =>
+      val b = acc; acc += totals(p); (p, b)
+    }
+    local.join(broadcast(bases.toDF("__pid", "__base")),
+        Seq("__pid"))
+      .select(col("id"), col("len"),
+        (col("__base") + col("__cum") - col("len"))
+          .as("tok_offset"))
+  }
+
   def packBins(df: DataFrame, key: Column, tokens: Column,
                numShards: Int, tokenBudget: Long): DataFrame = {
     require(numShards > 0 && tokenBudget > 0,

@@ -974,6 +974,49 @@ object Similarity {
       .select(col("id"), col("sub"), col("label"))
   }
 
+  /** Embedding-space outlier census — the "find the garbage in the
+    * corpus" pass (mojibake, binary-in-text, wrong-domain vectors
+    * sit far from every cluster): k-means cells, each vector's
+    * squared distance to its cell's ROUNDED integer centroid
+    * ([[ivfRoundedCentroids]]' grid — residual-range discipline),
+    * and a per-cell flag `d2 · n > (num/den) · Σd2` (distance² over
+    * num/den × the cell mean, exact integer cross-multiplication in
+    * decimal(38,0) — no float thresholds). Returns per cell:
+    * (cell, n_vectors, n_outliers, max_d2).
+    *
+    * Shape: one components pass joined to broadcast labels+centroids
+    * frames, one per-cell aggregate, one broadcast-back flag pass —
+    * nothing shuffles beyond the k-means training itself.
+    */
+  def outlierCensus(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, num: Long = 4L,
+                    den: Long = 1L): DataFrame = {
+    require(num > 0 && den > 0, s"threshold num/den > 0: $num/$den")
+    val ivf = buildIvfIndex(df, idCol, vecCol, k, iters)
+    val mu = ivfRoundedCentroids(ivf.labels, ivf.centroids)
+    val comps = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), quant25(col("x")).as("qx"))
+    val diff = (col("qx") - col("mu")).cast("decimal(38,0)")
+    val d2 = comps
+      .join(ivf.labels.select(col("id"), col("label").as("cell")),
+        Seq("id"))
+      .join(broadcast(mu), Seq("cell", "dim"))
+      .groupBy(col("id"), col("cell"))
+      .agg(sum(diff * diff).as("d2"))
+    val stats = d2.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"),
+        max(col("d2")).as("max_d2"))
+    d2.join(broadcast(stats), Seq("cell"))
+      .withColumn("is_out",
+        col("d2") * col("n") * lit(den) > col("sum_d2") * lit(num))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("d2")).cast("long").as("max_d2"))
+      .orderBy(col("cell").asc_nulls_first)
+  }
+
   /** Maximal-marginal-relevance top-k (Carbonell & Goldstein, SIGIR
     * '98) at λ = 1/2, in exact integers end to end: relevance is the
     * quantized inner product with the single query row, and each

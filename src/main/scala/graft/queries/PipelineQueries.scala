@@ -893,6 +893,27 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // contiguous-corpus position assignment: every doc's exact token
+    // offset in the packed stream via the two-pass distributed
+    // prefix sum (range partitions + per-partition scan + bounded
+    // base-offset broadcast — never a one-executor global sort);
+    // sampled pins every 97th doc against the oracle's SUM OVER
+    "q134_global_offsets" -> ((s, d) =>
+      Sampling.globalOffsets(t(s, d, "documents"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")))
+        .where(col("id") % 97 === 0)
+        .select(col("id").as("doc_id"), col("len").as("n_tokens"),
+          col("tok_offset"))
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    // embedding-space outlier census (the "find the garbage" pass):
+    // k-means cells, exact integer distance² to each cell's rounded
+    // centroid, outlier = d2 > 4x the cell mean by integer
+    // cross-multiplication — no float thresholds anywhere
+    "q133_embedding_outliers" -> ((s, d) =>
+      Similarity.outlierCensus(t(s, d, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 2, num = 4L, den = 1L)),
+
     // cluster topic labeling (the data-map / SemDeDup browsing
     // companion): k-means cells over the embeddings joined to their
     // documents, then each cell's top-3 tokens by LIFT — cell token
@@ -4526,6 +4547,43 @@ object PipelineQueries {
     "q129_mmr_topk" -> mmrSql,
     "q130_hybrid_rrf" -> hybridRrfSql,
     "q132_hard_negatives" -> hardNegSql,
+    // q134: the two-pass distributed prefix sum collapses to one
+    // SUM OVER window in the oracle — partition boundaries cancel
+    "q134_global_offsets" ->
+      ("WITH tl AS (SELECT doc_id, CAST(len(regexp_split_to_array(" +
+       "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM " +
+       "documents), " +
+       "og AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER " +
+       "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+       "CURRENT ROW) - n_tokens AS tok_offset FROM tl) " +
+       "SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS " +
+       "tok_offset FROM og WHERE doc_id % 97 = 0 " +
+       "ORDER BY doc_id NULLS FIRST"),
+    // q133: kmeans recurrence to a2, the residual-chain rounded
+    // centroid formula ((2|s|+n) // (2n), sign restored), integer
+    // d2 per vector, the 4x-mean cross-multiplied flag
+    "q133_embedding_outliers" ->
+      (kmeansAssignCtes + ", " +
+       "cntk AS (SELECT label AS cell, COUNT(*) AS n FROM a2 " +
+       "GROUP BY 1), " +
+       "csk AS (SELECT a2.label AS cell, qc.dim, CAST(SUM(qx) AS " +
+       "BIGINT) AS s FROM qc JOIN a2 USING (vec_id) GROUP BY " +
+       "1, 2), " +
+       "muk AS (SELECT csk.cell, csk.dim, CASE WHEN s >= 0 THEN " +
+       "(2*s + n) // (2*n) ELSE -((-2*s + n) // (2*n)) END AS mu " +
+       "FROM csk JOIN cntk USING (cell)), " +
+       "dd AS (SELECT qc.vec_id, a2.label AS cell, " +
+       "SUM(CAST(qx - mu AS HUGEINT) * (qx - mu)) AS d2 FROM qc " +
+       "JOIN a2 USING (vec_id) JOIN muk ON muk.cell = a2.label " +
+       "AND muk.dim = qc.dim GROUP BY 1, 2), " +
+       "stk AS (SELECT cell, COUNT(*) AS nv, SUM(d2) AS sum_d2, " +
+       "MAX(d2) AS max_d2 FROM dd GROUP BY 1) " +
+       "SELECT dd.cell, CAST(stk.nv AS BIGINT) AS n_vectors, " +
+       "CAST(SUM(CASE WHEN dd.d2 * stk.nv * 1 > stk.sum_d2 * 4 " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+       "CAST(stk.max_d2 AS BIGINT) AS max_d2 FROM dd JOIN stk " +
+       "USING (cell) GROUP BY 1, stk.nv, stk.max_d2 " +
+       "ORDER BY cell NULLS FIRST"),
     // q131: the kmeansAssignCtes recurrence to a2, documents joined
     // on vec_id = doc_id, per-cell lift ranking with tok tie-break
     "q131_cluster_topics" ->

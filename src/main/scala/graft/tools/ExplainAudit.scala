@@ -112,6 +112,43 @@ object ExplainAudit {
         "PII redaction: codegen'd regexp_replace fold + partial " +
           "aggregation (one corpus pass)",
         Seq("WholeStageCodegen", "HashAggregate", "regexp_replace")),
+      ("q126_line_dedup",
+        "line dedup: one posexplode feeds digest partials; the " +
+          "removal is a digest equi-join (lines never shuffle raw)",
+        Seq("Generate posexplode", "HashAggregate", "md5")),
+      ("q127_hash_classifier",
+        "hashed classifier: inference is a codegen'd in-place fold " +
+          "feeding partial aggregation (one corpus pass)",
+        Seq("WholeStageCodegen", "HashAggregate", "md5")),
+      ("q128_index_append",
+        "index append: frozen codebook/centroid frames broadcast; " +
+          "per-(id,sub) argmax via keyed window",
+        Seq("BroadcastHashJoin", "Window")),
+      // (q129's result frame is the driver-built greedy selection —
+      // LocalTableScan by design; its candidate-generation shape is
+      // TakeOrdered by construction and its boundedness is
+      // MmrSpec-pinned, so there is no meaningful plan to audit)
+      ("q130_hybrid_rrf",
+        "hybrid fusion: both lists end in TakeOrdered; the corpus " +
+          "is never the shuffled side",
+        Seq("TakeOrderedAndProject")),
+      ("q131_cluster_topics",
+        "cluster topics: lift ranking via keyed window over the " +
+          "vocab-sized aggregate; cell/corpus totals broadcast",
+        Seq("Window", "HashAggregate", "BroadcastHashJoin")),
+      ("q133_embedding_outliers",
+        "outlier census: centroid and cell-stats frames broadcast " +
+          "back over the components scan",
+        Seq("BroadcastHashJoin", "HashAggregate")),
+      // (q134's range-partitioned per-partition window runs inside
+      // the shared localCheckpoint — invisible in the final plan;
+      // the two-pass shape and partition invariance are
+      // GlobalOffsetsSpec-pinned. The visible half: partition bases
+      // join as a broadcast, never a reshuffle of the scan.)
+      ("q134_global_offsets",
+        "global offsets: partition bases broadcast back over the " +
+          "checkpointed scan (no hash exchange after the scan)",
+        Seq("BroadcastHashJoin")),
       ("q57_winnow_fp",
         "winnowing fingerprints: one native O(n) call per doc, a " +
           "pure projection feeding partial aggregation",

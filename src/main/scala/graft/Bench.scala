@@ -33,7 +33,13 @@ object Bench {
     // were all contention-inflated). The min over repeats estimates
     // the uncontended cost; sub-second queries — the most
     // load-sensitive — get a third repeat.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // local-dev subset filter (comma-separated name prefixes); the
+    // driver sets no filter and always measures everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()

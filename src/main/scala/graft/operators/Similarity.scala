@@ -974,6 +974,29 @@ object Similarity {
       .select(col("id"), col("sub"), col("label"))
   }
 
+  /** Per-dimension embedding census — the normalization-prep /
+    * feature-QA pass every embedding pipeline runs before indexing:
+    * for each dimension, the count, the non-finite count (NaN/±Inf
+    * — encoder bugs surface here), and the exact quantized L1 mass
+    * + min/max (the scaling envelope). One posexplode + one keyed
+    * aggregation with map-side partials; nothing else shuffles.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val bad = isnan(col("x").cast("double")) ||
+      abs(col("x").cast("double")) > 1e30
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        quant25(col("x")).as("qx"), bad.as("bad"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("bad"), 0L).otherwise(abs(col("qx"))))
+          .cast("long").as("l1_q"),
+        min(when(!col("bad"), col("qx"))).as("min_q"),
+        max(when(!col("bad"), col("qx"))).as("max_q"))
+      .orderBy(col("dim").asc_nulls_first)
+  }
+
   /** Embedding-space outlier census — the "find the garbage in the
     * corpus" pass (mojibake, binary-in-text, wrong-domain vectors
     * sit far from every cluster): k-means cells, each vector's

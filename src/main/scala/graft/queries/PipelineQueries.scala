@@ -893,6 +893,35 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // star-schema revenue census: the canonical broadcast-dim join
+    // chain (lineitem ⋈ supplier ⋈ nation ⋈ region) — every dim
+    // broadcasts, the fact table streams once, ONE shuffle for the
+    // final group-by; money in exact quantized cents so the sums
+    // hash-match across engines
+    "q135_star_join" -> ((s, d) => {
+      val qty = round(col("l_quantity") * 100).cast("long")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val disc = round(col("l_discount") * 100).cast("long")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(qty).cast("long").as("sum_qty_c"),
+          sum(cents * (lit(100L) - disc)).cast("long").as("rev_c"))
+        .orderBy(col("r_name").asc_nulls_first)
+    }),
+
+    // per-dimension embedding census: non-finite detection + the
+    // exact quantized scaling envelope — the normalization-prep
+    // pass; one explode + one keyed agg
+    "q136_dim_stats" -> ((s, d) =>
+      Similarity.dimStats(t(s, d, "embeddings"), "embedding")),
+
     // contiguous-corpus position assignment: every doc's exact token
     // offset in the packed stream via the two-pass distributed
     // prefix sum (range partitions + per-partition scan + bounded
@@ -4547,6 +4576,30 @@ object PipelineQueries {
     "q129_mmr_topk" -> mmrSql,
     "q130_hybrid_rrf" -> hybridRrfSql,
     "q132_hard_negatives" -> hardNegSql,
+    "q135_star_join" ->
+      ("SELECT r_name, COUNT(*) AS n_items, " +
+       "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS " +
+       "BIGINT) AS sum_qty_c, " +
+       "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS " +
+       "BIGINT) AS rev_c " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY r_name ORDER BY r_name NULLS FIRST"),
+    "q136_dim_stats" ->
+      ("WITH ce AS (SELECT CAST(i - 1 AS BIGINT) AS dim, " +
+       "CAST(x AS DOUBLE) AS x FROM (SELECT " +
+       "generate_subscripts(embedding, 1) AS i, unnest(embedding) " +
+       "AS x FROM embeddings)), " +
+       "qe AS (SELECT dim, CAST(round(x * 33554432.0) AS BIGINT) " +
+       "AS qx, (isnan(x) OR abs(x) > 1e30) AS bad FROM ce) " +
+       "SELECT dim, COUNT(*) AS n, CAST(SUM(CASE WHEN bad THEN 1 " +
+       "ELSE 0 END) AS BIGINT) AS n_bad, CAST(SUM(CASE WHEN bad " +
+       "THEN 0 ELSE abs(qx) END) AS BIGINT) AS l1_q, " +
+       "MIN(CASE WHEN bad THEN NULL ELSE qx END) AS min_q, " +
+       "MAX(CASE WHEN bad THEN NULL ELSE qx END) AS max_q " +
+       "FROM qe GROUP BY dim ORDER BY dim NULLS FIRST"),
     // q134: the two-pass distributed prefix sum collapses to one
     // SUM OVER window in the oracle — partition boundaries cancel
     "q134_global_offsets" ->

@@ -149,6 +149,13 @@ object ExplainAudit {
         "global offsets: partition bases broadcast back over the " +
           "checkpointed scan (no hash exchange after the scan)",
         Seq("BroadcastHashJoin")),
+      ("q135_star_join",
+        "star join: every dimension broadcasts, the fact scan " +
+          "streams once, one hash exchange for the final group-by",
+        Seq("BroadcastHashJoin", "Exchange hashpartitioning(r_name")),
+      ("q136_dim_stats",
+        "dim census: one explode feeding partial aggregation",
+        Seq("Generate posexplode", "HashAggregate")),
       ("q57_winnow_fp",
         "winnowing fingerprints: one native O(n) call per doc, a " +
           "pure projection feeding partial aggregation",

@@ -682,6 +682,43 @@ object StreamingStructure {
       }
       .start()
 
+  /** Continuous ANN index ingestion — the streaming twin of
+    * [[graft.operators.Similarity.appendToIvfPq]]: every micro-batch
+    * of vectors is coarse-assigned and PQ-encoded against FROZEN
+    * centroids/codebooks (built once before the stream starts —
+    * retraining is a batch decision, not a per-batch one) and its
+    * (id, label) + (id, codes) rows are appended beside the
+    * persisted index tables. `foreachBatch` because encoding is a
+    * bounded batch DAG over broadcast frames; no streaming state at
+    * all — the parquet index IS the state, delta-sized work per
+    * batch.
+    *
+    * Replay semantics: at-least-once `foreachBatch` can append a
+    * batch's rows twice; placements are pure functions of (vector,
+    * frozen index), so duplicates are identical rows — serving
+    * readers dedupe with `dropDuplicates("id")` (same caveat family
+    * as the delta-dedup corpus).
+    */
+  def indexAppendStream(stream: DataFrame, idCol: String,
+                        vecCol: String, dims: Int, m: Int,
+                        ivfCentroids: DataFrame,
+                        codebooks: DataFrame, indexPath: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val (labels, codes) =
+          graft.operators.Similarity.appendToIvfPq(batch.toDF(),
+            idCol, vecCol, dims, m, ivfCentroids, codebooks)
+        labels.write.mode("append")
+          .parquet(s"$indexPath/delta_labels")
+        codes.write.mode("append")
+          .parquet(s"$indexPath/delta_codes")
+      }
+      .start()
+
   def deltaDedupToCorpus(stream: DataFrame, idCol: String,
                          textCol: String, corpusPath: String,
                          checkpointDir: String,

@@ -67,10 +67,18 @@ object GenScale {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * shift)))
     replicate("lineitem", 16)((df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift)))
-    // dimension tables keep their key space (10x the fact rows per
-    // dimension row, the realistic scale-up shape)
+    // dimension tables copy through ONCE, keys intact (10x the fact
+    // rows per dimension row — the realistic scale-up shape; n
+    // verbatim replicas would duplicate every key and multiply any
+    // fact-dim join n-fold per hop, a 1000x blowup on a 3-dim star)
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(name => replicate(name, 4)((df, _) => df))
+      .foreach { name =>
+        spark.read.parquet(s"$inDir/$name.parquet")
+          .repartition(4)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/$name.parquet")
+        println(s"[genscale] $name x1 -> $outDir/$name.parquet")
+      }
     spark.stop()
   }
 }

@@ -1040,6 +1040,66 @@ object Similarity {
       .orderBy(col("cell").asc_nulls_first)
   }
 
+  /** Index staleness census — the "when do we retrain" monitor that
+    * pairs with [[appendToIvfPq]]: per IVF cell, the exact quantized
+    * distance² of the INDEXED vectors to the cell's rounded centroid
+    * versus the same for an incoming DELTA batch (coarse-assigned
+    * with the frozen centroids, like the append path). A cell
+    * drifts when the delta's mean d2 exceeds `num/den` × the indexed
+    * mean d2 — integer cross-multiplication over decimal sums, no
+    * float thresholds. Returns per cell:
+    * (cell, n_old, n_delta, max_d2_delta, drift).
+    *
+    * Shape: the index side is scored once against broadcast
+    * centroid frames; the delta side is delta-sized. Empty cells on
+    * either side report drift = false (nothing to compare).
+    */
+  def indexDriftCensus(old: DataFrame, delta: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       iters: Int = 2, num: Long = 2L,
+                       den: Long = 1L): DataFrame = {
+    require(num > 0 && den > 0, s"threshold num/den > 0: $num/$den")
+    val ivf = buildIvfIndex(old, idCol, vecCol, k, iters)
+    val mu = ivfRoundedCentroids(ivf.labels, ivf.centroids)
+    def comps(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), quant25(col("x")).as("qx"))
+    val diff = (col("qx") - col("mu")).cast("decimal(38,0)")
+    def d2Of(assigned: DataFrame, df: DataFrame) = comps(df)
+      .join(assigned, Seq("id"))
+      .join(broadcast(mu), Seq("cell", "dim"))
+      .groupBy(col("id"), col("cell"))
+      .agg(sum(diff * diff).as("d2"))
+    val oldAssign = ivf.labels
+      .select(col("id"), col("label").as("cell"))
+    val deltaAssign = ivfProbes(ivf.centroids, delta, idCol, vecCol,
+        nprobe = 1)
+      .select(col("qid").as("id"), col("label").as("cell"))
+    val oldStats = d2Of(oldAssign, old).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_old"), sum(col("d2")).as("s_old"))
+    // report max d2 clamped to the BIGINT range: an adversarial
+    // vector (quantized components past ~2^31) can push a single
+    // d2 beyond 2^63, and a census must never throw on bad data —
+    // the drift comparison itself stays in unclamped decimals
+    val deltaStats = d2Of(deltaAssign, delta).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(col("d2")).as("s_delta"),
+        least(max(col("d2")),
+          lit(Long.MaxValue).cast("decimal(38,0)"))
+          .cast("long").as("max_d2_delta"))
+    oldStats.join(deltaStats, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("max_d2_delta"), lit(0L)).as("max_d2_delta"),
+        coalesce(
+          col("s_delta") * col("n_old") * lit(den) >
+            col("s_old") * col("n_delta") * lit(num),
+          lit(false)).as("drift"))
+      .orderBy(col("cell").asc_nulls_first)
+  }
+
   /** Maximal-marginal-relevance top-k (Carbonell & Goldstein, SIGIR
     * '98) at λ = 1/2, in exact integers end to end: relevance is the
     * quantized inner product with the single query row, and each

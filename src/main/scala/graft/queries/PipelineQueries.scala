@@ -893,6 +893,20 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // index staleness monitor (the retrain trigger that pairs with
+    // q128's append path): per IVF cell, the delta batch's mean
+    // quantized d2 vs the indexed vectors' — drift when 2x over,
+    // by integer cross-multiplication; frozen-centroid assignment
+    // for the delta exactly like serving
+    "q137_index_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.indexDriftCensus(
+        emb.where(col("vec_id") % 5 =!= 0),
+        emb.where(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", k = 4, iters = 2, num = 2L,
+        den = 1L)
+    }),
+
     // star-schema revenue census: the canonical broadcast-dim join
     // chain (lineitem ⋈ supplier ⋈ nation ⋈ region) — every dim
     // broadcasts, the fact table streams once, ONE shuffle for the
@@ -3110,6 +3124,38 @@ object PipelineQueries {
     s"rel - penalty AS score FROM ($sel) ORDER BY step"
   }
 
+  /** q137: staleness replay — the shared old/delta chains, the
+    * rounded centroid formula, per-side d2 sums, and the 2×-mean
+    * cross-multiplied drift flag.
+    */
+  private lazy val indexDriftSql =
+    "WITH " + idxOldBaseCtes + ", " + idxFlatKmeansCtes + ", " +
+    "cntf AS (SELECT label AS cell, COUNT(*) AS n FROM a2f " +
+    "GROUP BY 1), " +
+    "muf AS (SELECT cvf.label AS cell, cvf.dim, CASE WHEN s >= 0 " +
+    "THEN (2*s + n) // (2*n) ELSE -((-2*s + n) // (2*n)) END AS " +
+    "mu FROM cvf JOIN cntf ON cvf.label = cntf.cell), " +
+    "d2o AS (SELECT q.vec_id, a.label AS cell, SUM(CAST(qx - mu " +
+    "AS HUGEINT) * (qx - mu)) AS d2 FROM qco q JOIN a2f a USING " +
+    "(vec_id) JOIN muf ON muf.cell = a.label AND muf.dim = q.dim " +
+    "GROUP BY 1, 2), " +
+    "d2d AS (SELECT q.vec_id, v.label AS cell, SUM(CAST(qx - mu " +
+    "AS HUGEINT) * (qx - mu)) AS d2 FROM qcd q JOIN ivfd v USING " +
+    "(vec_id) JOIN muf ON muf.cell = v.label AND muf.dim = q.dim " +
+    "GROUP BY 1, 2), " +
+    "sto AS (SELECT cell, COUNT(*) AS n_old, SUM(d2) AS s_old " +
+    "FROM d2o GROUP BY 1), " +
+    "std AS (SELECT cell, COUNT(*) AS n_delta, SUM(d2) AS " +
+    "s_delta, LEAST(MAX(d2), CAST(9223372036854775807 AS " +
+    "HUGEINT)) AS max_d2 FROM d2d GROUP BY 1) " +
+    "SELECT COALESCE(sto.cell, std.cell) AS cell, " +
+    "CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old, " +
+    "CAST(COALESCE(n_delta, 0) AS BIGINT) AS n_delta, " +
+    "CAST(COALESCE(max_d2, 0) AS BIGINT) AS max_d2_delta, " +
+    "COALESCE(s_delta * n_old * 1 > s_old * n_delta * 2, false) " +
+    "AS drift FROM sto FULL OUTER JOIN std ON sto.cell = " +
+    "std.cell ORDER BY cell NULLS FIRST"
+
   /** q128: incremental-append replay — the pqPrefix and kmeansCtes
     * recurrences restricted to the 80% "old" split (vec_id % 5 <> 0),
     * final codebooks/centroid sums from each chain's a2, then the
@@ -3117,61 +3163,29 @@ object PipelineQueries {
     * argmax cosine for PQ codes, nearest coarse centroid for the IVF
     * cell, census over the delta only.
     */
-  private val indexAppendSql =
-    "WITH hv AS (SELECT vec_id, CAST('0x' || " +
+  /** Shared by q128/q137: old-split seeds + components, the delta
+    * components, and the flat-kmeans chain on the old split ending
+    * at a2f (final assignment) + cvf (frozen centroid sums).
+    */
+  private val idxOldBaseCtes =
+    "hv AS (SELECT vec_id, CAST('0x' || " +
     "substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
     "FROM embeddings WHERE vec_id % 5 <> 0), " +
     "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h, " +
     "vec_id) - 1 AS BIGINT) AS label FROM hv ORDER BY h, vec_id " +
     "LIMIT 4), " +
-    "sseeds AS (SELECT vec_id, s.sub, label FROM seeds, " +
-    "(SELECT unnest(range(4)) AS sub) s), " +
     "qco AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, " +
     "i AS dim, CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS " +
     "BIGINT) AS qx FROM (SELECT vec_id, " +
     "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
     "x FROM embeddings WHERE vec_id % 5 <> 0)), " +
-    "c0 AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
-    "AS cs FROM qco q JOIN sseeds a ON q.vec_id = a.vec_id AND " +
-    "q.sub = a.sub GROUP BY 1, 2, 3), " +
-    "n0 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
-    "s2 FROM c0 GROUP BY 1, 2), " +
-    "sc1 AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
-    "HUGEINT) * cs) AS dot FROM qco q JOIN c0 c ON q.dim = c.dim " +
-    "GROUP BY 1, 2, 3), " +
-    "a1 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
-    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
-    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
-    "AS rn FROM sc1 JOIN n0 USING (sub, label)) WHERE rn = 1), " +
-    "c1 AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
-    "AS cs FROM qco q JOIN a1 a ON q.vec_id = a.vec_id AND " +
-    "q.sub = a.sub GROUP BY 1, 2, 3), " +
-    "n1 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
-    "s2 FROM c1 GROUP BY 1, 2), " +
-    "sc2 AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
-    "HUGEINT) * cs) AS dot FROM qco q JOIN c1 c ON q.dim = c.dim " +
-    "GROUP BY 1, 2, 3), " +
-    "a2 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
-    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
-    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
-    "AS rn FROM sc2 JOIN n1 USING (sub, label)) WHERE rn = 1), " +
-    "cb AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
-    "AS cs FROM qco q JOIN a2 a ON q.vec_id = a.vec_id AND " +
-    "q.sub = a.sub GROUP BY 1, 2, 3), " +
-    "nb AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
-    "s2 FROM cb GROUP BY 1, 2), " +
     "qcd AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, " +
     "i AS dim, CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS " +
     "BIGINT) AS qx FROM (SELECT vec_id, " +
     "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS " +
-    "x FROM embeddings WHERE vec_id % 5 = 0)), " +
-    "scd AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
-    "HUGEINT) * cs) AS dot FROM qcd q JOIN cb c ON q.dim = c.dim " +
-    "GROUP BY 1, 2, 3), " +
-    "ad AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
-    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
-    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
-    "AS rn FROM scd JOIN nb USING (sub, label)) WHERE rn = 1), " +
+    "x FROM embeddings WHERE vec_id % 5 = 0))"
+
+  private val idxFlatKmeansCtes =
     "c0f AS (SELECT s.label, q.dim, CAST(SUM(qx) AS BIGINT) AS " +
     "cs FROM qco q JOIN seeds s USING (vec_id) GROUP BY 1, 2), " +
     "n0f AS (SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS s2 " +
@@ -3202,7 +3216,49 @@ object PipelineQueries {
     "ivfd AS (SELECT vec_id, label FROM (SELECT vec_id, label, " +
     "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY CAST(dot AS " +
     "DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) AS rn FROM " +
-    "scvd) WHERE rn = 1) " +
+    "scvd) WHERE rn = 1)"
+
+  private val indexAppendSql =
+    "WITH " + idxOldBaseCtes + ", " +
+    "sseeds AS (SELECT vec_id, s.sub, label FROM seeds, " +
+    "(SELECT unnest(range(4)) AS sub) s), " +
+    "c0 AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
+    "AS cs FROM qco q JOIN sseeds a ON q.vec_id = a.vec_id AND " +
+    "q.sub = a.sub GROUP BY 1, 2, 3), " +
+    "n0 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM c0 GROUP BY 1, 2), " +
+    "sc1 AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qco q JOIN c0 c ON q.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "a1 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM sc1 JOIN n0 USING (sub, label)) WHERE rn = 1), " +
+    "c1 AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
+    "AS cs FROM qco q JOIN a1 a ON q.vec_id = a.vec_id AND " +
+    "q.sub = a.sub GROUP BY 1, 2, 3), " +
+    "n1 AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM c1 GROUP BY 1, 2), " +
+    "sc2 AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qco q JOIN c1 c ON q.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "a2 AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM sc2 JOIN n1 USING (sub, label)) WHERE rn = 1), " +
+    "cb AS (SELECT a.sub, a.label, q.dim, CAST(SUM(qx) AS BIGINT) " +
+    "AS cs FROM qco q JOIN a2 a ON q.vec_id = a.vec_id AND " +
+    "q.sub = a.sub GROUP BY 1, 2, 3), " +
+    "nb AS (SELECT sub, label, SUM(CAST(cs AS HUGEINT) * cs) AS " +
+    "s2 FROM cb GROUP BY 1, 2), " +
+    "scd AS (SELECT q.vec_id, c.sub, c.label, SUM(CAST(qx AS " +
+    "HUGEINT) * cs) AS dot FROM qcd q JOIN cb c ON q.dim = c.dim " +
+    "GROUP BY 1, 2, 3), " +
+    "ad AS (SELECT vec_id, sub, label FROM (SELECT vec_id, sub, " +
+    "label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY " +
+    "CAST(dot AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) DESC, label) " +
+    "AS rn FROM scd JOIN nb USING (sub, label)) WHERE rn = 1), " +
+    idxFlatKmeansCtes + " " +
     "SELECT kind, sub, label, n_delta, min_delta FROM (" +
     "SELECT 'pq' AS kind, sub, label, COUNT(*) AS n_delta, " +
     "MIN(vec_id) AS min_delta FROM ad GROUP BY 2, 3 " +
@@ -4576,6 +4632,7 @@ object PipelineQueries {
     "q129_mmr_topk" -> mmrSql,
     "q130_hybrid_rrf" -> hybridRrfSql,
     "q132_hard_negatives" -> hardNegSql,
+    "q137_index_drift" -> indexDriftSql,
     "q135_star_join" ->
       ("SELECT r_name, COUNT(*) AS n_items, " +
        "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS " +

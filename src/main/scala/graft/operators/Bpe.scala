@@ -88,12 +88,14 @@ object Bpe {
     * `maxWords` hard-caps the word table by (freq desc, word asc)
     * for a bounded-state guarantee regardless of corpus entropy.
     */
-  def train(df: DataFrame, text: Column, numMerges: Int,
-            minFreq: Long = 1L,
-            maxWords: Int = Int.MaxValue): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The trained-word table (word, f, l) a merge loop starts from:
+    * corpus word frequencies pruned/capped, symbols = code points
+    * with `priorRules` already replayed in rank order.
+    */
+  private def initVocab(df: DataFrame, text: Column, minFreq: Long,
+                        maxWords: Int,
+                        priorRules: Seq[(String, String)])
+      : DataFrame = {
     var words = df
       .select(explode(graft.functions.TextFunctions.tokens(text))
         .as("word"))
@@ -104,14 +106,58 @@ object Bpe {
     if (maxWords != Int.MaxValue)
       words = words.orderBy(col("f").desc, col("word").asc)
         .limit(maxWords)
-    var vocab = words
-      .select(col("word"), col("f"), chars(col("word")).as("l"))
-      .localCheckpoint(true)
+    val symbols = priorRules.foldLeft(chars(col("word"))) {
+      case (acc, (lhs, rhs)) => applyMerge(acc, lhs, rhs)
+    }
+    words.select(col("word"), col("f"), symbols.as("l"))
+  }
+
+  /** Continue training from an existing merge table — extend the
+    * tokenizer (new domain, bigger vocabulary) WITHOUT retraining
+    * from scratch: the existing rules replay over the word table in
+    * rank order, then pair counting resumes at rank |rules|+1.
+    * `trainContinue(df, text, rulesOf(train(df, text, k)), m)`
+    * appends exactly the rules `train(df, text, k+m)` would have
+    * learned (BpeContinueSpec pins the equivalence) — returns ONLY
+    * the new rules, ranks k+1..k+m.
+    */
+  def trainContinue(df: DataFrame, text: Column,
+                    rules: Seq[(String, String)], moreMerges: Int,
+                    minFreq: Long = 1L,
+                    maxWords: Int = Int.MaxValue): DataFrame = {
+    require(moreMerges >= 1, s"moreMerges must be >= 1: $moreMerges")
+    mergeLoop(df.sparkSession,
+      initVocab(df, text, minFreq, maxWords, rules)
+        .localCheckpoint(true),
+      startRank = rules.size + 1, numMerges = moreMerges)
+  }
+
+  def train(df: DataFrame, text: Column, numMerges: Int,
+            minFreq: Long = 1L,
+            maxWords: Int = Int.MaxValue): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    mergeLoop(df.sparkSession,
+      initVocab(df, text, minFreq, maxWords, Nil)
+        .localCheckpoint(true),
+      startRank = 1, numMerges = numMerges)
+  }
+
+  /** The shared merge loop: `numMerges` rounds from `vocabInit`,
+    * ranks `startRank..`. One distributed pair-count + 1-row argmax
+    * per round; vocab re-checkpointed per round to keep the plan
+    * flat.
+    */
+  private def mergeLoop(spark: org.apache.spark.sql.SparkSession,
+                        vocabInit: DataFrame, startRank: Int,
+                        numMerges: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = vocabInit
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    var r = 1
+    var r = startRank
+    val endRank = startRank + numMerges - 1
     var done = false
-    while (r <= numMerges && !done) {
+    while (r <= endRank && !done) {
       // distributed pair count with map-side partials; ONE argmax
       // row crosses to the driver per round
       val top = vocab.where(size(col("l")) >= 2)

@@ -333,6 +333,38 @@ object Sampling {
     * engines, and partitionings agree — ablations can cite
     * (shard, bin) coordinates.
     */
+  /** Temperature-smoothed group sampling at α = 1/2 — the
+    * multilingual-LM rebalancing rule (sample share ∝ n^α flattens
+    * head groups without drowning the tail; α = 1/2 is the classic
+    * smoothing exponent). Keep probability per group:
+    * `min(1, (num/den) · isqrt(n_g) / n_g)` — so a group keeps
+    * ~(num/den)·sqrt(n_g) rows — decided per row by the
+    * deterministic md5 hash threshold in EXACT integers: isqrt is
+    * the exact integer square root (double sqrt + a ±1 correction,
+    * engine-portable), and the comparison cross-multiplies in
+    * decimal(38,0) (hash · n_g can pass 2^63 at corpus scale).
+    *
+    * Shape: one keyed count, the G-row frame broadcast back, then a
+    * pure codegen'd filter over the scan — the mixtureSample /
+    * rebalancedSample family.
+    */
+  def temperatureSample(df: DataFrame, group: Column, key: Column,
+                        num: Long = 1L, den: Long = 1L): DataFrame = {
+    require(num > 0 && den > 0, s"need num/den > 0: $num/$den")
+    val counts = df.groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val r0 = floor(sqrt(col("__n").cast("double"))).cast("long")
+    val isqrt = when(r0 * r0 > col("__n"), r0 - 1L)
+      .when((r0 + 1L) * (r0 + 1L) <= col("__n"), r0 + 1L)
+      .otherwise(r0)
+    val withR = counts.withColumn("__r", isqrt)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.join(broadcast(withR), group === col("__g"))
+      .where(dec(hash32(key)) * dec(col("__n")) * lit(den) <
+        dec(lit(4294967296L)) * lit(num) * dec(col("__r")))
+      .drop("__g", "__n", "__r")
+  }
+
   /** Global EXCLUSIVE prefix sum of `len` in ascending `key` order —
     * the "lay the corpus out as one contiguous token stream"
     * position assigner: every document learns the exact offset its

@@ -893,6 +893,18 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // temperature-smoothed sampling (α = 1/2, the multilingual-LM
+    // rebalancing exponent): each source keeps ~3·sqrt(n) docs via
+    // the exact integer-sqrt hash threshold — census pins EXACT
+    // membership (sum of kept ids) per source
+    "q138_temperature_sample" -> ((s, d) =>
+      Sampling.temperatureSample(t(s, d, "documents"),
+          col("source"), col("doc_id"), num = 3L, den = 1L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("sum_kept_ids"))
+        .orderBy(col("source").asc_nulls_first)),
+
     // index staleness monitor (the retrain trigger that pairs with
     // q128's append path): per IVF cell, the delta batch's mean
     // quantized d2 vs the indexed vectors' — drift when 2x over,
@@ -4633,6 +4645,22 @@ object PipelineQueries {
     "q130_hybrid_rrf" -> hybridRrfSql,
     "q132_hard_negatives" -> hardNegSql,
     "q137_index_drift" -> indexDriftSql,
+    // q138: same integer-sqrt + hash-threshold replay
+    "q138_temperature_sample" ->
+      ("WITH gq AS (SELECT source, COUNT(*) AS n FROM documents " +
+       "GROUP BY 1), " +
+       "r0q AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS " +
+       "DOUBLE))) AS BIGINT) AS r FROM gq), " +
+       "riq AS (SELECT source, n, CASE WHEN r*r > n THEN r - 1 " +
+       "WHEN (r+1)*(r+1) <= n THEN r + 1 ELSE r END AS r FROM " +
+       "r0q) " +
+       "SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) " +
+       "AS BIGINT) AS sum_kept_ids FROM documents d JOIN riq ON " +
+       "d.source = riq.source WHERE CAST(CAST('0x' || " +
+       "substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) " +
+       "AS HUGEINT) * riq.n * 1 < CAST(4294967296 AS HUGEINT) * " +
+       "3 * riq.r GROUP BY d.source ORDER BY d.source NULLS " +
+       "FIRST"),
     "q135_star_join" ->
       ("SELECT r_name, COUNT(*) AS n_items, " +
        "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS " +

@@ -893,6 +893,33 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // curation shortlist: per-source top-3 documents by (quality
+    // rules passed, classifier score, id) — the multi-signal
+    // ranking a curation pass ships for review; one scan computes
+    // both signals, the window sorts per-source
+    "q139_curation_shortlist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nPass = TextFunctions.QualityRuleNames
+        .filterNot(_ == "keep")
+        .map(r => when(col(s"qf.$r"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_pass").desc, col("score").desc,
+          col("doc_id").asc_nulls_first)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.qualityFlags(col("text")).as("qf"),
+          TextFunctions.hashClassifierScore(col("text"), 64)
+            .as("score"))
+        .withColumn("n_pass", nPass)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("doc_id"),
+          col("n_pass"), col("score"))
+        .orderBy(col("source").asc_nulls_first,
+          col("rank").asc_nulls_first)
+    }),
+
     // temperature-smoothed sampling (α = 1/2, the multilingual-LM
     // rebalancing exponent): each source keeps ~3·sqrt(n) docs via
     // the exact integer-sqrt hash threshold — census pins EXACT
@@ -3136,6 +3163,67 @@ object PipelineQueries {
     s"rel - penalty AS score FROM ($sel) ORDER BY step"
   }
 
+  /** Shared by q108/q139: the per-document Gopher/C4 flag chain —
+    * q42's n-gram CTEs for the repetition rule, the integer
+    * thresholds of `TextFunctions.qualityFlags`, one row per doc in
+    * `flq` with all ten rule booleans.
+    */
+  private val qualityDocCtes: String =
+    "WITH tok AS (SELECT doc_id, source, text, " +
+    "regexp_split_to_array(trim(text), '\\s+') AS t " +
+    "FROM documents), " +
+    "g2 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] FOR " +
+    "i IN range(greatest(array_length(t) - 1, 0))]) AS g " +
+    "FROM tok), " +
+    "g3 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || " +
+    "' ' || t[i+3] FOR i IN range(greatest(array_length(t) - 2, " +
+    "0))]) AS g FROM tok), " +
+    "t2 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, " +
+    "g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) " +
+    "GROUP BY doc_id), " +
+    "t3 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, " +
+    "g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g) " +
+    "GROUP BY doc_id), " +
+    "per AS (SELECT tok.doc_id, source, " +
+    "CAST(array_length(t) AS BIGINT) AS ntok, " +
+    "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS " +
+    "BIGINT) AS nonspace, " +
+    "CAST(len(regexp_extract_all(text, '#')) + " +
+    "len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS " +
+    "nsym, " +
+    "CAST(len(regexp_split_to_array(text, chr(10))) AS BIGINT) " +
+    "AS nlines, " +
+    "CAST(len(regexp_extract_all(text, '(?m)^ *[-*•]')) AS " +
+    "BIGINT) AS nbullet, " +
+    "CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS " +
+    "BIGINT) AS nellend, " +
+    "CAST(len(list_filter(t, x -> regexp_matches(x, " +
+    "'[A-Za-z]'))) AS BIGINT) AS nalpha, " +
+    graft.functions.TextFunctions.GopherStopwords
+      .map(w => s"CAST(list_contains(t, '$w') AS INT)")
+      .mkString("(", " + ", ") AS stophits, ") +
+    "COALESCE(t2.top, 0) AS top2, " +
+    "greatest(array_length(t) - 1, 0) AS n2, " +
+    "COALESCE(t3.top, 0) AS top3, " +
+    "greatest(array_length(t) - 2, 0) AS n3, " +
+    "lower(text) AS lt FROM tok " +
+    "LEFT JOIN t2 ON tok.doc_id = t2.doc_id " +
+    "LEFT JOIN t3 ON tok.doc_id = t3.doc_id), " +
+    "flq AS (SELECT doc_id, source, " +
+    "(ntok >= 50 AND ntok <= 100000) AS wc_ok, " +
+    "(nonspace >= ntok * 3 AND nonspace <= ntok * 10) AS " +
+    "mwl_ok, " +
+    "(nsym * 10 <= ntok) AS sym_ok, " +
+    "(nbullet * 10 <= nlines * 9) AS bullet_ok, " +
+    "(nellend * 10 <= nlines * 3) AS ell_ok, " +
+    "(nalpha * 5 >= ntok * 4) AS alpha_ok, " +
+    "(stophits >= 2) AS stop_ok, " +
+    "(top2 * 5 <= n2 AND top3 * 10 <= n3) AS rep_ok, " +
+    "(NOT contains(lt, '{')) AS curly_ok, " +
+    graft.functions.TextFunctions.C4PolicyPhrases
+      .map(p => s"lt NOT LIKE '%$p%'")
+      .mkString("(", " AND ", ") AS policy_ok FROM per)")
+
   /** q137: staleness replay — the shared old/delta chains, the
     * rounded centroid formula, per-side d2 sums, and the 2×-mean
     * cross-multiplied drift flag.
@@ -3816,63 +3904,10 @@ object PipelineQueries {
        "ORDER BY tot.source NULLS FIRST"),
     // q108: the same integer-threshold rules per document (q42's
     // n-gram CTE pattern for the repetition rule), aggregated to
-    // per-source pass counts
+    // per-source pass counts (per-doc flag chain shared with q139)
     "q108_quality_census" ->
-      ("WITH tok AS (SELECT doc_id, source, text, " +
-       "regexp_split_to_array(trim(text), '\\s+') AS t " +
-       "FROM documents), " +
-       "g2 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] FOR " +
-       "i IN range(greatest(array_length(t) - 1, 0))]) AS g " +
-       "FROM tok), " +
-       "g3 AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || " +
-       "' ' || t[i+3] FOR i IN range(greatest(array_length(t) - 2, " +
-       "0))]) AS g FROM tok), " +
-       "t2 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, " +
-       "g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) " +
-       "GROUP BY doc_id), " +
-       "t3 AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, " +
-       "g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g) " +
-       "GROUP BY doc_id), " +
-       "per AS (SELECT tok.doc_id, source, " +
-       "CAST(array_length(t) AS BIGINT) AS ntok, " +
-       "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS " +
-       "BIGINT) AS nonspace, " +
-       "CAST(len(regexp_extract_all(text, '#')) + " +
-       "len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS " +
-       "nsym, " +
-       "CAST(len(regexp_split_to_array(text, chr(10))) AS BIGINT) " +
-       "AS nlines, " +
-       "CAST(len(regexp_extract_all(text, '(?m)^ *[-*•]')) AS " +
-       "BIGINT) AS nbullet, " +
-       "CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS " +
-       "BIGINT) AS nellend, " +
-       "CAST(len(list_filter(t, x -> regexp_matches(x, " +
-       "'[A-Za-z]'))) AS BIGINT) AS nalpha, " +
-       graft.functions.TextFunctions.GopherStopwords
-         .map(w => s"CAST(list_contains(t, '$w') AS INT)")
-         .mkString("(", " + ", ") AS stophits, ") +
-       "COALESCE(t2.top, 0) AS top2, " +
-       "greatest(array_length(t) - 1, 0) AS n2, " +
-       "COALESCE(t3.top, 0) AS top3, " +
-       "greatest(array_length(t) - 2, 0) AS n3, " +
-       "lower(text) AS lt FROM tok " +
-       "LEFT JOIN t2 ON tok.doc_id = t2.doc_id " +
-       "LEFT JOIN t3 ON tok.doc_id = t3.doc_id), " +
-       "fl AS (SELECT source, " +
-       "(ntok >= 50 AND ntok <= 100000) AS wc_ok, " +
-       "(nonspace >= ntok * 3 AND nonspace <= ntok * 10) AS " +
-       "mwl_ok, " +
-       "(nsym * 10 <= ntok) AS sym_ok, " +
-       "(nbullet * 10 <= nlines * 9) AS bullet_ok, " +
-       "(nellend * 10 <= nlines * 3) AS ell_ok, " +
-       "(nalpha * 5 >= ntok * 4) AS alpha_ok, " +
-       "(stophits >= 2) AS stop_ok, " +
-       "(top2 * 5 <= n2 AND top3 * 10 <= n3) AS rep_ok, " +
-       "(NOT contains(lt, '{')) AS curly_ok, " +
-       graft.functions.TextFunctions.C4PolicyPhrases
-         .map(p => s"lt NOT LIKE '%$p%'")
-         .mkString("(", " AND ", ") AS policy_ok FROM per) ") +
-       "SELECT source, COUNT(*) AS n_docs, " +
+      (qualityDocCtes +
+       " SELECT source, COUNT(*) AS n_docs, " +
        "COUNT(CASE WHEN wc_ok THEN 1 END) AS n_wc_ok, " +
        "COUNT(CASE WHEN mwl_ok THEN 1 END) AS n_mwl_ok, " +
        "COUNT(CASE WHEN sym_ok THEN 1 END) AS n_sym_ok, " +
@@ -3886,7 +3921,28 @@ object PipelineQueries {
        "COUNT(CASE WHEN wc_ok AND mwl_ok AND sym_ok AND bullet_ok " +
        "AND ell_ok AND alpha_ok AND stop_ok AND rep_ok AND " +
        "curly_ok AND policy_ok THEN 1 END) AS n_keep " +
-       "FROM fl GROUP BY source ORDER BY source NULLS FIRST"),
+       "FROM flq GROUP BY source ORDER BY source NULLS FIRST"),
+    // q139: the SAME per-doc flag chain + the q127 classifier —
+    // per-source top-3 by (rules passed, classifier score, id)
+    "q139_curation_shortlist" ->
+      (qualityDocCtes +
+       ", scq AS (SELECT doc_id, CAST(list_sum([((CAST('0x' || " +
+       "substr(md5(t), 1, 8) AS BIGINT) % 64) * 2654435761) % " +
+       "2001 - 1000 FOR t IN regexp_split_to_array(trim(text), " +
+       "'\\s+')]) AS BIGINT) AS score FROM documents), " +
+       "jq AS (SELECT f.source, f.doc_id, CAST(" +
+       "CAST(wc_ok AS INT) + CAST(mwl_ok AS INT) + " +
+       "CAST(sym_ok AS INT) + CAST(bullet_ok AS INT) + " +
+       "CAST(ell_ok AS INT) + CAST(alpha_ok AS INT) + " +
+       "CAST(stop_ok AS INT) + CAST(rep_ok AS INT) + " +
+       "CAST(curly_ok AS INT) + CAST(policy_ok AS INT) AS BIGINT) " +
+       "AS n_pass, scq.score FROM flq f JOIN scq USING (doc_id)), " +
+       "rq AS (SELECT source, doc_id, n_pass, score, ROW_NUMBER() " +
+       "OVER (PARTITION BY source ORDER BY n_pass DESC, score " +
+       "DESC, doc_id) AS rn FROM jq) " +
+       "SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, " +
+       "n_pass, score FROM rq WHERE rn <= 3 " +
+       "ORDER BY source NULLS FIRST, rank NULLS FIRST"),
     // q89: same md5 hash space as q37 (h % 700 so the %20/%7/%25
     // slices share one hash), same v2 derivation, FULL OUTER join
     // on the id comparing md5 content fingerprints

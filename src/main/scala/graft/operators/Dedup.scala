@@ -1268,6 +1268,85 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  // ---- shared-span forensics (the "explain WHY these are ---------
+  // ---- duplicates" evidence a takedown / provenance review needs)
+
+  /** Maximal VERBATIM shared token spans between two documents of
+    * the corpus: `(id1, id2, start1, start2, len_tokens)` — every
+    * run of k-grams the pair shares at a constant positional offset
+    * (the diagonal-run formulation of plagiarism span extraction;
+    * same digest ladder as [[repeatedRuns]], so only md5 digests
+    * ever move). `pair` must be a 1-row (id1, id2) frame — e.g.
+    * [[topRepeatedPair]] or any candidate pair from the LSH /
+    * winnowing screens; the span extraction joins the two BOUNDED
+    * per-document gram sets, never the corpus.
+    */
+  def sharedSpans(df: DataFrame, id: Column, text: Column,
+                  pair: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k-gram size must be >= 2: $k")
+    val grams = df
+      .select(id.as("id"),
+        graft.functions.PosShingleDigestsExpr
+          .posShingleDigests(TextFunctions.tokens(text), k).as("gs"))
+      .where(size(col("gs")) > 0)
+      .select(col("id"),
+        posexplode(col("gs")).as(Seq("pos", "gram")))
+    val ga = grams.join(broadcast(pair), col("id") === col("id1"))
+      .select(col("gram"), col("pos").as("p1"))
+    val gb = grams.join(broadcast(pair), col("id") === col("id2"))
+      .select(col("gram"), col("pos").as("p2"))
+    val w = Window.partitionBy(col("diag")).orderBy(col("p1"))
+    ga.join(gb, Seq("gram"))
+      .select(col("p1"), col("p2"), (col("p1") - col("p2"))
+        .as("diag"))
+      .withColumn("nw", when(col("p1") -
+        lag(col("p1"), 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("run", sum(col("nw")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("diag"), col("run"))
+      .agg(min(col("p1")).cast("long").as("start1"),
+        min(col("p2")).cast("long").as("start2"),
+        (max(col("p1")) - min(col("p1")) + lit(k)).cast("long")
+          .as("len_tokens"))
+      .crossJoin(broadcast(pair))
+      .select(col("id1"), col("id2"), col("start1"), col("start2"),
+        col("len_tokens"))
+      .orderBy(col("start1").asc_nulls_first,
+        col("start2").asc_nulls_first)
+  }
+
+  /** The deterministic "first" cross-document repeated pair:
+    * smallest (id1, id2), id1 < id2, among documents sharing at
+    * least one k-gram. Candidates come only from k-grams with
+    * df >= 2 (the repeated slice, boilerplate-sized), and the min
+    * is taken as an aggregate — no pair materialization beyond the
+    * repeated-gram join.
+    */
+  def topRepeatedPair(df: DataFrame, id: Column, text: Column,
+                      k: Int = 8): DataFrame = {
+    val grams = df
+      .select(id.as("id"),
+        graft.functions.PosShingleDigestsExpr
+          .posShingleDigests(TextFunctions.tokens(text), k).as("gs"))
+      .where(size(col("gs")) > 0)
+      .select(col("id"), explode(col("gs")).as("gram"))
+      .distinct()
+    // df <= 1000: an ultra-hot boilerplate gram would square its df
+    // in the pair join; evidence-pair SELECTION doesn't need it (the
+    // span extraction still sees every gram of the chosen pair)
+    val rep = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= 2 && col("df") <= 1000)
+      .select(col("gram"))
+    val rg = grams.join(rep, Seq("gram"))
+    rg.as("a").join(rg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .agg(min(struct(col("a.id").as("id1"), col("b.id").as("id2")))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+  }
+
   // ---- exact line-level dedup (CCNet/RefinedWeb boilerplate) -----
 
   /** Remove every LINE that appears verbatim in >= `minDocs`

@@ -893,6 +893,18 @@ object PipelineQueries {
           col("source"))
         .orderBy(col("row_key").asc_nulls_first)),
 
+    // shared-span forensics: for the corpus's first repeated pair
+    // (smallest ids sharing an 8-gram), the maximal verbatim shared
+    // token spans at constant offset — the takedown / provenance
+    // evidence behind a dedup verdict. Digest-only joins; the span
+    // extraction touches two documents' grams, never the corpus
+    "q140_shared_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.sharedSpans(docs, col("doc_id"), col("text"),
+        Dedup.topRepeatedPair(docs, col("doc_id"), col("text"),
+          k = 8), k = 8)
+    }),
+
     // curation shortlist: per-source top-3 documents by (quality
     // rules passed, classifier score, id) — the multi-signal
     // ranking a curation pass ships for review; one scan computes
@@ -4013,6 +4025,41 @@ object PipelineQueries {
     // q103: identical 8-gram digest ladder via DuckDB list slicing
     // (1-based l[i:i+7] = the engine's 0-based slice(l, i+1, 8)),
     // the same lag/running-sum run merge
+    // q140: q103's digest ladder, the min-(id1,id2) repeated pair,
+    // then diagonal runs over the pair's matched gram positions
+    "q140_shared_spans" ->
+      ("WITH d AS (SELECT doc_id, regexp_split_to_array(trim(" +
+       "text), '\\s+') AS l FROM documents), " +
+       "g AS (SELECT doc_id, i - 1 AS pos, " +
+       "md5(array_to_string(l[i:i+7], ' ')) AS gram FROM " +
+       "(SELECT doc_id, l, unnest(range(1, len(l) - 8 + 2)) AS i " +
+       "FROM d WHERE len(l) >= 8)), " +
+       "rep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT " +
+       "doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2 AND " +
+       "df <= 1000), " +
+       "rg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN rep " +
+       "USING (gram)), " +
+       "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM " +
+       "(SELECT DISTINCT doc_id, gram FROM rg) a JOIN " +
+       "(SELECT DISTINCT doc_id, gram FROM rg) b ON a.gram = " +
+       "b.gram AND a.doc_id < b.doc_id ORDER BY 1, 2 LIMIT 1), " +
+       "ga AS (SELECT gram, pos AS p1 FROM g, pr WHERE " +
+       "g.doc_id = pr.id1), " +
+       "gb AS (SELECT gram, pos AS p2 FROM g, pr WHERE " +
+       "g.doc_id = pr.id2), " +
+       "mm AS (SELECT p1, p2, p1 - p2 AS diag FROM ga JOIN gb " +
+       "USING (gram)), " +
+       "rn AS (SELECT p1, p2, diag, CASE WHEN p1 - LAG(p1) OVER " +
+       "(PARTITION BY diag ORDER BY p1) = 1 THEN 0 ELSE 1 END AS " +
+       "nw FROM mm), " +
+       "rr AS (SELECT p1, p2, diag, SUM(nw) OVER (PARTITION BY " +
+       "diag ORDER BY p1 ROWS UNBOUNDED PRECEDING) AS run FROM " +
+       "rn) " +
+       "SELECT pr.id1, pr.id2, CAST(MIN(p1) AS BIGINT) AS " +
+       "start1, CAST(MIN(p2) AS BIGINT) AS start2, " +
+       "CAST(MAX(p1) - MIN(p1) + 8 AS BIGINT) AS len_tokens " +
+       "FROM rr, pr GROUP BY diag, run, pr.id1, pr.id2 " +
+       "ORDER BY start1 NULLS FIRST, start2 NULLS FIRST"),
     "q103_repeated_substrings" ->
       ("WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), " +
        "'\\s+') AS l FROM documents), " +

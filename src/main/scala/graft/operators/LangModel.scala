@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Count-based n-gram language-model scoring — the CCNet-recipe
+  * quality filter (Wenzek et al., "CCNet: Extracting high quality
+  * monolingual datasets from web crawl data", LREC 2020): train a
+  * small LM on a trusted reference slice, score every candidate
+  * document by its cross-entropy under that model, and drop (or
+  * bucket) the high-perplexity tail. The trusted/candidate split is
+  * the caller's — any predicate over the corpus works.
+  *
+  * Exactness (the q44 rule — no transcendentals that two engines
+  * could round apart): cross-entropy is quantized to WHOLE BITS via
+  * `floor(log2(n)) = length(bin(n)) - 1`, computed through the
+  * binary-string rendering of an exact integer, which is
+  * deterministic in any engine (Spark's `bin`, DuckDB's `bin`).
+  * With add-one smoothing the per-bigram code length is
+  *
+  *   bits(w1 w2) = floor(log2(c_uni(w1) + V)) - floor(log2(c_bi(w1 w2) + 1))
+  *
+  * where `c_uni(w1)` counts w1 as a bigram CONTEXT in the training
+  * slice (so the smoothed conditionals sum to 1 over a V-word
+  * vocabulary), `c_bi` the trained bigram count, and `V` the
+  * distinct-context vocabulary size. Both log arguments are ≥ 1 and
+  * the context count dominates the bigram count, so bits ≥ 0
+  * always. Whole-bit quantization keeps the LM's ranking power
+  * (unseen bigrams cost ~log2 V bits, frequent ones ~1-3) while
+  * staying hash-exact across engines.
+  *
+  * Shape at 100 TB: training is ONE keyed aggregation over the
+  * reference slice (model size = distinct bigrams of the TRUSTED
+  * slice only — small by construction); scoring joins candidates'
+  * exploded bigrams against the model on the bigram key — a plain
+  * shuffle join that AQE converts to broadcast when the model fits,
+  * with no driver-side data movement either way. The vocabulary
+  * constant rides a 1-row broadcast cross join, never a collect.
+  */
+object LangModel {
+
+  /** floor(log2(n)) for an integer column n ≥ 1, computed exactly
+    * through the binary rendering (Spark and DuckDB both print the
+    * minimal two's-complement-free binary form for positives).
+    */
+  def floorLog2(n: Column): Column =
+    (length(bin(n.cast("long"))) - 1).cast("long")
+
+  /** One row per bigram position: the carried columns, the context
+    * token `w1`, and the space-joined bigram key `bg`. Documents
+    * with fewer than two whitespace tokens contribute no rows.
+    */
+  def bigramRows(df: DataFrame, text: Column,
+                 carry: Seq[Column]): DataFrame =
+    df.select(carry :+ TextFunctions.tokens(text).as("__l"): _*)
+      .where(size(col("__l")) >= 2)
+      .select(carry :+ explode(expr(
+        "transform(sequence(1, size(__l) - 1), " +
+          "i -> struct(__l[i-1] AS w1, __l[i] AS w2, " +
+          "concat(__l[i-1], ' ', __l[i]) AS bg))")).as("__p"): _*)
+      .withColumn("w1", col("__p.w1"))
+      .withColumn("w2", col("__p.w2"))
+      .withColumn("bg", col("__p.bg"))
+      .drop("__p")
+
+  /** Train the add-one-smoothed bigram model on `train`: returns
+    * (bigram counts keyed by `bg`, context counts keyed by `w1`,
+    * 1-row vocabulary frame `v`) — three small frames derived from
+    * one pass over the trusted slice.
+    */
+  def trainBigram(train: DataFrame, text: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val rows = bigramRows(train, text, Seq.empty).cache()
+    val bi = rows.groupBy(col("bg")).agg(count(lit(1)).as("c_bi"))
+    val uni = rows.groupBy(col("w1")).agg(count(lit(1)).as("c_uni"))
+    val vocab = rows.agg(
+      coalesce(countDistinct(col("w1")), lit(0L)).as("v"))
+    (bi, uni, vocab)
+  }
+
+  /** Per-document cross-entropy under the trained model: one output
+    * row per scored document with ≥ 1 bigram, carrying `n_bigrams`,
+    * `n_unseen` (bigrams absent from the model), total `bits`, and
+    * the decibit rate `decibits = floor(10 · bits / n_bigrams)` —
+    * the integer perplexity proxy a filter thresholds on.
+    */
+  def crossEntropyBits(docs: DataFrame, id: Seq[Column], text: Column,
+                       bi: DataFrame, uni: DataFrame,
+                       vocab: DataFrame): DataFrame = {
+    val idNames = id.map(_.toString)
+    val scored = bigramRows(docs, text, id)
+      .join(bi, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(id.map(c => col(c.toString)) ++ Seq(
+        (floorLog2(coalesce(col("c_uni"), lit(0L)) + col("v")) -
+          floorLog2(coalesce(col("c_bi"), lit(0L)) + lit(1L)))
+          .as("__bits"),
+        when(col("c_bi").isNull, 1L).otherwise(0L)
+          .as("__unseen")): _*)
+    scored.groupBy(idNames.map(col): _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__unseen")).cast("long").as("n_unseen"),
+        sum(col("__bits")).cast("long").as("bits"))
+      .withColumn("decibits",
+        floor(col("bits") * 10 / col("n_bigrams")).cast("long"))
+  }
+
+  /** PMI collocation mining (the word2phrase pass — Mikolov et al.,
+    * "Distributed representations of words and phrases…", NIPS 2013):
+    * bigrams whose joint count beats independence by a rational
+    * factor, i.e. `c_bg · N · den ≥ num · c_w1 · c_w2` with the
+    * products in DECIMAL(38,0) so the comparison is EXACT at any
+    * corpus size (counts to ~10^13 never overflow 38 digits), plus a
+    * minimum-support floor. `pmi_bits` reports the whole-bit PMI
+    * proxy `⌊log2 c_bg⌋ + ⌊log2 N⌋ − ⌊log2 c_w1⌋ − ⌊log2 c_w2⌋` —
+    * transcendental-free like every ranking column in this engine.
+    *
+    * Shape at 100 TB: one exploded-bigram scan feeds three keyed
+    * aggregations (bg / w1 / w2 counts); the unigram frames join
+    * back on their word keys (vocabulary-sized, AQE broadcasts when
+    * small) and the 1-row total rides a broadcast cross join.
+    */
+  def collocations(df: DataFrame, text: Column, minCount: Long,
+                   num: Long, den: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = bigramRows(df, text, Seq.empty)
+    // w1/w2 are functions of bg (bg = w1 ⧺ ' ' ⧺ w2), so grouping by
+    // all three keeps the keyed agg single-valued and deterministic
+    val big = rows.groupBy(col("bg"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+      .where(col("c_bg") >= minCount)
+    val cw1 = rows.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    val cw2 = rows.groupBy(col("w2")).agg(count(lit(1)).as("c_w2"))
+    val tot = rows.agg(count(lit(1)).as("n_total"))
+    big.join(cw1, Seq("w1")).join(cw2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .where(col("c_bg").cast(dec) * col("n_total").cast(dec) *
+        lit(den).cast(dec) >=
+        lit(num).cast(dec) * col("c_w1").cast(dec) *
+          col("c_w2").cast(dec))
+      .select(col("bg"), col("c_bg"), col("c_w1"), col("c_w2"),
+        (floorLog2(col("c_bg")) + floorLog2(col("n_total")) -
+          floorLog2(col("c_w1")) - floorLog2(col("c_w2")))
+          .as("pmi_bits"))
+  }
+}

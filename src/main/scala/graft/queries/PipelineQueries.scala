@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Dedup, Delta, Layout, Mixing,
-  Multimodal, Retrieval, Sampling, Similarity, Sketches, Temporal}
+import graft.operators.{Chunking, Dedup, Delta, EntityResolution,
+  LangModel, Layout, Mixing, Multimodal, Retrieval, Sampling,
+  Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -265,6 +266,85 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------
+    // CCNet-recipe LM quality filter: train an add-one bigram model
+    // on the trusted slice (source = src0), score every other doc's
+    // cross-entropy in EXACT whole bits (floor-log2 via binary
+    // string length — no transcendental an engine could round
+    // apart), census per source with the high-perplexity tail
+    // flagged at the 50-decibit (5 bits/bigram) cut. Model = one keyed agg
+    // over the trusted slice; scoring = one shuffle join on the
+    // bigram key that AQE broadcasts when the model fits
+    "q141_lm_bits" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (bi, uni, vocab) = LangModel.trainBigram(
+        docs.where(col("source") === "src0"), col("text"))
+      LangModel.crossEntropyBits(
+          docs.where(col("source") =!= "src0"),
+          Seq(col("source"), col("doc_id")), col("text"),
+          bi, uni, vocab)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).cast("long").as("n_bigrams"),
+          sum(col("n_unseen")).cast("long").as("n_unseen"),
+          sum(col("bits")).cast("long").as("sum_bits"),
+          min(col("decibits")).as("min_decibits"),
+          max(col("decibits")).as("max_decibits"),
+          count(when(col("decibits") >= 50, 1))
+            .as("n_flagged"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
+    // PMI collocation mining (word2phrase): bigrams beating
+    // independence 2x with support >= 3 — the phrase-vocab pass a
+    // tokenizer build runs. Products in DECIMAL(38,0) so the gate is
+    // exact at any corpus size; whole-bit PMI for the ranking column
+    "q142_collocations" -> ((s, d) =>
+      LangModel.collocations(t(s, d, "documents"), col("text"),
+          minCount = 3L, num = 2L, den = 1L)
+        .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
+        .limit(20)),
+
+    // blocked fuzzy record linkage over customer names: candidate
+    // pairs ONLY within (nation, 5-digit-prefix) blocks, edit
+    // distance <= 1 by the exact integer levenshtein both engines
+    // share; per-block pair census. Over-cap blocks are excluded
+    // before any pair materializes
+    "q143_entity_pairs" -> ((s, d) => {
+      val blk = concat(col("c_nationkey").cast("string"), lit(":"),
+        substring(col("c_name"), 10, 5))
+      EntityResolution.blockedEditPairs(t(s, d, "customer"),
+          col("c_custkey"), col("c_name"), blk, maxDist = 1,
+          maxBlock = 10000L)
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dist")).cast("long").as("sum_dist"),
+          sum(col("id1") + col("id2")).cast("long").as("sum_ids"))
+        .orderBy(col("blk").asc_nulls_first)
+    }),
+
+    // Unicode NFC canonicalization census via the native codegen'd
+    // normalizer (Spark has no builtin): each doc gets a decomposed
+    // suffix (" Cafe" + combining acute) appended IN-PLAN so the
+    // pass provably composes it — lengths shrink by exactly the
+    // combining mark, content pinned by the min md5 per source
+    "q144_nfc_census" -> ((s, d) => {
+      // the suffix is DECOMPOSED on purpose: 'e' + U+0301 combining
+      // acute, which NFC composes to the single codepoint U+00E9
+      val raw = concat(col("text"), lit(" Cafe\u0301"))
+      t(s, d, "documents")
+        .select(col("source"), raw.as("raw"),
+          graft.functions.NfcNormalizeExpr.nfcNormalize(raw)
+            .as("nfc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("raw"))).cast("long").as("sum_len_raw"),
+          sum(length(col("nfc"))).cast("long").as("sum_len_nfc"),
+          count(when(length(col("nfc")) =!= length(col("raw")), 1))
+            .as("n_changed"),
+          min(md5(col("nfc"))).as("min_md5"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     "q21_token_stats" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang"),
@@ -3510,6 +3590,93 @@ object PipelineQueries {
     "inferred)) ORDER BY column_name NULLS FIRST"
 
   val oracleSql: Map[String, String] = Map(
+    // q141: replay the add-one bigram LM in SQL — same bigram rows,
+    // same trained counts, same whole-bit code lengths via bin()
+    // string length (floor-log2 exactness both engines share)
+    "q141_lm_bits" ->
+      ("WITH d AS (SELECT source, doc_id, regexp_split_to_array(" +
+       "trim(text), '\\s+') AS l FROM documents), " +
+       "p AS (SELECT source, doc_id, l[i-1] AS w1, " +
+       "l[i-1] || ' ' || l[i] AS bg FROM d, " +
+       "unnest(range(2, len(l) + 1)) AS u(i) WHERE len(l) >= 2), " +
+       "tb AS (SELECT bg, COUNT(*) AS c_bi FROM p " +
+       "WHERE source = 'src0' GROUP BY bg), " +
+       "tu AS (SELECT w1, COUNT(*) AS c_uni FROM p " +
+       "WHERE source = 'src0' GROUP BY w1), " +
+       "v AS (SELECT COUNT(DISTINCT w1) AS v FROM p " +
+       "WHERE source = 'src0'), " +
+       "sc AS (SELECT p.source, p.doc_id, " +
+       "length(bin(COALESCE(tu.c_uni, 0) + v.v)) - " +
+       "length(bin(COALESCE(tb.c_bi, 0) + 1)) AS bits, " +
+       "CASE WHEN tb.c_bi IS NULL THEN 1 ELSE 0 END AS unseen " +
+       "FROM p CROSS JOIN v LEFT JOIN tb ON p.bg = tb.bg " +
+       "LEFT JOIN tu ON p.w1 = tu.w1 WHERE p.source <> 'src0'), " +
+       "pd AS (SELECT source, doc_id, COUNT(*) AS n_b, " +
+       "SUM(unseen) AS n_u, SUM(bits) AS bits, " +
+       "(10 * SUM(bits)) // COUNT(*) AS decibits " +
+       "FROM sc GROUP BY source, doc_id) " +
+       "SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_b) AS BIGINT) AS n_bigrams, " +
+       "CAST(SUM(n_u) AS BIGINT) AS n_unseen, " +
+       "CAST(SUM(bits) AS BIGINT) AS sum_bits, " +
+       "CAST(MIN(decibits) AS BIGINT) AS min_decibits, " +
+       "CAST(MAX(decibits) AS BIGINT) AS max_decibits, " +
+       "COUNT(CASE WHEN decibits >= 50 THEN 1 END) AS n_flagged " +
+       "FROM pd GROUP BY source ORDER BY source NULLS FIRST"),
+    // q142: replay the PMI gate with HUGEINT products (DuckDB's
+    // exact 128-bit ints stand in for the engine's DECIMAL(38,0));
+    // the floor-log2 "-1"s cancel two-up-two-down in pmi_bits
+    "q142_collocations" ->
+      ("WITH d AS (SELECT regexp_split_to_array(trim(text), " +
+       "'\\s+') AS l FROM documents), " +
+       "p AS (SELECT l[i-1] AS w1, l[i] AS w2, " +
+       "l[i-1] || ' ' || l[i] AS bg FROM d, " +
+       "unnest(range(2, len(l) + 1)) AS u(i) WHERE len(l) >= 2), " +
+       "b AS (SELECT bg, w1, w2, COUNT(*) AS c_bg FROM p " +
+       "GROUP BY bg, w1, w2 HAVING COUNT(*) >= 3), " +
+       "u1 AS (SELECT w1, COUNT(*) AS c_w1 FROM p GROUP BY w1), " +
+       "u2 AS (SELECT w2, COUNT(*) AS c_w2 FROM p GROUP BY w2), " +
+       "n AS (SELECT COUNT(*) AS n_total FROM p) " +
+       "SELECT bg, c_bg, c_w1, c_w2, " +
+       "CAST(length(bin(c_bg)) + length(bin(n_total)) - " +
+       "length(bin(c_w1)) - length(bin(c_w2)) AS BIGINT) " +
+       "AS pmi_bits " +
+       "FROM b JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n " +
+       "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
+       "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
+       "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q143: same blocking key, same cap filter, same exact
+    // levenshtein — DuckDB's and Spark's edit distance agree on
+    // integers by definition
+    "q143_entity_pairs" ->
+      ("WITH r AS (SELECT c_custkey AS id, c_name AS nm, " +
+       "c_nationkey || ':' || substr(c_name, 10, 5) AS blk " +
+       "FROM customer), " +
+       "ok AS (SELECT blk FROM r GROUP BY blk " +
+       "HAVING COUNT(*) <= 10000), " +
+       "ri AS (SELECT r.* FROM r JOIN ok USING (blk)), " +
+       "pr AS (SELECT a.blk, a.id AS id1, b.id AS id2, " +
+       "levenshtein(a.nm, b.nm) AS dist FROM ri a JOIN ri b " +
+       "ON a.blk = b.blk AND a.id < b.id " +
+       "WHERE levenshtein(a.nm, b.nm) <= 1) " +
+       "SELECT blk, COUNT(*) AS n_pairs, " +
+       "CAST(SUM(dist) AS BIGINT) AS sum_dist, " +
+       "CAST(SUM(id1 + id2) AS BIGINT) AS sum_ids " +
+       "FROM pr GROUP BY blk ORDER BY blk NULLS FIRST"),
+    // q144: DuckDB's nfc_normalize is the independent UAX#15
+    // implementation checking the engine's native expression;
+    // chr(769) = U+0301 combining acute
+    "q144_nfc_census" ->
+      ("WITH d AS (SELECT source, text || ' Cafe' || chr(769) " +
+       "AS raw FROM documents), " +
+       "n AS (SELECT source, raw, nfc_normalize(raw) AS nfc " +
+       "FROM d) " +
+       "SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(length(raw)) AS BIGINT) AS sum_len_raw, " +
+       "CAST(SUM(length(nfc)) AS BIGINT) AS sum_len_nfc, " +
+       "COUNT(CASE WHEN length(nfc) <> length(raw) THEN 1 END) " +
+       "AS n_changed, MIN(md5(nfc)) AS min_md5 " +
+       "FROM n GROUP BY source ORDER BY source NULLS FIRST"),
     "q67_pq_serving" -> pqServingSql,
     "q68_pq_residual" -> pqResidualSql,
     "q69_winnow_against" ->

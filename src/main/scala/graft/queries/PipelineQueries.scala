@@ -341,7 +341,10 @@ object PipelineQueries {
           sum(length(col("nfc"))).cast("long").as("sum_len_nfc"),
           count(when(length(col("nfc")) =!= length(col("raw")), 1))
             .as("n_changed"),
-          min(md5(col("nfc"))).as("min_md5"))
+          // long checksum (md5 prefix) keeps the agg hash-based —
+          // a string min would fall back to SortAggregate
+          min(conv(substring(md5(col("nfc")), 1, 15), 16, 10)
+            .cast("long")).as("min_md5_prefix"))
         .orderBy(col("source").asc_nulls_first)
     }),
 
@@ -3675,7 +3678,8 @@ object PipelineQueries {
        "CAST(SUM(length(raw)) AS BIGINT) AS sum_len_raw, " +
        "CAST(SUM(length(nfc)) AS BIGINT) AS sum_len_nfc, " +
        "COUNT(CASE WHEN length(nfc) <> length(raw) THEN 1 END) " +
-       "AS n_changed, MIN(md5(nfc)) AS min_md5 " +
+       "AS n_changed, MIN(CAST('0x' || substr(md5(nfc), 1, 15) " +
+       "AS BIGINT)) AS min_md5_prefix " +
        "FROM n GROUP BY source ORDER BY source NULLS FIRST"),
     "q67_pq_serving" -> pqServingSql,
     "q68_pq_residual" -> pqResidualSql,

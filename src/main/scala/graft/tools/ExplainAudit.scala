@@ -156,6 +156,27 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q141_lm_bits",
+        "bigram LM scoring: the 1-row vocabulary broadcasts (never " +
+          "a collect); model joins stay on the bigram/context keys",
+        Seq("BroadcastNestedLoopJoin", "HashAggregate", "bin(")),
+      ("q142_collocations",
+        "PMI collocations: 1-row total broadcasts; joint/marginal " +
+          "counts are keyed aggs joined on word keys; top-k is " +
+          "TakeOrdered, never a global sort",
+        Seq("TakeOrderedAndProject", "HashAggregate",
+          "BroadcastNestedLoopJoin")),
+      ("q143_entity_pairs",
+        "blocked linkage: the cap filter aggregates blocks BEFORE " +
+          "the self-join; pairing is an equi-join on blk (never a " +
+          "cartesian), levenshtein evaluates post-join",
+        Seq("HashAggregate", "levenshtein")),
+      ("q144_nfc_census",
+        "NFC census: the native normalizer runs inside whole-stage " +
+          "codegen feeding partial hash aggregation (one corpus " +
+          "pass; the checksum is a LONG md5 prefix so the agg " +
+          "never degrades to SortAggregate)",
+        Seq("WholeStageCodegen", "nfc_normalize", "HashAggregate")),
       ("q57_winnow_fp",
         "winnowing fingerprints: one native O(n) call per doc, a " +
           "pure projection feeding partial aggregation",

@@ -108,6 +108,72 @@ object LangModel {
         floor(col("bits") * 10 / col("n_bigrams")).cast("long"))
   }
 
+  /** One row per hashed n-gram feature occurrence (unigrams AND
+    * bigrams, DSIR-style), bucketed to `b` buckets via the md5-prefix
+    * hash both engines share. Empty docs contribute no rows.
+    */
+  def hashedFeatureRows(df: DataFrame, text: Column, b: Int,
+                        carry: Seq[Column]): DataFrame =
+    df.select(carry :+ TextFunctions.tokens(text).as("__l"): _*)
+      .where(size(col("__l")) >= 1 &&
+        !(size(col("__l")) === 1 && col("__l")(0) === ""))
+      // the bigram arm guards size >= 2: Spark's sequence(1, 0) is
+      // the DESCENDING [1, 0], not empty
+      .select(carry :+ explode(concat(col("__l"), expr(
+        "IF(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
+          "i -> concat(__l[i-1], ' ', __l[i])), " +
+          "CAST(array() AS array<string>))"))).as("__f"): _*)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("__f")), 1, 15), 16, 10)
+          .cast("long"), lit(b.toLong)))
+      .drop("__f")
+
+  /** DSIR importance weights in exact whole bits (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): hashed-n-gram bag features, two bucket
+    * distributions (target = trusted slice, raw = the rest), and a
+    * per-document log importance ratio
+    *
+    *   wbits(doc) = Σ_f [⌊log2(c_t(f)+1)⌋ − ⌊log2(c_r(f)+1)⌋]
+    *              + n_f · [⌊log2(N_r+b)⌋ − ⌊log2(N_t+b)⌋]
+    *
+    * — the add-one-smoothed log(p_target/p_raw) with every log
+    * quantized to whole bits through binary-string length, so two
+    * engines agree bit-for-bit. wbits ≥ 0 means "at least as
+    * target-like as raw-like"; a resampler keeps by wbits rank.
+    *
+    * Shape at 100 TB: two keyed aggs build the b-bucket count
+    * frames (b-row, broadcast back); the scoring pass explodes each
+    * scored doc's features once and joins on the bucket key. Totals
+    * ride 1-row broadcast cross joins — never a collect.
+    */
+  def importanceBits(target: DataFrame, raw: DataFrame,
+                     scored: DataFrame, id: Seq[Column],
+                     text: Column, b: Int): DataFrame = {
+    val tRows = hashedFeatureRows(target, text, b, Seq.empty)
+    val rRows = hashedFeatureRows(raw, text, b, Seq.empty)
+    val ct = tRows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_t"))
+    val cr = rRows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"))
+    val nt = tRows.agg(count(lit(1)).as("n_t"))
+    val nr = rRows.agg(count(lit(1)).as("n_r"))
+    val idNames = id.map(_.toString)
+    hashedFeatureRows(scored, text, b, id)
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"), "left")
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nr))
+      .select(id.map(c => col(c.toString)) ++ Seq(
+        (floorLog2(coalesce(col("c_t"), lit(0L)) + lit(1L)) -
+          floorLog2(coalesce(col("c_r"), lit(0L)) + lit(1L)) +
+          floorLog2(col("n_r") + lit(b.toLong)) -
+          floorLog2(col("n_t") + lit(b.toLong))).as("__w")): _*)
+      .groupBy(idNames.map(col): _*)
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("__w")).cast("long").as("wbits"))
+  }
+
   /** PMI collocation mining (the word2phrase pass — Mikolov et al.,
     * "Distributed representations of words and phrases…", NIPS 2013):
     * bigrams whose joint count beats independence by a rational

@@ -304,6 +304,27 @@ object PipelineQueries {
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
 
+    // DSIR importance weights (hashed-n-gram importance resampling):
+    // per-doc log(p_target/p_raw) in exact whole bits over 1024
+    // hashed buckets — the published data-selection pass that
+    // upsamples target-like raw documents. Bucket frames broadcast
+    // back over one exploded-feature scan
+    "q145_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val raw = docs.where(col("source") =!= "src0")
+      LangModel.importanceBits(
+          docs.where(col("source") === "src0"), raw, raw,
+          Seq(col("source"), col("doc_id")), col("text"), b = 1024)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_features")).cast("long").as("n_features"),
+          sum(col("wbits")).cast("long").as("sum_wbits"),
+          min(col("wbits")).as("min_wbits"),
+          max(col("wbits")).as("max_wbits"),
+          count(when(col("wbits") >= 0, 1)).as("n_target_like"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // blocked fuzzy record linkage over customer names: candidate
     // pairs ONLY within (nation, 5-digit-prefix) blocks, edit
     // distance <= 1 by the exact integer levenshtein both engines
@@ -3648,6 +3669,42 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q145: replay DSIR — same md5-prefix bucket hash, same add-one
+    // whole-bit log ratio (the four bin() lengths' -1s cancel)
+    "q145_dsir_weights" ->
+      ("WITH d AS (SELECT source, doc_id, regexp_split_to_array(" +
+       "trim(text), '\\s+') AS l FROM documents), " +
+       "dd AS (SELECT * FROM d WHERE NOT (len(l) = 1 AND " +
+       "l[1] = '')), " +
+       "f AS (SELECT source, doc_id, unnest(list_concat(l, " +
+       "list_transform(range(2, len(l) + 1), " +
+       "i -> l[i-1] || ' ' || l[i]))) AS ft FROM dd), " +
+       "fb AS (SELECT source, doc_id, CAST('0x' || " +
+       "substr(md5(ft), 1, 15) AS BIGINT) % 1024 AS bucket FROM f), " +
+       "ct AS (SELECT bucket, COUNT(*) AS c_t FROM fb " +
+       "WHERE source = 'src0' GROUP BY bucket), " +
+       "cr AS (SELECT bucket, COUNT(*) AS c_r FROM fb " +
+       "WHERE source <> 'src0' GROUP BY bucket), " +
+       "nt AS (SELECT COUNT(*) AS n_t FROM fb " +
+       "WHERE source = 'src0'), " +
+       "nr AS (SELECT COUNT(*) AS n_r FROM fb " +
+       "WHERE source <> 'src0'), " +
+       "sc AS (SELECT fb.source, fb.doc_id, " +
+       "length(bin(COALESCE(ct.c_t, 0) + 1)) - " +
+       "length(bin(COALESCE(cr.c_r, 0) + 1)) + " +
+       "length(bin(n_r + 1024)) - length(bin(n_t + 1024)) AS w " +
+       "FROM fb LEFT JOIN ct USING (bucket) " +
+       "LEFT JOIN cr USING (bucket) CROSS JOIN nt CROSS JOIN nr " +
+       "WHERE fb.source <> 'src0'), " +
+       "pd AS (SELECT source, doc_id, COUNT(*) AS n_f, " +
+       "SUM(w) AS wbits FROM sc GROUP BY source, doc_id) " +
+       "SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_f) AS BIGINT) AS n_features, " +
+       "CAST(SUM(wbits) AS BIGINT) AS sum_wbits, " +
+       "CAST(MIN(wbits) AS BIGINT) AS min_wbits, " +
+       "CAST(MAX(wbits) AS BIGINT) AS max_wbits, " +
+       "COUNT(CASE WHEN wbits >= 0 THEN 1 END) AS n_target_like " +
+       "FROM pd GROUP BY source ORDER BY source NULLS FIRST"),
     // q143: same blocking key, same cap filter, same exact
     // levenshtein — DuckDB's and Spark's edit distance agree on
     // integers by definition

@@ -156,6 +156,12 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q145_dsir_weights",
+        "DSIR weights: the 1024-bucket count frames broadcast back " +
+          "over one exploded-feature scan; totals ride 1-row " +
+          "broadcasts, never a collect",
+        Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin",
+          "HashAggregate")),
       ("q141_lm_bits",
         "bigram LM scoring: the 1-row vocabulary broadcasts (never " +
           "a collect); model joins stay on the bigram/context keys",

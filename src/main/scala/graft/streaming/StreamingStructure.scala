@@ -142,6 +142,64 @@ object StreamingStructure {
       .withColumn("clean_text", array_join(kept, "\n"))
   }
 
+  /** Streaming LM QUALITY SCREEN — the ingest-side twin of
+    * [[graft.operators.LangModel.crossEntropyBits]] (q141). The
+    * bigram model comes from the BATCH training pass over the
+    * trusted corpus ([[graft.operators.LangModel.trainBigram]]) and
+    * freezes into two in-plan map literals; each arriving document
+    * is scored STATELESSLY — tokens → per-bigram whole-bit code
+    * lengths → sum — in a pure projection with no streaming state
+    * and no shuffle. Adds `n_bigrams`, `n_unseen`, `lm_bits`,
+    * `lm_decibits` (null when the doc has no bigram), and the
+    * `lm_flagged` verdict at `flagDecibits`.
+    *
+    * `maxModelEntries` prices the collect and REFUSES a model that
+    * is not trusted-slice-sized — a web-scale model belongs in the
+    * batch join path, not a literal.
+    */
+  def lmScreenStream(stream: DataFrame, textCol: String,
+                     bi: DataFrame, uni: DataFrame, vocab: DataFrame,
+                     flagDecibits: Long = 50L,
+                     maxModelEntries: Int = 500000): DataFrame = {
+    val biM = bi.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniM = uni.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(biM.size + uniM.size <= maxModelEntries,
+      s"bigram model has ${biM.size + uniM.size} entries > " +
+        s"$maxModelEntries — not trusted-slice-sized; score with " +
+        "the batch LangModel.crossEntropyBits join instead")
+    val v = vocab.collect().head.getLong(0)
+    val biLit = typedLit(biM)
+    val uniLit = typedLit(uniM)
+    def fl2(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - 1).cast("long")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val bgs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1)).as("bg"))))
+      .otherwise(expr("CAST(array() AS " +
+        "array<struct<w1: string, bg: string>>)"))
+    val bitsArr = transform(bgs, x =>
+      fl2(coalesce(element_at(uniLit, x.getField("w1")), lit(0L)) +
+        lit(v)) -
+      fl2(coalesce(element_at(biLit, x.getField("bg")), lit(0L)) +
+        lit(1L)))
+    val nb = size(bgs).cast("long")
+    val bits = aggregate(bitsArr, lit(0L), (acc, b) => acc + b)
+    stream
+      .withColumn("n_bigrams", nb)
+      .withColumn("n_unseen", size(filter(bgs, x =>
+        element_at(biLit, x.getField("bg")).isNull)).cast("long"))
+      .withColumn("lm_bits", when(nb > 0, bits))
+      .withColumn("lm_decibits",
+        when(nb > 0, floor(bits * 10 / nb).cast("long")))
+      .withColumn("lm_flagged",
+        when(nb > 0, col("lm_decibits") >= flagDecibits))
+  }
+
   /** Streaming PHRASE WATCH — continuous exact phrase search
     * ("alert when this exact string starts appearing in the
     * ingest"): per-document match positions are the same stateless

@@ -34,15 +34,17 @@ object EntityResolution {
       .where(col("n") <= maxBlock)
       .select(col("blk"))
     val inBlk = recs.join(ok, Seq("blk"))
+    // evaluate the edit distance ONCE per candidate pair (a where +
+    // select pair would run the O(len²) DP twice)
     inBlk.as("a").join(inBlk.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id"))
-      .where(levenshtein(col("a.nm"), col("b.nm")) <= maxDist)
       .select(col("a.blk").as("blk"), col("a.id").as("id1"),
         col("b.id").as("id2"), col("a.nm").as("name1"),
         col("b.nm").as("name2"),
         levenshtein(col("a.nm"), col("b.nm")).cast("long")
           .as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Per-block census alongside the pairing: how many blocks, how

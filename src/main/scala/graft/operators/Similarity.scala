@@ -997,6 +997,60 @@ object Similarity {
       .orderBy(col("dim").asc_nulls_first)
   }
 
+  /** Matryoshka-truncation retrieval evaluation (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): for a
+    * sampled probe set, the top-k neighbor overlap between FULL-dim
+    * cosine ranking and PREFIX-dim ranking — the recall@k a team
+    * measures before deploying truncated embeddings (the modern
+    * cheap-serving trick). Dots are the exact quantized integers of
+    * [[dotQ]]; ranking is cosine with id tie-break (the q28
+    * discipline), so both engines rank identically.
+    *
+    * Shape at 100 TB: this is an EVAL harness, run over a sampled
+    * probe set — probes broadcast, the corpus streams ONCE computing
+    * both dot products in one projection, and the two rankings share
+    * one hash exchange on the probe key (two sorts over it). Never
+    * run un-probed: the candidate volume is n · |probes| by design.
+    */
+  def matryoshkaOverlap(df: DataFrame, idCol: String, vecCol: String,
+                        prefixDims: Int, k: Int,
+                        probeEvery: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixDims >= 1 && k >= 1 && probeEvery >= 1)
+    val probes = df.where(col(idCol) % probeEvery === 0)
+      .select(col(idCol).as("pid"), col(vecCol).as("__qv"))
+    val pPre = slice(col("__qv"), 1, prefixDims)
+    val cPre = slice(col("__cv"), 1, prefixDims)
+    val scored = df
+      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(probes))
+      .where(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid"),
+        dotQ(col("__cv"), col("__qv")).as("dot_full"),
+        dotQ(cPre, pPre).as("dot_pre"),
+        (dotQ(col("__cv"), col("__qv")).cast("double") /
+          (sqrt(dotQ(col("__cv"), col("__cv")).cast("double")) *
+            sqrt(dotQ(col("__qv"), col("__qv")).cast("double"))))
+          .as("__cosf"),
+        (dotQ(cPre, pPre).cast("double") /
+          (sqrt(dotQ(cPre, cPre).cast("double")) *
+            sqrt(dotQ(pPre, pPre).cast("double")))).as("__cosp"))
+    val wf = Window.partitionBy(col("pid"))
+      .orderBy(col("__cosf").desc, col("cid").asc_nulls_first)
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("__cosp").desc, col("cid").asc_nulls_first)
+    scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .where(col("rf") <= k || col("rp") <= k)
+      .groupBy(col("pid"))
+      .agg(count(when(col("rf") <= k && col("rp") <= k, 1))
+          .as("overlap"),
+        min(when(col("rf") === 1, col("cid"))).as("top1_full"),
+        min(when(col("rp") === 1, col("cid"))).as("top1_prefix"))
+      .orderBy(col("pid").asc_nulls_first)
+  }
+
   /** Embedding-space outlier census — the "find the garbage in the
     * corpus" pass (mojibake, binary-in-text, wrong-domain vectors
     * sit far from every cluster): k-means cells, each vector's

@@ -304,6 +304,15 @@ object PipelineQueries {
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
 
+    // matryoshka truncation eval: top-10 overlap between full-dim
+    // and 16-dim-prefix cosine rankings over a sampled probe set —
+    // the recall check before deploying truncated embeddings.
+    // Probes broadcast, corpus streams once, both rankings share
+    // one probe-key exchange; exact quantized dots, id tie-breaks
+    "q146_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaOverlap(t(s, d, "embeddings"), "vec_id",
+        "embedding", prefixDims = 16, k = 10, probeEvery = 97L)),
+
     // DSIR importance weights (hashed-n-gram importance resampling):
     // per-doc log(p_target/p_raw) in exact whole bits over 1024
     // hashed buckets — the published data-selection pass that
@@ -326,13 +335,15 @@ object PipelineQueries {
     }),
 
     // blocked fuzzy record linkage over customer names: candidate
-    // pairs ONLY within (nation, 5-digit-prefix) blocks, edit
-    // distance <= 1 by the exact integer levenshtein both engines
-    // share; per-block pair census. Over-cap blocks are excluded
-    // before any pair materializes
+    // pairs ONLY within (nation, 7-digit-prefix) blocks — the
+    // prefix covers all but the last two digits, so block size is
+    // bounded by ~100/nations AT ANY SCALE (5-digit blocking went
+    // quadratic at sf0.1: 14.1 s -> 0.4 s). Edit distance <= 1 by
+    // the exact integer levenshtein both engines share, evaluated
+    // once per pair; over-cap blocks excluded before pairing
     "q143_entity_pairs" -> ((s, d) => {
       val blk = concat(col("c_nationkey").cast("string"), lit(":"),
-        substring(col("c_name"), 10, 5))
+        substring(col("c_name"), 10, 7))
       EntityResolution.blockedEditPairs(t(s, d, "customer"),
           col("c_custkey"), col("c_name"), blk, maxDist = 1,
           maxBlock = 10000L)
@@ -3669,6 +3680,43 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q146: replay the matryoshka eval — q28's quantized-dot ladder
+    // with FILTERed prefix sums, two rank windows, the same id
+    // tie-breaks
+    "q146_matryoshka" ->
+      ("WITH p AS (SELECT vec_id AS pid, embedding AS qv FROM " +
+       "embeddings WHERE vec_id % 97 = 0), " +
+       "u AS (SELECT c.vec_id AS cid, p.pid AS pid, " +
+       "generate_subscripts(c.embedding, 1) AS i, " +
+       "unnest(c.embedding) AS x, p.qv AS qv " +
+       "FROM embeddings c CROSS JOIN p WHERE c.vec_id <> p.pid), " +
+       "e AS (SELECT cid, pid, i, " +
+       "CAST(round(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS " +
+       "qx, CAST(round(CAST(qv[i] AS DOUBLE) * 33554432.0) AS " +
+       "BIGINT) AS qy FROM u), " +
+       "d AS (SELECT pid, cid, " +
+       "CAST(SUM(qx * qy) AS BIGINT) AS dot_full, " +
+       "CAST(SUM(CASE WHEN i <= 16 THEN qx * qy ELSE 0 END) AS " +
+       "BIGINT) AS dot_pre, " +
+       "CAST(SUM(qx * qx) AS BIGINT) AS nc2, " +
+       "CAST(SUM(CASE WHEN i <= 16 THEN qx * qx ELSE 0 END) AS " +
+       "BIGINT) AS ncp2, " +
+       "CAST(SUM(qy * qy) AS BIGINT) AS nq2, " +
+       "CAST(SUM(CASE WHEN i <= 16 THEN qy * qy ELSE 0 END) AS " +
+       "BIGINT) AS nqp2 FROM e GROUP BY pid, cid), " +
+       "r AS (SELECT pid, cid, " +
+       "row_number() OVER (PARTITION BY pid ORDER BY " +
+       "CAST(dot_full AS DOUBLE) / (sqrt(CAST(nc2 AS DOUBLE)) * " +
+       "sqrt(CAST(nq2 AS DOUBLE))) DESC, cid) AS rf, " +
+       "row_number() OVER (PARTITION BY pid ORDER BY " +
+       "CAST(dot_pre AS DOUBLE) / (sqrt(CAST(ncp2 AS DOUBLE)) * " +
+       "sqrt(CAST(nqp2 AS DOUBLE))) DESC, cid) AS rp FROM d) " +
+       "SELECT pid, COUNT(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 " +
+       "END) AS overlap, " +
+       "MIN(CASE WHEN rf = 1 THEN cid END) AS top1_full, " +
+       "MIN(CASE WHEN rp = 1 THEN cid END) AS top1_prefix " +
+       "FROM r WHERE rf <= 10 OR rp <= 10 GROUP BY pid " +
+       "ORDER BY pid NULLS FIRST"),
     // q145: replay DSIR — same md5-prefix bucket hash, same add-one
     // whole-bit log ratio (the four bin() lengths' -1s cancel)
     "q145_dsir_weights" ->
@@ -3710,7 +3758,7 @@ object PipelineQueries {
     // integers by definition
     "q143_entity_pairs" ->
       ("WITH r AS (SELECT c_custkey AS id, c_name AS nm, " +
-       "c_nationkey || ':' || substr(c_name, 10, 5) AS blk " +
+       "c_nationkey || ':' || substr(c_name, 10, 7) AS blk " +
        "FROM customer), " +
        "ok AS (SELECT blk FROM r GROUP BY blk " +
        "HAVING COUNT(*) <= 10000), " +

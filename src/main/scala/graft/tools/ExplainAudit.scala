@@ -156,6 +156,11 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q146_matryoshka",
+        "matryoshka eval: probes broadcast over ONE corpus stream; " +
+          "both rankings share the probe-key exchange (two sorts, " +
+          "one shuffle)",
+        Seq("BroadcastNestedLoopJoin", "Window", "dot_q")),
       ("q145_dsir_weights",
         "DSIR weights: the 1024-bucket count frames broadcast back " +
           "over one exploded-feature scan; totals ride 1-row " +

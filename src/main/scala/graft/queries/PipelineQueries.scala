@@ -304,6 +304,37 @@ object PipelineQueries {
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
 
+    // LSH self-evaluation harness: on a hash-sampled doc slice,
+    // exact Jaccard truth (τ = 1/5, the q25 convention) vs the
+    // 16×4-band MinHash candidate set — the recall/precision
+    // confusion census a team runs BEFORE trusting banded dedup at
+    // 100 TB. The quadratic exact side runs on the SAMPLE only
+    // (priced by jaccardPairs' pre-flight); the LSH side is the
+    // production candidate path unchanged
+    "q147_lsh_eval" -> ((s, d) => {
+      val sample = t(s, d, "documents")
+        .where(col("doc_id") % 2 === 0)
+      val exact = Dedup.jaccardPairs(sample, col("doc_id"),
+          col("text"), shingleK = 5, thresholdNum = 0,
+          thresholdDen = 1, maxShingleDf = 10000L)
+        .select(col("id1"), col("id2"),
+          (col("inter") * 5 >= col("union_n")).as("truth"))
+      val cands = Dedup.lshCandidatePairs(
+          Dedup.lshBands(Dedup.minHashSignatures(sample,
+            col("doc_id"), col("text"), numHashes = 64,
+            shingleK = 5)))
+        .withColumn("cand", lit(true))
+      exact.join(cands, Seq("id1", "id2"), "full_outer")
+        .select(coalesce(col("truth"), lit(false)).as("truth"),
+          coalesce(col("cand"), lit(false)).as("cand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("truth"), 1)).as("n_truth"),
+          count(when(col("cand"), 1)).as("n_cand"),
+          count(when(col("truth") && col("cand"), 1)).as("tp"),
+          count(when(col("truth") && !col("cand"), 1)).as("fn"),
+          count(when(!col("truth") && col("cand"), 1)).as("fp"))
+    }),
+
     // matryoshka truncation eval: top-10 overlap between full-dim
     // and 16-dim-prefix cosine rankings over a sampled probe set —
     // the recall check before deploying truncated embeddings.
@@ -2568,6 +2599,16 @@ object PipelineQueries {
     s"bands$tag AS MATERIALIZED ($bandSelects)"
   }
 
+  /** q147's sampled slice: the q25/q26 shingle chain restricted to
+    * the hash-sampled doc ids (the eval universe).
+    */
+  private val sampledShingleCte =
+    "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), " +
+    "'\\s+') AS t FROM documents WHERE doc_id % 2 = 0), " +
+    "sh AS (SELECT DISTINCT doc_id, unnest([t[i+1] || ' ' || t[i+2] " +
+    "|| ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] FOR i IN " +
+    "range(greatest(array_length(t) - 4, 0))]) AS s FROM tok) "
+
   /** round-half-away quantization identical in both engines. */
   private val unnestEmb =
     "(SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
@@ -3680,6 +3721,43 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q147: replay both sides over the sampled slice — the exact
+    // q25 jaccard chain (df cap included) and the q26/q40 capped
+    // band candidates — then the confusion census on the full
+    // outer join
+    "q147_lsh_eval" ->
+      (sampledShingleCte + minhashSigCte + minhashBandsCte +
+       ", hotb AS (SELECT band, key FROM bands GROUP BY band, key " +
+       "HAVING COUNT(*) > 10000)" +
+       ", kb AS (SELECT doc_id, band, key FROM bands b WHERE NOT " +
+       "EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND " +
+       "h.key = b.key))" +
+       ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS " +
+       "id2 FROM kb a JOIN kb b ON a.band = b.band AND a.key = " +
+       "b.key AND a.doc_id < b.doc_id)" +
+       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s " +
+       "FROM sh)" +
+       ", kept AS (SELECT * FROM shd WHERE s NOT IN (SELECT s " +
+       "FROM shd GROUP BY s HAVING COUNT(*) > 10000))" +
+       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM kept " +
+       "GROUP BY doc_id)" +
+       ", pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+       "COUNT(*) AS inter FROM kept a JOIN kept b ON a.s = b.s " +
+       "AND a.doc_id < b.doc_id GROUP BY 1, 2)" +
+       ", ex AS (SELECT id1, id2, inter * 5 >= (sa.n + sb.n - " +
+       "inter) AS truth FROM pr JOIN sz sa ON id1 = sa.doc_id " +
+       "JOIN sz sb ON id2 = sb.doc_id)" +
+       ", j AS (SELECT COALESCE(ex.truth, FALSE) AS truth, " +
+       "(cand.id1 IS NOT NULL) AS cand FROM ex " +
+       "FULL OUTER JOIN cand ON ex.id1 = cand.id1 AND " +
+       "ex.id2 = cand.id2) " +
+       "SELECT COUNT(*) AS n_pairs, " +
+       "COUNT(CASE WHEN truth THEN 1 END) AS n_truth, " +
+       "COUNT(CASE WHEN cand THEN 1 END) AS n_cand, " +
+       "COUNT(CASE WHEN truth AND cand THEN 1 END) AS tp, " +
+       "COUNT(CASE WHEN truth AND NOT cand THEN 1 END) AS fn, " +
+       "COUNT(CASE WHEN NOT truth AND cand THEN 1 END) AS fp " +
+       "FROM j"),
     // q146: replay the matryoshka eval — q28's quantized-dot ladder
     // with FILTERed prefix sums, two rank windows, the same id
     // tie-breaks

@@ -156,6 +156,11 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q147_lsh_eval",
+        "LSH eval harness: exact side runs on the SAMPLE only " +
+          "(priced pre-flight), candidate side is the production " +
+          "band join; confusion census via full outer join",
+        Seq("min_hash_sig", "HashAggregate", "FullOuter")),
       ("q146_matryoshka",
         "matryoshka eval: probes broadcast over ONE corpus stream; " +
           "both rankings share the probe-key exchange (two sorts, " +

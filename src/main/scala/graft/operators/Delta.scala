@@ -94,4 +94,36 @@ object Delta {
           .otherwise(col(c)).as(c)
       }: _*)
   }
+
+  /** SCD type-2 history: turn a changelog into validity intervals —
+    * the audit/time-travel view next to [[applyChangelog]]'s
+    * latest-wins table. Per key ordered by (ts, tiebreak), each
+    * upsert opens an interval `[valid_from, valid_to)` closed by the
+    * NEXT change of that key (upsert or delete alike — a delete
+    * closes its predecessor and opens nothing); the last open
+    * interval has `valid_to` null and `is_current` true.
+    *
+    * Shape at 100 TB: one keyed window (a single hash exchange on
+    * the key + per-key sort); no self-joins, no driver state. The
+    * unknown-op guard matches [[applyChangelog]] — fail fast, never
+    * corrupt history.
+    */
+  def scd2History(changes: DataFrame, key: String, ts: String,
+                  tiebreak: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val validOp = when(col(opCol).isin("upsert", "delete"),
+      col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"scd2History: invalid $opCol value: "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tiebreak).asc)
+    changes
+      .withColumn("__op", validOp)
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .where(col("__op") === "upsert")
+      .withColumn("valid_from", col(ts))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__op")
+  }
 }

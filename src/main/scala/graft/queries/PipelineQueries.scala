@@ -304,6 +304,40 @@ object PipelineQueries {
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
 
+    // SCD type-2 history: the q96 changelog as validity intervals —
+    // each upsert opens [valid_from, valid_to) closed by the key's
+    // next change (deletes close, never open); census per segment.
+    // One keyed window, no self-joins — the audit/time-travel view
+    // beside the latest-wins merge
+    "q148_scd2_history" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val h = pmod(Sampling.hash32(col("c_custkey")), lit(630L))
+      def slice(m: Long) = cust.where(h % m === 0L)
+      def chg(df: DataFrame, bal: Column, seg: Column, ts: Long,
+              op: String): DataFrame =
+        df.select(col("c_custkey"), bal.as("bal"), seg.as("seg"),
+          lit(ts).as("__ts"), lit(op).as("__op"))
+      val changes =
+        chg(slice(7), col("c_acctbal") + 50.0, col("c_mktsegment"),
+          1L, "upsert")
+        .unionByName(chg(slice(7), col("c_acctbal") + 100.0,
+          col("c_mktsegment"), 2L, "upsert"))
+        .unionByName(chg(slice(10), col("c_acctbal"),
+          col("c_mktsegment"), 3L, "delete"))
+        .unionByName(chg(slice(9), lit(42.0), lit("NEW"), 1L,
+          "upsert")
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Delta.scd2History(changes, "c_custkey", "__ts", "__ts",
+          "__op")
+        .groupBy(col("seg").as("c_mktsegment"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(when(col("is_current"), 1)).as("n_current"),
+          coalesce(sum(col("valid_to") - col("valid_from")),
+            lit(0L)).cast("long").as("sum_closed_len"),
+          countDistinct(col("c_custkey")).as("n_keys"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
+    }),
+
     // LSH self-evaluation harness: on a hash-sampled doc slice,
     // exact Jaccard truth (τ = 1/5, the q25 convention) vs the
     // 16×4-band MinHash candidate set — the recall/precision
@@ -3721,6 +3755,29 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q148: the q96 changelog CTE, lead() per key over (ts), upsert
+    // intervals only, per-segment census
+    "q148_scd2_history" ->
+      ("WITH h AS (SELECT *, CAST('0x' || " +
+       "substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) " +
+       "% 630 AS hh FROM customer), " +
+       "chg AS (" +
+       "SELECT c_custkey, c_acctbal + 50.0 AS bal, c_mktsegment " +
+       "AS seg, 1 AS ts, 'upsert' AS op FROM h WHERE hh % 7 = 0 " +
+       "UNION ALL SELECT c_custkey, c_acctbal + 100.0, " +
+       "c_mktsegment, 2, 'upsert' FROM h WHERE hh % 7 = 0 " +
+       "UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, 3, " +
+       "'delete' FROM h WHERE hh % 10 = 0 " +
+       "UNION ALL SELECT c_custkey + 1000000, 42.0, 'NEW', 1, " +
+       "'upsert' FROM h WHERE hh % 9 = 0), " +
+       "v AS (SELECT c_custkey, seg, ts, op, lead(ts) OVER " +
+       "(PARTITION BY c_custkey ORDER BY ts) AS valid_to FROM chg), " +
+       "iv AS (SELECT * FROM v WHERE op = 'upsert') " +
+       "SELECT seg AS c_mktsegment, COUNT(*) AS n_intervals, " +
+       "COUNT(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current, " +
+       "CAST(COALESCE(SUM(valid_to - ts), 0) AS BIGINT) AS " +
+       "sum_closed_len, COUNT(DISTINCT c_custkey) AS n_keys " +
+       "FROM iv GROUP BY seg ORDER BY seg NULLS FIRST"),
     // q147: replay both sides over the sampled slice — the exact
     // q25 jaccard chain (df cap included) and the q26/q40 capped
     // band candidates — then the confusion census on the full

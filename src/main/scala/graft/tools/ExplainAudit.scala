@@ -156,6 +156,10 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q148_scd2_history",
+        "SCD2 history: ONE keyed window (single hash exchange + " +
+          "per-key sort), no self-joins, no driver state",
+        Seq("Window", "HashAggregate")),
       ("q147_lsh_eval",
         "LSH eval harness: exact side runs on the SAMPLE only " +
           "(priced pre-flight), candidate side is the production " +

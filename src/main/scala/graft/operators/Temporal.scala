@@ -452,6 +452,36 @@ object Temporal {
         sum(col("__cnt")).cast("long").as("n_events"))
   }
 
+  /** Burst detection — the ops-monitoring anomaly rule, exact at any
+    * scale: per (key, day) count, a day is a BURST when its count
+    * beats `num/den` × the trailing-`windowDays`-OBSERVED-day mean
+    * by integer cross-multiplication (`n·w_cnt·den > num·w_sum`),
+    * with at least `minHistory` observed days of history (partial
+    * histories never alarm). Row-based trailing window = previous
+    * observed days, so silent (zero-count) days neither alarm nor
+    * pad the baseline.
+    *
+    * Shape: one keyed aggregation builds the (key, day, n) frame —
+    * DAYS-sized, corpus-size-independent — then one keyed window
+    * over it. Returns the per-day frame with `burst`; census
+    * downstream is the caller's.
+    */
+  def burstDays(df: DataFrame, key: Column, day: Column,
+                windowDays: Int = 7, num: Long = 2L, den: Long = 1L,
+                minHistory: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1 && num > 0 && den > 0 && minHistory >= 1)
+    val daily = df.groupBy(key.as("key"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("day").asc).rowsBetween(-windowDays, -1)
+    daily
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_cnt", count(col("n")).over(w))
+      .withColumn("burst", col("w_cnt") >= minHistory &&
+        col("n") * col("w_cnt") * den > col("w_sum") * num)
+  }
+
   /** Time-decayed counts — recency-weighted popularity ("what's hot
     * in the corpus NOW"), the feedback signal source/domain mixture
     * tuning runs nightly. Half-life decay, made EXACT: an event

@@ -304,6 +304,27 @@ object PipelineQueries {
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
 
+    // burst detection over the event stream: per (event_type, day),
+    // flag days whose count beats 2x the trailing-7-observed-day
+    // mean by integer cross-multiplication (n·w_cnt > 2·w_sum, ≥3
+    // days of history) — the ops-monitoring anomaly census, exact
+    // at any scale. One keyed agg + one keyed window; max_pct
+    // reports the strongest day as an exact floor percentage
+    "q149_burst_detect" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Temporal.burstDays(ev, col("event_type"), epochDay(ev),
+          windowDays = 7, num = 2L, den = 1L, minHistory = 3)
+        .withColumnRenamed("key", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          count(when(col("burst"), 1)).as("n_bursts"),
+          min(when(col("burst"), col("day")))
+            .as("first_burst_day"),
+          max(expr("(n * w_cnt * 100) DIV w_sum")).as("max_pct"),
+          sum(col("n")).cast("long").as("n_events"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
     // SCD type-2 history: the q96 changelog as validity intervals —
     // each upsert opens [valid_from, valid_to) closed by the key's
     // next change (deletes close, never open); census per segment.
@@ -3755,6 +3776,24 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q149: same daily counts, same ROWS BETWEEN trailing window,
+    // same exact cross-multiplied burst rule
+    "q149_burst_detect" ->
+      ("WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+       "AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+       "t AS (SELECT event_type, day, n, " +
+       "SUM(n) OVER (PARTITION BY event_type ORDER BY day ROWS " +
+       "BETWEEN 7 PRECEDING AND 1 PRECEDING) AS w_sum, " +
+       "COUNT(n) OVER (PARTITION BY event_type ORDER BY day ROWS " +
+       "BETWEEN 7 PRECEDING AND 1 PRECEDING) AS w_cnt FROM d), " +
+       "b AS (SELECT *, (w_cnt >= 3 AND n * w_cnt > w_sum * 2) " +
+       "AS burst FROM t) " +
+       "SELECT event_type, COUNT(*) AS n_days, " +
+       "COUNT(CASE WHEN burst THEN 1 END) AS n_bursts, " +
+       "MIN(CASE WHEN burst THEN day END) AS first_burst_day, " +
+       "CAST(MAX((n * w_cnt * 100) // w_sum) AS BIGINT) AS " +
+       "max_pct, CAST(SUM(n) AS BIGINT) AS n_events " +
+       "FROM b GROUP BY event_type ORDER BY event_type NULLS FIRST"),
     // q148: the q96 changelog CTE, lead() per key over (ts), upsert
     // intervals only, per-segment census
     "q148_scd2_history" ->

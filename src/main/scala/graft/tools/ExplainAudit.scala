@@ -156,6 +156,10 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q149_burst_detect",
+        "burst census: the window runs over the DAYS-sized keyed " +
+          "aggregate, never the raw events; one agg + one window",
+        Seq("HashAggregate", "Window")),
       ("q148_scd2_history",
         "SCD2 history: ONE keyed window (single hash exchange + " +
           "per-key sort), no self-joins, no driver state",

@@ -657,6 +657,61 @@ object StreamingStructure {
       }
   }
 
+  /** Per-key burst-watch state: the trailing window of the last
+    * `windowDays` OBSERVED (day, count) entries, ordered by day —
+    * bounded at `windowDays` entries per key regardless of stream
+    * length, the 100 TB state-size concern.
+    */
+  final case class BurstState(trail: Seq[(Long, Long)])
+
+  /** Emitted per arriving (key, day, n): the batch
+    * [[graft.operators.Temporal.burstDays]] verdict — exact
+    * cross-multiplied alarm over the trailing observed days.
+    */
+  final case class BurstVerdict(key: String, day: Long, n: Long,
+                                wSum: Long, wCnt: Long,
+                                burst: Boolean)
+
+  /** Streaming BURST WATCH — the ingest-side twin of
+    * [[graft.operators.Temporal.burstDays]] (q149): continuous
+    * per-key anomaly verdicts over DAILY COUNT rows (pre-aggregated
+    * upstream, e.g. by a windowed count), with the trailing window
+    * held in keyed state via mapGroupsWithState — at most
+    * `windowDays` (day, count) entries per key, ever. Late or
+    * replayed days are folded in day order within each batch;
+    * days at-or-before the newest state entry are scored against
+    * the state AS OF arrival (streaming can't rewrite history —
+    * the batch operator is the retrospective truth).
+    */
+  def burstWatch(spark: SparkSession,
+                 ds: Dataset[(String, Long, Long)],
+                 windowDays: Int = 7, num: Long = 2L, den: Long = 1L,
+                 minHistory: Int = 3): Dataset[BurstVerdict] = {
+    import spark.implicits._
+    require(windowDays >= 1 && num > 0 && den > 0 && minHistory >= 1)
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[BurstState, BurstVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[BurstState]) =>
+          var trail = state.getOption.getOrElse(
+            BurstState(Seq.empty)).trail
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, day, n) =>
+              val wSum = trail.map(_._2).sum
+              val wCnt = trail.length.toLong
+              val burst = wCnt >= minHistory &&
+                n * wCnt * den > wSum * num
+              trail = (trail :+ (day, n)).sortBy(_._1)
+                .takeRight(windowDays)
+              BurstVerdict(key, day, n, wSum, wCnt, burst)
+          }
+          state.update(BurstState(trail))
+          out.iterator
+      }
+  }
+
   // ---- continuous delta dedup against a persisted corpus ----------
 
   /** The corpus parquet a [[deltaDedupToCorpus]] pipeline maintains,

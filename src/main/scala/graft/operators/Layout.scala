@@ -169,6 +169,81 @@ object Layout {
       after.length, after.map(_.getLen).sum, targetBytes)
   }
 
+  /** What [[pruningCensus]] found in the footers: how many files /
+    * row groups a `[lo, hi]` range predicate on `column` must
+    * actually read, against the totals — the metadata-only answer to
+    * "is this layout worth it" BEFORE any scan runs. `needed` uses
+    * the same overlap rule parquet readers apply (skip iff
+    * `max < lo || min > hi`); row groups without statistics count as
+    * needed (a reader cannot skip what it cannot bound).
+    */
+  final case class PruningReport(filesTotal: Int, filesNeeded: Int,
+                                 rowGroupsTotal: Int,
+                                 rowGroupsNeeded: Int,
+                                 rowsTotal: Long, rowsNeeded: Long)
+
+  /** Footer-statistics pruning census — the layout ADVISOR that
+    * quantifies what [[zOrderLayout]] / [[hilbertLayout]] /
+    * sort-on-write buys: driver-side parquet-footer reads (KBs per
+    * file, zero Spark jobs — the [[ScanStats.fastRowCount]]
+    * discipline) count the files and row groups a long-range
+    * predicate can skip. Run it on two candidate layouts of the same
+    * data and keep the one with fewer `rowGroupsNeeded`.
+    */
+  def pruningCensus(spark: SparkSession, path: String,
+                    column: String, lo: Long, hi: Long)
+      : PruningReport = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hPath = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = hPath.getFileSystem(conf)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $path")
+    import scala.collection.parallel.CollectionConverters._
+    val perFile = files.par.map { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val md = r.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val groups = md.asScala.map { block =>
+          val cc = block.getColumns.asScala.find(
+            _.getPath.toDotString == column)
+          val needed = cc match {
+            case Some(c)
+                if c.getStatistics != null &&
+                  !c.getStatistics.isEmpty =>
+              val st = c.getStatistics
+              val mn = st.genericGetMin match {
+                case n: Number => n.longValue()
+                case other => other.toString.toLong
+              }
+              val mx = st.genericGetMax match {
+                case n: Number => n.longValue()
+                case other => other.toString.toLong
+              }
+              !(mx < lo || mn > hi)
+            case _ => true // no stats → the reader cannot skip
+          }
+          (needed, block.getRowCount)
+        }.toSeq
+        (groups.length, groups.count(_._1),
+          groups.map(_._2).sum, groups.filter(_._1).map(_._2).sum,
+          groups.exists(_._1))
+      } finally r.close()
+    }.toList
+    PruningReport(
+      filesTotal = perFile.length,
+      filesNeeded = perFile.count(_._5),
+      rowGroupsTotal = perFile.map(_._1).sum,
+      rowGroupsNeeded = perFile.map(_._2).sum,
+      rowsTotal = perFile.map(_._3).sum,
+      rowsNeeded = perFile.map(_._4).sum)
+  }
+
   /** Compact a BUCKETED table's per-bucket file fragments into a new
     * table carrying the identical bucketing contract: repartitioning
     * on the bucket key with exactly `numBuckets` partitions aligns

@@ -62,6 +62,45 @@ class PruningCensusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorted.rowsNeeded < shuffled.rowsNeeded)
   }
 
+  test("z-order layout prunes BOTH dimensions; single-sort prunes only its own") {
+    val s = spark
+    import s.implicits._
+    // 100x100 grid: (a, b) independent — the multidimensional case
+    // z-ordering exists for
+    val grid = (0L until 10000L).toDF("i")
+      .select((col("i") / 100).cast("long").as("a"),
+        (col("i") % 100).cast("long").as("b"))
+
+    val byAPath = s"$dir/by_a"
+    grid.repartitionByRange(16, col("a"))
+      .sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(byAPath)
+
+    val zPath = s"$dir/zorder"
+    Layout.zOrderLayout(grid, col("a"), col("b"), bits = 7,
+        numPartitions = 16)
+      .write.mode("overwrite").parquet(zPath)
+
+    // 10% range on each dimension
+    val aByA = Layout.pruningCensus(s, byAPath, "a", 40L, 49L)
+    val bByA = Layout.pruningCensus(s, byAPath, "b", 40L, 49L)
+    val aByZ = Layout.pruningCensus(s, zPath, "a", 40L, 49L)
+    val bByZ = Layout.pruningCensus(s, zPath, "b", 40L, 49L)
+
+    // sort-by-a: the a-range prunes hard, the b-range reads ALL
+    assert(aByA.filesNeeded * 3 <= aByA.filesTotal)
+    assert(bByA.filesNeeded == bByA.filesTotal)
+    // z-order: BOTH dimensions prune (strictly fewer rows than the
+    // full table on each axis — the envelope the layout exists for)
+    assert(aByZ.rowsNeeded < aByZ.rowsTotal,
+      s"z a-range: ${aByZ.rowsNeeded}/${aByZ.rowsTotal}")
+    assert(bByZ.rowsNeeded < bByZ.rowsTotal,
+      s"z b-range: ${bByZ.rowsNeeded}/${bByZ.rowsTotal}")
+    // and the b-range in particular beats the sorted-by-a layout,
+    // which cannot skip anything for it
+    assert(bByZ.rowsNeeded < bByA.rowsNeeded)
+  }
+
   test("full-range predicate needs everything; empty range needs nothing (sorted)") {
     val s = spark
     val sortedPath = s"$dir/sorted"

@@ -304,6 +304,40 @@ object PipelineQueries {
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
 
+    // per-source exact decibit quartiles — the "where do I cut"
+    // numbers a curation run reads off the q141 scores: positional
+    // quartiles (the engine's §1.3 rank rule, rn ∈ {1, n/4+1,
+    // n/2+1, 3n/4+1, n}) over the per-doc LM cross-entropy, via
+    // rank windows over the DOCS-sized score frame
+    "q150_lm_quartiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val (bi, uni, vocab) = LangModel.trainBigram(
+        docs.where(col("source") === "src0"), col("text"))
+      val perDoc = LangModel.crossEntropyBits(
+        docs.where(col("source") =!= "src0"),
+        Seq(col("source"), col("doc_id")), col("text"),
+        bi, uni, vocab)
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("decibits").asc, col("doc_id").asc)
+      val wn = Window.partitionBy(col("source"))
+      perDoc
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("rn") === 1, col("decibits"))).as("min_db"),
+          max(when(col("rn") === expr("n DIV 4 + 1"),
+            col("decibits"))).as("q1_db"),
+          max(when(col("rn") === expr("n DIV 2 + 1"),
+            col("decibits"))).as("q2_db"),
+          max(when(col("rn") === expr("3 * n DIV 4 + 1"),
+            col("decibits"))).as("q3_db"),
+          max(when(col("rn") === col("n"), col("decibits")))
+            .as("max_db"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // burst detection over the event stream: per (event_type, day),
     // flag days whose count beats 2x the trailing-7-observed-day
     // mean by integer cross-multiplication (n·w_cnt > 2·w_sum, ≥3
@@ -2654,6 +2688,34 @@ object PipelineQueries {
     s"bands$tag AS MATERIALIZED ($bandSelects)"
   }
 
+  /** The q141 bigram-LM per-document scoring chain (trusted slice =
+    * src0, scored = the rest): ends at `pd(source, doc_id, n_b,
+    * n_u, bits, decibits)` — shared by q141's census and q150's
+    * quartile cut.
+    */
+  private val lmPerDocCte =
+    "WITH d AS (SELECT source, doc_id, regexp_split_to_array(" +
+    "trim(text), '\\s+') AS l FROM documents), " +
+    "p AS (SELECT source, doc_id, l[i-1] AS w1, " +
+    "l[i-1] || ' ' || l[i] AS bg FROM d, " +
+    "unnest(range(2, len(l) + 1)) AS u(i) WHERE len(l) >= 2), " +
+    "tb AS (SELECT bg, COUNT(*) AS c_bi FROM p " +
+    "WHERE source = 'src0' GROUP BY bg), " +
+    "tu AS (SELECT w1, COUNT(*) AS c_uni FROM p " +
+    "WHERE source = 'src0' GROUP BY w1), " +
+    "v AS (SELECT COUNT(DISTINCT w1) AS v FROM p " +
+    "WHERE source = 'src0'), " +
+    "sc AS (SELECT p.source, p.doc_id, " +
+    "length(bin(COALESCE(tu.c_uni, 0) + v.v)) - " +
+    "length(bin(COALESCE(tb.c_bi, 0) + 1)) AS bits, " +
+    "CASE WHEN tb.c_bi IS NULL THEN 1 ELSE 0 END AS unseen " +
+    "FROM p CROSS JOIN v LEFT JOIN tb ON p.bg = tb.bg " +
+    "LEFT JOIN tu ON p.w1 = tu.w1 WHERE p.source <> 'src0'), " +
+    "pd AS (SELECT source, doc_id, COUNT(*) AS n_b, " +
+    "SUM(unseen) AS n_u, SUM(bits) AS bits, " +
+    "(10 * SUM(bits)) // COUNT(*) AS decibits " +
+    "FROM sc GROUP BY source, doc_id) "
+
   /** q147's sampled slice: the q25/q26 shingle chain restricted to
     * the hash-sampled doc ids (the eval universe).
     */
@@ -3725,27 +3787,7 @@ object PipelineQueries {
     // same trained counts, same whole-bit code lengths via bin()
     // string length (floor-log2 exactness both engines share)
     "q141_lm_bits" ->
-      ("WITH d AS (SELECT source, doc_id, regexp_split_to_array(" +
-       "trim(text), '\\s+') AS l FROM documents), " +
-       "p AS (SELECT source, doc_id, l[i-1] AS w1, " +
-       "l[i-1] || ' ' || l[i] AS bg FROM d, " +
-       "unnest(range(2, len(l) + 1)) AS u(i) WHERE len(l) >= 2), " +
-       "tb AS (SELECT bg, COUNT(*) AS c_bi FROM p " +
-       "WHERE source = 'src0' GROUP BY bg), " +
-       "tu AS (SELECT w1, COUNT(*) AS c_uni FROM p " +
-       "WHERE source = 'src0' GROUP BY w1), " +
-       "v AS (SELECT COUNT(DISTINCT w1) AS v FROM p " +
-       "WHERE source = 'src0'), " +
-       "sc AS (SELECT p.source, p.doc_id, " +
-       "length(bin(COALESCE(tu.c_uni, 0) + v.v)) - " +
-       "length(bin(COALESCE(tb.c_bi, 0) + 1)) AS bits, " +
-       "CASE WHEN tb.c_bi IS NULL THEN 1 ELSE 0 END AS unseen " +
-       "FROM p CROSS JOIN v LEFT JOIN tb ON p.bg = tb.bg " +
-       "LEFT JOIN tu ON p.w1 = tu.w1 WHERE p.source <> 'src0'), " +
-       "pd AS (SELECT source, doc_id, COUNT(*) AS n_b, " +
-       "SUM(unseen) AS n_u, SUM(bits) AS bits, " +
-       "(10 * SUM(bits)) // COUNT(*) AS decibits " +
-       "FROM sc GROUP BY source, doc_id) " +
+      (lmPerDocCte +
        "SELECT source, COUNT(*) AS n_docs, " +
        "CAST(SUM(n_b) AS BIGINT) AS n_bigrams, " +
        "CAST(SUM(n_u) AS BIGINT) AS n_unseen, " +
@@ -3776,6 +3818,26 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q150: the shared LM per-doc chain + the q07 positional-rank
+    // rule, per source
+    "q150_lm_quartiles" ->
+      (lmPerDocCte +
+       ", r AS (SELECT source, doc_id, decibits, " +
+       "ROW_NUMBER() OVER (PARTITION BY source ORDER BY decibits, " +
+       "doc_id) AS rn, COUNT(*) OVER (PARTITION BY source) AS n " +
+       "FROM pd) " +
+       "SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, " +
+       "CAST(MAX(CASE WHEN rn = 1 THEN decibits END) AS BIGINT) " +
+       "AS min_db, " +
+       "CAST(MAX(CASE WHEN rn = n // 4 + 1 THEN decibits END) AS " +
+       "BIGINT) AS q1_db, " +
+       "CAST(MAX(CASE WHEN rn = n // 2 + 1 THEN decibits END) AS " +
+       "BIGINT) AS q2_db, " +
+       "CAST(MAX(CASE WHEN rn = 3 * n // 4 + 1 THEN decibits END) " +
+       "AS BIGINT) AS q3_db, " +
+       "CAST(MAX(CASE WHEN rn = n THEN decibits END) AS BIGINT) " +
+       "AS max_db " +
+       "FROM r GROUP BY source ORDER BY source NULLS FIRST"),
     // q149: same daily counts, same ROWS BETWEEN trailing window,
     // same exact cross-multiplied burst rule
     "q149_burst_detect" ->

@@ -156,6 +156,11 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q150_lm_quartiles",
+        "LM quartile cut: rank windows run over the DOCS-sized " +
+          "per-doc score frame, one source-key exchange; the model " +
+          "side is q141's broadcast chain",
+        Seq("Window", "BroadcastNestedLoopJoin", "HashAggregate")),
       ("q149_burst_detect",
         "burst census: the window runs over the DAYS-sized keyed " +
           "aggregate, never the raw events; one agg + one window",

@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Dedup, Delta, EntityResolution,
-  LangModel, Layout, Mixing, Multimodal, Retrieval, Sampling,
-  Similarity, Sketches, Temporal}
+import graft.operators.{Chunking, Contracts, Dedup, Delta,
+  EntityResolution, LangModel, Layout, Mixing, Multimodal,
+  Retrieval, Sampling, Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -303,6 +303,26 @@ object PipelineQueries {
           minCount = 3L, num = 2L, den = 1L)
         .orderBy(col("c_bg").desc, col("bg").asc_nulls_first)
         .limit(20)),
+
+    // data-contract census (the Deequ/dbt-tests shape): four
+    // row-level rules folded into ONE lineitem pass (adding a rule
+    // adds a column, never a scan) plus a referential-integrity
+    // anti-join to orders — per-rule violation counts
+    "q151_contract_census" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val rules = Seq(
+        "qty_le_45" -> (col("l_quantity") <= 45),
+        "disc_le_8pct" -> (col("l_discount") <= 0.08),
+        "price_ge_1000" -> (col("l_extendedprice") >= 1000),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"))
+      Contracts.ruleCensus(li, rules)
+        .unionByName(Contracts.fkViolationCount(li,
+            col("l_orderkey"), t(s, d, "orders"), col("o_orderkey"))
+          .select(lit("fk_orderkey").as("rule"),
+            col("n_violations"),
+            lit(null).cast("long").as("n_rows")))
+        .orderBy(col("rule").asc_nulls_first)
+    }),
 
     // per-source exact decibit quartiles — the "where do I cut"
     // numbers a curation run reads off the q141 scores: positional
@@ -3818,6 +3838,27 @@ object PipelineQueries {
        "WHERE c_bg::HUGEINT * n_total::HUGEINT >= " +
        "2 * c_w1::HUGEINT * c_w2::HUGEINT " +
        "ORDER BY c_bg DESC, bg ASC NULLS FIRST LIMIT 20"),
+    // q151: replay each rule as a filtered count + the anti-join
+    "q151_contract_census" ->
+      ("WITH c AS (SELECT COUNT(*) AS n FROM lineitem) " +
+       "SELECT * FROM (" +
+       "SELECT 'qty_le_45' AS rule, COUNT(CASE WHEN NOT " +
+       "COALESCE(l_quantity <= 45, FALSE) THEN 1 END) AS " +
+       "n_violations, (SELECT n FROM c) AS n_rows FROM lineitem " +
+       "UNION ALL SELECT 'disc_le_8pct', COUNT(CASE WHEN NOT " +
+       "COALESCE(l_discount <= 0.08, FALSE) THEN 1 END), " +
+       "(SELECT n FROM c) FROM lineitem " +
+       "UNION ALL SELECT 'price_ge_1000', COUNT(CASE WHEN NOT " +
+       "COALESCE(l_extendedprice >= 1000, FALSE) THEN 1 END), " +
+       "(SELECT n FROM c) FROM lineitem " +
+       "UNION ALL SELECT 'flag_domain', COUNT(CASE WHEN NOT " +
+       "COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 " +
+       "END), (SELECT n FROM c) FROM lineitem " +
+       "UNION ALL SELECT 'fk_orderkey', (SELECT COUNT(*) FROM " +
+       "lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS " +
+       "(SELECT 1 FROM orders o WHERE o.o_orderkey = " +
+       "l.l_orderkey)), NULL) " +
+       "ORDER BY rule NULLS FIRST"),
     // q150: the shared LM per-doc chain + the q07 positional-rank
     // rule, per source
     "q150_lm_quartiles" ->

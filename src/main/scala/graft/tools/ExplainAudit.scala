@@ -156,6 +156,11 @@ object ExplainAudit {
       ("q136_dim_stats",
         "dim census: one explode feeding partial aggregation",
         Seq("Generate posexplode", "HashAggregate")),
+      ("q151_contract_census",
+        "contract census: all row rules fold into ONE scan's " +
+          "partial aggregation; the FK check is an anti-join (AQE " +
+          "broadcasts the parent)",
+        Seq("HashAggregate", "LeftAnti")),
       ("q150_lm_quartiles",
         "LM quartile cut: rank windows run over the DOCS-sized " +
           "per-doc score frame, one source-key exchange; the model " +

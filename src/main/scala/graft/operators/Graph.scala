@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over edge tables — the link-quality signals a
+  * web-scale curation pipeline computes before filtering (PageRank as
+  * the canonical corpus-quality prior, Page et al. 1999; seeded trust
+  * propagation over a link graph, Gyöngyi et al. VLDB 2004). The
+  * reference engine has no graph surface (it infers structure,
+  * `/root/reference/structa/analyzer.py`); these are beyond-reference
+  * pipeline operators in the q120/q48 exact-iteration family.
+  *
+  * Determinism contract (the q44 rule): every update is exact integer
+  * arithmetic on DECIMAL(38,0) — scores are scaled by `scale`, the
+  * damping factor is the rational `num/den`, and each multiplicative
+  * step is the floor division `(a - a mod b) / b`, which a second
+  * engine computes bit-for-bit in HUGEINT. Floor loss is ≤ 1 scaled
+  * unit per node per step, identical in both engines.
+  *
+  * Shape at 100 TB: the edge frame persists once; each iteration is
+  * ONE shuffle join (edges ⋈ ranks on `src` — the canonical PageRank
+  * exchange, keyed identically every round so AQE reuses the layout)
+  * + one keyed aggregation on `dst` + two scalar aggregates that ride
+  * a 1-row broadcast. The driver loop never touches data — one
+  * lineage-cutting localCheckpoint per round (the CC-loop contract).
+  * Headroom: a score is ≤ N·scale and an update product ≤ d·N·scale,
+  * so DECIMAL(38,0) holds N up to ~10^30/scale nodes.
+  */
+object Graph {
+
+  private val Dec = "decimal(38,0)"
+
+  /** Exact floor division of non-negative DECIMAL(38,0) columns:
+    * `(a - a mod b) / b` — the subtraction makes the numerator
+    * exactly divisible, so the decimal division is exact and
+    * rounding-mode-free in any engine.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(Dec)
+
+  /** `iterations` rounds of exact scaled-integer PageRank over a
+    * directed edge frame with columns `src`/`dst` (any key type;
+    * multi-edges count — `.distinct()` upstream for simple graphs).
+    *
+    * Update (damping d = num/den, total mass T = N·scale):
+    * {{{
+    *   share(u)  = floor(pr(u) / outdeg(u))        per out-edge
+    *   inflow(v) = Σ_{u→v} share(u)
+    *   D         = Σ_{outdeg(u)=0} pr(u)           dangling mass
+    *   pr'(v)    = floor((den−num)·T / (den·N))
+    *             + floor(num·(inflow(v) + floor(D/N)) / den)
+    * }}}
+    *
+    * With `seeds` (personalized / TrustRank), the teleport and the
+    * dangling redistribution both target ONLY the seed set S:
+    * {{{
+    *   pr'(v) = [v∈S]·floor((den−num)·T / (den·|S|))
+    *          + floor(num·(inflow(v) + [v∈S]·floor(D/|S|)) / den)
+    * }}}
+    * so score mass provably originates from the seeds and reaches
+    * other nodes through links alone.
+    *
+    * Returns `(node, pr)` — `pr` is the final scaled score; a node's
+    * rank share is `pr / T`.
+    */
+  def pagerank(edges: DataFrame, iterations: Int = 3,
+               num: Long = 17L, den: Long = 20L,
+               scale: Long = 1000000L,
+               seeds: Option[DataFrame] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"driver-looped plan growth is specified for 1..16 " +
+        s"iterations: $iterations")
+    require(num > 0 && den > num,
+      s"damping num/den must lie in (0, 1): $num/$den")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast(Dec).as("deg"))
+      .localCheckpoint()
+    // seed membership rides the node frame as one boolean column —
+    // the teleport base is then a branch-free projection each round
+    val seeded = seeds match {
+      case Some(sf) =>
+        val sn = sf.select(col("node")).distinct()
+        nodes.join(sn.withColumn("__s", lit(true)), Seq("node"),
+            "left")
+          .select(col("node"),
+            coalesce(col("__s"), lit(false)).as("is_seed"))
+          .localCheckpoint()
+      case None => nodes.select(col("node"), lit(true).as("is_seed"))
+    }
+    // N (nodes), S (teleport targets), T = N·scale — one tiny frame
+    // every round's projection crossJoin-broadcasts. A seed set that
+    // never intersects the edge frame's nodes would divide by zero;
+    // raise in-plan (fail-fast, the applyChangelog discipline)
+    // rather than emit an all-null ranking.
+    val tot = seeded.agg(
+        count(lit(1)).cast(Dec).as("n"),
+        count(when(col("is_seed"), 1)).cast(Dec).as("s0"))
+      .select(col("n"),
+        when(col("s0") > 0, col("s0"))
+          .otherwise(raise_error(lit("pagerank: no seed appears " +
+            "among the edge frame's nodes (empty teleport set)"))
+            .cast(Dec))
+          .as("s"))
+    val sc = lit(scale).cast(Dec)
+    // initial mass lives ON the teleport set: floor(T/|S|) per seed,
+    // 0 elsewhere — for seeds=None that is exactly `scale` per node,
+    // and for TrustRank every unit of final score provably originated
+    // at a seed and travelled only links
+    var pr = seeded.crossJoin(broadcast(tot))
+      .select(col("node"), col("is_seed"),
+        when(col("is_seed"), floorDiv(col("n") * sc, col("s")))
+          .otherwise(lit(0).cast(Dec)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val inflow = e.join(pr.select(col("node"), col("pr")),
+          e("src") === col("node"))
+        .join(deg.withColumnRenamed("node", "__dn"),
+          col("__dn") === e("src"))
+        .select(e("dst").as("node"),
+          floorDiv(col("pr"), col("deg")).as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).cast(Dec).as("inflow"))
+      val dang = pr.join(deg.select(col("node")), Seq("node"),
+          "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0)).cast(Dec).as("d"))
+      pr = pr.select(col("node"), col("is_seed"), col("pr"))
+        .join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"),
+            floorDiv(lit(den - num).cast(Dec) * col("n") * sc,
+              lit(den).cast(Dec) * col("s")))
+            .otherwise(lit(0).cast(Dec)) +
+          floorDiv(lit(num).cast(Dec) *
+            (coalesce(col("inflow"), lit(0).cast(Dec)) +
+              when(col("is_seed"), floorDiv(col("d"), col("s")))
+                .otherwise(lit(0).cast(Dec))),
+            lit(den).cast(Dec))).as("pr"))
+        // pr is referenced three times next round (shares, dangling,
+        // the rebase join) — one eager cut per round keeps the plan
+        // flat and is the round's only driver action
+        .localCheckpoint()
+    }
+    e.unpersist()
+    pr.select(col("node"), col("pr"))
+  }
+
+  /** Degree census of an edge frame: per-node out/in degree and the
+    * distribution head — the graph-shape numbers read before a rank
+    * run (skew → hot-key handling). One pass per direction.
+    */
+  def degreeCensus(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

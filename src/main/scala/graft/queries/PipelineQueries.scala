@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
 
 import graft.functions.TextFunctions
 import graft.operators.{Chunking, Contracts, Dedup, Delta,
-  EntityResolution, LangModel, Layout, Mixing, Multimodal,
+  EntityResolution, Graph, LangModel, Layout, Mixing, Multimodal,
   Retrieval, Sampling, Similarity, Sketches, Temporal}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
@@ -26,6 +26,18 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** q152/q153's purchase graph: one distinct customer→supplier edge
+    * per (custkey, suppkey) that ever traded — one orders⋈lineitem
+    * join, keys prefixed into one node namespace.
+    */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
 
   private def hexOf(xs: Int*): String =
     xs.map(b => f"${b & 0xff}%02x").mkString
@@ -265,6 +277,52 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- graph centrality ----------------------------------------
+    // PageRank over the customer→supplier purchase graph — the
+    // link-quality prior a web-curation run computes (Page et al.
+    // 1999) in EXACT scaled integers (q120's floor-division rule):
+    // every iteration is one edges⋈ranks shuffle + one keyed sum,
+    // dangling mass and N ride 1-row broadcasts. Top-10 by final
+    // score, id tie-break
+    "q152_pagerank" -> ((s, d) => {
+      Graph.pagerank(purchaseEdges(s, d), iterations = 3)
+        .select(col("node"), col("pr").cast("long").as("pr"))
+        .orderBy(col("pr").desc, col("node").asc_nulls_first)
+        .limit(10)
+    }),
+
+    // TrustRank (Gyöngyi et al. VLDB 2004): teleport + dangling mass
+    // target ONLY the seed set (suppliers from nations 0-4), so every
+    // unit of score provably originated at a seed and travelled the
+    // (symmetrized) purchase links; census per node kind pins the
+    // full score distribution, not just the head
+    "q153_trustrank" -> ((s, d) => {
+      val cs = purchaseEdges(s, d)
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, d, "supplier")
+        .where(col("s_nationkey") < 5)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      Graph.pagerank(edges, iterations = 3, seeds = Some(seeds))
+        .groupBy(substring(col("node"), 1, 1).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("pr")).cast("long").as("sum_pr"),
+          max(col("pr")).cast("long").as("max_pr"),
+          count(when(col("pr") === 0, 1)).as("n_zero"))
+        .orderBy(col("kind").asc_nulls_first)
+    }),
+
+    // unigram-LM (SentencePiece-family) segmentation census: build
+    // the whole-bit-scored substring vocabulary from the word table,
+    // Viterbi-split every distinct word (native codegen'd DP — the
+    // q117 sequential-state rule), census by optimal piece count.
+    // The packed objective (bits·64 + pieces) makes the optimum's
+    // bit total AND piece count unique, so DuckDB replays the DP as
+    // a recursive CTE and hash-matches exactly
+    "q154_unigram_segment" -> ((s, d) =>
+      graft.operators.Unigram.segmentCensus(
+        t(s, d, "documents"), col("text"))),
+
     // ---- text analysis -------------------------------------------
     // CCNet-recipe LM quality filter: train an add-one bigram model
     // on the trusted slice (source = src0), score every other doc's
@@ -2994,6 +3052,56 @@ object PipelineQueries {
     "CAST(COALESCE(MAX(array_length(ps)), 0) AS BIGINT) AS " +
     "max_occ FROM pos WHERE array_length(ps) > 0"
 
+  /** q152/q153's PageRank replay: the exact floor-division update
+    * unrolled as materialized CTEs in HUGEINT — bit-identical to the
+    * engine's DECIMAL(38,0) `(a - a mod b) / b` because both are
+    * exact integer floor divisions of non-negative operands. The
+    * edge CTE and the optional seed CTE are the only variation
+    * points, so q152 (plain) and q153 (seeded, symmetrized) share
+    * one generator and cannot drift from each other.
+    */
+  private def pagerankCtes(edgesSql: String, seedsSql: Option[String],
+                           rounds: Int, num: Long = 17L,
+                           den: Long = 20L,
+                           scale: Long = 1000000L): String = {
+    val nf = seedsSql match {
+      case Some(sq) =>
+        "nf AS MATERIALIZED (SELECT n.node, s.node IS NOT NULL AS " +
+        s"is_seed FROM nodes n LEFT JOIN ($sq) s ON n.node = s.node)"
+      case None =>
+        "nf AS MATERIALIZED (SELECT node, TRUE AS is_seed FROM nodes)"
+    }
+    val body = (1 to rounds).map { r =>
+      s"i$r AS (SELECT e.dst AS node, SUM(p.pr // d.deg) AS inflow " +
+      s"FROM edges e JOIN p${r - 1} p ON e.src = p.node JOIN deg d " +
+      "ON e.src = d.node GROUP BY 1), " +
+      s"g$r AS (SELECT CAST(COALESCE(SUM(p.pr), 0) AS HUGEINT) AS " +
+      s"dang FROM p${r - 1} p ANTI JOIN deg d ON p.node = d.node), " +
+      s"p$r AS MATERIALIZED (SELECT f.node, f.is_seed, " +
+      s"CASE WHEN f.is_seed THEN (${den - num} * (SELECT n FROM " +
+      s"tot) * $scale) // ($den * (SELECT s FROM tot)) ELSE " +
+      s"CAST(0 AS HUGEINT) END + ($num * (COALESCE(i.inflow, 0) + " +
+      s"CASE WHEN f.is_seed THEN (SELECT dang FROM g$r) // (SELECT " +
+      s"s FROM tot) ELSE 0 END)) // $den AS pr FROM nf f LEFT JOIN " +
+      s"i$r i ON f.node = i.node)"
+    }.mkString(", ")
+    s"edges AS MATERIALIZED ($edgesSql), " +
+    "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION " +
+    "SELECT dst FROM edges), " +
+    "deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS " +
+    "HUGEINT) AS deg FROM edges GROUP BY 1), " + nf + ", " +
+    "tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, " +
+    "CAST(COUNT(*) FILTER (is_seed) AS HUGEINT) AS s FROM nf), " +
+    "p0 AS MATERIALIZED (SELECT node, is_seed, CASE WHEN is_seed " +
+    s"THEN ((SELECT n FROM tot) * $scale) // (SELECT s FROM tot) " +
+    "ELSE CAST(0 AS HUGEINT) END AS pr FROM nf), " + body
+  }
+
+  private val purchaseEdgesSql: String =
+    "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM orders JOIN " +
+    "lineitem ON l_orderkey = o_orderkey"
+
   // NB: lazy so the earlier-declared SQL strings can reference it
   // during object initialization
   private lazy val rakeOracleSql: String =
@@ -3803,6 +3911,66 @@ object PipelineQueries {
     "inferred)) ORDER BY column_name NULLS FIRST"
 
   val oracleSql: Map[String, String] = Map(
+    // q154: the unigram Viterbi DP replayed as a recursive CTE — one
+    // lockstep position per iteration, the best-cost array carried
+    // as a list column; same word table, same piece counts, same
+    // whole-bit costs, same packed objective
+    "q154_unigram_segment" ->
+      ("WITH RECURSIVE " +
+       "wf AS MATERIALIZED (SELECT word AS w, CAST(COUNT(*) AS " +
+       "BIGINT) AS f FROM (SELECT unnest(regexp_split_to_array(" +
+       "trim(text), '\\s+')) AS word FROM documents) WHERE " +
+       "word <> '' GROUP BY word), " +
+       // correlated range() laterals are unsupported — enumerate
+       // positions and piece lengths through unnest instead
+       "pc AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) " +
+       "AS cnt FROM (SELECT f, substr(w, CAST(i + 1 AS INTEGER), " +
+       "CAST(k AS INTEGER)) AS piece FROM (SELECT f, w, i, " +
+       "unnest([1,2,3,4]) AS k FROM (SELECT f, w, " +
+       "unnest(range(length(w))) AS i FROM wf)) WHERE " +
+       "i + k <= length(w)) GROUP BY piece HAVING SUM(f) >= 5), " +
+       "tc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc), " +
+       "vc AS MATERIALIZED (SELECT piece, CAST((length(bin(" +
+       "(SELECT t FROM tc))) - length(bin(cnt)) + 1) * 64 + 1 AS " +
+       "BIGINT) AS cost FROM pc), " +
+       "dp AS (SELECT w, f, CAST(0 AS BIGINT) AS i, " +
+       "[CAST(0 AS BIGINT)] AS best FROM wf WHERE length(w) <= 60 " +
+       "UNION ALL SELECT d.w, d.f, d.i + 1, list_append(d.best, " +
+       "MIN(d.best[CAST(d.i + 2 - t.k AS INTEGER)] + v.cost)) " +
+       "FROM dp d JOIN range(1, 5) t(k) ON t.k <= d.i + 1 " +
+       "LEFT JOIN vc v ON v.piece = substr(d.w, CAST(d.i + 2 - " +
+       "t.k AS INTEGER), CAST(t.k AS INTEGER)) " +
+       "WHERE d.i < length(d.w) GROUP BY d.w, d.f, d.i, d.best), " +
+       "per AS (SELECT d.w, d.f, d.best[CAST(length(d.w) + 1 AS " +
+       "INTEGER)] AS obj FROM dp d WHERE d.i = length(d.w) " +
+       "UNION ALL SELECT w, f, CAST(NULL AS BIGINT) FROM wf " +
+       "WHERE length(w) > 60) " +
+       "SELECT obj % 64 AS n_pieces, COUNT(*) AS n_words, " +
+       "CAST(SUM(f) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(f * (obj // 64)) AS BIGINT) AS sum_wbits " +
+       "FROM per GROUP BY 1 ORDER BY n_pieces NULLS FIRST"),
+
+    // q152: the 3-iteration exact-integer PageRank replay in HUGEINT
+    "q152_pagerank" ->
+      ("WITH " + pagerankCtes(purchaseEdgesSql, None, rounds = 3) +
+       " SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 " +
+       "ORDER BY pr DESC, node ASC NULLS FIRST LIMIT 10"),
+
+    // q153: the seeded replay — symmetrized edges, nation-0..4
+    // supplier seeds, per-kind score census
+    "q153_trustrank" ->
+      ("WITH " + pagerankCtes(
+         "SELECT src, dst FROM (" + purchaseEdgesSql +
+         ") UNION ALL SELECT dst, src FROM (" + purchaseEdgesSql + ")",
+         Some("SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node " +
+           "FROM supplier WHERE s_nationkey < 5"),
+         rounds = 3) +
+       " SELECT substr(node, 1, 1) AS kind, COUNT(*) AS n_nodes, " +
+       "CAST(SUM(pr) AS BIGINT) AS sum_pr, " +
+       "CAST(MAX(pr) AS BIGINT) AS max_pr, " +
+       "COUNT(CASE WHEN pr = 0 THEN 1 END) AS n_zero " +
+       "FROM p3 GROUP BY 1 ORDER BY kind NULLS FIRST"),
+
     // q141: replay the add-one bigram LM in SQL — same bigram rows,
     // same trained counts, same whole-bit code lengths via bin()
     // string length (floor-log2 exactness both engines share)

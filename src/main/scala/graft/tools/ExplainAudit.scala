@@ -170,6 +170,20 @@ object ExplainAudit {
         "burst census: the window runs over the DAYS-sized keyed " +
           "aggregate, never the raw events; one agg + one window",
         Seq("HashAggregate", "Window")),
+      // (q152/q153's per-iteration internals — the edges⋈ranks
+      // shuffle, the dangling anti-join, the 1-row tot/dang
+      // broadcasts — live behind the per-round localCheckpoint, the
+      // q134 caveat; the exact-arithmetic laws are GraphSpec-pinned.
+      // The visible half: the ranking head is TakeOrdered, never a
+      // global sort; the census is a hash aggregate.)
+      ("q152_pagerank",
+        "pagerank head: TakeOrdered over the checkpointed rank " +
+          "frame (no global sort)",
+        Seq("TakeOrderedAndProject")),
+      ("q153_trustrank",
+        "trustrank census: partial hash aggregation over the " +
+          "checkpointed rank frame",
+        Seq("HashAggregate")),
       ("q148_scd2_history",
         "SCD2 history: ONE keyed window (single hash exchange + " +
           "per-key sort), no self-joins, no driver state",

@@ -25,19 +25,28 @@ object Contracts {
     */
   def ruleCensus(df: DataFrame,
                  rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty, "need at least one rule")
-    val agg = df.agg(
-      count(lit(1)).as("__n"),
-      rules.map { case (name, pred) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
-          .as(s"__v_$name")
-      }: _*)
+    val agg = ruleAgg(df, rules)
     val pairs = rules.flatMap { case (name, _) =>
       Seq(lit(name), col(s"__v_$name")) }
     agg.select(explode(map(pairs: _*)).as(Seq("rule",
         "n_violations")), col("__n").as("n_rows"))
       .select(col("rule"), col("n_violations").cast("long"),
         col("n_rows").cast("long"))
+  }
+
+  /** The census's single-pass WIDE aggregate — one row, one column
+    * per rule (`__v_<name>`) plus `__n`. The streaming twin folds
+    * this incrementally (explode-after-aggregate is not a streaming
+    * plan; the wide row is); the batch census explodes it to rows.
+    */
+  def ruleAgg(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    df.agg(
+      count(lit(1)).as("__n"),
+      rules.map { case (name, pred) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+          .as(s"__v_$name")
+      }: _*)
   }
 
   /** Referential-integrity violation count: child keys (non-null)
@@ -59,12 +68,21 @@ object Contracts {
     */
   def quarantine(df: DataFrame, rules: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
+    val t = tagged(df, rules)
+    (t.where(size(col("reasons")) === 0).drop("reasons"),
+      t.where(size(col("reasons")) > 0))
+  }
+
+  /** Every row tagged with its `reasons` array (empty = clean) — a
+    * PURE projection, so it runs identically over a batch frame and
+    * an unbounded stream (the streaming screen twin uses it
+    * verbatim; zero state, zero shuffle).
+    */
+  def tagged(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     val reasons = array_compact(array(rules.map { case (name, pred) =>
       when(!coalesce(pred, lit(false)), lit(name))
     }: _*))
-    val tagged = df.withColumn("reasons", reasons)
-    (tagged.where(size(col("reasons")) === 0).drop("reasons"),
-      tagged.where(size(col("reasons")) > 0))
+    df.withColumn("reasons", reasons)
   }
 }

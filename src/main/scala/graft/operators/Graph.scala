@@ -152,6 +152,74 @@ object Graph {
     pr.select(col("node"), col("pr"))
   }
 
+  /** `iterations` rounds of HITS (Kleinberg, JACM 1999) in exact
+    * scaled integers: authority = inflow of hub mass, hub = outflow
+    * of authority mass, each half-step renormalized to total mass
+    * `scale` by exact floor division (sum-normalization — L1, not
+    * the classic L2, which would need a square root; rankings are
+    * unaffected and the arithmetic stays engine-exact):
+    * {{{
+    *   a_raw(v) = Σ_{u→v} h(u);  a(v) = floor(a_raw(v)·scale / Σ a_raw)
+    *   h_raw(u) = Σ_{u→v} a(v);  h(u) = floor(h_raw(u)·scale / Σ h_raw)
+    * }}}
+    * Nodes outside the edge frame's src (resp. dst) side hold hub
+    * (resp. authority) 0. Returns `(node, hub, auth)`.
+    *
+    * Shape: per iteration TWO edges⋈scores joins + two keyed sums +
+    * two 1-row total broadcasts; one localCheckpoint per iteration.
+    * An edge frame with no edges is rejected up front (both totals
+    * would be zero).
+    */
+  def hits(edges: DataFrame, iterations: Int = 2,
+           scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"driver-looped plan growth is specified for 1..16 " +
+        s"iterations: $iterations")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val sc = lit(scale).cast(Dec)
+    var scores = nodes.select(col("node"), sc.as("hub"),
+      sc.as("auth")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(scores.select(col("node"), col("hub")),
+          e("src") === col("node"))
+        .groupBy(e("dst").as("node"))
+        .agg(sum(col("hub")).cast(Dec).as("a_raw"))
+      val aTot = aRaw.agg(
+        coalesce(sum(col("a_raw")), lit(0)).cast(Dec).as("at"))
+      val withA = nodes
+        .join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          when(col("a_raw").isNull || col("at") <= 0,
+            lit(0).cast(Dec))
+            .otherwise(floorDiv(col("a_raw") * sc, col("at")))
+            .as("auth"))
+        .localCheckpoint()
+      val hRaw = e.join(withA.select(col("node"), col("auth")),
+          e("dst") === col("node"))
+        .groupBy(e("src").as("node"))
+        .agg(sum(col("auth")).cast(Dec).as("h_raw"))
+      val hTot = hRaw.agg(
+        coalesce(sum(col("h_raw")), lit(0)).cast(Dec).as("ht"))
+      scores = withA
+        .join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          when(col("h_raw").isNull || col("ht") <= 0,
+            lit(0).cast(Dec))
+            .otherwise(floorDiv(col("h_raw") * sc, col("ht")))
+            .as("hub"),
+          col("auth"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    scores.select(col("node"), col("hub"), col("auth"))
+  }
+
   /** Degree census of an edge frame: per-node out/in degree and the
     * distribution head — the graph-shape numbers read before a rank
     * run (skew → hot-key handling). One pass per direction.

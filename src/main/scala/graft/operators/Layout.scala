@@ -305,4 +305,47 @@ object Layout {
     saltedFact.join(saltedDim, Seq(key, "__salt"), "inner")
       .drop("__salt")
   }
+
+  /** Key-skew census — the "should this join be salted" advisor
+    * pairing with [[skewJoin]]: per-key row counts summarized as an
+    * EXACT-RATIONAL Gini concentration index. With counts x_1 ≤ …
+    * ≤ x_n (rank-ordered, key tie-break),
+    *
+    *   gini = Σ (2i − n − 1)·x_i / (n · Σ x)   =  gini_num / gini_den
+    *
+    * — 0 for perfectly uniform keys, → 1 for one dominant key; no
+    * division is performed (both engines carry the integers), and
+    * `salt_advised` applies the caller's threshold num/den by
+    * cross-multiplication. The rank window runs over the KEYS-sized
+    * count frame, never the raw rows — sized for JOIN-KEY spaces
+    * (dimension/partner keys, ≲10^7 distinct); a web-scale key
+    * space (URLs, users) should read the sketch profiles (q76/q85)
+    * instead of an exact global rank.
+    */
+  def skewCensus(df: DataFrame, key: Column,
+                 thresholdNum: Long = 2L,
+                 thresholdDen: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdNum >= 0 && thresholdDen > 0,
+      s"threshold must be a non-negative rational: " +
+        s"$thresholdNum/$thresholdDen")
+    val dec = "decimal(38,0)"
+    val kc = df.groupBy(key.as("k"))
+      .agg(count(lit(1)).cast(dec).as("x"))
+    val ranked = kc.select(col("x"),
+        row_number().over(Window.orderBy(col("x").asc,
+          col("k").asc_nulls_first)).cast(dec).as("i"),
+        count(lit(1)).over(Window.partitionBy()).cast(dec).as("n"),
+        sum(col("x")).over(Window.partitionBy()).cast(dec).as("sx"))
+    ranked.agg(
+        max(col("n")).cast("long").as("n_keys"),
+        max(col("sx")).cast("long").as("n_rows"),
+        sum((lit(2).cast(dec) * col("i") - col("n") - lit(1))
+          * col("x")).cast("long").as("gini_num"),
+        max(col("n") * col("sx")).cast("long").as("gini_den"),
+        max(col("x")).cast("long").as("max_key_rows"))
+      .withColumn("salt_advised",
+        col("gini_num") * thresholdDen >
+          col("gini_den") * thresholdNum)
+  }
 }

@@ -89,4 +89,49 @@ object OrderStats {
     exactRanks(df, valueCol,
       Seq(0L, n / 4, n / 2, 3 * n / 4, n - 1), numPartitions)
   }
+
+  /** Per-key winsorization census — the outlier-clipping prep of a
+    * feature pipeline: EXACT positional percentile bounds (the §1.3
+    * rank rule, `rn = n·p DIV 100 + 1`) and how many rows each side
+    * would clip. The bounds are exact VALUE COPIES (no
+    * interpolation — the [[exactRanks]] contract), so a second
+    * engine matches them bit-for-bit.
+    *
+    * Scale shape: rows reduce FIRST to per-(key, value) counts (one
+    * map-side-combined shuffle — the working set is distinct values
+    * per key, not rows); the cumulative window and the census run
+    * over that reduced frame. Rank location happens through the
+    * cumulative count, never a row sort: a value block holds rank r
+    * iff `cum − c < r ≤ cum`, rows strictly below the low bound are
+    * exactly the blocks with `cum < lo_rn`, rows strictly above the
+    * high bound the blocks with `cum − c ≥ hi_rn`.
+    */
+  def winsorCensus(df: DataFrame, key: org.apache.spark.sql.Column,
+                   value: org.apache.spark.sql.Column,
+                   loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 < loPct && loPct < hiPct && hiPct < 100,
+      s"need 0 < loPct < hiPct < 100: $loPct/$hiPct")
+    val vc = df.where(value.isNotNull)
+      .groupBy(key.as("k"), value.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    vc.withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("lo_rn", expr(s"n * $loPct DIV 100 + 1"))
+      .withColumn("hi_rn", expr(s"n * $hiPct DIV 100 + 1"))
+      .groupBy(col("k"))
+      .agg(max(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("cum") - col("c") < col("lo_rn") &&
+          col("cum") >= col("lo_rn"), col("v"))).as("lo"),
+        max(when(col("cum") - col("c") < col("hi_rn") &&
+          col("cum") >= col("hi_rn"), col("v"))).as("hi"),
+        sum(when(col("cum") < col("lo_rn"), col("c"))
+          .otherwise(0L)).cast("long").as("n_clip_low"),
+        sum(when(col("cum") - col("c") >= col("hi_rn"), col("c"))
+          .otherwise(0L)).cast("long").as("n_clip_high"))
+  }
 }

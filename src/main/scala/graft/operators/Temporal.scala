@@ -524,4 +524,66 @@ object Temporal {
       .withColumn("score",
         col("score_scaled").cast("double") / lit(math.pow(2.0, h)))
   }
+
+  /** Per-entity event-transition census (the first-order Markov
+    * view of behavior streams — session modeling, funnel discovery,
+    * anomalous-sequence triage): for each entity, consecutive event
+    * pairs under a total per-entity order, counted corpus-wide.
+    * `orderBy` must be a TOTAL order per entity (pass a tie-break
+    * column — e.g. (ts, event_id) — or replays can disagree).
+    *
+    * Returns `(prev, next, n)` over one keyed window (single hash
+    * exchange + per-entity sort; the window never sees more than
+    * one entity's rows) + one keyed count.
+    */
+  def transitionCensus(df: DataFrame, entity: Column, event: Column,
+                       orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderBy.nonEmpty, "need a per-entity total order")
+    val w = Window.partitionBy(col("__e")).orderBy(orderBy: _*)
+    df.select(entity.as("__e") +: event.as("next") +: orderBy: _*)
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact least-squares trend over per-(key, day) counts — the
+    * "is this metric growing" number, reported as an EXACT RATIONAL
+    * so two engines agree bit-for-bit (no division at all): the OLS
+    * slope over points (x = day, y = count(day)) is
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) = num / den
+    *
+    * and the census carries `(num, den, direction)` with
+    * direction = sign(num) (den > 0 whenever the key has ≥ 2
+    * distinct days; a single-day key reports den = 0 and 'flat').
+    * Sums run in DECIMAL(38,0): x is an epoch day (~2·10^4), so
+    * n·Σx² stays exact far past 10^9 daily rows per key.
+    *
+    * Shape: one keyed (key, day) count + one keyed sum — two
+    * aggregations, no windows, no joins.
+    */
+  def trendFit(df: DataFrame, key: Column, day: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = df.groupBy(key.as("key"), day.cast(dec).as("x"))
+      .agg(count(lit(1)).cast(dec).as("y"))
+    daily.groupBy(col("key"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x") * col("y")).cast(dec).as("sxy"),
+        sum(col("x") * col("x")).cast(dec).as("sxx"))
+      .select(col("key"),
+        col("n").cast("long").as("n_days"),
+        col("sy").cast("long").as("n_rows"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("long").as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("den"),
+        when(col("n") * col("sxy") > col("sx") * col("sy"), "up")
+          .when(col("n") * col("sxy") < col("sx") * col("sy"),
+            "down")
+          .otherwise("flat").as("direction"))
+  }
 }

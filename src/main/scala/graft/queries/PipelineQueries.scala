@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import graft.functions.TextFunctions
 import graft.operators.{Chunking, Contracts, Dedup, Delta,
   EntityResolution, Graph, LangModel, Layout, Mixing, Multimodal,
-  Retrieval, Sampling, Similarity, Sketches, Temporal}
+  Retrieval, Sampling, Similarity, Sketches, Temporal, Urls}
 
 /** Beyond-reference pipeline operators (SURVEY §7.5 / the north star):
   * dedup, similarity search, text analysis, multimodal plumbing — each
@@ -26,6 +26,38 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** q155's messy-URL fixture: deterministic per-doc_id variations
+    * over case, www, default/explicit ports, trailing slash, param
+    * order, and fragments — built identically by [[messyUrlSql]].
+    */
+  private def messyUrl(id: Column): Column = concat(
+    element_at(array(lit("http"), lit("HTTP"), lit("https"),
+      lit("HtTpS")), (pmod(id, lit(4)) + 1).cast("int")),
+    lit("://"),
+    when(pmod(id, lit(2)) === 0, lit("WWW.")).otherwise(lit("")),
+    lit("Site"), pmod(id, lit(5)).cast("string"),
+    lit(".Example.COM"),
+    element_at(array(lit(":80"), lit(":443"), lit(":8080"),
+      lit("")), (pmod(id, lit(4)) + 1).cast("int")),
+    lit("/Path/"), pmod(id, lit(3)).cast("string"),
+    when(pmod(id, lit(2)) === 1, lit("/")).otherwise(lit("")),
+    element_at(array(lit("?b=2&a=1"), lit("?a=1"), lit("")),
+      (pmod(id, lit(3)) + 1).cast("int")),
+    when(pmod(id, lit(5)) === 0, lit("#f")).otherwise(lit("")))
+
+  private val messyUrlSql: String =
+    "CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' " +
+    "WHEN 2 THEN 'https' ELSE 'HtTpS' END || '://' || " +
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || " +
+    "'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' || " +
+    "CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' " +
+    "WHEN 2 THEN ':8080' ELSE '' END || " +
+    "'/Path/' || CAST(doc_id % 3 AS VARCHAR) || " +
+    "CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END || " +
+    "CASE doc_id % 3 WHEN 0 THEN '?b=2&a=1' WHEN 1 THEN '?a=1' " +
+    "ELSE '' END || " +
+    "CASE WHEN doc_id % 5 = 0 THEN '#f' ELSE '' END"
 
   /** q152/q153's purchase graph: one distinct customer→supplier edge
     * per (custkey, suppkey) that ever traded — one orders⋈lineitem
@@ -310,6 +342,89 @@ object PipelineQueries {
           max(col("pr")).cast("long").as("max_pr"),
           count(when(col("pr") === 0, 1)).as("n_zero"))
         .orderBy(col("kind").asc_nulls_first)
+    }),
+
+    // winsorization census per event type: exact positional p01/p99
+    // clip bounds (value copies, no interpolation) + clip-side row
+    // counts. Rows reduce FIRST to (key, value) counts; the window
+    // runs over that distinct-values frame, never raw rows
+    "q160_winsor_census" -> ((s, d) =>
+      graft.operators.OrderStats.winsorCensus(t(s, d, "events"),
+          col("event_type"), col("value"))
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type").asc_nulls_first)),
+
+    // first-order Markov transition census over the event stream
+    // (session behavior modeling): per-user consecutive event pairs
+    // under the (ts, event_id) total order, counted corpus-wide;
+    // share in exact basis points (floor cross-division both
+    // engines compute identically). One keyed window + one keyed agg
+    "q158_transitions" -> ((s, d) => {
+      val pairs = Temporal.transitionCensus(t(s, d, "events"),
+          col("user_id"), col("event_type"),
+          Seq(col("ts"), col("event_id")))
+        .localCheckpoint()
+      val tot = pairs.agg(sum(col("n")).cast("long").as("tot"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("prev"), col("next"), col("n").cast("long"),
+          expr("(n * 10000) DIV tot").as("share_bp"))
+        .orderBy(col("n").desc, col("prev").asc_nulls_first,
+          col("next").asc_nulls_first)
+        .limit(15)
+    }),
+
+    // key-skew census (the "salt this join?" advisor pairing with
+    // q91's salted join): per-key counts → exact-rational Gini
+    // concentration (num/den, no division), verdict by
+    // cross-multiplication. The rank window sees only the keys-sized
+    // count frame
+    "q159_skew_census" -> ((s, d) =>
+      Layout.skewCensus(t(s, d, "lineitem"), col("l_suppkey"))),
+
+    // HITS hubs/authorities over the purchase graph (Kleinberg
+    // 1999): exact scaled-integer half-steps with L1
+    // renormalization (floor divisions both engines replay);
+    // top-10 authorities with their hub scores
+    "q157_hits" -> ((s, d) =>
+      Graph.hits(purchaseEdges(s, d), iterations = 2)
+        .select(col("node"), col("hub").cast("long").as("hub"),
+          col("auth").cast("long").as("auth"))
+        .orderBy(col("auth").desc, col("node").asc_nulls_first)
+        .limit(10)),
+
+    // exact OLS trend per event type: slope over (day, daily count)
+    // points as an EXACT RATIONAL (num, den) — no division, so both
+    // engines agree bit-for-bit; direction = sign(num). Two keyed
+    // aggregations, zero joins/windows — the metric-drift triage a
+    // pipeline runs over its ingest volumes
+    "q156_trend_fit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Temporal.trendFit(ev, col("event_type"), epochDay(ev))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // URL canonicalization census (the normalize-before-dedup step
+    // of C4/RefinedWeb-style crawl pipelines): a messy in-plan URL
+    // per document (cased schemes/hosts, www., default ports,
+    // trailing slashes, unsorted params, fragments — the q72
+    // in-plan-fixture pattern), canonicalized by pure codegen'd
+    // column rules; per-host census pins raw→canonical collapse
+    "q155_url_canon" -> ((s, d) => {
+      val u = t(s, d, "documents")
+        .select(messyUrl(col("doc_id")).as("url"))
+      u.select(col("url"),
+          Urls.canonicalizeUrl(col("url")).as("canon"),
+          Urls.urlHost(col("url")).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canon")).as("n_canon"),
+          // long md5-prefix checksum keeps the agg hash-based (the
+          // q144 rule — a string min would fall to SortAggregate)
+          min(conv(substring(md5(col("canon")), 1, 15), 16, 10)
+            .cast("long")).as("min_md5_prefix"))
+        .orderBy(col("host").asc_nulls_first)
     }),
 
     // unigram-LM (SentencePiece-family) segmentation census: build
@@ -3097,6 +3212,38 @@ object PipelineQueries {
     "ELSE CAST(0 AS HUGEINT) END AS pr FROM nf), " + body
   }
 
+  /** q157's HITS replay: alternating authority/hub half-steps with
+    * exact floor-division L1 renormalization, unrolled in HUGEINT.
+    */
+  private def hitsCtes(edgesSql: String, rounds: Int,
+                       scale: Long = 1000000L): String = {
+    val body = (1 to rounds).map { r =>
+      s"ar$r AS (SELECT e.dst AS node, SUM(s.hub) AS a_raw FROM " +
+      s"edges e JOIN s${r - 1} s ON e.src = s.node GROUP BY 1), " +
+      s"at$r AS (SELECT CAST(COALESCE(SUM(a_raw), 0) AS HUGEINT) " +
+      s"AS at FROM ar$r), " +
+      s"wa$r AS MATERIALIZED (SELECT n.node, CASE WHEN a.a_raw IS " +
+      s"NULL OR (SELECT at FROM at$r) <= 0 THEN CAST(0 AS " +
+      s"HUGEINT) ELSE (a.a_raw * $scale) // (SELECT at FROM " +
+      s"at$r) END AS auth FROM nodes n LEFT JOIN ar$r a ON " +
+      "n.node = a.node), " +
+      s"hr$r AS (SELECT e.src AS node, SUM(w.auth) AS h_raw FROM " +
+      s"edges e JOIN wa$r w ON e.dst = w.node GROUP BY 1), " +
+      s"ht$r AS (SELECT CAST(COALESCE(SUM(h_raw), 0) AS HUGEINT) " +
+      s"AS ht FROM hr$r), " +
+      s"s$r AS MATERIALIZED (SELECT w.node, CASE WHEN h.h_raw IS " +
+      s"NULL OR (SELECT ht FROM ht$r) <= 0 THEN CAST(0 AS " +
+      s"HUGEINT) ELSE (h.h_raw * $scale) // (SELECT ht FROM " +
+      s"ht$r) END AS hub, w.auth FROM wa$r w LEFT JOIN hr$r h " +
+      "ON w.node = h.node)"
+    }.mkString(", ")
+    s"edges AS MATERIALIZED ($edgesSql), " +
+    "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION " +
+    "SELECT dst FROM edges), " +
+    s"s0 AS MATERIALIZED (SELECT node, CAST($scale AS HUGEINT) " +
+    s"AS hub, CAST($scale AS HUGEINT) AS auth FROM nodes), " + body
+  }
+
   private val purchaseEdgesSql: String =
     "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
     "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM orders JOIN " +
@@ -3950,6 +4097,39 @@ object PipelineQueries {
        "CAST(SUM(f * (obj // 64)) AS BIGINT) AS sum_wbits " +
        "FROM per GROUP BY 1 ORDER BY n_pieces NULLS FIRST"),
 
+    // q156: identical daily counts, identical HUGEINT sums, the
+    // same rational (num, den) and sign
+    "q156_trend_fit" ->
+      ("WITH daily AS (SELECT event_type, " +
+       "CAST(epoch_us(ts) // 86400000000 AS HUGEINT) AS x, " +
+       "CAST(COUNT(*) AS HUGEINT) AS y FROM events " +
+       "GROUP BY 1, 2), " +
+       "s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, " +
+       "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+       "SUM(x * x) AS sxx FROM daily GROUP BY 1) " +
+       "SELECT event_type, CAST(n AS BIGINT) AS n_days, " +
+       "CAST(sy AS BIGINT) AS n_rows, " +
+       "CAST(n * sxy - sx * sy AS BIGINT) AS num, " +
+       "CAST(n * sxx - sx * sx AS BIGINT) AS den, " +
+       "CASE WHEN n * sxy > sx * sy THEN 'up' " +
+       "WHEN n * sxy < sx * sy THEN 'down' ELSE 'flat' END AS " +
+       "direction FROM s ORDER BY event_type NULLS FIRST"),
+
+    // q155: identical messy-URL construction, identical rule set
+    // (the SQL is GENERATED beside the Column rules — one
+    // definition, zero drift)
+    "q155_url_canon" ->
+      ("WITH u AS (SELECT " + messyUrlSql + " AS url FROM " +
+       "documents), c AS (SELECT url, " +
+       Urls.canonicalizeSql("url") + " AS canon, " +
+       Urls.hostSql("url") + " AS host FROM u) " +
+       "SELECT host, COUNT(*) AS n_rows, " +
+       "COUNT(DISTINCT url) AS n_raw, " +
+       "COUNT(DISTINCT canon) AS n_canon, " +
+       "MIN(CAST('0x' || substr(md5(canon), 1, 15) AS BIGINT)) " +
+       "AS min_md5_prefix " +
+       "FROM c GROUP BY host ORDER BY host NULLS FIRST"),
+
     // q152: the 3-iteration exact-integer PageRank replay in HUGEINT
     "q152_pagerank" ->
       ("WITH " + pagerankCtes(purchaseEdgesSql, None, rounds = 3) +
@@ -3970,6 +4150,68 @@ object PipelineQueries {
        "CAST(MAX(pr) AS BIGINT) AS max_pr, " +
        "COUNT(CASE WHEN pr = 0 THEN 1 END) AS n_zero " +
        "FROM p3 GROUP BY 1 ORDER BY kind NULLS FIRST"),
+
+    // q160: same (key, value) count reduction, same cumulative rank
+    // rule, same exact value-copy bounds
+    "q160_winsor_census" ->
+      ("WITH vc AS (SELECT event_type AS k, value AS v, " +
+       "CAST(COUNT(*) AS BIGINT) AS c FROM events WHERE value IS " +
+       "NOT NULL GROUP BY 1, 2), " +
+       "f AS (SELECT k, v, c, SUM(c) OVER (PARTITION BY k ORDER " +
+       "BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS " +
+       "cum, SUM(c) OVER (PARTITION BY k) AS n FROM vc), " +
+       "g AS (SELECT *, n * 1 // 100 + 1 AS lo_rn, " +
+       "n * 99 // 100 + 1 AS hi_rn FROM f) " +
+       "SELECT k AS event_type, CAST(MAX(n) AS BIGINT) AS n_rows, " +
+       "COUNT(*) AS n_distinct, " +
+       "MAX(CASE WHEN cum - c < lo_rn AND cum >= lo_rn THEN v " +
+       "END) AS lo, " +
+       "MAX(CASE WHEN cum - c < hi_rn AND cum >= hi_rn THEN v " +
+       "END) AS hi, " +
+       "CAST(COALESCE(SUM(CASE WHEN cum < lo_rn THEN c END), 0) " +
+       "AS BIGINT) AS n_clip_low, " +
+       "CAST(COALESCE(SUM(CASE WHEN cum - c >= hi_rn THEN c END), " +
+       "0) AS BIGINT) AS n_clip_high " +
+       "FROM g GROUP BY k ORDER BY event_type NULLS FIRST"),
+
+    // q158: same per-user lag window, same pair counts, same
+    // basis-point floor division
+    "q158_transitions" ->
+      ("WITH o AS (SELECT user_id, event_type, LAG(event_type) " +
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+       "FROM events), " +
+       "p AS (SELECT prev, event_type AS next, COUNT(*) AS n " +
+       "FROM o WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+       "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM p) " +
+       "SELECT prev, next, CAST(n AS BIGINT) AS n, " +
+       "(n * 10000) // (SELECT tot FROM t) AS share_bp " +
+       "FROM p ORDER BY n DESC, prev ASC NULLS FIRST, " +
+       "next ASC NULLS FIRST LIMIT 15"),
+
+    // q159: same rank-ordered counts, same exact Gini rational and
+    // cross-multiplied verdict
+    "q159_skew_census" ->
+      ("WITH kc AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS " +
+       "HUGEINT) AS x FROM lineitem GROUP BY 1), " +
+       "r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, " +
+       "k ASC NULLS FIRST) AS HUGEINT) AS i, " +
+       "CAST(COUNT(*) OVER () AS HUGEINT) AS n, " +
+       "CAST(SUM(x) OVER () AS HUGEINT) AS sx FROM kc) " +
+       "SELECT CAST(MAX(n) AS BIGINT) AS n_keys, " +
+       "CAST(MAX(sx) AS BIGINT) AS n_rows, " +
+       "CAST(SUM((2*i - n - 1) * x) AS BIGINT) AS gini_num, " +
+       "CAST(MAX(n * sx) AS BIGINT) AS gini_den, " +
+       "CAST(MAX(x) AS BIGINT) AS max_key_rows, " +
+       "SUM((2*i - n - 1) * x) * 5 > MAX(n * sx) * 2 AS " +
+       "salt_advised FROM r"),
+
+    // q157: the 2-round HITS replay — same half-steps, same floor
+    // renormalization
+    "q157_hits" ->
+      ("WITH " + hitsCtes(purchaseEdgesSql, rounds = 2) +
+       " SELECT node, CAST(hub AS BIGINT) AS hub, " +
+       "CAST(auth AS BIGINT) AS auth FROM s2 " +
+       "ORDER BY auth DESC, node ASC NULLS FIRST LIMIT 10"),
 
     // q141: replay the add-one bigram LM in SQL — same bigram rows,
     // same trained counts, same whole-bit code lengths via bin()

@@ -855,4 +855,75 @@ object StreamingStructure {
           .write.mode("append").parquet(corpusPath)
       }
       .start()
+
+  final case class TransitionState(lastEvent: String, lastTs: Long,
+                                   lastId: Long)
+  final case class TransitionRow(entity: Long, prev: String,
+                                 next: String, ts: Long)
+
+  /** Streaming TRANSITION WATCH — the ingest twin of
+    * [[graft.operators.Temporal.transitionCensus]]: per-entity
+    * consecutive event pairs emitted AS THEY ARRIVE. State per
+    * entity = the single last (event, ts, id) — constant regardless
+    * of stream length; micro-batch rows sort in memory per entity
+    * (bounded by the entity's batch volume) and stitch across the
+    * batch boundary through the state. Contract: per-entity
+    * in-order arrival ACROSS batches (the event-log norm — the
+    * batch operator's total-order requirement, split-adjusted);
+    * within a batch any order is fine.
+    *
+    * Input: `(entity, event, ts, id)`; output one row per
+    * transition, append mode — a downstream count(prev, next)
+    * equals the batch census.
+    */
+  def transitionWatch(spark: SparkSession,
+                      ds: Dataset[(Long, String, Long, Long)])
+      : Dataset[TransitionRow] = {
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TransitionState, TransitionRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[TransitionState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          var last = state.getOption
+          val out = ordered.map { case (_, ev, ts, id) =>
+            val o = last.map(s =>
+              TransitionRow(entity, s.lastEvent, ev, ts))
+            last = Some(TransitionState(ev, ts, id))
+            o
+          }.collect { case Some(t) => t }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming DATA-CONTRACT WATCH — the ingest twin of
+    * [[graft.operators.Contracts.ruleCensus]]: the same single-pass
+    * wide rule aggregate ([[graft.operators.Contracts.ruleAgg]],
+    * shared verbatim so the two cannot drift), folded incrementally
+    * — state is ONE row of counters regardless of stream length.
+    * (The batch census's explode-to-rows runs after a streaming
+    * aggregate, which Spark's planner rejects; the wide row IS the
+    * streaming-shaped census.)
+    */
+  def contractWatch(stream: DataFrame,
+                    rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame =
+    graft.operators.Contracts.ruleAgg(stream, rules)
+
+  /** Streaming QUARANTINE SCREEN — the ingest twin of
+    * [[graft.operators.Contracts.quarantine]]: every arriving row
+    * tagged with its violated-rule `reasons` array by the SAME pure
+    * projection the batch split uses ([[graft.operators.Contracts
+    * .tagged]]) — zero state, zero shuffle, so a router downstream
+    * sends `size(reasons) > 0` rows to the quarantine sink at any
+    * ingest rate.
+    */
+  def contractScreenStream(stream: DataFrame,
+                           rules: Seq[(String,
+                             org.apache.spark.sql.Column)])
+      : DataFrame =
+    graft.operators.Contracts.tagged(stream, rules)
 }

@@ -184,6 +184,36 @@ object ExplainAudit {
         "trustrank census: partial hash aggregation over the " +
           "checkpointed rank frame",
         Seq("HashAggregate")),
+      ("q157_hits",
+        "HITS head: TakeOrdered over the checkpointed score frame",
+        Seq("TakeOrderedAndProject")),
+      ("q154_unigram_segment",
+        "unigram census: the Viterbi DP is ONE codegen'd native " +
+          "call per word over the checkpointed word table, feeding " +
+          "partial hash aggregation",
+        Seq("unigram_segment", "HashAggregate")),
+      ("q155_url_canon",
+        "URL canonicalization: pure codegen'd projection (regex " +
+          "parts + sorted params), one scan into partial " +
+          "aggregation",
+        Seq("WholeStageCodegen", "HashAggregate", "regexp_extract")),
+      ("q156_trend_fit",
+        "trend fit: two keyed hash aggregations, no joins, no " +
+          "windows",
+        Seq("HashAggregate", "Exchange hashpartitioning(key")),
+      ("q158_transitions",
+        "transition census head: 1-row total broadcast + " +
+          "TakeOrdered over the checkpointed pair frame",
+        Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")),
+      ("q159_skew_census",
+        "skew census: rank window over the KEYS-sized count " +
+          "aggregate, then one scalar aggregate",
+        Seq("Window", "HashAggregate")),
+      ("q160_winsor_census",
+        "winsor census: rows reduce to (key, value) counts BEFORE " +
+          "the cumulative window (partial agg first, window over " +
+          "the distinct-values frame)",
+        Seq("HashAggregate", "Window")),
       ("q148_scd2_history",
         "SCD2 history: ONE keyed window (single hash exchange + " +
           "per-key sort), no self-joins, no driver state",

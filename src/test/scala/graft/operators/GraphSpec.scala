@@ -119,6 +119,39 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hits: hand-computed one iteration (every floor on paper)") {
+    // a→x, b→x, b→y: x is the stronger authority (two hubs point
+    // at it), b the stronger hub (it points at both authorities)
+    val got = Graph.hits(edges("a" -> "x", "b" -> "x", "b" -> "y"),
+        iterations = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1).longValueExact(),
+          r.getDecimal(2).longValueExact()))).toMap
+    // auth: x = ⌊2e6·1e6/3e6⌋ = 666666, y = ⌊1e6·1e6/3e6⌋ = 333333
+    // hub: ht = 666666 + 999999 = 1666665; a = 666666e6/1666665 =
+    // 400000 exactly, b = 999999e6/1666665 = 600000 exactly
+    assert(got("x") == ((0L, 666666L)))
+    assert(got("y") == ((0L, 333333L)))
+    assert(got("a") == ((400000L, 0L)))
+    assert(got("b") == ((600000L, 0L)))
+    // L1 mass ≤ scale on each side (floor losses only)
+    assert(got.values.map(_._1).sum <= 1000000L)
+    assert(got.values.map(_._2).sum <= 1000000L)
+  }
+
+  test("hits: rankings stable across further iterations") {
+    val e = edges("a" -> "x", "b" -> "x", "b" -> "y", "c" -> "y")
+    for (it <- Seq(1, 2, 4)) {
+      val got = Graph.hits(e, iterations = it)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDecimal(1).longValueExact(),
+            r.getDecimal(2).longValueExact()))).toMap
+      assert(got("b")._1 > got("a")._1) // two-target hub dominates
+      assert(got("x")._2 > 0L && got("y")._2 > 0L)
+      assert(got("x")._1 == 0L)         // sinks never become hubs
+    }
+  }
+
   test("degree census covers both directions with zero fills") {
     val got = Graph.degreeCensus(
         edges("a" -> "b", "a" -> "c", "b" -> "c"))

@@ -73,14 +73,23 @@ object Graph {
         s"iterations: $iterations")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
-    val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
+    val e0 = edges.select(col("src"), col("dst")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
-    val deg = e.groupBy(col("src").as("node"))
+    val deg = e0.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast(Dec).as("deg"))
       .localCheckpoint()
+    // out-degree PRE-JOINED into the edge frame once: every
+    // iteration's share computation then needs only the pr join —
+    // one shuffle per round instead of two (at 100 TB the saved
+    // exchange is the difference between 2N and 3N shuffled bytes
+    // per iteration)
+    val e = e0.join(deg.select(col("node").as("__dn"), col("deg")),
+        col("__dn") === e0("src"))
+      .select(e0("src").as("src"), e0("dst").as("dst"), col("deg"))
+      .persist()
     // seed membership rides the node frame as one boolean column —
     // the teleport base is then a branch-free projection each round
     val seeded = seeds match {
@@ -120,8 +129,6 @@ object Graph {
     for (_ <- 1 to iterations) {
       val inflow = e.join(pr.select(col("node"), col("pr")),
           e("src") === col("node"))
-        .join(deg.withColumnRenamed("node", "__dn"),
-          col("__dn") === e("src"))
         .select(e("dst").as("node"),
           floorDiv(col("pr"), col("deg")).as("share"))
         .groupBy(col("node"))
@@ -149,6 +156,7 @@ object Graph {
         .localCheckpoint()
     }
     e.unpersist()
+    e0.unpersist()
     pr.select(col("node"), col("pr"))
   }
 

@@ -212,4 +212,39 @@ object LangModel {
           floorLog2(col("c_w1")) - floorLog2(col("c_w2")))
           .as("pmi_bits"))
   }
+
+  /** Whole-bit Zipf fit — the vocabulary-health diagnostic a corpus
+    * census runs (natural text follows freq ∝ rank^(−s), s ≈ 1;
+    * generated/spammy corpora drift off it): the OLS slope of
+    * ⌊log2 freq⌋ against ⌊log2 rank⌋ over the word table, as an
+    * EXACT RATIONAL (num, den, direction — the q156 contract; no
+    * division, no transcendentals, whole bits via binary-string
+    * length). A Zipfian corpus reports num/den ≈ −1 and 'down'.
+    *
+    * Input: a `(w, f)` word-frequency table (see
+    * [[graft.operators.Unigram.wordFreqs]]). The rank window runs
+    * over the VOCAB-sized frame (the q49 contract), never rows.
+    */
+  def zipfFit(words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val pts = words.select(floorLog2(row_number().over(
+        Window.orderBy(col("f").desc, col("w").asc_nulls_first))
+          .cast("long")).cast(dec).as("x"),
+        floorLog2(col("f")).cast(dec).as("y"))
+    pts.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x") * col("y")).cast(dec).as("sxy"),
+        sum(col("x") * col("x")).cast(dec).as("sxx"))
+      .select(col("n").cast("long").as("n_words"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("long").as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("den"),
+        when(col("n") * col("sxy") > col("sx") * col("sy"), "up")
+          .when(col("n") * col("sxy") < col("sx") * col("sy"),
+            "down")
+          .otherwise("flat").as("direction"))
+  }
 }

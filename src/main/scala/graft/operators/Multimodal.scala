@@ -49,6 +49,30 @@ object Multimodal {
   def videoMeta(payload: Column): Column =
     graft.functions.VideoMetaExpr.videoMetaNative(payload)
 
+  /** Content-type sniff over a MIXED binary column — the router a
+    * multimodal ingest runs before dispatching payloads to their
+    * decode paths: all three header decoders evaluate in ONE
+    * codegen'd projection (each is O(header) on the payload bytes,
+    * never a throw), and the first recognizing family wins. Returns
+    * `struct<kind, format>` — kind ∈ image/audio/video/unknown —
+    * NULL for a NULL payload.
+    */
+  def sniffMedia(payload: Column): Column = {
+    val i = imageMeta(payload).getField("format")
+    val a = audioMeta(payload).getField("format")
+    val v = videoMeta(payload).getField("format")
+    when(payload.isNull,
+        lit(null).cast("struct<kind:string,format:string>"))
+      .when(i =!= "unknown",
+        struct(lit("image").as("kind"), i.as("format")))
+      .when(a =!= "unknown",
+        struct(lit("audio").as("kind"), a.as("format")))
+      .when(v =!= "unknown",
+        struct(lit("video").as("kind"), v.as("format")))
+      .otherwise(struct(lit("unknown").as("kind"),
+        lit("unknown").as("format")))
+  }
+
   /** Metadata schema carried alongside every binary payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -129,6 +129,20 @@ object PipelineQueries {
   }
   private val MkvHex = hexOf(0x1a, 0x45, 0xdf, 0xa3, 0x01, 0, 0, 0)
 
+  /** q161's mixed-media class list: index = doc_id % 11, the last
+    * entry unrecognizable garbage. [[mediaSniffKindSql]] pins the
+    * expected (kind, format) per class in the oracle.
+    */
+  private lazy val MediaSniffHexes: Seq[String] = Seq(
+    PngHex, JpegHex, GifHex, BmpHex, WavHex, FlacHex, Mp3Hex,
+    OggHex, Mp4Hex, MkvHex, "deadbeef")
+
+  private val MediaSniffClasses: Seq[(String, String)] = Seq(
+    "image" -> "png", "image" -> "jpeg", "image" -> "gif",
+    "image" -> "bmp", "audio" -> "wav", "audio" -> "flac",
+    "audio" -> "mp3", "audio" -> "ogg", "video" -> "mp4",
+    "video" -> "matroska", "unknown" -> "unknown")
+
   /** Run the structure analyzer over a table and dump one
     * (column_name, rendered type) row per column — the q33/q70/q71
     * oracle shape.
@@ -329,7 +343,10 @@ object PipelineQueries {
     // (symmetrized) purchase links; census per node kind pins the
     // full score distribution, not just the head
     "q153_trustrank" -> ((s, d) => {
-      val cs = purchaseEdges(s, d)
+      // materialize the purchase edges ONCE — the symmetrizing
+      // union's two branches would otherwise each re-run the
+      // orders⋈lineitem join + distinct
+      val cs = purchaseEdges(s, d).localCheckpoint()
       val edges = cs.unionByName(
         cs.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = t(s, d, "supplier")
@@ -343,6 +360,31 @@ object PipelineQueries {
           count(when(col("pr") === 0, 1)).as("n_zero"))
         .orderBy(col("kind").asc_nulls_first)
     }),
+
+    // media content-type sniff census: a MIXED binary column (all
+    // ten real header fixtures + garbage, in-plan per doc_id — the
+    // q72 pattern) routed by ONE projection evaluating all three
+    // header decoders; the census pins every class's classification
+    "q161_media_sniff" -> ((s, d) => {
+      val blobs = t(s, d, "documents").select(
+        unhex(element_at(array(MediaSniffHexes.map(lit): _*),
+          (pmod(col("doc_id"), lit(11)) + 1).cast("int")))
+          .as("payload"))
+      blobs.select(Multimodal.sniffMedia(col("payload")).as("sn"))
+        .groupBy(col("sn.kind").as("kind"),
+          col("sn.format").as("format"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("kind").asc_nulls_first,
+          col("format").asc_nulls_first)
+    }),
+
+    // whole-bit Zipf fit over the corpus word table: the
+    // vocabulary-health diagnostic (freq ∝ rank^-1 for natural
+    // text) as an exact rational slope — same no-division contract
+    // as q156
+    "q162_zipf_fit" -> ((s, d) =>
+      LangModel.zipfFit(graft.operators.Unigram.wordFreqs(
+        t(s, d, "documents"), col("text")))),
 
     // winsorization census per event type: exact positional p01/p99
     // clip bounds (value copies, no interpolation) + clip-side row
@@ -4150,6 +4192,40 @@ object PipelineQueries {
        "CAST(MAX(pr) AS BIGINT) AS max_pr, " +
        "COUNT(CASE WHEN pr = 0 THEN 1 END) AS n_zero " +
        "FROM p3 GROUP BY 1 ORDER BY kind NULLS FIRST"),
+
+    // q161: the classification per blob class is PINNED (the q72
+    // VALUES pattern) — the engine derives it from the bytes, the
+    // oracle asserts the documented answer per doc_id class
+    "q161_media_sniff" ->
+      ("SELECT kind, format, COUNT(*) AS n FROM (SELECT " +
+       "CASE doc_id % 11 " +
+       MediaSniffClasses.zipWithIndex.map { case ((k, _), i) =>
+         s"WHEN $i THEN '$k' " }.mkString +
+       "END AS kind, CASE doc_id % 11 " +
+       MediaSniffClasses.zipWithIndex.map { case ((_, f), i) =>
+         s"WHEN $i THEN '$f' " }.mkString +
+       "END AS format FROM documents) GROUP BY 1, 2 " +
+       "ORDER BY kind NULLS FIRST, format NULLS FIRST"),
+
+    // q162: same word table, same bin()-length whole bits, same
+    // rational slope
+    "q162_zipf_fit" ->
+      ("WITH wf AS (SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS " +
+       "f FROM (SELECT unnest(regexp_split_to_array(trim(text), " +
+       "'\\s+')) AS word FROM documents) WHERE word <> '' " +
+       "GROUP BY word), " +
+       "p AS (SELECT CAST(length(bin(ROW_NUMBER() OVER (ORDER BY " +
+       "f DESC, w ASC NULLS FIRST))) - 1 AS HUGEINT) AS x, " +
+       "CAST(length(bin(f)) - 1 AS HUGEINT) AS y FROM wf), " +
+       "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS " +
+       "sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx " +
+       "FROM p) " +
+       "SELECT CAST(n AS BIGINT) AS n_words, " +
+       "CAST(n * sxy - sx * sy AS BIGINT) AS num, " +
+       "CAST(n * sxx - sx * sx AS BIGINT) AS den, " +
+       "CASE WHEN n * sxy > sx * sy THEN 'up' " +
+       "WHEN n * sxy < sx * sy THEN 'down' ELSE 'flat' END AS " +
+       "direction FROM s"),
 
     // q160: same (key, value) count reduction, same cumulative rank
     // rule, same exact value-copy bounds

@@ -209,6 +209,15 @@ object ExplainAudit {
         "skew census: rank window over the KEYS-sized count " +
           "aggregate, then one scalar aggregate",
         Seq("Window", "HashAggregate")),
+      ("q161_media_sniff",
+        "media sniff: all three header decoders evaluate in ONE " +
+          "codegen'd projection feeding partial aggregation",
+        Seq("image_meta", "audio_meta", "video_meta",
+          "HashAggregate")),
+      ("q162_zipf_fit",
+        "zipf fit: rank window over the VOCAB-sized word table, " +
+          "then one scalar aggregate — no joins",
+        Seq("Window", "HashAggregate")),
       ("q160_winsor_census",
         "winsor census: rows reduce to (key, value) counts BEFORE " +
           "the cumulative window (partial agg first, window over " +

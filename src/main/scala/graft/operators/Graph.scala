@@ -43,13 +43,15 @@ object Graph {
     * directed edge frame with columns `src`/`dst` (any key type;
     * multi-edges count — `.distinct()` upstream for simple graphs).
     *
-    * Update (damping d = num/den, total mass T = N·scale):
+    * Update (damping d = num/den, total mass T = N·scale; with
+    * `weight` the mass splits proportionally — w ≡ 1 gives the
+    * classic equal split):
     * {{{
-    *   share(u)  = floor(pr(u) / outdeg(u))        per out-edge
-    *   inflow(v) = Σ_{u→v} share(u)
-    *   D         = Σ_{outdeg(u)=0} pr(u)           dangling mass
-    *   pr'(v)    = floor((den−num)·T / (den·N))
-    *             + floor(num·(inflow(v) + floor(D/N)) / den)
+    *   share(u→v) = floor(pr(u)·w(u→v) / Σ_out w(u))
+    *   inflow(v)  = Σ_{u→v} share(u→v)
+    *   D          = Σ_{no out-edges} pr(u)          dangling mass
+    *   pr'(v)     = floor((den−num)·T / (den·N))
+    *              + floor(num·(inflow(v) + floor(D/N)) / den)
     * }}}
     *
     * With `seeds` (personalized / TrustRank), the teleport and the
@@ -67,19 +69,28 @@ object Graph {
   def pagerank(edges: DataFrame, iterations: Int = 3,
                num: Long = 17L, den: Long = 20L,
                scale: Long = 1000000L,
-               seeds: Option[DataFrame] = None): DataFrame = {
+               seeds: Option[DataFrame] = None,
+               weight: Option[Column] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 16,
       s"driver-looped plan growth is specified for 1..16 " +
         s"iterations: $iterations")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
-    val e0 = edges.select(col("src"), col("dst")).persist()
+    // edge weight (w = 1 unweighted): a node's mass splits across
+    // its out-edges proportionally to w — share(u→v) =
+    // floor(pr(u)·w / Σ_out w), which for w ≡ 1 is exactly the
+    // classic floor(pr/outdeg). Non-positive weights raise in-plan.
+    val wCol = weight.getOrElse(lit(1L)).cast(Dec)
+    val e0 = edges.select(col("src"), col("dst"),
+      when(wCol > 0, wCol)
+        .otherwise(raise_error(lit("pagerank: edge weights must " +
+          "be positive")).cast(Dec)).as("w")).persist()
     val nodes = e0.select(col("src").as("node"))
       .unionAll(e0.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val deg = e0.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast(Dec).as("deg"))
+      .agg(sum(col("w")).cast(Dec).as("deg"))
       .localCheckpoint()
     // out-degree PRE-JOINED into the edge frame once: every
     // iteration's share computation then needs only the pr join —
@@ -88,7 +99,8 @@ object Graph {
     // per iteration)
     val e = e0.join(deg.select(col("node").as("__dn"), col("deg")),
         col("__dn") === e0("src"))
-      .select(e0("src").as("src"), e0("dst").as("dst"), col("deg"))
+      .select(e0("src").as("src"), e0("dst").as("dst"), e0("w"),
+        col("deg"))
       .persist()
     // seed membership rides the node frame as one boolean column —
     // the teleport base is then a branch-free projection each round
@@ -130,7 +142,7 @@ object Graph {
       val inflow = e.join(pr.select(col("node"), col("pr")),
           e("src") === col("node"))
         .select(e("dst").as("node"),
-          floorDiv(col("pr"), col("deg")).as("share"))
+          floorDiv(col("pr") * col("w"), col("deg")).as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).cast(Dec).as("inflow"))
       val dang = pr.join(deg.select(col("node")), Seq("node"),
@@ -226,6 +238,54 @@ object Graph {
     }
     e.unpersist()
     scores.select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Exact BFS hop census from a seed set — the reach diagnostic
+    * pairing with seeded [[pagerank]]: how many nodes sit at each
+    * minimum hop distance from ANY seed (contamination blast
+    * radius, trust coverage, crawl frontier depth). Returns
+    * `(hop, n_nodes)` with `hop = NULL` collecting the unreachable
+    * tail; hops beyond `maxHops` count as unreachable (documented —
+    * the census is the bounded-radius question).
+    *
+    * Shape: `maxHops` rounds of frontier expansion — each ONE
+    * edges⋈frontier join + distinct + a node-keyed left join, with
+    * the per-round localCheckpoint (the CC-loop contract). The
+    * frontier only ever shrinks relative to the node frame; no
+    * global structures, no driver data.
+    */
+  def hopCensus(edges: DataFrame, seeds: DataFrame,
+                maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      s"driver-looped plan growth is specified for 1..16 hops: " +
+        s"$maxHops")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val sn = seeds.select(col("node")).distinct()
+    var depth = nodes
+      .join(sn.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s"), lit(0)).otherwise(lit(null).cast("int"))
+          .as("hop"))
+      .localCheckpoint()
+    for (d <- 1 to maxHops) {
+      val frontier = depth.where(col("hop") === d - 1)
+        .select(col("node").as("__f"))
+      val reached = e.join(frontier, e("src") === col("__f"))
+        .select(e("dst").as("node")).distinct()
+        .withColumn("__r", lit(true))
+      depth = depth.join(reached, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hop"),
+            when(col("__r"), lit(d))).as("hop"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    depth.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
   }
 
   /** Degree census of an edge frame: per-node out/in degree and the

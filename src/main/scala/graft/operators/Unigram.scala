@@ -99,6 +99,34 @@ object Unigram {
         org.apache.spark.sql.GraftShims.expression(word), vocab,
         maxPieceLen, maxWordLen)))
 
+  /** Corpus ENCODE census per group: every token occurrence joined
+    * to its word's Viterbi split — `(grp, n_tokens, n_unseg,
+    * n_pieces, sum_wbits)`, the fertility/compression numbers a
+    * tokenizer evaluation reads at document level. The token→split
+    * join is keyed on the word (the q141 model-join shape — AQE
+    * broadcasts the word table when it fits); unsegmentable tokens
+    * count in `n_unseg` and contribute no pieces/bits.
+    */
+  def encodeCensus(df: DataFrame, group: Column, text: Column,
+                   maxPieceLen: Int = 4, minCount: Long = 5L,
+                   maxWordLen: Int = 60,
+                   maxVocab: Int = 200000): DataFrame = {
+    val words = wordFreqs(df, text).localCheckpoint()
+    val vocab = vocabulary(words, maxPieceLen, minCount, maxVocab)
+    val seg = segmented(words, col("w"), vocab, maxPieceLen,
+        maxWordLen)
+      .select(col("w"), col("seg.obj").as("obj"))
+    df.select(group.as("grp"),
+        explode(TextFunctions.tokens(text)).as("w"))
+      .where(col("w") =!= "")
+      .join(seg, Seq("w"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("obj").isNull, 1)).as("n_unseg"),
+        sum(pmod(col("obj"), lit(64L))).cast("long").as("n_pieces"),
+        sum(expr("obj DIV 64")).cast("long").as("sum_wbits"))
+  }
+
   /** The corpus segmentation census: distinct words Viterbi-split,
     * grouped by optimal piece count — `(n_pieces, n_words, n_tokens,
     * sum_wbits)` with NULL n_pieces collecting the unsegmentable

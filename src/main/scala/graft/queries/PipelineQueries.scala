@@ -361,6 +361,39 @@ object PipelineQueries {
         .orderBy(col("kind").asc_nulls_first)
     }),
 
+    // BFS hop census from the trust seeds: how many nodes sit at
+    // each minimum hop distance (the contamination blast-radius /
+    // trust-coverage diagnostic pairing with q153); hops beyond 4
+    // count as unreachable (NULL)
+    "q165_hop_census" -> ((s, d) => {
+      val cs = purchaseEdges(s, d).localCheckpoint()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, d, "supplier")
+        .where(col("s_nationkey") < 5)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      Graph.hopCensus(edges, seeds, maxHops = 4)
+        .orderBy(col("hop").asc_nulls_first)
+    }),
+
+    // WEIGHTED PageRank: the purchase graph with trade volume as
+    // edge weight — mass splits proportionally to Σ quantity per
+    // partner (share = floor(pr·w / Σw), the generalized exact
+    // update; quantities are integral doubles, so the long cast is
+    // exact in both engines)
+    "q163_pagerank_weighted" -> ((s, d) => {
+      val we = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      Graph.pagerank(we, iterations = 3, weight = Some(col("w")))
+        .select(col("node"), col("pr").cast("long").as("pr"))
+        .orderBy(col("pr").desc, col("node").asc_nulls_first)
+        .limit(10)
+    }),
+
     // media content-type sniff census: a MIXED binary column (all
     // ten real header fixtures + garbage, in-plan per doc_id — the
     // q72 pattern) routed by ONE projection evaluating all three
@@ -385,6 +418,16 @@ object PipelineQueries {
     "q162_zipf_fit" -> ((s, d) =>
       LangModel.zipfFit(graft.operators.Unigram.wordFreqs(
         t(s, d, "documents"), col("text")))),
+
+    // unigram ENCODE census per source: the trained segmentation
+    // applied to every token occurrence (word-keyed join, the q141
+    // model shape) — the fertility/compression numbers a tokenizer
+    // evaluation reads at document level
+    "q164_unigram_encode" -> ((s, d) =>
+      graft.operators.Unigram.encodeCensus(t(s, d, "documents"),
+          col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source").asc_nulls_first)),
 
     // winsorization census per event type: exact positional p01/p99
     // clip bounds (value copies, no interpolation) + clip-side row
@@ -3209,6 +3252,42 @@ object PipelineQueries {
     "CAST(COALESCE(MAX(array_length(ps)), 0) AS BIGINT) AS " +
     "max_occ FROM pos WHERE array_length(ps) > 0"
 
+  /** q154/q164's shared unigram chain: word table → piece counts →
+    * whole-bit costs → the Viterbi DP as a recursive CTE carrying
+    * the best-cost array as a list column, ending at
+    * `per(w, f, obj)`. Correlated range() laterals are unsupported
+    * in DuckDB — positions/lengths enumerate through unnest.
+    */
+  private lazy val unigramDpCtes: String =
+    "WITH RECURSIVE " +
+    "wf AS MATERIALIZED (SELECT word AS w, CAST(COUNT(*) AS " +
+    "BIGINT) AS f FROM (SELECT unnest(regexp_split_to_array(" +
+    "trim(text), '\\s+')) AS word FROM documents) WHERE " +
+    "word <> '' GROUP BY word), " +
+    "pc AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) " +
+    "AS cnt FROM (SELECT f, substr(w, CAST(i + 1 AS INTEGER), " +
+    "CAST(k AS INTEGER)) AS piece FROM (SELECT f, w, i, " +
+    "unnest([1,2,3,4]) AS k FROM (SELECT f, w, " +
+    "unnest(range(length(w))) AS i FROM wf)) WHERE " +
+    "i + k <= length(w)) GROUP BY piece HAVING SUM(f) >= 5), " +
+    "tc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc), " +
+    "vc AS MATERIALIZED (SELECT piece, CAST((length(bin(" +
+    "(SELECT t FROM tc))) - length(bin(cnt)) + 1) * 64 + 1 AS " +
+    "BIGINT) AS cost FROM pc), " +
+    "dp AS (SELECT w, f, CAST(0 AS BIGINT) AS i, " +
+    "[CAST(0 AS BIGINT)] AS best FROM wf WHERE length(w) <= 60 " +
+    "UNION ALL SELECT d.w, d.f, d.i + 1, list_append(d.best, " +
+    "MIN(d.best[CAST(d.i + 2 - t.k AS INTEGER)] + v.cost)) " +
+    "FROM dp d JOIN range(1, 5) t(k) ON t.k <= d.i + 1 " +
+    "LEFT JOIN vc v ON v.piece = substr(d.w, CAST(d.i + 2 - " +
+    "t.k AS INTEGER), CAST(t.k AS INTEGER)) " +
+    "WHERE d.i < length(d.w) GROUP BY d.w, d.f, d.i, d.best), " +
+    "per AS MATERIALIZED (SELECT d.w, d.f, d.best[CAST(" +
+    "length(d.w) + 1 AS INTEGER)] AS obj FROM dp d WHERE " +
+    "d.i = length(d.w) " +
+    "UNION ALL SELECT w, f, CAST(NULL AS BIGINT) FROM wf " +
+    "WHERE length(w) > 60)"
+
   /** q152/q153's PageRank replay: the exact floor-division update
     * unrolled as materialized CTEs in HUGEINT — bit-identical to the
     * engine's DECIMAL(38,0) `(a - a mod b) / b` because both are
@@ -3220,7 +3299,16 @@ object PipelineQueries {
   private def pagerankCtes(edgesSql: String, seedsSql: Option[String],
                            rounds: Int, num: Long = 17L,
                            den: Long = 20L,
-                           scale: Long = 1000000L): String = {
+                           scale: Long = 1000000L,
+                           weighted: Boolean = false): String = {
+    // unweighted edge lists get w = 1 - the generalized update
+    // SUM((pr*w) // SUM w) is then value-identical to the classic
+    // SUM(pr // outdeg)
+    val edgesWithW =
+      if (weighted) edgesSql
+      else "SELECT src, dst, CAST(1 AS HUGEINT) AS w FROM (" +
+        edgesSql + ")"
+
     val nf = seedsSql match {
       case Some(sq) =>
         "nf AS MATERIALIZED (SELECT n.node, s.node IS NOT NULL AS " +
@@ -3229,7 +3317,8 @@ object PipelineQueries {
         "nf AS MATERIALIZED (SELECT node, TRUE AS is_seed FROM nodes)"
     }
     val body = (1 to rounds).map { r =>
-      s"i$r AS (SELECT e.dst AS node, SUM(p.pr // d.deg) AS inflow " +
+      s"i$r AS (SELECT e.dst AS node, SUM((p.pr * e.w) // d.deg) AS " +
+      s"inflow " +
       s"FROM edges e JOIN p${r - 1} p ON e.src = p.node JOIN deg d " +
       "ON e.src = d.node GROUP BY 1), " +
       s"g$r AS (SELECT CAST(COALESCE(SUM(p.pr), 0) AS HUGEINT) AS " +
@@ -3242,10 +3331,10 @@ object PipelineQueries {
       s"s FROM tot) ELSE 0 END)) // $den AS pr FROM nf f LEFT JOIN " +
       s"i$r i ON f.node = i.node)"
     }.mkString(", ")
-    s"edges AS MATERIALIZED ($edgesSql), " +
+    s"edges AS MATERIALIZED ($edgesWithW), " +
     "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION " +
     "SELECT dst FROM edges), " +
-    "deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS " +
+    "deg AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS " +
     "HUGEINT) AS deg FROM edges GROUP BY 1), " + nf + ", " +
     "tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, " +
     "CAST(COUNT(*) FILTER (is_seed) AS HUGEINT) AS s FROM nf), " +
@@ -4105,39 +4194,26 @@ object PipelineQueries {
     // as a list column; same word table, same piece counts, same
     // whole-bit costs, same packed objective
     "q154_unigram_segment" ->
-      ("WITH RECURSIVE " +
-       "wf AS MATERIALIZED (SELECT word AS w, CAST(COUNT(*) AS " +
-       "BIGINT) AS f FROM (SELECT unnest(regexp_split_to_array(" +
-       "trim(text), '\\s+')) AS word FROM documents) WHERE " +
-       "word <> '' GROUP BY word), " +
-       // correlated range() laterals are unsupported — enumerate
-       // positions and piece lengths through unnest instead
-       "pc AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) " +
-       "AS cnt FROM (SELECT f, substr(w, CAST(i + 1 AS INTEGER), " +
-       "CAST(k AS INTEGER)) AS piece FROM (SELECT f, w, i, " +
-       "unnest([1,2,3,4]) AS k FROM (SELECT f, w, " +
-       "unnest(range(length(w))) AS i FROM wf)) WHERE " +
-       "i + k <= length(w)) GROUP BY piece HAVING SUM(f) >= 5), " +
-       "tc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc), " +
-       "vc AS MATERIALIZED (SELECT piece, CAST((length(bin(" +
-       "(SELECT t FROM tc))) - length(bin(cnt)) + 1) * 64 + 1 AS " +
-       "BIGINT) AS cost FROM pc), " +
-       "dp AS (SELECT w, f, CAST(0 AS BIGINT) AS i, " +
-       "[CAST(0 AS BIGINT)] AS best FROM wf WHERE length(w) <= 60 " +
-       "UNION ALL SELECT d.w, d.f, d.i + 1, list_append(d.best, " +
-       "MIN(d.best[CAST(d.i + 2 - t.k AS INTEGER)] + v.cost)) " +
-       "FROM dp d JOIN range(1, 5) t(k) ON t.k <= d.i + 1 " +
-       "LEFT JOIN vc v ON v.piece = substr(d.w, CAST(d.i + 2 - " +
-       "t.k AS INTEGER), CAST(t.k AS INTEGER)) " +
-       "WHERE d.i < length(d.w) GROUP BY d.w, d.f, d.i, d.best), " +
-       "per AS (SELECT d.w, d.f, d.best[CAST(length(d.w) + 1 AS " +
-       "INTEGER)] AS obj FROM dp d WHERE d.i = length(d.w) " +
-       "UNION ALL SELECT w, f, CAST(NULL AS BIGINT) FROM wf " +
-       "WHERE length(w) > 60) " +
-       "SELECT obj % 64 AS n_pieces, COUNT(*) AS n_words, " +
+      (unigramDpCtes +
+       " SELECT obj % 64 AS n_pieces, COUNT(*) AS n_words, " +
        "CAST(SUM(f) AS BIGINT) AS n_tokens, " +
        "CAST(SUM(f * (obj // 64)) AS BIGINT) AS sum_wbits " +
        "FROM per GROUP BY 1 ORDER BY n_pieces NULLS FIRST"),
+
+    // q164: the same DP chain joined back to the per-document token
+    // stream — corpus-level encode census per source
+    "q164_unigram_encode" ->
+      (unigramDpCtes +
+       ", tok AS (SELECT source, word AS w FROM (SELECT source, " +
+       "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+       "FROM documents) WHERE word <> ''), " +
+       "j AS (SELECT t.source, p.obj FROM tok t LEFT JOIN per p " +
+       "ON t.w = p.w) " +
+       "SELECT source, COUNT(*) AS n_tokens, " +
+       "COUNT(CASE WHEN obj IS NULL THEN 1 END) AS n_unseg, " +
+       "CAST(SUM(obj % 64) AS BIGINT) AS n_pieces, " +
+       "CAST(SUM(obj // 64) AS BIGINT) AS sum_wbits " +
+       "FROM j GROUP BY source ORDER BY source NULLS FIRST"),
 
     // q156: identical daily counts, identical HUGEINT sums, the
     // same rational (num, den) and sign
@@ -4171,6 +4247,40 @@ object PipelineQueries {
        "MIN(CAST('0x' || substr(md5(canon), 1, 15) AS BIGINT)) " +
        "AS min_md5_prefix " +
        "FROM c GROUP BY host ORDER BY host NULLS FIRST"),
+
+    // q165: min-hop BFS as a depth-bounded recursive closure.
+    // NB: inside WITH RECURSIVE this DuckDB build does NOT
+    // deduplicate a bare UNION in non-recursive CTEs — the node
+    // set dedups through an explicit DISTINCT
+    "q165_hop_census" ->
+      ("WITH RECURSIVE " +
+       "pe AS MATERIALIZED (" + purchaseEdgesSql + "), " +
+       "edges AS MATERIALIZED (SELECT src, dst FROM pe UNION ALL " +
+       "SELECT dst, src FROM pe), " +
+       "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT " +
+       "src AS node FROM edges UNION ALL SELECT dst FROM edges)), " +
+       "sd AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node " +
+       "FROM supplier WHERE s_nationkey < 5), " +
+       "reach(node, d) AS (SELECT n.node, 0 FROM nodes n JOIN sd " +
+       "ON n.node = sd.node UNION SELECT e.dst, r.d + 1 FROM " +
+       "reach r JOIN edges e ON e.src = r.node WHERE r.d < 4), " +
+       "md AS (SELECT node, MIN(d) AS d FROM reach GROUP BY 1) " +
+       "SELECT CAST(d AS INTEGER) AS hop, COUNT(*) AS n_nodes " +
+       "FROM (SELECT n.node, md.d FROM nodes n LEFT JOIN md ON " +
+       "n.node = md.node) GROUP BY 1 ORDER BY hop NULLS FIRST"),
+
+    // q163: the weighted replay — same edge aggregation, same
+    // generalized floor update
+    "q163_pagerank_weighted" ->
+      ("WITH " + pagerankCtes(
+         "SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
+         "'s' || CAST(l_suppkey AS VARCHAR) AS dst, " +
+         "CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS w " +
+         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+         "GROUP BY 1, 2",
+         None, rounds = 3, weighted = true) +
+       " SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 " +
+       "ORDER BY pr DESC, node ASC NULLS FIRST LIMIT 10"),
 
     // q152: the 3-iteration exact-integer PageRank replay in HUGEINT
     "q152_pagerank" ->

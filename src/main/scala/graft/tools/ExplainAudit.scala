@@ -184,9 +184,22 @@ object ExplainAudit {
         "trustrank census: partial hash aggregation over the " +
           "checkpointed rank frame",
         Seq("HashAggregate")),
+      ("q165_hop_census",
+        "hop census: grouped aggregate over the checkpointed " +
+          "depth frame",
+        Seq("HashAggregate")),
+      ("q163_pagerank_weighted",
+        "weighted pagerank head: TakeOrdered over the checkpointed " +
+          "rank frame",
+        Seq("TakeOrderedAndProject")),
       ("q157_hits",
         "HITS head: TakeOrdered over the checkpointed score frame",
         Seq("TakeOrderedAndProject")),
+      ("q164_unigram_encode",
+        "unigram encode: the token stream joins the segmented word " +
+          "table on the word key (the model-join shape), one " +
+          "grouped aggregate",
+        Seq("unigram_segment", "HashAggregate")),
       ("q154_unigram_segment",
         "unigram census: the Viterbi DP is ONE codegen'd native " +
           "call per word over the checkpointed word table, feeding " +

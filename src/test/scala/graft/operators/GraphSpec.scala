@@ -152,6 +152,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hop census: chain depths, the bounded tail, and ignored " +
+      "out-of-graph seeds") {
+    val s = spark
+    import s.implicits._
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y")
+    def census(seedNames: String*) =
+      Graph.hopCensus(e, seedNames.toSeq.toDF("node"), maxHops = 2)
+        .collect().map(r => (if (r.isNullAt(0)) None
+          else Some(r.getInt(0))) -> r.getLong(1)).toMap
+    // a=0, b=1, c=2; d,e beyond maxHops; x,y disconnected
+    assert(census("a") == Map(Some(0) -> 1L, Some(1) -> 1L,
+      Some(2) -> 1L, None -> 4L))
+    // a seed outside the graph contributes nothing
+    assert(census("a", "zzz") == census("a"))
+    // all seeds outside: everything unreachable
+    assert(census("zzz") == Map(None -> 7L))
+  }
+
   test("degree census covers both directions with zero fills") {
     val got = Graph.degreeCensus(
         edges("a" -> "b", "a" -> "c", "b" -> "c"))

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * syntax: no backrefs, no lookaround).
   *
   * Rules (RFC 3986 normalization subset + the www convention):
-  * scheme and host lowercase; leading `www.` stripped; default
-  * ports dropped (`:80` for http, `:443` for https — after scheme
-  * lowering); fragment dropped; empty path → `/`, one trailing
-  * slash stripped otherwise; query params sorted bytewise (empty
-  * `?` dropped). Out of contract (documented, not handled):
+  * scheme and host lowercase; leading `www.` labels stripped
+  * (ALL of them — one-label stripping broke idempotence on
+  * `www.www.x`); default ports dropped (`:80` for http, `:443`
+  * for https — after scheme lowering); fragment dropped; empty
+  * path → `/`, trailing slashes stripped otherwise (the whole
+  * run, same idempotence argument); query params sorted bytewise
+  * (empty `?` dropped). The canonical form is a FIXED POINT:
+  * canonicalize(canonicalize(u)) == canonicalize(u), spec-pinned
+  * over generated messy inputs. Out of contract (documented, not
+  * handled):
   * userinfo (`u@host`), IPv6 bracket hosts, percent-encoding case
   * — none appear in crawl frontier tables this operator targets;
   * a row with no `scheme://` prefix canonicalizes to NULL.
@@ -38,20 +43,20 @@ object Urls {
     */
   def urlHost(url: Column): Column =
     when(part(url, 1) === "", lit(null).cast("string"))
-      .otherwise(regexp_replace(lower(part(url, 2)), "^www\\.", ""))
+      .otherwise(regexp_replace(lower(part(url, 2)), "^(www\\.)+", ""))
 
   /** The full canonical form (see object doc for the rule set);
     * NULL when the value has no `scheme://` prefix.
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(part(url, 1))
-    val host = regexp_replace(lower(part(url, 2)), "^www\\.", "")
+    val host = regexp_replace(lower(part(url, 2)), "^(www\\.)+", "")
     val rawPort = part(url, 3)
     val port = when(
       (scheme === "http" && rawPort === ":80") ||
         (scheme === "https" && rawPort === ":443"), "")
       .otherwise(rawPort)
-    val stripped = regexp_replace(part(url, 4), "/$", "")
+    val stripped = regexp_replace(part(url, 4), "/+$", "")
     val path = when(stripped === "", "/").otherwise(stripped)
     val q = part(url, 5)
     val query = when(q === "" || q === "?", "")
@@ -71,11 +76,11 @@ object Urls {
       "([^?#]*)(\\?[^#]*)?(#.*)?"
     def g(i: Int) = s"regexp_extract($urlExpr, '$p', $i)"
     val scheme = s"lower(${g(1)})"
-    val host = s"regexp_replace(lower(${g(2)}), '^www\\.', '')"
+    val host = s"regexp_replace(lower(${g(2)}), '^(www\\.)+', '')"
     val port = s"CASE WHEN ($scheme = 'http' AND ${g(3)} = ':80') " +
       s"OR ($scheme = 'https' AND ${g(3)} = ':443') THEN '' " +
       s"ELSE ${g(3)} END"
-    val stripped = s"regexp_replace(${g(4)}, '/$$', '')"
+    val stripped = s"regexp_replace(${g(4)}, '/+$$', '')"
     val path = s"CASE WHEN $stripped = '' THEN '/' ELSE $stripped END"
     val query = s"CASE WHEN ${g(5)} IN ('', '?') THEN '' ELSE " +
       s"'?' || array_to_string(list_sort(string_split(" +
@@ -89,6 +94,6 @@ object Urls {
       "([^?#]*)(\\?[^#]*)?(#.*)?"
     s"CASE WHEN regexp_extract($urlExpr, '$p', 1) = '' THEN NULL " +
       s"ELSE regexp_replace(lower(regexp_extract($urlExpr, '$p', " +
-      s"2)), '^www\\.', '') END"
+      s"2)), '^(www\\.)+', '') END"
   }
 }

@@ -83,14 +83,37 @@ class UrlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(host("no-scheme.com") == None)
   }
 
-  test("canonicalization is idempotent") {
-    val urls = Seq(
+  test("repeated www labels and slash runs normalize fully") {
+    // one-label / one-slash stripping would need a second pass —
+    // the fixed-point law found both
+    assert(host("http://www.www.X.com/") == Some("x.com"))
+    assert(canon("http://WWW.www.a.com/x///") ==
+      Some("http://a.com/x"))
+  }
+
+  test("canonicalization is idempotent (fixed point), " +
+      "including generated messy inputs") {
+    val fixed = Seq(
       "HTTP://WWW.Example.COM:80/Path/?b=2&a=1#x",
       "https://Example.com:443/", "http://a.com//",
-      "ftp://Host.com:80/a", "http://a.com/p?z=1&a=2&m=3")
-    urls.foreach { u =>
+      "ftp://Host.com:80/a", "http://a.com/p?z=1&a=2&m=3",
+      "http://www.www.a.com/x///?b=1&&a#z")
+    val rnd = new scala.util.Random(5)
+    val schemes = Seq("http", "HTTPS", "FtP")
+    val hosts = Seq("A.com", "www.B.org", "WWW.www.C.net", "d.io")
+    val ports = Seq("", ":80", ":443", ":0080", ":9")
+    val paths = Seq("", "/", "//", "/P/q", "/P/q/", "/x//")
+    val queries = Seq("", "?", "?b=2&a=1", "?a&&b", "?z")
+    val frags = Seq("", "#f", "#")
+    val gen = (1 to 120).map { _ =>
+      schemes(rnd.nextInt(3)) + "://" + hosts(rnd.nextInt(4)) +
+        ports(rnd.nextInt(5)) + paths(rnd.nextInt(6)) +
+        queries(rnd.nextInt(5)) + frags(rnd.nextInt(3))
+    }
+    (fixed ++ gen).foreach { u =>
       val once = canon(u).get
-      assert(canon(once) == Some(once), s"not idempotent: $u")
+      assert(canon(once) == Some(once), s"not idempotent: $u -> " +
+        s"$once -> ${canon(once)}")
     }
   }
 }

@@ -217,6 +217,39 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join cardinality estimate from two Count-Min tables — the
+    * classic sketch inner product (Cormode & Muthukrishnan, J.
+    * Algorithms 2005; the AMS lineage): for each of the `d` salted
+    * rows, Σ_buckets cA·cB NEVER undercounts the true join size
+    * (colliding keys only add), and the MIN over rows is the
+    * tightest such bound. The pre-flight join-sizing primitive —
+    * the same "price it before running it" discipline as the LSH
+    * pair budgets, for joins: two key-column scans + two
+    * sketch-sized frames, no data join at all.
+    *
+    * Both tables must come from [[countMinTable]] with the SAME
+    * (w, d) and a CONSTANT group (sizing is per table pair, not per
+    * group; the group column is ignored here).
+    */
+  def cmJoinSizeEstimate(cmA: DataFrame, cmB: DataFrame,
+                         d: Int = 4): DataFrame = {
+    require(d > 0, s"need d > 0: $d")
+    val dec = "decimal(38,0)"
+    val ips = cmA.select(col("row"), col("bucket"),
+        col("cnt").cast(dec).as("ca"))
+      .join(cmB.select(col("row"), col("bucket"),
+        col("cnt").cast(dec).as("cb")), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("ca") * col("cb")).cast(dec).as("ip"))
+    // a row with ZERO overlapping buckets proves the join is empty
+    // — the min must see that 0, so rows re-enter via a d-row frame
+    val rows = cmA.sparkSession.range(d.toLong)
+      .select(col("id").cast("int").as("row"))
+    rows.join(ips, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast(dec)))
+        .cast("long").as("est_join_rows"))
+  }
+
   /** Data-quality drift monitor: compare two slices of a corpus
     * (A/B split, yesterday/today, crawl v1/v2 — any binary `split`
     * expression) per group in ONE pass — conditional aggregation,

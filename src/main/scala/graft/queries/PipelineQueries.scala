@@ -361,6 +361,32 @@ object PipelineQueries {
         .orderBy(col("kind").asc_nulls_first)
     }),
 
+    // pre-flight join sizing: the Count-Min inner-product bound
+    // (never below the true equi-join cardinality — colliding keys
+    // only add) vs the exact join count; the "price the join before
+    // running it" primitive, from two key scans + two sketch-sized
+    // frames. Salted md5 buckets make the estimate a pure function
+    // of the data, so the oracle pins it EXACTLY
+    "q166_join_size_estimate" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").cast("string").as("k"))
+      val cmA = Sketches.countMinTable(li, lit("t"), col("k"),
+        w = 4096, d = 4)
+      val cmB = Sketches.countMinTable(o, lit("t"), col("k"),
+        w = 4096, d = 4)
+      val est = Sketches.cmJoinSizeEstimate(cmA, cmB, d = 4)
+      val exact = li.join(o, Seq("k"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_join_rows"), col("exact_join_rows"),
+          (col("est_join_rows") >= col("exact_join_rows"))
+            .as("no_undercount"),
+          expr("(est_join_rows * 10000) DIV nullif(" +
+            "exact_join_rows, 0)").as("est_ratio_bp"))
+    }),
+
     // BFS hop census from the trust seeds: how many nodes sit at
     // each minimum hop distance (the contamination blast-radius /
     // trust-coverage diagnostic pairing with q153); hops beyond 4
@@ -4247,6 +4273,36 @@ object PipelineQueries {
        "MIN(CAST('0x' || substr(md5(canon), 1, 15) AS BIGINT)) " +
        "AS min_md5_prefix " +
        "FROM c GROUP BY host ORDER BY host NULLS FIRST"),
+
+    // q166: identical salted buckets, identical per-row inner
+    // products, identical min — the estimate pins exactly
+    "q166_join_size_estimate" ->
+      ("WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM " +
+       "lineitem), " +
+       "ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM " +
+       "orders), " +
+       "ca AS (SELECT row, bucket, CAST(COUNT(*) AS HUGEINT) AS " +
+       "ca FROM (SELECT r.i AS row, CAST('0x' || substr(md5(" +
+       "CAST(r.i AS VARCHAR) || ':' || k), 1, 8) AS BIGINT) % " +
+       "4096 AS bucket FROM la, (SELECT unnest(range(4)) AS i) r) " +
+       "GROUP BY 1, 2), " +
+       "cb AS (SELECT row, bucket, CAST(COUNT(*) AS HUGEINT) AS " +
+       "cb FROM (SELECT r.i AS row, CAST('0x' || substr(md5(" +
+       "CAST(r.i AS VARCHAR) || ':' || k), 1, 8) AS BIGINT) % " +
+       "4096 AS bucket FROM ob, (SELECT unnest(range(4)) AS i) r) " +
+       "GROUP BY 1, 2), " +
+       "ip AS (SELECT ca.row, SUM(ca.ca * cb.cb) AS ip FROM ca " +
+       "JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket " +
+       "GROUP BY 1), " +
+       "es AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS " +
+       "est FROM (SELECT unnest(range(4)) AS row) r LEFT JOIN ip " +
+       "ON ip.row = r.row), " +
+       "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact FROM la " +
+       "JOIN ob ON la.k = ob.k) " +
+       "SELECT est AS est_join_rows, exact AS exact_join_rows, " +
+       "est >= exact AS no_undercount, " +
+       "CAST((est * 10000) // NULLIF(exact, 0) AS BIGINT) AS " +
+       "est_ratio_bp FROM es CROSS JOIN ex"),
 
     // q165: min-hop BFS as a depth-bounded recursive closure.
     // NB: inside WITH RECURSIVE this DuckDB build does NOT

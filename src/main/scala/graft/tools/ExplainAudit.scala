@@ -184,6 +184,11 @@ object ExplainAudit {
         "trustrank census: partial hash aggregation over the " +
           "checkpointed rank frame",
         Seq("HashAggregate")),
+      ("q166_join_size_estimate",
+        "join sizing: sketch-sized frames only — keyed aggregates, " +
+          "the (row,bucket) equi-join, 1-row broadcast of the " +
+          "exact side; never a data-scale shuffle of the pair",
+        Seq("HashAggregate", "BroadcastNestedLoopJoin")),
       ("q165_hop_census",
         "hop census: grouped aggregate over the checkpointed " +
           "depth frame",

@@ -67,6 +67,65 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"approx=$approx exact=$ex")
     }
   }
+
+  // ---- Count-Min join-size estimate ------------------------------
+
+  /** Brute-force reference: same salted md5 buckets, per-row inner
+    * products in BigInt, min over rows.
+    */
+  private def refJoinEstimate(a: Seq[String], b: Seq[String],
+                              w: Int, d: Int): BigInt = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(row: Int, k: String): Int = {
+      md.reset()
+      val hex = md.digest(s"$row:$k".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % w).toInt
+    }
+    (0 until d).map { r =>
+      val ca = a.groupBy(bucket(r, _)).view.mapValues(_.size)
+      val cb = b.groupBy(bucket(r, _)).view.mapValues(_.size)
+      ca.keys.toSeq.intersect(cb.keys.toSeq)
+        .map(k => BigInt(ca(k)) * cb(k)).sum
+    }.min
+  }
+
+  private def engineEstimate(a: Seq[String], b: Seq[String],
+                             w: Int, d: Int): (Long, Long) = {
+    val s = spark
+    import s.implicits._
+    val cmA = Sketches.countMinTable(a.toDF("k"), lit("t"),
+      col("k"), w = w, d = d)
+    val cmB = Sketches.countMinTable(b.toDF("k"), lit("t"),
+      col("k"), w = w, d = d)
+    val est = Sketches.cmJoinSizeEstimate(cmA, cmB, d = d)
+      .head().getLong(0)
+    val exact = a.toDF("k").join(b.toDF("k"), Seq("k")).count()
+    (est, exact)
+  }
+
+  test("cm join-size estimate: lockstep with the brute-force " +
+      "reference and the never-undercount law") {
+    val rnd = new scala.util.Random(17)
+    for (i <- 1 to 5) {
+      val a = (1 to 120).map(_ => s"k${rnd.nextInt(40)}")
+      val b = (1 to 80).map(_ => s"k${rnd.nextInt(60)}")
+      val (est, exact) = engineEstimate(a, b, w = 16, d = 3)
+      assert(BigInt(est) == refJoinEstimate(a, b, 16, 3), s"case $i")
+      assert(est >= exact, s"case $i: est $est < exact $exact")
+    }
+  }
+
+  test("cm join-size estimate: disjoint keys can prove emptiness") {
+    // with w larger than the key count, disjoint sides share no
+    // buckets on some row -> the min sees an exact 0
+    val a = (1 to 8).map(i => s"a$i")
+    val b = (1 to 8).map(i => s"b$i")
+    val (est, exact) = engineEstimate(a, b, w = 1024, d = 4)
+    assert(exact == 0L)
+    assert(BigInt(est) == refJoinEstimate(a, b, 1024, 4))
+    assert(est == 0L)
+  }
 }
 
 /** Group-pairwise corpus overlap: MinHash estimate vs exact

@@ -88,6 +88,32 @@ object Bench {
         java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
+    // the driver keeps only the LAST ~2000 chars of stdout (plus
+    // sbt's [success] epilogue, ~75 of them), so the full line above
+    // has been front-truncated and unparseable in every BENCH_r*.json
+    // since r6. The LAST printed line is therefore a compact variant
+    // sized to fit that window whole: short keys (q104_remove_repeats
+    // → q104), 1-decimal sub-second timings (full precision lives in
+    // bench_last.json and the line above), sf as a bare number.
+    def short(name: String): String = {
+      val digits = name.drop(1).takeWhile(_.isDigit)
+      if (!name.startsWith("q") || digits.isEmpty) name
+      else "q" + digits.dropWhile(_ == '0')
+    }
+    def cfmt(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = if (v >= 10) f"$v%.0f" else f"$v%.1f"
+        val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.')
+          .reverse
+        if (t.isEmpty) "0" else t
+      }
+    val cqs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + short(k) + "\":" + cfmt(v) }
+      .mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"queries":$cqs}""")
     spark.stop()
   }
 }

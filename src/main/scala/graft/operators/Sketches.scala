@@ -228,24 +228,53 @@ object Sketches {
     * sketch-sized frames, no data join at all.
     *
     * Both tables must come from [[countMinTable]] with the SAME
-    * (w, d) and a CONSTANT group (sizing is per table pair, not per
-    * group; the group column is ignored here).
+    * (w, d). The group column PARTICIPATES in the join — a
+    * multi-group pair estimates each group's join independently
+    * (groups absent from either side estimate 0), never mixing one
+    * group's counters into another's inner product. Returns
+    * `(group, est_join_rows)`.
+    *
+    * Contract validation (fail-fast, in-plan): every sketch row
+    * index must lie in [0, d) and every bucket be non-negative — a
+    * table built with a different `d` raises instead of silently
+    * min-ing over rows the other side never populated. A `w`
+    * mismatch is NOT detectable from the tables alone (bucket ids
+    * are data-dependent); the caller owns that half of the contract.
     */
   def cmJoinSizeEstimate(cmA: DataFrame, cmB: DataFrame,
                          d: Int = 4): DataFrame = {
     require(d > 0, s"need d > 0: $d")
     val dec = "decimal(38,0)"
-    val ips = cmA.select(col("row"), col("bucket"),
+    def checked(cm: DataFrame, side: String): DataFrame =
+      cm.select(col("group"),
+        when(col("row") >= 0 && col("row") < d, col("row"))
+          .otherwise(raise_error(lit(s"cmJoinSizeEstimate: $side " +
+            s"sketch has a row index outside [0, $d) — built with " +
+            "a different d")).cast("int")).as("row"),
+        when(col("bucket") >= 0, col("bucket"))
+          .otherwise(raise_error(lit(s"cmJoinSizeEstimate: $side " +
+            "sketch has a negative bucket id")).cast("long"))
+          .as("bucket"),
+        col("cnt"))
+    val a = checked(cmA, "left")
+    val b = checked(cmB, "right")
+    val ips = a.select(col("group"), col("row"), col("bucket"),
         col("cnt").cast(dec).as("ca"))
-      .join(cmB.select(col("row"), col("bucket"),
-        col("cnt").cast(dec).as("cb")), Seq("row", "bucket"))
-      .groupBy(col("row"))
+      .join(b.select(col("group"), col("row"), col("bucket"),
+        col("cnt").cast(dec).as("cb")), Seq("group", "row", "bucket"))
+      .groupBy(col("group"), col("row"))
       .agg(sum(col("ca") * col("cb")).cast(dec).as("ip"))
-    // a row with ZERO overlapping buckets proves the join is empty
-    // — the min must see that 0, so rows re-enter via a d-row frame
+    // a (group, row) with ZERO overlapping buckets proves that
+    // group's join is empty — the min must see that 0, so every
+    // group re-enters against a d-row frame (groups × d is
+    // sketch-sized, and the d-row side broadcasts)
     val rows = cmA.sparkSession.range(d.toLong)
       .select(col("id").cast("int").as("row"))
-    rows.join(ips, Seq("row"), "left")
+    val groups = a.select(col("group"))
+      .unionAll(b.select(col("group"))).distinct()
+    groups.crossJoin(broadcast(rows))
+      .join(ips, Seq("group", "row"), "left")
+      .groupBy(col("group"))
       .agg(min(coalesce(col("ip"), lit(0).cast(dec)))
         .cast("long").as("est_join_rows"))
   }

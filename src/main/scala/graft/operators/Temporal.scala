@@ -566,6 +566,17 @@ object Temporal {
     */
   def trendFit(df: DataFrame, key: Column, day: Column): DataFrame = {
     val dec = "decimal(38,0)"
+    // the exact rationals are computed in DECIMAL(38,0) but reported
+    // as BIGINT; under non-ANSI Spark an overflowing cast yields
+    // silent NULLs while the DuckDB HUGEINT→BIGINT replay errors —
+    // so the cast is range-guarded in-plan (fail-fast, loudly, in
+    // BOTH engines' replay: num ≈ n²·cov can pass 2^63 at ~10^9
+    // rows/day over years)
+    def checkedLong(c: Column, what: String): Column =
+      when(abs(c) <= lit(Long.MaxValue).cast(dec), c.cast("long"))
+        .otherwise(raise_error(lit(s"trendFit: $what exceeds BIGINT " +
+          "range — report the rational in DECIMAL instead"))
+          .cast("long"))
     val daily = df.groupBy(key.as("key"), day.cast(dec).as("x"))
       .agg(count(lit(1)).cast(dec).as("y"))
     daily.groupBy(col("key"))
@@ -576,11 +587,11 @@ object Temporal {
         sum(col("x") * col("x")).cast(dec).as("sxx"))
       .select(col("key"),
         col("n").cast("long").as("n_days"),
-        col("sy").cast("long").as("n_rows"),
-        (col("n") * col("sxy") - col("sx") * col("sy"))
-          .cast("long").as("num"),
-        (col("n") * col("sxx") - col("sx") * col("sx"))
-          .cast("long").as("den"),
+        checkedLong(col("sy"), "n_rows").as("n_rows"),
+        checkedLong(col("n") * col("sxy") - col("sx") * col("sy"),
+          "num").as("num"),
+        checkedLong(col("n") * col("sxx") - col("sx") * col("sx"),
+          "den").as("den"),
         when(col("n") * col("sxy") > col("sx") * col("sy"), "up")
           .when(col("n") * col("sxy") < col("sx") * col("sy"),
             "down")

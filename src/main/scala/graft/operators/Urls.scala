@@ -70,10 +70,9 @@ object Urls {
     * generated beside the Column form so the two cannot drift.
     */
   def canonicalizeSql(urlExpr: String): String = {
-    // DuckDB string literals do not backslash-escape, so the regex
-    // goes in verbatim (single backslashes)
-    val p = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?" +
-      "([^?#]*)(\\?[^#]*)?(#.*)?"
+    // DuckDB string literals do not backslash-escape, so the shared
+    // pattern interpolates verbatim (it contains no single quotes)
+    val p = UrlPattern
     def g(i: Int) = s"regexp_extract($urlExpr, '$p', $i)"
     val scheme = s"lower(${g(1)})"
     val host = s"regexp_replace(lower(${g(2)}), '^(www\\.)+', '')"
@@ -90,8 +89,7 @@ object Urls {
   }
 
   def hostSql(urlExpr: String): String = {
-    val p = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?" +
-      "([^?#]*)(\\?[^#]*)?(#.*)?"
+    val p = UrlPattern
     s"CASE WHEN regexp_extract($urlExpr, '$p', 1) = '' THEN NULL " +
       s"ELSE regexp_replace(lower(regexp_extract($urlExpr, '$p', " +
       s"2)), '^(www\\.)+', '') END"

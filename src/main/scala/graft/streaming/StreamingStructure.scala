@@ -870,7 +870,10 @@ object StreamingStructure {
     * batch boundary through the state. Contract: per-entity
     * in-order arrival ACROSS batches (the event-log norm — the
     * batch operator's total-order requirement, split-adjusted);
-    * within a batch any order is fine.
+    * within a batch any order is fine. The contract is ENFORCED:
+    * a row arriving strictly before the state's (ts, id) watermark
+    * is a violation and is dropped — it neither emits a
+    * time-reversed transition nor regresses the state.
     *
     * Input: `(entity, event, ts, id)`; output one row per
     * transition, append mode — a downstream count(prev, next)
@@ -888,12 +891,20 @@ object StreamingStructure {
          state: GroupState[TransitionState]) =>
           val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
           var last = state.getOption
-          val out = ordered.map { case (_, ev, ts, id) =>
-            val o = last.map(s =>
-              TransitionRow(entity, s.lastEvent, ev, ts))
-            last = Some(TransitionState(ev, ts, id))
-            o
-          }.collect { case Some(t) => t }
+          val out = ordered.flatMap { case (_, ev, ts, id) =>
+            // cross-batch ordering contract: a row strictly before
+            // the carried (lastTs, lastId) watermark arrived late —
+            // drop it (emitting would fabricate a time-reversed
+            // transition; updating state would regress the watermark)
+            if (last.exists(s => ts < s.lastTs ||
+                (ts == s.lastTs && id < s.lastId))) None
+            else {
+              val o = last.map(s =>
+                TransitionRow(entity, s.lastEvent, ev, ts))
+              last = Some(TransitionState(ev, ts, id))
+              o
+            }
+          }
           last.foreach(state.update)
           out.iterator
       }

@@ -99,7 +99,7 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cmB = Sketches.countMinTable(b.toDF("k"), lit("t"),
       col("k"), w = w, d = d)
     val est = Sketches.cmJoinSizeEstimate(cmA, cmB, d = d)
-      .head().getLong(0)
+      .select(col("est_join_rows")).head().getLong(0)
     val exact = a.toDF("k").join(b.toDF("k"), Seq("k")).count()
     (est, exact)
   }
@@ -114,6 +114,42 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(BigInt(est) == refJoinEstimate(a, b, 16, 3), s"case $i")
       assert(est >= exact, s"case $i: est $est < exact $exact")
     }
+  }
+
+  test("cm join-size estimate: groups never mix — a multi-group " +
+      "pair estimates each group independently") {
+    val s = spark
+    import s.implicits._
+    // g1 sides share keys; g2 sides are disjoint from each other AND
+    // from g1 — a (row,bucket)-only join would leak g1's counters
+    // into g2's inner product and report g2 > 0
+    val a = Seq.fill(30)("g1" -> "k1") ++
+      (1 to 8).map(i => "g2" -> s"x$i")
+    val b = Seq.fill(20)("g1" -> "k1") ++
+      (1 to 8).map(i => "g2" -> s"y$i")
+    val cmA = Sketches.countMinTable(a.toDF("g", "k"), col("g"),
+      col("k"), w = 1024, d = 4)
+    val cmB = Sketches.countMinTable(b.toDF("g", "k"), col("g"),
+      col("k"), w = 1024, d = 4)
+    val est = Sketches.cmJoinSizeEstimate(cmA, cmB, d = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("g1") == 600L) // 30 × 20, exact at this sparsity
+    assert(est("g2") == 0L)   // disjoint — proven empty, not inflated
+  }
+
+  test("cm join-size estimate: a d mismatch raises instead of " +
+      "silently min-ing over unpopulated rows") {
+    val s = spark
+    import s.implicits._
+    val keys = (1 to 8).map(i => s"k$i")
+    val cm4 = Sketches.countMinTable(keys.toDF("k"), lit("t"),
+      col("k"), w = 64, d = 4)
+    val cm2 = Sketches.countMinTable(keys.toDF("k"), lit("t"),
+      col("k"), w = 64, d = 2)
+    val ex = intercept[Exception] {
+      Sketches.cmJoinSizeEstimate(cm4, cm2, d = 2).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("cm join-size estimate: disjoint keys can prove emptiness") {

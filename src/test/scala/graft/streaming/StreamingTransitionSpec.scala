@@ -63,4 +63,31 @@ class StreamingTransitionSpec extends AnyFunSuite
       // modulo interleaving above (entities arrive interleaved)
     } finally q.stop()
   }
+
+  test("a late cross-batch arrival is dropped, not emitted as a " +
+      "time-reversed transition") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val watch = StreamingStructure.transitionWatch(s, input.toDS())
+    val q = watch.toDF().writeStream.format("memory")
+      .queryName("twatch_late").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L)))
+      q.processAllAvailable()
+      // ts=15 arrives AFTER the entity's watermark moved to 20:
+      // a contract violation — dropped, and the state stays at "b"
+      input.addData(Seq((1L, "x", 15L, 3L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "c", 30L, 4L)))
+      q.processAllAvailable()
+      val rows = s.table("twatch_late")
+        .select(col("prev"), col("next"), col("ts"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows === Set(("a", "b", 20L), ("b", "c", 30L)))
+    } finally q.stop()
+  }
 }

@@ -67,6 +67,12 @@ object GraftExtensions {
       "nfc_normalize(text) - Unicode NFC canonical composition",
       args => { arity("nfc_normalize", args, 1)
         NfcNormalizeExpr(args.head) }),
+    ("html_extract",
+      "html_extract(html) - (text, title, n_links, n_paragraphs) " +
+        "from markup: tags/scripts/styles/comments stripped, " +
+        "entities decoded",
+      args => { arity("html_extract", args, 1)
+        HtmlTextExpr(args.head) }),
     ("lsh_sign",
       "lsh_sign(vec) - sign-random-projection LSH bits",
       args => { arity("lsh_sign", args, 1)

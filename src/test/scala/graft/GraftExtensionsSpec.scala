@@ -34,6 +34,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = spark.sql(
       """SELECT simhash32(text) AS sh,
         |       nfc_normalize(text) AS nfc,
+        |       html_extract(text) AS he,
         |       min_hash_sig(text, 2, 4) AS mh,
         |       winnow_fingerprints(text, 2, 3) AS wf,
         |       word_shingles(text, 2) AS ws,

@@ -614,17 +614,23 @@ object Dedup {
     * are released by the context cleaner once unreferenced.
     */
   def connectedComponents(pairs: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None)
+      : DataFrame = {
+    // the same durability knob as graft.operators.Graph.cut: None =
+    // localCheckpoint (cheapest, not executor-loss-safe); Some(dir)
+    // = reliable checkpoint per round, identical results
     val edges = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"),
         col("id1").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var labels = graft.operators.Graph.cut(
+      edges.select(col("src").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("label")),
+      checkpointDir)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -660,7 +666,8 @@ object Dedup {
             (least(col("a.label"),
               coalesce(col("j.label"), col("a.label")))
               =!= col("a.old")).as("changed"))
-      val next = jumped.localCheckpoint(eager = false)
+      val next = graft.operators.Graph.cut(jumped, checkpointDir,
+        eager = false)
       // the one action: materializes + caches the round's labels AND
       // returns the changed-row count (exact — no accumulator
       // retry-double-count caveats, no Long-sum wraparound)

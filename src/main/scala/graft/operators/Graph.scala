@@ -31,6 +31,28 @@ object Graph {
 
   private val Dec = "decimal(38,0)"
 
+  /** The iterative family's lineage cut. Default (None) is
+    * `localCheckpoint` — executor-local blocks, cheapest, but NOT
+    * fault-tolerant: on a real cluster an executor loss
+    * mid-iteration aborts the job with no recompute path (the
+    * truncated lineage cannot rebuild the lost blocks). Passing a
+    * reliable `checkpointDir` (HDFS/object-store path on a cluster)
+    * switches every cut to a reliable checkpoint: each round's state
+    * is written to fault-tolerant storage, so lost executors
+    * re-read instead of aborting. Results are IDENTICAL either way
+    * (spec-pinned) — the knob trades write cost for durability.
+    */
+  private[operators] def cut(df: DataFrame,
+                             checkpointDir: Option[String],
+                             eager: Boolean = true): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   /** Exact floor division of non-negative DECIMAL(38,0) columns:
     * `(a - a mod b) / b` — the subtraction makes the numerator
     * exactly divisible, so the decimal division is exact and
@@ -70,7 +92,25 @@ object Graph {
                num: Long = 17L, den: Long = 20L,
                scale: Long = 1000000L,
                seeds: Option[DataFrame] = None,
-               weight: Option[Column] = None): DataFrame = {
+               weight: Option[Column] = None,
+               checkpointDir: Option[String] = None): DataFrame =
+    pagerankTrace(edges, iterations, num, den, scale, seeds, weight,
+      checkpointDir).last
+
+  /** [[pagerank]] with the full per-iteration score trace: element t
+    * holds `(node, pr)` AFTER t iterations (element 0 = the initial
+    * mass placement), each one materialized and lineage-cut. The
+    * trace is what [[pagerankDelta]] folds an edge batch against —
+    * a delta fold must know the OLD run's score at every round, not
+    * just its end state.
+    */
+  def pagerankTrace(edges: DataFrame, iterations: Int = 3,
+                    num: Long = 17L, den: Long = 20L,
+                    scale: Long = 1000000L,
+                    seeds: Option[DataFrame] = None,
+                    weight: Option[Column] = None,
+                    checkpointDir: Option[String] = None)
+      : Seq[DataFrame] = {
     require(iterations >= 1 && iterations <= 16,
       s"driver-looped plan growth is specified for 1..16 " +
         s"iterations: $iterations")
@@ -85,13 +125,22 @@ object Graph {
       when(wCol > 0, wCol)
         .otherwise(raise_error(lit("pagerank: edge weights must " +
           "be positive")).cast(Dec)).as("w")).persist()
-    val nodes = e0.select(col("src").as("node"))
+    // degree-skew pre-flight (the price-it-first discipline): the
+    // inflow aggregation's reduce key is `dst`, and the per-round
+    // join's shuffle key is `src` — a key holding a large share of
+    // the edges makes one reducer the round clock. The check is one
+    // aggregate over the edge frame (which doubles as the persist
+    // materializer); it WARNS rather than salts — partial
+    // aggregation absorbs most hot-key sums and AQE's skew-join
+    // handles the join side, so the right response is usually a
+    // config, not a rewrite.
+    skewPreflight(e0).foreach(w =>
+      System.err.println(s"warning: $w"))
+    val nodes = cut(e0.select(col("src").as("node"))
       .unionAll(e0.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
-    val deg = e0.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).cast(Dec).as("deg"))
-      .localCheckpoint()
+      .distinct(), checkpointDir)
+    val deg = cut(e0.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
     // out-degree PRE-JOINED into the edge frame once: every
     // iteration's share computation then needs only the pr join —
     // one shuffle per round instead of two (at 100 TB the saved
@@ -107,11 +156,11 @@ object Graph {
     val seeded = seeds match {
       case Some(sf) =>
         val sn = sf.select(col("node")).distinct()
-        nodes.join(sn.withColumn("__s", lit(true)), Seq("node"),
+        cut(nodes.join(sn.withColumn("__s", lit(true)), Seq("node"),
             "left")
           .select(col("node"),
-            coalesce(col("__s"), lit(false)).as("is_seed"))
-          .localCheckpoint()
+            coalesce(col("__s"), lit(false)).as("is_seed")),
+          checkpointDir)
       case None => nodes.select(col("node"), lit(true).as("is_seed"))
     }
     // N (nodes), S (teleport targets), T = N·scale — one tiny frame
@@ -133,11 +182,12 @@ object Graph {
     // 0 elsewhere — for seeds=None that is exactly `scale` per node,
     // and for TrustRank every unit of final score provably originated
     // at a seed and travelled only links
-    var pr = seeded.crossJoin(broadcast(tot))
+    var pr = cut(seeded.crossJoin(broadcast(tot))
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), floorDiv(col("n") * sc, col("s")))
-          .otherwise(lit(0).cast(Dec)).as("pr"))
-      .localCheckpoint()
+          .otherwise(lit(0).cast(Dec)).as("pr")), checkpointDir)
+    val trace = Seq.newBuilder[DataFrame]
+    trace += pr.select(col("node"), col("pr"))
     for (_ <- 1 to iterations) {
       val inflow = e.join(pr.select(col("node"), col("pr")),
           e("src") === col("node"))
@@ -148,7 +198,7 @@ object Graph {
       val dang = pr.join(deg.select(col("node")), Seq("node"),
           "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0)).cast(Dec).as("d"))
-      pr = pr.select(col("node"), col("is_seed"), col("pr"))
+      pr = cut(pr.select(col("node"), col("is_seed"), col("pr"))
         .join(inflow, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .crossJoin(broadcast(dang))
@@ -165,11 +215,161 @@ object Graph {
         // pr is referenced three times next round (shares, dangling,
         // the rebase join) — one eager cut per round keeps the plan
         // flat and is the round's only driver action
-        .localCheckpoint()
+        , checkpointDir)
+      trace += pr.select(col("node"), col("pr"))
     }
     e.unpersist()
     e0.unpersist()
-    pr.select(col("node"), col("pr"))
+    trace.result()
+  }
+
+  /** Fold a batch of NEW edges into a completed [[pagerankTrace]]
+    * run WITHOUT re-iterating the full graph — the q63/q128 delta
+    * discipline applied to the iterative family. The result is
+    * defined as, and spec- and oracle-pinned EXACTLY equal to,
+    * `pagerank(edges ∪ delta, iterations)`: per round, only the
+    * AFFECTED FRONTIER recomputes and every other node copies the
+    * prior trace.
+    *
+    * Why the frontier is sound: with the preconditions below, round
+    * t's score changes at v only if (a) an in-neighbor's round-(t−1)
+    * score changed, (b) an in-neighbor's out-degree changed (it is a
+    * delta source), or (c) v gained an in-edge. So
+    * `dirty₁ = outNbr_{E∪Δ}(srcs(Δ))` and
+    * `dirty_{t+1} = outNbr_{E∪Δ}(dirty_t) ∪ dirty₁` cover every
+    * changed node — recomputing a covered-but-unchanged node is
+    * harmless (its inflow over the patched frame reproduces the old
+    * value bit-for-bit).
+    *
+    * Preconditions (priced pre-flight, `require`d):
+    *   - every delta endpoint already appears in `edges` (N — and
+    *     with it the teleport base — is unchanged; a batch with new
+    *     nodes changes EVERY node's base, so run the full rank);
+    *   - `edges` has no dangling node (dangling mass is a GLOBAL
+    *     broadcast — any local change would touch every score; with
+    *     no dangling nodes and no new nodes, E∪Δ stays
+    *     dangling-free);
+    *   - the trace is unseeded (seeded teleport shifts with |S|).
+    *
+    * Shape: each round joins the edge frame only against the
+    * frontier (a dst-side semi-join) and the patched score frame —
+    * work proportional to the frontier's in-edge volume, not the
+    * graph. A delta touching f% of sources costs ~f% of a full
+    * round, the win this operator exists for at 100 TB.
+    */
+  def pagerankDelta(edges: DataFrame, delta: DataFrame,
+                    trace: Seq[DataFrame],
+                    num: Long = 17L, den: Long = 20L,
+                    scale: Long = 1000000L,
+                    weight: Option[Column] = None,
+                    checkpointDir: Option[String] = None)
+      : DataFrame = {
+    require(trace.nonEmpty, "need a pagerankTrace run to fold into")
+    require(num > 0 && den > num,
+      s"damping num/den must lie in (0, 1): $num/$den")
+    val iterations = trace.length - 1
+    val wCol = weight.getOrElse(lit(1L)).cast(Dec)
+    def withW(df: DataFrame): DataFrame =
+      df.select(col("src"), col("dst"),
+        when(wCol > 0, wCol)
+          .otherwise(raise_error(lit("pagerankDelta: edge weights " +
+            "must be positive")).cast(Dec)).as("w"))
+    val eOld = withW(edges).persist()
+    val dNew = withW(delta).persist()
+    val oldNodes = cut(eOld.select(col("src").as("node"))
+      .unionAll(eOld.select(col("dst").as("node")))
+      .distinct(), checkpointDir)
+    // pre-flight 1: no new nodes (N must not move)
+    val newcomers = dNew.select(col("src").as("node"))
+      .unionAll(dNew.select(col("dst").as("node")))
+      .distinct()
+      .join(oldNodes, Seq("node"), "left_anti")
+      .count()
+    require(newcomers == 0L,
+      s"pagerankDelta: $newcomers delta endpoints are not nodes " +
+        "of the base graph — N (and every teleport base) would " +
+        "change; run the full pagerank instead")
+    // pre-flight 2: no dangling nodes (dangling mass is global)
+    val dangling = oldNodes
+      .join(eOld.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .count()
+    require(dangling == 0L,
+      s"pagerankDelta: base graph has $dangling dangling nodes — " +
+        "their redistributed mass is a global term, so a local " +
+        "fold is unsound; symmetrize or run the full pagerank")
+    val allE = eOld.unionAll(dNew)
+    val degNew = cut(allE.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
+    val eD = allE.join(degNew.select(col("node").as("__dn"),
+        col("deg")), col("__dn") === allE("src"))
+      .select(allE("src").as("src"), allE("dst").as("dst"),
+        allE("w"), col("deg"))
+      .persist()
+    // the per-node teleport base: floor((den−num)·N·scale/(den·N))
+    // = floor((den−num)·scale/den), a driver literal
+    val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
+      .toString).cast(Dec)
+    val srcsD = dNew.select(col("src").as("node")).distinct()
+    val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
+        eD("src") === col("__f"))
+      .select(eD("dst").as("node")).distinct(), checkpointDir)
+    var dirty = dirty1
+    var patched = trace.head
+    for (t <- 1 to iterations) {
+      val inflow = eD
+        .join(dirty.withColumnRenamed("node", "__t"),
+          eD("dst") === col("__t"))
+        .join(patched.select(col("node").as("__sn"), col("pr")),
+          col("__sn") === eD("src"))
+        .select(eD("dst").as("node"),
+          floorDiv(col("pr") * eD("w"), col("deg")).as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).cast(Dec).as("inflow"))
+      val fresh = dirty.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (base + floorDiv(lit(num).cast(Dec) *
+            coalesce(col("inflow"), lit(0).cast(Dec)),
+            lit(den).cast(Dec))).as("__npr"))
+      patched = cut(trace(t)
+        .join(fresh, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__npr"), col("pr")).as("pr")), checkpointDir)
+      if (t < iterations)
+        dirty = cut(eD.join(dirty.withColumnRenamed("node", "__f"),
+            eD("src") === col("__f"))
+          .select(eD("dst").as("node"))
+          .unionAll(dirty1.select(col("node")))
+          .distinct(), checkpointDir)
+    }
+    eD.unpersist()
+    eOld.unpersist()
+    dNew.unpersist()
+    patched
+  }
+
+  /** How hot is the hottest reduce key? `Some(warning)` when one
+    * `dst` holds more than `num/den` of all edges (default 1/8) in a
+    * graph of at least `minEdges` edges (tiny graphs never warn) —
+    * the pre-flight a rank run reads before committing a cluster to
+    * N iterations over a star-shaped frame. One aggregate, two
+    * numbers; compared by exact cross-multiplication.
+    */
+  def skewPreflight(edges: DataFrame, num: Long = 1L, den: Long = 8L,
+                    minEdges: Long = 10000L): Option[String] = {
+    require(num > 0 && den > 0, s"need a positive ratio: $num/$den")
+    val r = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
+        coalesce(sum(col("c")), lit(0L)).cast("long").as("tot"))
+      .head()
+    val (mx, tot) = (r.getLong(0), r.getLong(1))
+    if (tot >= minEdges && mx * den >= tot * num)
+      Some(s"pagerank degree skew: hottest in-degree key holds " +
+        s"$mx of $tot edges (>= $num/$den) — one reducer clocks " +
+        "every round; consider AQE skew handling or salting the " +
+        "aggregation")
+    else None
   }
 
   /** `iterations` rounds of HITS (Kleinberg, JACM 1999) in exact
@@ -191,18 +391,18 @@ object Graph {
     * would be zero).
     */
   def hits(edges: DataFrame, iterations: Int = 2,
-           scale: Long = 1000000L): DataFrame = {
+           scale: Long = 1000000L,
+           checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 16,
       s"driver-looped plan growth is specified for 1..16 " +
         s"iterations: $iterations")
     val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
+    val nodes = cut(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
     val sc = lit(scale).cast(Dec)
-    var scores = nodes.select(col("node"), sc.as("hub"),
-      sc.as("auth")).localCheckpoint()
+    var scores = cut(nodes.select(col("node"), sc.as("hub"),
+      sc.as("auth")), checkpointDir)
     for (_ <- 1 to iterations) {
       val aRaw = e.join(scores.select(col("node"), col("hub")),
           e("src") === col("node"))
@@ -210,22 +410,21 @@ object Graph {
         .agg(sum(col("hub")).cast(Dec).as("a_raw"))
       val aTot = aRaw.agg(
         coalesce(sum(col("a_raw")), lit(0)).cast(Dec).as("at"))
-      val withA = nodes
+      val withA = cut(nodes
         .join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
           when(col("a_raw").isNull || col("at") <= 0,
             lit(0).cast(Dec))
             .otherwise(floorDiv(col("a_raw") * sc, col("at")))
-            .as("auth"))
-        .localCheckpoint()
+            .as("auth")), checkpointDir)
       val hRaw = e.join(withA.select(col("node"), col("auth")),
           e("dst") === col("node"))
         .groupBy(e("src").as("node"))
         .agg(sum(col("auth")).cast(Dec).as("h_raw"))
       val hTot = hRaw.agg(
         coalesce(sum(col("h_raw")), lit(0)).cast(Dec).as("ht"))
-      scores = withA
+      scores = cut(withA
         .join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
@@ -233,8 +432,7 @@ object Graph {
             lit(0).cast(Dec))
             .otherwise(floorDiv(col("h_raw") * sc, col("ht")))
             .as("hub"),
-          col("auth"))
-        .localCheckpoint()
+          col("auth")), checkpointDir)
     }
     e.unpersist()
     scores.select(col("node"), col("hub"), col("auth"))
@@ -255,33 +453,31 @@ object Graph {
     * global structures, no driver data.
     */
   def hopCensus(edges: DataFrame, seeds: DataFrame,
-                maxHops: Int = 4): DataFrame = {
+                maxHops: Int = 4,
+                checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16,
       s"driver-looped plan growth is specified for 1..16 hops: " +
         s"$maxHops")
     val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
+    val nodes = cut(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
     val sn = seeds.select(col("node")).distinct()
-    var depth = nodes
+    var depth = cut(nodes
       .join(sn.withColumn("__s", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s"), lit(0)).otherwise(lit(null).cast("int"))
-          .as("hop"))
-      .localCheckpoint()
+          .as("hop")), checkpointDir)
     for (d <- 1 to maxHops) {
       val frontier = depth.where(col("hop") === d - 1)
         .select(col("node").as("__f"))
       val reached = e.join(frontier, e("src") === col("__f"))
         .select(e("dst").as("node")).distinct()
         .withColumn("__r", lit(true))
-      depth = depth.join(reached, Seq("node"), "left")
+      depth = cut(depth.join(reached, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("hop"),
-            when(col("__r"), lit(d))).as("hop"))
-        .localCheckpoint()
+            when(col("__r"), lit(d))).as("hop")), checkpointDir)
     }
     e.unpersist()
     depth.groupBy(col("hop"))

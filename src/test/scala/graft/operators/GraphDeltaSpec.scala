@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-11 graph additions: pagerankDelta == the full re-run
+  * bit-for-bit (random symmetrized fixtures + a frontier smaller
+  * than the graph), the reliable-checkpoint knob changes NOTHING but
+  * durability, and the degree-skew pre-flight trips on a star.
+  */
+class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var ckptDir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    if (ckptDir != null) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+        .reverse.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
+  }
+
+  private def sym(es: Seq[(String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (es ++ es.map(_.swap)).toDF("src", "dst")
+  }
+
+  private def ranks(df: DataFrame): Map[String, Long] =
+    df.collect().map(r =>
+      r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+
+  // random connected-ish symmetric graph + a delta batch among
+  // EXISTING nodes (the operator's contract)
+  private def randomCase(seed: Int, n: Int, baseE: Int, deltaE: Int)
+      : (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(seed)
+    def node(i: Int) = s"n$i"
+    // a ring guarantees every node exists in the base (and no
+    // dangling after symmetrization)
+    val ring = (0 until n).map(i => node(i) -> node((i + 1) % n))
+    val extra = Seq.fill(baseE)(
+      node(rnd.nextInt(n)) -> node(rnd.nextInt(n)))
+    val delta = Seq.fill(deltaE)(
+      node(rnd.nextInt(n)) -> node(rnd.nextInt(n)))
+    (sym(ring ++ extra), sym(delta))
+  }
+
+  test("delta fold equals the full re-run bit-for-bit on random " +
+      "fixtures") {
+    for ((seed, n, be, de) <- Seq((7, 12, 10, 2), (23, 30, 25, 4),
+        (99, 50, 40, 1))) {
+      val (base, delta) = randomCase(seed, n, be, de)
+      val trace = Graph.pagerankTrace(base, iterations = 3)
+      val folded = ranks(Graph.pagerankDelta(base, delta, trace))
+      val full = ranks(Graph.pagerank(base.unionAll(delta),
+        iterations = 3))
+      assert(folded === full, s"seed $seed")
+    }
+  }
+
+  test("delta fold: multi-edge reinforcement (a second copy of " +
+      "existing edges) folds exactly") {
+    val baseEdges = Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "a", "a" -> "c")
+    val base = sym(baseEdges)
+    val delta = sym(Seq("a" -> "c"))
+    val trace = Graph.pagerankTrace(base, iterations = 3)
+    val folded = ranks(Graph.pagerankDelta(base, delta, trace))
+    val full = ranks(Graph.pagerank(base.unionAll(delta),
+      iterations = 3))
+    assert(folded === full)
+    // and the fold genuinely changed something vs the stale trace
+    assert(folded !== ranks(trace.last))
+  }
+
+  test("delta preconditions raise: new nodes, dangling base") {
+    val base = sym(Seq("a" -> "b", "b" -> "c"))
+    val trace = Graph.pagerankTrace(base, iterations = 2)
+    val s = spark
+    import s.implicits._
+    val newNode = intercept[IllegalArgumentException] {
+      Graph.pagerankDelta(base,
+        Seq("a" -> "zzz").toDF("src", "dst"), trace)
+    }
+    assert(newNode.getMessage.contains("not nodes"))
+    // un-symmetrized chain: c is dangling
+    val dang = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    val dtrace = Graph.pagerankTrace(dang, iterations = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pagerankDelta(dang, Seq("a" -> "b").toDF("src", "dst"),
+        dtrace)
+    }
+    assert(ex.getMessage.contains("dangling"))
+  }
+
+  test("an empty delta returns the trace end state unchanged") {
+    val base = sym(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    val trace = Graph.pagerankTrace(base, iterations = 3)
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(ranks(Graph.pagerankDelta(base, empty, trace)) ===
+      ranks(trace.last))
+  }
+
+  test("reliable checkpointDir: identical results on pagerank, " +
+      "hits, hopCensus and connectedComponents") {
+    val s = spark
+    import s.implicits._
+    val (base, delta) = randomCase(41, 20, 15, 3)
+    val dir = Some(ckptDir.toString)
+    assert(ranks(Graph.pagerank(base, iterations = 3)) ===
+      ranks(Graph.pagerank(base, iterations = 3,
+        checkpointDir = dir)))
+    val h1 = Graph.hits(base, iterations = 2).collect()
+      .map(r => (r.getString(0), r.getDecimal(1).longValueExact(),
+        r.getDecimal(2).longValueExact())).toSet
+    val h2 = Graph.hits(base, iterations = 2, checkpointDir = dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1).longValueExact(),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(h1 === h2)
+    val seeds = Seq("n0").toDF("node")
+    val c1 = Graph.hopCensus(base, seeds, maxHops = 3).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getLong(1))).toSet
+    val c2 = Graph.hopCensus(base, seeds, maxHops = 3,
+        checkpointDir = dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getLong(1))).toSet
+    assert(c1 === c2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val l1 = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2 = graft.operators.Dedup.connectedComponents(pairs,
+        checkpointDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l1 === l2)
+    // and the delta fold under the reliable knob too
+    val trace = Graph.pagerankTrace(base, iterations = 2,
+      checkpointDir = dir)
+    assert(ranks(Graph.pagerankDelta(base, delta, trace,
+        checkpointDir = dir)) ===
+      ranks(Graph.pagerank(base.unionAll(delta), iterations = 2)))
+  }
+
+  test("skew pre-flight trips on a star and stays quiet on a ring") {
+    val s = spark
+    import s.implicits._
+    val star = (1 to 500).map(i => s"n$i" -> "hub").toDF("src", "dst")
+    assert(Graph.skewPreflight(star, minEdges = 100L).isDefined)
+    val ring = (0 until 500).map(i => s"n$i" -> s"n${(i + 1) % 500}")
+      .toDF("src", "dst")
+    assert(Graph.skewPreflight(ring, minEdges = 100L).isEmpty)
+    // default minEdges keeps small graphs quiet even when skewed
+    assert(Graph.skewPreflight(star).isEmpty)
+  }
+}

@@ -174,6 +174,118 @@ object LangModel {
         sum(col("__w")).cast("long").as("wbits"))
   }
 
+  /** All consecutive char bigrams of a text column (code-point
+    * indexed, both engines 1-based) — the language-ID feature. The
+    * `length >= 2` guard matters: Spark's `sequence(1, 0)` is the
+    * DESCENDING [1, 0], not empty.
+    */
+  def charBigrams(text: Column): Column =
+    when(length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1),
+        i => text.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** A trained character-bigram naive-Bayes language identifier:
+    * `labels` sorted ascending (the argmin tie-break order),
+    * `defaults(i)` the whole-bit cost of a gram UNSEEN for label i,
+    * `bits(g)(i)` the cost of gram `g` under label i. All costs are
+    * the add-one-smoothed code lengths
+    *
+    *   bits(l, g) = ⌊log2(n_l + V)⌋ − ⌊log2(c(l,g) + 1)⌋
+    *
+    * (n_l = label l's total training grams, V = the training
+    * vocabulary size across ALL labels, c the gram's count under l)
+    * — the q141 whole-bit rule, so a second engine replays every
+    * score bit-for-bit. Classification = argmin of the summed code
+    * length (the minimum-description-length reading of naive Bayes
+    * with a uniform prior).
+    */
+  final case class LangIdModel(labels: Seq[String],
+                               defaults: Seq[Long],
+                               bits: Map[String, Seq[Long]])
+
+  /** Train the language identifier on a labeled slice — the
+    * CCNet-style curation step the quality LM (trainBigram) cannot
+    * do: decide the LANGUAGE, not the register. Counting is one
+    * distributed keyed aggregation over exploded char bigrams; the
+    * finished model is vocabulary-sized (≤ alphabet² grams ×
+    * |labels|), so it collects to the driver under a PRICED cap
+    * (the Unigram.vocabulary discipline) and ships back inside a
+    * stateless projection ([[langIdStruct]] — the
+    * hashClassifierScore shape: no join, no shuffle at scoring
+    * time).
+    */
+  def trainLangId(labeled: DataFrame, label: Column, text: Column,
+                  maxModelRows: Int = 500000): LangIdModel = {
+    val counts = labeled
+      .select(label.cast("string").as("l"),
+        explode(charBigrams(text)).as("g"))
+      .groupBy(col("l"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val rows = counts.limit(maxModelRows + 1).collect()
+    require(rows.length <= maxModelRows,
+      s"langid model exceeds maxModelRows=$maxModelRows " +
+        "(label, gram) rows; raise the cap or reduce the gram " +
+        "alphabet upstream")
+    val triples = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val labels = triples.map(_._1).distinct.sorted.toSeq
+    require(labels.nonEmpty, "langid training slice is empty")
+    val idx = labels.zipWithIndex.toMap
+    val nPer = labels.map(l =>
+      triples.filter(_._1 == l).map(_._3).sum)
+    val v = triples.map(_._2).distinct.length.toLong
+    def fl2(n: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(n)
+    val defaults = nPer.map(n => fl2(n + v))
+    val bits = triples.groupBy(_._2).map { case (g, ts) =>
+      val arr = defaults.toArray.clone()
+      ts.foreach { case (l, _, c) =>
+        arr(idx(l)) = defaults(idx(l)) - fl2(c + 1L)
+      }
+      g -> arr.toSeq
+    }
+    LangIdModel(labels, defaults, bits)
+  }
+
+  /** Score + classify a text column under a trained [[LangIdModel]]
+    * as ONE stateless codegen'd projection: fold the char bigrams
+    * through the broadcast literal gram→costs map (`aggregate` +
+    * `zip_with` — the accumulator is evaluated once per element),
+    * then take the argmin INSIDE the aggregate's finish lambda so
+    * the score array is never re-evaluated. Returns
+    * `struct<pred string, bits bigint>`; NULL fields for a text
+    * with no bigram.
+    */
+  def langIdStruct(model: LangIdModel, text: Column): Column = {
+    val m = typedLit(model.bits)
+    val defs = typedLit(model.defaults)
+    val zero = typedLit(Seq.fill(model.labels.size)(0L))
+    val labelsLit = typedLit(model.labels)
+    val agg = aggregate(charBigrams(text), zero,
+      (acc, g) => zip_with(acc,
+        coalesce(element_at(m, g), defs), (a, b) => a + b),
+      acc => struct(
+        element_at(labelsLit,
+          array_position(acc, array_min(acc)).cast("int"))
+          .as("pred"),
+        array_min(acc).as("bits")))
+    when(length(text) >= 2, agg)
+      .otherwise(lit(null).cast(
+        "struct<pred:string,bits:bigint>"))
+  }
+
+  /** Per-(true label, predicted label) confusion census over a
+    * scored slice — the evaluation table a curation run reads before
+    * trusting the classifier on unlabeled data.
+    */
+  def langIdCensus(scored: DataFrame, trueLabel: Column,
+                   model: LangIdModel, text: Column): DataFrame =
+    scored.select(trueLabel.cast("string").as("true_label"),
+        langIdStruct(model, text).getField("pred").as("pred"))
+      .groupBy(col("true_label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** PMI collocation mining (the word2phrase pass — Mikolov et al.,
     * "Distributed representations of words and phrases…", NIPS 2013):
     * bigrams whose joint count beats independence by a rational
@@ -228,6 +340,13 @@ object LangModel {
   def zipfFit(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
+    // same overflow discipline as Temporal.trendFit: the DECIMAL→
+    // BIGINT cast is range-guarded so an overflow raises in BOTH
+    // engines instead of Spark silently NULLing while DuckDB errors
+    def checkedLong(c: Column, what: String): Column =
+      when(abs(c) <= lit(Long.MaxValue).cast(dec), c.cast("long"))
+        .otherwise(raise_error(lit(s"zipfFit: $what exceeds BIGINT " +
+          "range")).cast("long"))
     val pts = words.select(floorLog2(row_number().over(
         Window.orderBy(col("f").desc, col("w").asc_nulls_first))
           .cast("long")).cast(dec).as("x"),
@@ -238,10 +357,10 @@ object LangModel {
         sum(col("x") * col("y")).cast(dec).as("sxy"),
         sum(col("x") * col("x")).cast(dec).as("sxx"))
       .select(col("n").cast("long").as("n_words"),
-        (col("n") * col("sxy") - col("sx") * col("sy"))
-          .cast("long").as("num"),
-        (col("n") * col("sxx") - col("sx") * col("sx"))
-          .cast("long").as("den"),
+        checkedLong(col("n") * col("sxy") - col("sx") * col("sy"),
+          "num").as("num"),
+        checkedLong(col("n") * col("sxx") - col("sx") * col("sx"),
+          "den").as("den"),
         when(col("n") * col("sxy") > col("sx") * col("sy"), "up")
           .when(col("n") * col("sxy") < col("sx") * col("sy"),
             "down")

@@ -61,16 +61,39 @@ object Unigram {
       .groupBy(col("piece"))
       .agg(sum(col("f")).cast("long").as("cnt"))
 
+  private def bits(n: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(n)
+
   /** Build the scored vocabulary: pieces with corpus count ≥
     * `minCount`, cost = `(bits(T) − bits(cnt) + 1)·64 + 1` (the
-    * packed objective unit of [[UnigramSegmentExpr]]). Collected to
-    * the driver under a priced cap — the vocabulary is
-    * alphabet-bounded, not corpus-bounded; the refusal names the
-    * knobs.
+    * packed objective unit of [[UnigramSegmentExpr]]), optionally
+    * refined by `emRounds` rounds of EM (the SentencePiece trainer's
+    * missing half, Kudo ACL 2018 — the raw-substring counts
+    * OVERCOUNT overlapping pieces; re-estimating from the actual
+    * segmentation prunes pieces the model never uses):
+    *
+    *   E-step: Viterbi-segment the distinct-word table under the
+    *     current vocabulary (a distributed narrow map — the same
+    *     codegen'd expression as inference) and count each piece's
+    *     frequency-weighted usage `mass(p) = Σ_w f(w)·uses_w(p)`
+    *     (one keyed sum).
+    *   M-step: drop pieces with `mass < emMinMass` — EXCEPT
+    *     single-code-point pieces, the coverage floor that keeps
+    *     every v0-segmentable word segmentable — and re-score the
+    *     survivors from their add-one-smoothed masses:
+    *     `cost'(p) = (bits(T') − bits(mass(p)+1) + 1)·64 + 1` with
+    *     `T' = Σ_kept (mass+1)`.
+    *
+    * Collected to the driver under a priced cap (the vocabulary is
+    * alphabet-bounded, not corpus-bounded, and EM only SHRINKS it);
+    * the refusal names the knobs.
     */
   def vocabulary(words: DataFrame, maxPieceLen: Int = 4,
                  minCount: Long = 5L,
-                 maxVocab: Int = 200000): Map[String, Long] = {
+                 maxVocab: Int = 200000,
+                 emRounds: Int = 0,
+                 emMinMass: Long = 5L,
+                 maxWordLen: Int = 60): Map[String, Long] = {
     val kept = pieceCounts(words, maxPieceLen)
       .where(col("cnt") >= minCount)
     val rows = kept.limit(maxVocab + 1).collect()
@@ -80,10 +103,34 @@ object Unigram {
         s"(=$maxPieceLen), or raise maxVocab")
     val cnts = rows.map(r => r.getString(0) -> r.getLong(1))
     val total = cnts.map(_._2).sum
-    def bits(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
-    cnts.map { case (p, c) =>
+    var vocab = cnts.map { case (p, c) =>
       p -> ((bits(total) - bits(c) + 1L) * 64L + 1L)
     }.toMap
+    for (_ <- 1 to emRounds) {
+      // E-step: usage masses from the Viterbi segmentation (the
+      // usage frame is at most vocabulary-sized — collect is priced
+      // by the same cap)
+      val usage = segmented(words, col("w"), vocab, maxPieceLen,
+          maxWordLen)
+        .where(col("seg").isNotNull)
+        .select(col("f"), explode(col("seg.pieces")).as("piece"))
+        .groupBy(col("piece"))
+        .agg(sum(col("f")).cast("long").as("mass"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      // M-step: prune by mass (singles always survive), re-score
+      val keptP = vocab.keysIterator.filter { p =>
+        usage.getOrElse(p, 0L) >= emMinMass ||
+          p.codePointCount(0, p.length) == 1
+      }.toSeq
+      val masses = keptP.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
+      val t1 = masses.map(_._2).sum
+      vocab = masses.map { case (p, m) =>
+        p -> ((bits(t1) - bits(m) + 1L) * 64L + 1L)
+      }.toMap
+    }
+    vocab
   }
 
   /** Segment a word column against a built vocabulary: appends
@@ -110,9 +157,11 @@ object Unigram {
   def encodeCensus(df: DataFrame, group: Column, text: Column,
                    maxPieceLen: Int = 4, minCount: Long = 5L,
                    maxWordLen: Int = 60,
-                   maxVocab: Int = 200000): DataFrame = {
+                   maxVocab: Int = 200000,
+                   emRounds: Int = 1): DataFrame = {
     val words = wordFreqs(df, text).localCheckpoint()
-    val vocab = vocabulary(words, maxPieceLen, minCount, maxVocab)
+    val vocab = vocabulary(words, maxPieceLen, minCount, maxVocab,
+      emRounds, minCount, maxWordLen)
     val seg = segmented(words, col("w"), vocab, maxPieceLen,
         maxWordLen)
       .select(col("w"), col("seg.obj").as("obj"))
@@ -137,9 +186,11 @@ object Unigram {
   def segmentCensus(df: DataFrame, text: Column,
                     maxPieceLen: Int = 4, minCount: Long = 5L,
                     maxWordLen: Int = 60,
-                    maxVocab: Int = 200000): DataFrame = {
+                    maxVocab: Int = 200000,
+                    emRounds: Int = 1): DataFrame = {
     val words = wordFreqs(df, text).localCheckpoint()
-    val vocab = vocabulary(words, maxPieceLen, minCount, maxVocab)
+    val vocab = vocabulary(words, maxPieceLen, minCount, maxVocab,
+      emRounds, minCount, maxWordLen)
     segmented(words, col("w"), vocab, maxPieceLen, maxWordLen)
       .select(col("f"), col("seg.obj").as("obj"),
         when(col("seg").isNotNull, pmod(col("seg.obj"), lit(64L)))

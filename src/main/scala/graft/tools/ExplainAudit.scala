@@ -186,9 +186,25 @@ object ExplainAudit {
         Seq("HashAggregate")),
       ("q166_join_size_estimate",
         "join sizing: sketch-sized frames only — keyed aggregates, " +
-          "the (row,bucket) equi-join, 1-row broadcast of the " +
-          "exact side; never a data-scale shuffle of the pair",
+          "the (group,row,bucket) equi-join, 1-row broadcast of " +
+          "the exact side; never a data-scale shuffle of the pair",
         Seq("HashAggregate", "BroadcastNestedLoopJoin")),
+      ("q167_html_extract",
+        "HTML extraction: ONE native codegen'd pass per document " +
+          "(no UDF, no regex cascade), feeding partial hash " +
+          "aggregation",
+        Seq("html_extract", "HashAggregate", "WholeStageCodegen")),
+      ("q168_langid",
+        "language ID scoring: a stateless projection folding " +
+          "bigrams through the broadcast literal model (aggregate + " +
+          "zip_with — no join at scoring time), one census " +
+          "aggregate",
+        Seq("zip_with", "HashAggregate")),
+      ("q169_pagerank_delta",
+        "incremental pagerank head: TakeOrdered over the patched " +
+          "rank frame (per-round internals live behind the " +
+          "lineage cuts — the q152 caveat)",
+        Seq("TakeOrderedAndProject")),
       ("q165_hop_census",
         "hop census: grouped aggregate over the checkpointed " +
           "depth frame",

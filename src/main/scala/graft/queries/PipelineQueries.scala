@@ -492,11 +492,50 @@ object PipelineQueries {
       val base = sym.select(col("src"), col("dst"))
       val delta = sym.where(pmod(col("w"), lit(7)) === 0)
         .select(col("src"), col("dst"))
-      val trace = Graph.pagerankTrace(base, iterations = 3)
+      // 2 rounds: the equivalence proof is iteration-count-agnostic,
+      // and the query deliberately runs BOTH a full trace and the
+      // fold — 3 rounds cost ~12 s at sf0.1 for no extra evidence
+      val trace = Graph.pagerankTrace(base, iterations = 2)
       Graph.pagerankDelta(base, delta, trace)
         .select(col("node"), col("pr").cast("long").as("pr"))
         .orderBy(col("pr").desc, col("node").asc_nulls_first)
         .limit(10)
+    }),
+
+    // the COMPOSED web-corpus step-zero chain: markup-wrapped docs
+    // → html_extract (title/link structure verified in the census)
+    // → language-ID trained AND scored on the EXTRACTED text — the
+    // real pipeline order. The wrapper is built so extraction
+    // returns exactly the underlying sentence (anchor text empty,
+    // title outside the text stream), so the oracle replays the
+    // whole chain from the raw fixture while the engine genuinely
+    // parses markup end-to-end
+    "q170_web_pipeline" -> ((s, d) => {
+      val wrapped = concat(lit("<html><head><title>doc</title>" +
+        "</head><body>\n<p>"), langText(col("doc_id")),
+        lit("</p>\n<a href=\"/next\"></a></body></html>"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("l"), pmod(col("doc_id"), lit(3)))
+            .as("true_label"),
+          graft.functions.HtmlTextExpr.htmlExtract(wrapped).as("h"))
+        .select(col("doc_id"), col("true_label"),
+          col("h.text").as("t"), col("h.title").as("title"),
+          col("h.n_links").cast("long").as("nl"))
+      val model = LangModel.trainLangId(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("true_label"), col("t"))
+      docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("true_label"),
+          LangModel.langIdStruct(model, col("t"))
+            .getField("pred").as("pred"),
+          col("title"), col("nl"))
+        .groupBy(col("true_label"), col("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nl")).cast("long").as("n_links"),
+          count(when(col("title") === "doc", 1)).as("n_titled"))
+        .orderBy(col("true_label").asc_nulls_first,
+          col("pred").asc_nulls_first)
     }),
 
     // TRAINED language identification (the CCNet curation step): a
@@ -4511,9 +4550,44 @@ object PipelineQueries {
        pagerankCtes(
          "SELECT src, dst FROM sy UNION ALL " +
          "SELECT src, dst FROM sy WHERE w % 7 = 0",
-         None, rounds = 3) +
-       " SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 " +
+         None, rounds = 2) +
+       " SELECT node, CAST(pr AS BIGINT) AS pr FROM p2 " +
        "ORDER BY pr DESC, node ASC NULLS FIRST LIMIT 10"),
+
+    // q170: the q168 replay with the extraction-structure columns —
+    // the wrapper guarantees text == raw sentence, one link and one
+    // 'doc' title per document, so a hash match pins the extraction
+    // AND the downstream classification in one gate
+    "q170_web_pipeline" ->
+      ("WITH txt AS MATERIALIZED (SELECT doc_id, 'l' || " +
+       "CAST(doc_id % 3 AS VARCHAR) AS l, " + langTextSql +
+       " AS t FROM documents), " +
+       "tg AS MATERIALIZED (SELECT l, substr(t, CAST(i + 1 AS " +
+       "INTEGER), 2) AS g FROM (SELECT l, t, " +
+       "unnest(range(length(t) - 1)) AS i FROM txt WHERE " +
+       "doc_id % 5 <> 0)), " +
+       "c AS (SELECT l, g, CAST(COUNT(*) AS BIGINT) AS c FROM tg " +
+       "GROUP BY 1, 2), " +
+       "nl AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n FROM tg " +
+       "GROUP BY 1), " +
+       "vv AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v " +
+       "FROM tg), " +
+       "eg AS (SELECT doc_id, l AS tl, substr(t, CAST(i + 1 AS " +
+       "INTEGER), 2) AS g FROM (SELECT doc_id, l, t, " +
+       "unnest(range(length(t) - 1)) AS i FROM txt WHERE " +
+       "doc_id % 5 = 0)), " +
+       "sc AS (SELECT eg.doc_id, eg.tl, nl.l, " +
+       "SUM((length(bin(nl.n + (SELECT v FROM vv))) - 1) - " +
+       "(length(bin(COALESCE(c.c, 0) + 1)) - 1)) AS bits " +
+       "FROM eg CROSS JOIN nl LEFT JOIN c ON c.l = nl.l AND " +
+       "c.g = eg.g GROUP BY 1, 2, 3), " +
+       "pr AS (SELECT doc_id, tl, l AS pred, ROW_NUMBER() OVER " +
+       "(PARTITION BY doc_id ORDER BY bits, l) AS rn FROM sc) " +
+       "SELECT tl AS true_label, pred, CAST(COUNT(*) AS BIGINT) " +
+       "AS n, CAST(COUNT(*) AS BIGINT) AS n_links, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_titled FROM pr WHERE rn = 1 " +
+       "GROUP BY 1, 2 " +
+       "ORDER BY true_label NULLS FIRST, pred NULLS FIRST"),
 
     // q168: the naive-Bayes training AND argmin replayed in SQL —
     // same char-bigram enumeration, same add-one whole-bit costs

@@ -937,4 +937,29 @@ object StreamingStructure {
                              org.apache.spark.sql.Column)])
       : DataFrame =
     graft.operators.Contracts.tagged(stream, rules)
+
+  /** Streaming LANGUAGE SCREEN — the ingest twin of
+    * [[graft.operators.LangModel.langIdStruct]]: every arriving
+    * document classified by the SAME stateless codegen'd projection
+    * the batch census uses (the broadcast literal model rides the
+    * expression — zero state, zero shuffle, any ingest rate). The
+    * model is trained OFFLINE on a labeled batch slice; a router
+    * downstream keeps/drops by `lang.pred` / `lang.bits`.
+    */
+  def langIdScreenStream(stream: DataFrame,
+                         model: graft.operators.LangModel.LangIdModel,
+                         textCol: String): DataFrame =
+    stream.withColumn("lang",
+      graft.operators.LangModel.langIdStruct(model, col(textCol)))
+
+  /** Streaming MARKUP EXTRACT — the ingest twin of q167's
+    * [[graft.functions.HtmlTextExpr]]: arriving crawl records get
+    * `struct<text, title, n_links, n_paragraphs>` from one
+    * codegen'd never-throwing pass — the step-zero projection of a
+    * streaming web-corpus pipeline, stateless at any rate.
+    */
+  def htmlExtractStream(stream: DataFrame,
+                        htmlCol: String): DataFrame =
+    stream.withColumn("doc",
+      graft.functions.HtmlTextExpr.htmlExtract(col(htmlCol)))
 }

@@ -200,6 +200,11 @@ object ExplainAudit {
           "zip_with — no join at scoring time), one census " +
           "aggregate",
         Seq("zip_with", "HashAggregate")),
+      ("q170_web_pipeline",
+        "web step-zero chain: markup extraction and language " +
+          "scoring compose as ONE stateless projection chain into " +
+          "the census aggregate — no UDF, no intermediate shuffle",
+        Seq("html_extract", "zip_with", "HashAggregate")),
       ("q169_pagerank_delta",
         "incremental pagerank head: TakeOrdered over the patched " +
           "rank frame (per-round internals live behind the " +

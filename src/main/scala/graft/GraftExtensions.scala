@@ -67,6 +67,11 @@ object GraftExtensions {
       "nfc_normalize(text) - Unicode NFC canonical composition",
       args => { arity("nfc_normalize", args, 1)
         NfcNormalizeExpr(args.head) }),
+    ("html_blocks",
+      "html_blocks(html) - array<(text, n_chars, n_link_chars)> " +
+        "block segmentation for boilerplate removal",
+      args => { arity("html_blocks", args, 1)
+        HtmlBlocksExpr(args.head) }),
     ("html_extract",
       "html_extract(html) - (text, title, n_links, n_paragraphs) " +
         "from markup: tags/scripts/styles/comments stripped, " +

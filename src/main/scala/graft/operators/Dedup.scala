@@ -685,6 +685,30 @@ object Dedup {
     labels
   }
 
+  /** Fold NEW pairs into an existing component labeling WITHOUT
+    * re-reading the old pair set — the q63/q128/q169 delta
+    * discipline applied to clustering (a daily dedup run folds
+    * today's near-dup pairs into yesterday's cluster labels). The
+    * labeling (id, label) is connectivity-equivalent to the full
+    * old edge set: every old component collapses to a star around
+    * its label, so
+    *
+    *   CC(E_old ∪ E_new) == CC(star(labels_old) ∪ E_new)
+    *
+    * EXACTLY (min-id labels both sides; spec- and oracle-pinned).
+    * Work scales with |labels| + |E_new| — at 100 TB the labeling
+    * is the persisted artifact and the raw pair history never
+    * re-materializes.
+    */
+  def foldComponents(labels: DataFrame, newPairs: DataFrame,
+                     maxIter: Int = 25,
+                     checkpointDir: Option[String] = None)
+      : DataFrame =
+    connectedComponents(
+      labels.select(col("id").as("id1"), col("label").as("id2"))
+        .unionAll(newPairs.select(col("id1"), col("id2"))),
+      maxIter, checkpointDir)
+
   /** Exact-Jaccard verification restricted to a CANDIDATE pair list —
     * the scale-safe alternative to [[jaccardPairs]]' corpus-wide
     * shingle self-join: the shingle equi-join only ever touches ids

@@ -120,6 +120,30 @@ object PipelineQueries {
         s"WHEN $i THEN '$s' "
       }.mkString + "END"
 
+  /** q172's boilerplate fixture: six page shapes (pure prose,
+    * nav+prose+footer, a link farm, a table, comment/script noise,
+    * broken markup). The oracle pins each variant's expected BLOCK
+    * list — text and link-char count per block, derived by the
+    * documented [[graft.functions.HtmlBlocksExpr]] rules — and
+    * recomputes the census from those VALUES, so character counts
+    * come from SQL length(), never hand arithmetic.
+    */
+  private val BoilerVariants: Seq[String] = Seq(
+    "<p>the quick brown fox jumps over the lazy dog and keeps " +
+      "running</p>",
+    "<nav><a href='/h'>home</a> <a href='/a'>about</a></nav>" +
+      "<p>a decently long paragraph of genuine content with a " +
+      "<a href='/r'>link</a> here</p>" +
+      "<footer><a href='/c'>contact page</a></footer>",
+    "<ul><li><a href='/1'>one</a></li><li><a href='/2'>two</a>" +
+      "</li><li><a href='/3'>three</a></li></ul>",
+    "<table><tr><td>id</td><td>a reasonably wordy description " +
+      "cell with many characters inside</td></tr></table>",
+    "<!-- ad --><script>var x = '<td>'</script><p>plain prose " +
+      "that easily clears the twenty character bar</p>",
+    "<p>broken <b unclosed <i>markup still yields a usable prose " +
+      "block for the census</i>")
+
   /** Location of the materialized purchase graph shared by the five
     * graph queries (q152/q153/q157/q163/q165) — per-process like the
     * serving index so concurrent graft JVMs never race the build.
@@ -1134,6 +1158,62 @@ object PipelineQueries {
           thresholdDen = 5, maxShingleDf = 10000L)
         .select(col("id1"), col("id2"))
       val labels = Dedup.connectedComponents(pairs)
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+      labels.agg(count(lit(1)).as("n_clustered_docs"),
+          countDistinct(col("label")).as("n_clusters"))
+        .crossJoin(sizes.agg(max(col("sz")).as("max_cluster_size")))
+    }),
+
+    // block-level BOILERPLATE census (the jusText/trafilatura step
+    // after q167's flat extraction): one codegen'd pass segments
+    // each page into blocks carrying (chars, link-chars); the
+    // integer gate n_chars >= 20 AND 2*link_chars < n_chars
+    // separates article prose from nav/footer/link-farm blocks.
+    // Higher-order filter/aggregate do the census — no explode of
+    // anything page-sized, no UDFs
+    "q172_boilerplate" -> ((s, d) => {
+      val html = element_at(array(BoilerVariants.map(lit): _*),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      def isContent(b: Column): Column =
+        b.getField("n_chars") >= 20 &&
+          b.getField("n_link_chars") * 2 < b.getField("n_chars")
+      t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(6)).as("variant"),
+          graft.functions.HtmlBlocksExpr.htmlBlocks(html).as("bs"))
+        .select(col("variant"),
+          size(col("bs")).cast("long").as("n_blocks"),
+          size(filter(col("bs"), isContent(_))).cast("long")
+            .as("n_content"),
+          aggregate(filter(col("bs"), isContent(_)), lit(0L),
+            (acc, b) => acc + b.getField("n_chars").cast("long"))
+            .as("content_chars"),
+          aggregate(col("bs"), lit(0L),
+            (acc, b) => acc + b.getField("n_link_chars")
+              .cast("long")).as("link_chars"))
+        .groupBy(col("variant"), col("n_blocks"), col("n_content"),
+          col("content_chars"), col("link_chars"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("variant").asc)
+    }),
+
+    // INCREMENTAL clustering (the q169 delta discipline applied to
+    // components): fold the ~1/3 held-out near-dup pairs into the
+    // base labeling via the star collapse — CC(E_old ∪ E_new) ==
+    // CC(star(labels_old) ∪ E_new) exactly, so the oracle (the full
+    // closure over ALL pairs, q36's replay) proves fold == full
+    "q171_components_delta" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"),
+          col("doc_id"), col("text"), shingleK = 5, thresholdNum = 1,
+          thresholdDen = 5, maxShingleDf = 10000L)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint()
+      val base = pairs.where(
+        pmod(col("id1") + col("id2"), lit(3)) =!= 0)
+      val delta = pairs.where(
+        pmod(col("id1") + col("id2"), lit(3)) === 0)
+      val labels = Dedup.foldComponents(
+        Dedup.connectedComponents(base), delta)
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("sz"))
       labels.agg(count(lit(1)).as("n_clustered_docs"),
@@ -4447,6 +4527,39 @@ object PipelineQueries {
     "('source', 'str'), ('text', 'str')) AS t(column_name, " +
     "inferred)) ORDER BY column_name NULLS FIRST"
 
+  /** q36/q171's shared replay: the q25 shingle/jaccard chain,
+    * near-dup filtered, then cluster labels by recursive transitive
+    * closure (min reachable id == the engine's min-label propagation
+    * fixpoint). q171 answers with the base+delta FOLD
+    * ([[graft.operators.Dedup.foldComponents]]); this full closure
+    * is its definitional result.
+    */
+  private lazy val dedupClustersSql: String =
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+    ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
+    ", kept AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM " +
+    "shd GROUP BY s HAVING COUNT(*) > 10000))" +
+    ", sz AS (SELECT doc_id, COUNT(*) AS n FROM kept " +
+    "GROUP BY doc_id)" +
+    ", p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) " +
+    "AS inter FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < " +
+    "b.doc_id GROUP BY 1, 2)" +
+    ", nd AS (SELECT id1, id2 FROM p0 JOIN sz sa ON id1 = " +
+    "sa.doc_id JOIN sz sb ON id2 = sb.doc_id WHERE inter * 5 >= " +
+    "(sa.n + sb.n - inter))" +
+    ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
+    "SELECT id2, id1 FROM nd)" +
+    ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
+    ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
+    "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
+    ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
+    "GROUP BY id)" +
+    ", sizes AS (SELECT label, COUNT(*) AS sz FROM labels " +
+    "GROUP BY label) " +
+    "SELECT (SELECT COUNT(*) FROM labels) AS n_clustered_docs, " +
+    "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
+    "(SELECT MAX(sz) FROM sizes) AS max_cluster_size"
+
   val oracleSql: Map[String, String] = Map(
     // q154: the unigram Viterbi DP replayed as a recursive CTE — one
     // lockstep position per iteration, the best-cost array carried
@@ -4534,6 +4647,41 @@ object PipelineQueries {
        "CAST(e.n_links AS BIGINT) AS n_links, " +
        "CAST(e.n_paragraphs AS BIGINT) AS n_paragraphs, c.n " +
        "FROM exp e JOIN c ON e.variant = c.variant " +
+       "ORDER BY c.variant"),
+
+    // q172: expected blocks pinned as (variant, text, link-chars)
+    // VALUES per the documented rules; the census recomputes from
+    // length(text) in SQL so every character count is derived, not
+    // hand-added
+    "q172_boilerplate" ->
+      ("WITH exp AS (SELECT * FROM (VALUES " +
+       "(0, 'the quick brown fox jumps over the lazy dog and " +
+       "keeps running', 0), " +
+       "(1, 'home about', 10), " +
+       "(1, 'a decently long paragraph of genuine content with a " +
+       "link here', 5), " +
+       "(1, 'contact page', 12), " +
+       "(2, 'one', 3), (2, 'two', 3), (2, 'three', 5), " +
+       "(3, 'id', 0), " +
+       "(3, 'a reasonably wordy description cell with many " +
+       "characters inside', 0), " +
+       "(4, 'plain prose that easily clears the twenty character " +
+       "bar', 0), " +
+       "(5, 'broken markup still yields a usable prose block for " +
+       "the census', 0)" +
+       ") v(variant, text, lc)), " +
+       "st AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS " +
+       "n_blocks, CAST(COUNT(*) FILTER (length(text) >= 20 AND " +
+       "2 * lc < length(text)) AS BIGINT) AS n_content, " +
+       "CAST(COALESCE(SUM(length(text)) FILTER (length(text) >= " +
+       "20 AND 2 * lc < length(text)), 0) AS BIGINT) AS " +
+       "content_chars, CAST(SUM(lc) AS BIGINT) AS link_chars " +
+       "FROM exp GROUP BY 1), " +
+       "c AS (SELECT doc_id % 6 AS variant, CAST(COUNT(*) AS " +
+       "BIGINT) AS n FROM documents GROUP BY 1) " +
+       "SELECT c.variant, st.n_blocks, st.n_content, " +
+       "st.content_chars, st.link_chars, c.n " +
+       "FROM st JOIN c ON st.variant = c.variant " +
        "ORDER BY c.variant"),
 
     // q169: the oracle runs the FULL 3-round exact rank over
@@ -5173,34 +5321,11 @@ object PipelineQueries {
        "inter * 5 >= (sa.n + sb.n - inter) THEN 1 END) AS n_near_dups " +
        "FROM pairs JOIN sz sa ON id1 = sa.doc_id " +
        "JOIN sz sb ON id2 = sb.doc_id"),
-    "q36_dedup_clusters" ->
-      // the q25 shingle/jaccard chain, near-dup filtered, then
-      // cluster labels by recursive transitive closure (min reachable
-      // id == the engine's min-label propagation fixpoint)
-      ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-       ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
-       ", kept AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM " +
-       "shd GROUP BY s HAVING COUNT(*) > 10000))" +
-       ", sz AS (SELECT doc_id, COUNT(*) AS n FROM kept " +
-       "GROUP BY doc_id)" +
-       ", p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) " +
-       "AS inter FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < " +
-       "b.doc_id GROUP BY 1, 2)" +
-       ", nd AS (SELECT id1, id2 FROM p0 JOIN sz sa ON id1 = " +
-       "sa.doc_id JOIN sz sb ON id2 = sb.doc_id WHERE inter * 5 >= " +
-       "(sa.n + sb.n - inter))" +
-       ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
-       "SELECT id2, id1 FROM nd)" +
-       ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
-       ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
-       "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
-       ", labels AS (SELECT id, MIN(r) AS label FROM reach " +
-       "GROUP BY id)" +
-       ", sizes AS (SELECT label, COUNT(*) AS sz FROM labels " +
-       "GROUP BY label) " +
-       "SELECT (SELECT COUNT(*) FROM labels) AS n_clustered_docs, " +
-       "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
-       "(SELECT MAX(sz) FROM sizes) AS max_cluster_size"),
+    "q36_dedup_clusters" -> dedupClustersSql,
+    // q171: the fold result is DEFINED as the full closure over all
+    // pairs — the oracle is exactly q36's replay, and the hash match
+    // is the star-collapse equivalence proof on real pairs
+    "q171_components_delta" -> dedupClustersSql,
     "q40_lsh_dedup_clusters" ->
       (lshClusterCtes +
        ", sizes AS (SELECT label, COUNT(*) AS sz FROM labels " +

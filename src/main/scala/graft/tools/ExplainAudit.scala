@@ -200,6 +200,16 @@ object ExplainAudit {
           "zip_with — no join at scoring time), one census " +
           "aggregate",
         Seq("zip_with", "HashAggregate")),
+      ("q172_boilerplate",
+        "boilerplate census: block segmentation is ONE native call " +
+          "per page; the content gate runs in higher-order " +
+          "filter/aggregate inside the projection — no explode, " +
+          "no UDF",
+        Seq("html_blocks", "HashAggregate", "WholeStageCodegen")),
+      ("q171_components_delta",
+        "component fold head: the census aggregates ride the " +
+          "checkpointed label frame; the 1-row size side broadcasts",
+        Seq("HashAggregate", "BroadcastNestedLoopJoin")),
       ("q170_web_pipeline",
         "web step-zero chain: markup extraction and language " +
           "scoring compose as ONE stateless projection chain into " +

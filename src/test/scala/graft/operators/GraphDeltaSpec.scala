@@ -161,6 +161,47 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       ranks(Graph.pagerank(base.unionAll(delta), iterations = 2)))
   }
 
+  test("foldComponents == full connected components on random " +
+      "pair batches (the star-collapse law)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 10
+      val e1 = Seq.fill(n)((rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong))
+      val e2 = Seq.fill(n / 3)((rnd.nextInt(n + 10).toLong,
+        rnd.nextInt(n + 10).toLong))
+      def cc(df: org.apache.spark.sql.DataFrame) =
+        Dedup.connectedComponents(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val base = Dedup.connectedComponents(e1.toDF("id1", "id2"))
+      val folded = Dedup.foldComponents(base, e2.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = cc((e1 ++ e2).toDF("id1", "id2"))
+      assert(folded === full, s"trial $trial")
+    }
+  }
+
+  test("foldComponents: empty delta preserves the labeling; " +
+      "delta-only nodes join through their edges") {
+    val s = spark
+    import s.implicits._
+    val base = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2"))
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val kept = Dedup.foldComponents(base, empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L),
+      (8L, 7L)))
+    // a delta edge bridging two old components + a brand-new node
+    val folded = Dedup.foldComponents(base,
+        Seq((3L, 7L), (9L, 8L)).toDF("id1", "id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
+      (8L, 1L), (9L, 1L)))
+  }
+
   test("skew pre-flight trips on a star and stays quiet on a ring") {
     val s = spark
     import s.implicits._

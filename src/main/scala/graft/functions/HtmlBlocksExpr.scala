@@ -11,19 +11,21 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Block-level HTML segmentation — the input to boilerplate removal
   * (the jusText/trafilatura family: navigation, footers and link
   * farms are short and link-dense; article prose is long and
-  * link-sparse). The same single bounded never-throwing pass as
-  * [[HtmlTextExpr]], but text accumulates into BLOCKS split at
-  * block-level tag boundaries (p/div/li/h1-h6/td/section/..., open
-  * or close); inline tags (a/b/span/...) separate words without
-  * flushing. Emits `array<struct<text string, n_chars int,
+  * link-sparse). The same shared [[HtmlWalker]] tokenizer as
+  * [[HtmlTextExpr]] — this expression is just the block-accumulation
+  * sink: text accumulates into BLOCKS split at block-level tag
+  * boundaries (p/div/li/h1-h6/td/section/..., open or close);
+  * inline tags (a/b/span/...) separate words without flushing.
+  * Emits `array<struct<text string, n_chars int,
   * n_link_chars int>>` — one row per non-empty block, `n_chars` the
   * collapsed block length, `n_link_chars` the chars appended while
   * inside one or more `<a>` elements (collapse spaces count toward
   * the stream they were appended in).
   *
   * Cross-expression law (fuzz-pinned, >10^4 cases): the block texts
-  * joined with single spaces equal [[HtmlTextExpr]]'s `text` —
-  * the two walkers cannot drift.
+  * joined with single spaces equal [[HtmlTextExpr]]'s `text` — and
+  * since round 11's refactor both expressions share ONE walker, so
+  * the law is structural, not just tested.
   *
   * The downstream content rule is the caller's; q172 uses the
   * integer jusText-style gate `n_chars >= 20 AND 2·n_link_chars <
@@ -67,203 +69,50 @@ object HtmlBlocksExpr {
     s
   }
 
-  private def isLetter(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-
-  private def isNameChar(c: Char): Boolean =
-    isLetter(c) || (c >= '0' && c <= '9')
-
-  private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
-      cp == '\f' || cp == 0x0b || cp == 0xa0
-
+  /** The block sink over the shared walker. */
   def compute(html: UTF8String): GenericArrayData = {
-    val s = html.toString
-    val n = s.length
     val out = collection.mutable.ArrayBuffer.empty[InternalRow]
-    val block = new java.lang.StringBuilder
-    var pend = false
-    var linkChars = 0
-    var aDepth = 0
-    var inTitle = false
-    var rawEnd: String = null
-    var i = 0
+    val sink = new HtmlWalker.Sink {
+      val block = new java.lang.StringBuilder
+      var pend = false
+      var linkChars = 0
 
-    def flush(): Unit = {
-      if (block.length > 0) {
-        out += new GenericInternalRow(Array[Any](
-          UTF8String.fromString(block.toString), block.length,
-          linkChars))
-      }
-      block.setLength(0)
-      pend = false
-      linkChars = 0
-    }
-
-    def pushCp(cp: Int): Unit =
-      if (inTitle) () // title is not body content
-      else if (isWs(cp)) pend = block.length > 0
-      else {
-        if (pend) {
-          block.append(' ')
-          if (aDepth > 0) linkChars += 1
-          pend = false
+      def flush(): Unit = {
+        if (block.length > 0) {
+          out += new GenericInternalRow(Array[Any](
+            UTF8String.fromString(block.toString), block.length,
+            linkChars))
         }
-        val before = block.length
-        block.appendCodePoint(cp)
-        if (aDepth > 0) linkChars += block.length - before
+        block.setLength(0)
+        pend = false
+        linkChars = 0
       }
 
-    def sep(): Unit = if (!inTitle) pend = block.length > 0
-
-    def matches(at: Int, what: String): Boolean = {
-      if (at + what.length > n) return false
-      var k = 0
-      while (k < what.length) {
-        val a = s.charAt(at + k)
-        val lo = if (a >= 'A' && a <= 'Z') (a + 32).toChar else a
-        if (lo != what.charAt(k)) return false
-        k += 1
-      }
-      true
-    }
-
-    def entity(at: Int): Int = {
-      var j = at + 1
-      if (j < n && s.charAt(j) == '#') {
-        j += 1
-        val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
-        if (hex) j += 1
-        val start = j
-        val maxDigits = if (hex) 6 else 7
-        var cp = 0L
-        while (j < n && j - start < maxDigits && {
-          val c = s.charAt(j)
-          if (hex)
-            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
-              (c >= 'A' && c <= 'F')
-          else c >= '0' && c <= '9'
-        }) {
-          val c = s.charAt(j)
-          val d =
-            if (c <= '9') c - '0'
-            else if (c <= 'F') c - 'A' + 10
-            else c - 'a' + 10
-          cp = cp * (if (hex) 16 else 10) + d
-          j += 1
-        }
-        if (j > start && j < n && s.charAt(j) == ';') {
-          val v =
-            if (cp >= 1 && cp <= 0x10ffff &&
-                !(cp >= 0xd800 && cp <= 0xdfff)) cp.toInt
-            else 0xfffd
-          pushCp(v)
-          j + 1
-        } else { pushCp('&'); at + 1 }
-      } else {
-        val start = j
-        while (j < n && j - start < 8 && isLetter(s.charAt(j))) j += 1
-        if (j < n && s.charAt(j) == ';') {
-          val name = s.substring(start, j)
-          val cp = name match {
-            case "amp" => '&'.toInt
-            case "lt" => '<'.toInt
-            case "gt" => '>'.toInt
-            case "quot" => '"'.toInt
-            case "apos" => '\''.toInt
-            case "nbsp" => 0xa0
-            case _ => -1
-          }
-          if (cp >= 0) { pushCp(cp); j + 1 }
-          else { pushCp('&'); at + 1 }
-        } else { pushCp('&'); at + 1 }
-      }
-    }
-
-    while (i < n) {
-      val c = s.charAt(i)
-      if (rawEnd != null) {
-        if (c == '<' && i + 1 < n && s.charAt(i + 1) == '/' &&
-            matches(i + 2, rawEnd) &&
-            (i + 2 + rawEnd.length >= n ||
-              !isNameChar(s.charAt(i + 2 + rawEnd.length)))) {
-          var j = i + 2 + rawEnd.length
-          while (j < n && s.charAt(j) != '>') j += 1
-          i = if (j < n) j + 1 else n
-          rawEnd = null
-          sep()
-        } else i += 1
-      } else if (inTitle) {
-        if (c == '<' && i + 1 < n && s.charAt(i + 1) == '/' &&
-            matches(i + 2, "title") &&
-            (i + 7 >= n || !isNameChar(s.charAt(i + 7)))) {
-          var j = i + 7
-          while (j < n && s.charAt(j) != '>') j += 1
-          i = if (j < n) j + 1 else n
-          inTitle = false
-          sep()
-        } else i += 1
-      } else if (c == '<') {
-        if (i + 1 >= n) { pushCp('<'); i += 1 }
+      override def push(cp: Int, inTitle: Boolean,
+                        aDepth: Int): Unit =
+        if (inTitle) () // title is not body content
+        else if (HtmlWalker.isWs(cp)) pend = block.length > 0
         else {
-          val d = s.charAt(i + 1)
-          if (d == '!') {
-            if (i + 3 < n && s.charAt(i + 2) == '-' &&
-                s.charAt(i + 3) == '-') {
-              val e = s.indexOf("-->", i + 4)
-              i = if (e < 0) n else e + 3
-            } else {
-              val e = s.indexOf('>', i + 2)
-              i = if (e < 0) n else e + 1
-            }
-            sep()
-          } else if (d == '?') {
-            val e = s.indexOf('>', i + 2)
-            i = if (e < 0) n else e + 1
-            sep()
-          } else if (d == '/' || isLetter(d)) {
-            val closing = d == '/'
-            var j = if (closing) i + 2 else i + 1
-            val nameStart = j
-            while (j < n && isNameChar(s.charAt(j))) j += 1
-            val nameLen = j - nameStart
-            val nameLower = {
-              val sb = new java.lang.StringBuilder(nameLen)
-              var k = nameStart
-              while (k < nameStart + nameLen) {
-                val a = s.charAt(k)
-                sb.append(
-                  if (a >= 'A' && a <= 'Z') (a + 32).toChar else a)
-                k += 1
-              }
-              sb.toString
-            }
-            var q: Char = 0
-            while (j < n && (q != 0 || s.charAt(j) != '>')) {
-              val cj = s.charAt(j)
-              if (q != 0) { if (cj == q) q = 0 }
-              else if (cj == '"' || cj == '\'') q = cj
-              j += 1
-            }
-            i = if (j < n) j + 1 else n
-            if (!closing) {
-              nameLower match {
-                case "script" => rawEnd = "script"
-                case "style" => rawEnd = "style"
-                case "title" => inTitle = true
-                case "a" => aDepth += 1
-                case _ =>
-              }
-            } else {
-              if (nameLower == "a" && aDepth > 0) aDepth -= 1
-            }
-            if (BlockTags.contains(nameLower)) flush() else sep()
-          } else { pushCp('<'); i += 1 }
+          if (pend) {
+            block.append(' ')
+            if (aDepth > 0) linkChars += 1
+            pend = false
+          }
+          val before = block.length
+          block.appendCodePoint(cp)
+          if (aDepth > 0) linkChars += block.length - before
         }
-      } else if (c == '&') i = entity(i)
-      else { pushCp(c); i += 1 }
+
+      override def boundary(name: String, closing: Boolean,
+                            isTag: Boolean,
+                            inTitle: Boolean): Unit =
+        if (isTag && BlockTags.contains(name)) flush()
+        else if (!inTitle) pend = block.length > 0
+
+      override def titleOpened(): Unit = ()
     }
-    flush()
+    HtmlWalker.walk(html.toString, sink)
+    sink.flush()
     new GenericArrayData(out.toArray[Any])
   }
 }

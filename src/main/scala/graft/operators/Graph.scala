@@ -279,25 +279,32 @@ object Graph {
     val oldNodes = cut(eOld.select(col("src").as("node"))
       .unionAll(eOld.select(col("dst").as("node")))
       .distinct(), checkpointDir)
-    // pre-flight 1: no new nodes (N must not move)
-    val newcomers = dNew.select(col("src").as("node"))
+    // BOTH pre-flights in ONE job (tagged union of the two
+    // violation frames): no new nodes (N — and with it every
+    // teleport base — must not move) and no dangling nodes
+    // (dangling mass is a global term, so a local fold would be
+    // unsound)
+    val violations = dNew.select(col("src").as("node"))
       .unionAll(dNew.select(col("dst").as("node")))
       .distinct()
       .join(oldNodes, Seq("node"), "left_anti")
-      .count()
-    require(newcomers == 0L,
-      s"pagerankDelta: $newcomers delta endpoints are not nodes " +
-        "of the base graph — N (and every teleport base) would " +
-        "change; run the full pagerank instead")
-    // pre-flight 2: no dangling nodes (dangling mass is global)
-    val dangling = oldNodes
-      .join(eOld.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti")
-      .count()
-    require(dangling == 0L,
-      s"pagerankDelta: base graph has $dangling dangling nodes — " +
-        "their redistributed mass is a global term, so a local " +
-        "fold is unsound; symmetrize or run the full pagerank")
+      .select(lit("new_node").as("kind"))
+      .unionAll(oldNodes
+        .join(eOld.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(lit("dangling").as("kind")))
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!violations.contains("new_node"),
+      s"pagerankDelta: ${violations("new_node")} delta endpoints " +
+        "are not nodes of the base graph — N (and every teleport " +
+        "base) would change; run the full pagerank instead")
+    require(!violations.contains("dangling"),
+      s"pagerankDelta: base graph has ${violations("dangling")} " +
+        "dangling nodes — their redistributed mass is a global " +
+        "term, so a local fold is unsound; symmetrize or run the " +
+        "full pagerank")
     val allE = eOld.unionAll(dNew)
     val degNew = cut(allE.groupBy(col("src").as("node"))
       .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
@@ -311,9 +318,15 @@ object Graph {
     val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
       .toString).cast(Dec)
     val srcsD = dNew.select(col("src").as("node")).distinct()
+    // lazy cuts for the fold state: each frame is consumed by the
+    // next round's single action, which materializes and caches it
+    // — the plan still truncates, without one eager job per cut
+    // (the CC-loop discipline; at fixture scale the saved driver
+    // round-trips halve the fold's wall clock)
     val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
         eD("src") === col("__f"))
-      .select(eD("dst").as("node")).distinct(), checkpointDir)
+      .select(eD("dst").as("node")).distinct(), checkpointDir,
+      eager = false)
     var dirty = dirty1
     var patched = trace.head
     for (t <- 1 to iterations) {
@@ -334,13 +347,14 @@ object Graph {
       patched = cut(trace(t)
         .join(fresh, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("__npr"), col("pr")).as("pr")), checkpointDir)
+          coalesce(col("__npr"), col("pr")).as("pr")), checkpointDir,
+        eager = t == iterations)
       if (t < iterations)
         dirty = cut(eD.join(dirty.withColumnRenamed("node", "__f"),
             eD("src") === col("__f"))
           .select(eD("dst").as("node"))
           .unionAll(dirty1.select(col("node")))
-          .distinct(), checkpointDir)
+          .distinct(), checkpointDir, eager = false)
     }
     eD.unpersist()
     eOld.unpersist()

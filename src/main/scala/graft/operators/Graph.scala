@@ -256,6 +256,10 @@ object Graph {
     * work proportional to the frontier's in-edge volume, not the
     * graph. A delta touching f% of sources costs ~f% of a full
     * round, the win this operator exists for at 100 TB.
+    *
+    * Delegates to [[pagerankRefresh]] (the general edited-frame
+    * form) with `newEdges = edges ∪ delta` — the multiset diff then
+    * finds exactly the delta's sources.
     */
   def pagerankDelta(edges: DataFrame, delta: DataFrame,
                     trace: Seq[DataFrame],
@@ -263,6 +267,35 @@ object Graph {
                     scale: Long = 1000000L,
                     weight: Option[Column] = None,
                     checkpointDir: Option[String] = None)
+      : DataFrame =
+    pagerankRefresh(edges, edges.unionAll(delta), trace, num, den,
+      scale, weight, checkpointDir)
+
+  /** The GENERAL incremental form: refresh a completed
+    * [[pagerankTrace]] run against an arbitrarily EDITED edge frame
+    * — additions, removals, and weight changes alike
+    * ([[pagerankDelta]] is the additions-only special case and
+    * delegates here). The changed-source set is computed by
+    * DIFFING the two frames' per-(src,dst) out-edge multisets (one
+    * full-outer join of two keyed aggregates — a source whose
+    * multiset is unchanged contributes identical shares given
+    * identical scores); the dirty frontier then seeds from the
+    * changed sources' out-neighbors in BOTH frames (a removal can
+    * dirty a node the new graph no longer reaches from its source)
+    * and expands through the NEW frame only. Result == the full
+    * `pagerank(newEdges, iterations)` EXACTLY (spec- and
+    * oracle-pinned).
+    *
+    * Preconditions (priced pre-flight, `require`d): identical node
+    * sets (N fixes every teleport base), no dangling node in the
+    * new frame (dangling mass is global), unseeded trace.
+    */
+  def pagerankRefresh(oldEdges: DataFrame, newEdges: DataFrame,
+                      trace: Seq[DataFrame],
+                      num: Long = 17L, den: Long = 20L,
+                      scale: Long = 1000000L,
+                      weight: Option[Column] = None,
+                      checkpointDir: Option[String] = None)
       : DataFrame = {
     require(trace.nonEmpty, "need a pagerankTrace run to fold into")
     require(num > 0 && den > num,
@@ -272,61 +305,89 @@ object Graph {
     def withW(df: DataFrame): DataFrame =
       df.select(col("src"), col("dst"),
         when(wCol > 0, wCol)
-          .otherwise(raise_error(lit("pagerankDelta: edge weights " +
-            "must be positive")).cast(Dec)).as("w"))
-    val eOld = withW(edges).persist()
-    val dNew = withW(delta).persist()
-    val oldNodes = cut(eOld.select(col("src").as("node"))
-      .unionAll(eOld.select(col("dst").as("node")))
-      .distinct(), checkpointDir)
-    // BOTH pre-flights in ONE job (tagged union of the two
-    // violation frames): no new nodes (N — and with it every
-    // teleport base — must not move) and no dangling nodes
-    // (dangling mass is a global term, so a local fold would be
-    // unsound)
-    val violations = dNew.select(col("src").as("node"))
-      .unionAll(dNew.select(col("dst").as("node")))
-      .distinct()
+          .otherwise(raise_error(lit("pagerankRefresh: edge " +
+            "weights must be positive")).cast(Dec)).as("w"))
+    val eOld = withW(oldEdges).persist()
+    val eNew = withW(newEdges).persist()
+    def nodesOf(e: DataFrame): DataFrame =
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node")))
+        .distinct()
+    val oldNodes = cut(nodesOf(eOld), checkpointDir)
+    val newNodes = nodesOf(eNew)
+    // ALL pre-flights in ONE job (tagged union of the violation
+    // frames): identical node sets (N — and with it every teleport
+    // base — must not move), and no dangling node in EITHER frame
+    // (dangling mass is a global broadcast term in both runs, so a
+    // local fold would be unsound)
+    val violations = newNodes
       .join(oldNodes, Seq("node"), "left_anti")
-      .select(lit("new_node").as("kind"))
+      .select(lit("node_added").as("kind"))
+      .unionAll(oldNodes.join(newNodes, Seq("node"), "left_anti")
+        .select(lit("node_removed").as("kind")))
       .unionAll(oldNodes
         .join(eOld.select(col("src").as("node")).distinct(),
           Seq("node"), "left_anti")
-        .select(lit("dangling").as("kind")))
+        .select(lit("dangling_old").as("kind")))
+      .unionAll(oldNodes
+        .join(eNew.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(lit("dangling_new").as("kind")))
       .groupBy(col("kind")).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(!violations.contains("new_node"),
-      s"pagerankDelta: ${violations("new_node")} delta endpoints " +
-        "are not nodes of the base graph — N (and every teleport " +
-        "base) would change; run the full pagerank instead")
-    require(!violations.contains("dangling"),
-      s"pagerankDelta: base graph has ${violations("dangling")} " +
-        "dangling nodes — their redistributed mass is a global " +
-        "term, so a local fold is unsound; symmetrize or run the " +
-        "full pagerank")
-    val allE = eOld.unionAll(dNew)
-    val degNew = cut(allE.groupBy(col("src").as("node"))
+    require(violations.isEmpty,
+      "pagerankRefresh: unsound edit — " + violations.map {
+        case ("node_added", n) => s"$n nodes appear only in the " +
+          "new frame (N and every teleport base would change)"
+        case ("node_removed", n) => s"$n nodes appear only in the " +
+          "old frame (N and every teleport base would change)"
+        case ("dangling_old", n) => s"$n dangling nodes in the " +
+          "old frame (its dangling mass was a global term)"
+        case ("dangling_new", n) => s"$n dangling nodes in the " +
+          "new frame (dangling mass is a global term)"
+        case (k, n) => s"$n × $k"
+      }.mkString("; ") + "; run the full pagerank instead")
+    val degNew = cut(eNew.groupBy(col("src").as("node"))
       .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
-    val eD = allE.join(degNew.select(col("node").as("__dn"),
-        col("deg")), col("__dn") === allE("src"))
-      .select(allE("src").as("src"), allE("dst").as("dst"),
-        allE("w"), col("deg"))
+    val eD = eNew.join(degNew.select(col("node").as("__dn"),
+        col("deg")), col("__dn") === eNew("src"))
+      .select(eNew("src").as("src"), eNew("dst").as("dst"),
+        eNew("w"), col("deg"))
       .persist()
     // the per-node teleport base: floor((den−num)·N·scale/(den·N))
     // = floor((den−num)·scale/den), a driver literal
     val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
       .toString).cast(Dec)
-    val srcsD = dNew.select(col("src").as("node")).distinct()
-    // lazy cuts for the fold state: each frame is consumed by the
-    // next round's single action, which materializes and caches it
-    // — the plan still truncates, without one eager job per cut
-    // (the CC-loop discipline; at fixture scale the saved driver
-    // round-trips halve the fold's wall clock)
+    // changed sources = sources whose out-edge MULTISET differs
+    // between the frames (count + total weight per (src,dst) group;
+    // a source with an identical multiset emits identical shares
+    // given identical scores). One full-outer join of two keyed
+    // aggregates — edit-sized output, edge-sized input.
+    def grouped(e: DataFrame, cn: String, sn: String): DataFrame =
+      e.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as(cn), sum(col("w")).cast(Dec).as(sn))
+    val srcsD = grouped(eOld, "__oc", "__ow")
+      .join(grouped(eNew, "__nc", "__nw"), Seq("src", "dst"),
+        "full_outer")
+      .where(!(col("__oc") <=> col("__nc") &&
+        col("__ow") <=> col("__nw")))
+      .select(col("src").as("node")).distinct()
+    // the frontier seeds from the changed sources' out-neighbors
+    // in BOTH frames — a removal dirties a node the new frame may
+    // no longer reach from that source — and expands through the
+    // NEW frame only. Dirty frames cut EAGERLY: each is referenced
+    // three times per round (inflow semi-join, the fresh rebase,
+    // the next expansion — the pagerank pr rule), so a lazy cut
+    // would re-evaluate its subtree multiplicatively. The patched
+    // frame is a single-reference chain and cuts lazily.
     val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
         eD("src") === col("__f"))
-      .select(eD("dst").as("node")).distinct(), checkpointDir,
-      eager = false)
+      .select(eD("dst").as("node"))
+      .unionAll(eOld.join(srcsD.withColumnRenamed("node", "__g"),
+          eOld("src") === col("__g"))
+        .select(eOld("dst").as("node")))
+      .distinct(), checkpointDir)
     var dirty = dirty1
     var patched = trace.head
     for (t <- 1 to iterations) {
@@ -354,11 +415,11 @@ object Graph {
             eD("src") === col("__f"))
           .select(eD("dst").as("node"))
           .unionAll(dirty1.select(col("node")))
-          .distinct(), checkpointDir, eager = false)
+          .distinct(), checkpointDir)
     }
     eD.unpersist()
     eOld.unpersist()
-    dNew.unpersist()
+    eNew.unpersist()
     patched
   }
 

@@ -562,6 +562,35 @@ object PipelineQueries {
           col("pred").asc_nulls_first)
     }),
 
+    // the REMOVAL direction of incremental PageRank: q169's
+    // reinforced graph is the OLD state, the plain symmetrized
+    // graph the NEW — pagerankRefresh diffs the per-source edge
+    // multisets, seeds the frontier from the changed sources'
+    // out-neighbors in BOTH frames (a removal dirties nodes the new
+    // frame no longer reaches from that source), and re-iterates
+    // only that frontier; the oracle replays the full rank on the
+    // new frame, so the hash match proves refresh == re-run under
+    // edge deletion
+    "q173_pagerank_refresh" -> ((s, d) => {
+      // a third of the purchase graph (custkey ≡ 0 mod 3): the
+      // removal-equivalence proof is graph-size-agnostic, and q169
+      // already prices the full graph's fold
+      val we = ensurePurchaseGraph(s, d)
+        .where(pmod(substring(col("src"), 2, 18).cast("long"),
+          lit(3)) === 0)
+      val sym = we.select(col("src"), col("dst"), col("w"))
+        .unionByName(we.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+      val neu = sym.select(col("src"), col("dst"))
+      val old = neu.unionAll(sym.where(pmod(col("w"), lit(7)) === 0)
+        .select(col("src"), col("dst")))
+      val trace = Graph.pagerankTrace(old, iterations = 2)
+      Graph.pagerankRefresh(old, neu, trace)
+        .select(col("node"), col("pr").cast("long").as("pr"))
+        .orderBy(col("pr").desc, col("node").asc_nulls_first)
+        .limit(10)
+    }),
+
     // TRAINED language identification (the CCNet curation step): a
     // char-bigram naive-Bayes model trained in whole bits on the
     // labeled 80% slice (one keyed agg + a priced collect), applied
@@ -4736,6 +4765,21 @@ object PipelineQueries {
        "CAST(COUNT(*) AS BIGINT) AS n_titled FROM pr WHERE rn = 1 " +
        "GROUP BY 1, 2 " +
        "ORDER BY true_label NULLS FIRST, pred NULLS FIRST"),
+
+    // q173: the oracle is the FULL 2-round rank over the PLAIN
+    // symmetrized graph (the refresh's new state) — the engine
+    // answers by folding the edge removals into the reinforced
+    // graph's trace
+    "q173_pagerank_refresh" ->
+      ("WITH pe AS MATERIALIZED (SELECT 'c' || CAST(o_custkey AS " +
+       "VARCHAR) AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst " +
+       "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+       "WHERE o_custkey % 3 = 0 GROUP BY 1, 2), " +
+       "sy AS MATERIALIZED (SELECT src, dst FROM pe UNION ALL " +
+       "SELECT dst AS src, src AS dst FROM pe), " +
+       pagerankCtes("SELECT src, dst FROM sy", None, rounds = 2) +
+       " SELECT node, CAST(pr AS BIGINT) AS pr FROM p2 " +
+       "ORDER BY pr DESC, node ASC NULLS FIRST LIMIT 10"),
 
     // q168: the naive-Bayes training AND argmin replayed in SQL —
     // same char-bigram enumeration, same add-one whole-bit costs

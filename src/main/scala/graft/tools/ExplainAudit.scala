@@ -220,6 +220,10 @@ object ExplainAudit {
           "rank frame (per-round internals live behind the " +
           "lineage cuts — the q152 caveat)",
         Seq("TakeOrderedAndProject")),
+      ("q173_pagerank_refresh",
+        "edited-frame refresh head: TakeOrdered over the patched " +
+          "rank frame after the removal fold",
+        Seq("TakeOrderedAndProject")),
       ("q165_hop_census",
         "hop census: grouped aggregate over the checkpointed " +
           "depth frame",

@@ -99,7 +99,7 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       Graph.pagerankDelta(base,
         Seq("a" -> "zzz").toDF("src", "dst"), trace)
     }
-    assert(newNode.getMessage.contains("not nodes"))
+    assert(newNode.getMessage.contains("only in the new frame"))
     // un-symmetrized chain: c is dangling
     val dang = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
     val dtrace = Graph.pagerankTrace(dang, iterations = 2)
@@ -159,6 +159,44 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranks(Graph.pagerankDelta(base, delta, trace,
         checkpointDir = dir)) ===
       ranks(Graph.pagerank(base.unionAll(delta), iterations = 2)))
+  }
+
+  test("pagerankRefresh == full re-run under removals, additions " +
+      "and mixed edits") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 8
+      def node(i: Int) = s"n$i"
+      val ring = (0 until n).map(i => node(i) -> node((i + 1) % n))
+      val extra = Seq.fill(20 + n)(
+        node(rnd.nextInt(n)) -> node(rnd.nextInt(n)))
+      val old = ring ++ extra
+      // edits: drop some extras, add some new pairs — the ring stays
+      // so the node set and non-dangling preconditions hold
+      val kept = extra.filter(_ => rnd.nextBoolean())
+      val added = Seq.fill(6)(
+        node(rnd.nextInt(n)) -> node(rnd.nextInt(n)))
+      val neu = ring ++ kept ++ added
+      val trace = Graph.pagerankTrace(sym(old), iterations = 3)
+      val refreshed = ranks(Graph.pagerankRefresh(sym(old),
+        sym(neu), trace))
+      val full = ranks(Graph.pagerank(sym(neu), iterations = 3))
+      assert(refreshed === full, s"trial $trial")
+    }
+  }
+
+  test("pagerankRefresh preconditions raise on a removed node") {
+    val s = spark
+    import s.implicits._
+    val old = sym(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    val trace = Graph.pagerankTrace(old, iterations = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pagerankRefresh(old,
+        sym(Seq("a" -> "b", "b" -> "a")), trace)
+    }
+    assert(ex.getMessage.contains("only in the old frame"))
   }
 
   test("foldComponents == full connected components on random " +

@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * inline tags (a/b/span/...) separate words without flushing.
   * Emits `array<struct<text string, n_chars int,
   * n_link_chars int>>` — one row per non-empty block, `n_chars` the
-  * collapsed block length, `n_link_chars` the chars appended while
+  * collapsed block length in CODE POINTS (== SQL `length(text)`,
+  * including non-BMP), `n_link_chars` the code points appended while
   * inside one or more `<a>` elements (collapse spaces count toward
   * the stream they were appended in).
   *
@@ -69,22 +70,29 @@ object HtmlBlocksExpr {
     s
   }
 
-  /** The block sink over the shared walker. */
+  /** The block sink over the shared walker. `n_chars` /
+    * `n_link_chars` count CODE POINTS (tracked incrementally in
+    * `push` — one per appended code point or collapse space), not
+    * UTF-16 units, so they match SQL `length(text)` on non-BMP
+    * input (an astral emoji is 1, not 2).
+    */
   def compute(html: UTF8String): GenericArrayData = {
     val out = collection.mutable.ArrayBuffer.empty[InternalRow]
     val sink = new HtmlWalker.Sink {
       val block = new java.lang.StringBuilder
       var pend = false
+      var chars = 0
       var linkChars = 0
 
       def flush(): Unit = {
         if (block.length > 0) {
           out += new GenericInternalRow(Array[Any](
-            UTF8String.fromString(block.toString), block.length,
+            UTF8String.fromString(block.toString), chars,
             linkChars))
         }
         block.setLength(0)
         pend = false
+        chars = 0
         linkChars = 0
       }
 
@@ -95,12 +103,13 @@ object HtmlBlocksExpr {
         else {
           if (pend) {
             block.append(' ')
+            chars += 1
             if (aDepth > 0) linkChars += 1
             pend = false
           }
-          val before = block.length
           block.appendCodePoint(cp)
-          if (aDepth > 0) linkChars += block.length - before
+          chars += 1
+          if (aDepth > 0) linkChars += 1
         }
 
       override def boundary(name: String, closing: Boolean,

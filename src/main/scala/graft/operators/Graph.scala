@@ -48,7 +48,25 @@ object Graph {
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          // setCheckpointDir stores a RESOLVED URI (scheme + a
+          // per-context UUID subdir), so an exact match never recurs
+          // — compare the scheme-stripped path by prefix. A context
+          // already pointed elsewhere wins (resetting mid-application
+          // would strand earlier checkpoints), but silently ignoring
+          // the caller's argument hides where state actually lands:
+          // say so.
+          case Some(cur)
+              if !cur.startsWith(dir) &&
+                !(try new java.net.URI(cur).getPath != null &&
+                    new java.net.URI(cur).getPath.startsWith(dir)
+                  catch { case _: Exception => false }) =>
+            System.err.println(s"warning: checkpointDir '$dir' " +
+              s"ignored — this SparkContext already checkpoints to " +
+              s"'$cur'; state is written there")
+          case _ => ()
+        }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
@@ -235,31 +253,43 @@ object Graph {
     * t's score changes at v only if (a) an in-neighbor's round-(t−1)
     * score changed, (b) an in-neighbor's out-degree changed (it is a
     * delta source), or (c) v gained an in-edge. So
-    * `dirty₁ = outNbr_{E∪Δ}(srcs(Δ))` and
+    * `dirty₁ = outNbr_{E∪Δ}(srcs(Δ)) ∪ added` and
     * `dirty_{t+1} = outNbr_{E∪Δ}(dirty_t) ∪ dirty₁` cover every
     * changed node — recomputing a covered-but-unchanged node is
     * harmless (its inflow over the patched frame reproduces the old
     * value bit-for-bit).
     *
-    * Preconditions (priced pre-flight, `require`d):
-    *   - every delta endpoint already appears in `edges` (N — and
-    *     with it the teleport base — is unchanged; a batch with new
-    *     nodes changes EVERY node's base, so run the full rank);
-    *   - `edges` has no dangling node (dangling mass is a GLOBAL
-    *     broadcast — any local change would touch every score; with
-    *     no dangling nodes and no new nodes, E∪Δ stays
-    *     dangling-free);
-    *   - the trace is unseeded (seeded teleport shifts with |S|).
+    * NODE-ADDING deltas are supported (the crawl-batch case: new
+    * pages arrive with every delta) by an analytic rebase: with both
+    * frames dangling-free and the trace unseeded, NO score depends
+    * on N — round 0 is `floor(N·scale/N) = scale` per node for any
+    * N, the dangling term is 0, and the teleport base
+    * `floor((den−num)·N·scale/(den·N)) = floor((den−num)·scale/den)`
+    * (floor is invariant under scaling numerator and denominator by
+    * the same N). So the N→N′ change folds into the trace as a
+    * NO-OP, and added nodes simply join the recursion: they seed at
+    * `scale` in round 0 and stay in the dirty frontier every round
+    * (they have no trace entry to copy).
     *
-    * Shape: each round joins the edge frame only against the
+    * Preconditions (priced pre-flight, `require`d):
+    *   - `edges` has no dangling node, and no delta endpoint is
+    *     dangling in E∪Δ (dangling mass is a GLOBAL broadcast — a
+    *     nonzero D makes every score N-dependent and kills both the
+    *     frontier argument and the rebase);
+    *   - the trace is unseeded (seeded teleport shifts with |S|;
+    *     detected from round 0 itself — unseeded round 0 is `scale`
+    *     everywhere).
+    *
+    * Shape: the pre-flight is ONE job — one distinct over the base
+    * frame's endpoints plus delta-sized anti-joins (NOT the
+    * edited-frame multiset diff, which [[pagerankRefresh]] alone
+    * pays: two keyed aggregates over both full frames; for pure
+    * additions the changed sources are exactly `srcs(Δ)`, known for
+    * free). Each round then joins the edge frame only against the
     * frontier (a dst-side semi-join) and the patched score frame —
     * work proportional to the frontier's in-edge volume, not the
     * graph. A delta touching f% of sources costs ~f% of a full
     * round, the win this operator exists for at 100 TB.
-    *
-    * Delegates to [[pagerankRefresh]] (the general edited-frame
-    * form) with `newEdges = edges ∪ delta` — the multiset diff then
-    * finds exactly the delta's sources.
     */
   def pagerankDelta(edges: DataFrame, delta: DataFrame,
                     trace: Seq[DataFrame],
@@ -267,28 +297,124 @@ object Graph {
                     scale: Long = 1000000L,
                     weight: Option[Column] = None,
                     checkpointDir: Option[String] = None)
-      : DataFrame =
-    pagerankRefresh(edges, edges.unionAll(delta), trace, num, den,
-      scale, weight, checkpointDir)
+      : DataFrame = {
+    require(trace.nonEmpty, "need a pagerankTrace run to fold into")
+    require(num > 0 && den > num,
+      s"damping num/den must lie in (0, 1): $num/$den")
+    val wCol = weight.getOrElse(lit(1L)).cast(Dec)
+    def withW(df: DataFrame, who: String): DataFrame =
+      df.select(col("src"), col("dst"),
+        when(wCol > 0, wCol)
+          .otherwise(raise_error(lit(s"$who: edge weights must " +
+            "be positive")).cast(Dec)).as("w"))
+    val eOld = withW(edges, "pagerankDelta").persist()
+    val eDelta = withW(delta, "pagerankDelta").persist()
+    val eNew = eOld.unionAll(eDelta)
+    // ALL pre-flights in ONE SHUFFLE: tag every edge endpoint with
+    // its role (old-src / old-dst / delta-src / delta-dst), reduce
+    // to one flag row per node, and read every violation off the
+    // flags —
+    //  - dangling_old: a node the base frame only ever names as a
+    //    dst (a SOURCE trivially has an out-edge);
+    //  - dangling_new: a delta endpoint that is a source in NEITHER
+    //    frame (an old node keeps its base out-edges in E∪Δ, so
+    //    only delta endpoints can be newly dangling);
+    //  - added: a delta endpoint the base frame never names (not a
+    //    violation — counted to decide whether the added-node frame
+    //    is worth materializing at all: a pure reinforcement delta
+    //    has none, and an empty LOCAL frame lets Catalyst prune
+    //    every added-row union downstream).
+    // The seeded-trace probe (a node-frame scan, no shuffle) rides
+    // the same collect as a 1-row broadcast.
+    val flags = eOld.select(col("src").as("node"),
+        lit(1).as("r"))
+      .unionAll(eOld.select(col("dst").as("node"), lit(2).as("r")))
+      .unionAll(eDelta.select(col("src").as("node"),
+        lit(4).as("r")))
+      .unionAll(eDelta.select(col("dst").as("node"),
+        lit(8).as("r")))
+      .groupBy(col("node"))
+      .agg(max(when(col("r") === 1, 1).otherwise(0)).as("os"),
+        max(when(col("r") === 2, 1).otherwise(0)).as("od"),
+        max(when(col("r") === 4, 1).otherwise(0)).as("ds"),
+        max(when(col("r") === 8, 1).otherwise(0)).as("dd"))
+    val inD = col("ds") === 1 || col("dd") === 1
+    val pre = flags.agg(
+        count(when(col("os") === 0 && col("od") === 1, 1))
+          .as("dangling_old"),
+        count(when(inD && col("os") === 0 && col("ds") === 0, 1))
+          .as("dangling_new"),
+        count(when(inD && col("os") === 0 && col("od") === 0, 1))
+          .as("added_node"))
+      .crossJoin(broadcast(trace.head
+        .where(col("pr") =!= lit(scale).cast(Dec))
+        .agg(count(lit(1)).as("seeded_trace"))))
+      .head()
+    val counts = Seq("dangling_old", "dangling_new", "added_node",
+        "seeded_trace")
+      .map(k => k -> pre.getLong(pre.fieldIndex(k)))
+      .filter(_._2 > 0).toMap
+    val violations = counts - "added_node"
+    require(violations.isEmpty,
+      "pagerankDelta: unsound fold — " +
+        violationText(violations) + "; run the full pagerank " +
+        "instead")
+    val added =
+      if (counts.getOrElse("added_node", 0L) == 0L)
+        // provably no new node: a filter-false frame folds to an
+        // empty LocalRelation and every downstream union/join of
+        // added rows optimizes away
+        eDelta.select(col("src").as("node")).where(lit(false))
+      else cut(eDelta.select(col("src").as("node"))
+        .unionAll(eDelta.select(col("dst").as("node")))
+        .distinct()
+        .join(eOld.select(col("src").as("node"))
+          .unionAll(eOld.select(col("dst").as("node"))),
+          Seq("node"), "left_anti"), checkpointDir)
+    // changed sources for a pure-addition batch are exactly the
+    // delta's sources — no diff needed; and outNbr_old(srcs(Δ)) ⊆
+    // outNbr_{E∪Δ}(srcs(Δ)), so the frontier seeds from the new
+    // frame alone
+    val srcsD = eDelta.select(col("src").as("node")).distinct()
+    val eD = preJoinDegrees(eNew)
+    val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
+        eD("src") === col("__f"))
+      .select(eD("dst").as("node"))
+      .unionAll(added.select(col("node")))
+      .distinct(), checkpointDir)
+    val out = foldCore(eD, trace, dirty1, added, num, den, scale,
+      checkpointDir)
+    eD.unpersist()
+    eOld.unpersist()
+    eDelta.unpersist()
+    out
+  }
 
   /** The GENERAL incremental form: refresh a completed
     * [[pagerankTrace]] run against an arbitrarily EDITED edge frame
-    * — additions, removals, and weight changes alike
-    * ([[pagerankDelta]] is the additions-only special case and
-    * delegates here). The changed-source set is computed by
-    * DIFFING the two frames' per-(src,dst) out-edge multisets (one
-    * full-outer join of two keyed aggregates — a source whose
-    * multiset is unchanged contributes identical shares given
-    * identical scores); the dirty frontier then seeds from the
+    * — additions, removals, weight changes and NEW NODES alike
+    * ([[pagerankDelta]] is the additions-only special case, which
+    * skips this form's multiset diff). The changed-source set is
+    * computed by DIFFING the two frames' per-(src,dst) out-edge
+    * multisets (one full-outer join of two keyed aggregates — a
+    * source whose multiset is unchanged contributes identical shares
+    * given identical scores); the dirty frontier then seeds from the
     * changed sources' out-neighbors in BOTH frames (a removal can
     * dirty a node the new graph no longer reaches from its source)
-    * and expands through the NEW frame only. Result == the full
-    * `pagerank(newEdges, iterations)` EXACTLY (spec- and
-    * oracle-pinned).
+    * plus every added node, and expands through the NEW frame only.
+    * Result == the full `pagerank(newEdges, iterations)` EXACTLY
+    * (spec- and oracle-pinned).
     *
-    * Preconditions (priced pre-flight, `require`d): identical node
-    * sets (N fixes every teleport base), no dangling node in the
-    * new frame (dangling mass is global), unseeded trace.
+    * Added nodes fold by the analytic rebase documented on
+    * [[pagerankDelta]]: dangling-free + unseeded makes every score
+    * N-invariant, so the trace stays valid verbatim and added nodes
+    * enter at round-0 mass `scale`, permanently dirty. REMOVED
+    * nodes stay rejected — a departed node's mass withdrawal has no
+    * local footprint in the new frame to seed a frontier from.
+    *
+    * Preconditions (priced pre-flight, `require`d): no node removed,
+    * no dangling node in either frame, unseeded trace (detected
+    * from round 0 — unseeded round 0 is `scale` everywhere).
     */
   def pagerankRefresh(oldEdges: DataFrame, newEdges: DataFrame,
                       trace: Seq[DataFrame],
@@ -300,7 +426,6 @@ object Graph {
     require(trace.nonEmpty, "need a pagerankTrace run to fold into")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
-    val iterations = trace.length - 1
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
     def withW(df: DataFrame): DataFrame =
       df.select(col("src"), col("dst"),
@@ -314,56 +439,41 @@ object Graph {
         .unionAll(e.select(col("dst").as("node")))
         .distinct()
     val oldNodes = cut(nodesOf(eOld), checkpointDir)
-    val newNodes = nodesOf(eNew)
+    val newNodes = cut(nodesOf(eNew), checkpointDir)
+    val added = cut(newNodes.join(oldNodes, Seq("node"),
+      "left_anti"), checkpointDir)
     // ALL pre-flights in ONE job (tagged union of the violation
-    // frames): identical node sets (N — and with it every teleport
-    // base — must not move), and no dangling node in EITHER frame
+    // frames): no removed node, no dangling node in EITHER frame
     // (dangling mass is a global broadcast term in both runs, so a
-    // local fold would be unsound)
-    val violations = newNodes
-      .join(oldNodes, Seq("node"), "left_anti")
-      .select(lit("node_added").as("kind"))
-      .unionAll(oldNodes.join(newNodes, Seq("node"), "left_anti")
-        .select(lit("node_removed").as("kind")))
+    // local fold would be unsound), unseeded trace.
+    val violations = oldNodes
+      .join(newNodes, Seq("node"), "left_anti")
+      .select(lit("node_removed").as("kind"))
       .unionAll(oldNodes
         .join(eOld.select(col("src").as("node")).distinct(),
           Seq("node"), "left_anti")
         .select(lit("dangling_old").as("kind")))
-      .unionAll(oldNodes
+      .unionAll(newNodes
         .join(eNew.select(col("src").as("node")).distinct(),
           Seq("node"), "left_anti")
         .select(lit("dangling_new").as("kind")))
+      .unionAll(trace.head
+        .where(col("pr") =!= lit(scale).cast(Dec))
+        .select(lit("seeded_trace").as("kind")))
       .groupBy(col("kind")).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(violations.isEmpty,
-      "pagerankRefresh: unsound edit — " + violations.map {
-        case ("node_added", n) => s"$n nodes appear only in the " +
-          "new frame (N and every teleport base would change)"
-        case ("node_removed", n) => s"$n nodes appear only in the " +
-          "old frame (N and every teleport base would change)"
-        case ("dangling_old", n) => s"$n dangling nodes in the " +
-          "old frame (its dangling mass was a global term)"
-        case ("dangling_new", n) => s"$n dangling nodes in the " +
-          "new frame (dangling mass is a global term)"
-        case (k, n) => s"$n × $k"
-      }.mkString("; ") + "; run the full pagerank instead")
-    val degNew = cut(eNew.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
-    val eD = eNew.join(degNew.select(col("node").as("__dn"),
-        col("deg")), col("__dn") === eNew("src"))
-      .select(eNew("src").as("src"), eNew("dst").as("dst"),
-        eNew("w"), col("deg"))
-      .persist()
-    // the per-node teleport base: floor((den−num)·N·scale/(den·N))
-    // = floor((den−num)·scale/den), a driver literal
-    val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
-      .toString).cast(Dec)
+      "pagerankRefresh: unsound edit — " +
+        violationText(violations) + "; run the full pagerank " +
+        "instead")
+    val eD = preJoinDegrees(eNew)
     // changed sources = sources whose out-edge MULTISET differs
     // between the frames (count + total weight per (src,dst) group;
     // a source with an identical multiset emits identical shares
     // given identical scores). One full-outer join of two keyed
-    // aggregates — edit-sized output, edge-sized input.
+    // aggregates — edit-sized output, edge-sized input. A source
+    // that only exists in one frame (an added node) diffs too.
     def grouped(e: DataFrame, cn: String, sn: String): DataFrame =
       e.groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as(cn), sum(col("w")).cast(Dec).as(sn))
@@ -375,52 +485,145 @@ object Graph {
       .select(col("src").as("node")).distinct()
     // the frontier seeds from the changed sources' out-neighbors
     // in BOTH frames — a removal dirties a node the new frame may
-    // no longer reach from that source — and expands through the
-    // NEW frame only. Dirty frames cut EAGERLY: each is referenced
-    // three times per round (inflow semi-join, the fresh rebase,
-    // the next expansion — the pagerank pr rule), so a lazy cut
-    // would re-evaluate its subtree multiplicatively. The patched
-    // frame is a single-reference chain and cuts lazily.
+    // no longer reach from that source — plus every added node,
+    // and expands through the NEW frame only.
     val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
         eD("src") === col("__f"))
       .select(eD("dst").as("node"))
       .unionAll(eOld.join(srcsD.withColumnRenamed("node", "__g"),
           eOld("src") === col("__g"))
         .select(eOld("dst").as("node")))
+      .unionAll(added.select(col("node")))
       .distinct(), checkpointDir)
+    val out = foldCore(eD, trace, dirty1, added, num, den, scale,
+      checkpointDir)
+    eD.unpersist()
+    eOld.unpersist()
+    eNew.unpersist()
+    out
+  }
+
+  private def violationText(violations: Map[String, Long]): String =
+    violations.map {
+      case ("node_removed", n) => s"$n nodes appear only in the " +
+        "old frame (a departed node's mass withdrawal has no " +
+        "local footprint to seed a frontier from)"
+      case ("dangling_old", n) => s"$n dangling nodes in the " +
+        "old frame (its dangling mass was a global term)"
+      case ("dangling_new", n) => s"$n dangling nodes in the " +
+        "new frame (dangling mass is a global term)"
+      case ("seeded_trace", n) => s"$n round-0 scores differ " +
+        "from `scale` — the trace is seeded (or was built with a " +
+        "different scale), and seeded teleport shifts with |S|"
+      case (k, n) => s"$n × $k"
+    }.mkString("; ")
+
+  /** The new frame with its out-degree totals pre-joined — every
+    * fold round then needs only the score join (one shuffle). The
+    * degree aggregate stays LAZY: it has exactly one consumer (this
+    * join), and the whole frame persists — materialized by its
+    * first action, costing zero standalone jobs.
+    */
+  private def preJoinDegrees(eNew: DataFrame): DataFrame = {
+    val degNew = eNew.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).cast(Dec).as("deg"))
+    eNew.join(degNew.select(col("node").as("__dn"),
+        col("deg")), col("__dn") === eNew("src"))
+      .select(eNew("src").as("src"), eNew("dst").as("dst"),
+        eNew("w"), col("deg"))
+      .persist()
+  }
+
+  /** The shared frontier fold: re-iterate ONLY `dirty1`'s expansion
+    * over the pre-joined new frame `eD`, copying every other node's
+    * score from the trace. `added` nodes (absent from the trace)
+    * enter at round-0 mass `scale` and MUST be contained in `dirty1`
+    * (both callers guarantee it) — being permanently dirty, their
+    * scores are recomputed fresh every round and the filler they
+    * ride into the patched view never survives the coalesce.
+    *
+    * ONLY DIRTY-SIZED state materializes per round: `fresh_t` (the
+    * frontier's recomputed scores) and `dirty_t` are cut eagerly —
+    * both frontier-sized — while the full patched frame stays a
+    * LAZY VIEW `trace(t) ⟕ fresh_t`. The per-round inflow join
+    * reads that view on the probe side of a frontier-edge join, so
+    * with AQE the tiny frontier side broadcasts and the view costs
+    * one SCAN of trace(t−1) plus a broadcast coalesce — no
+    * node-sized shuffle, no node-sized checkpoint. The one full
+    * node-sized compose happens ONCE, on the returned final view.
+    * That makes a fold's per-round cost: scans of the persisted
+    * frames + frontier-sized shuffles — the 100 TB shape (a
+    * full re-rank pays an edge-sized shuffle join EVERY round).
+    */
+  private def foldCore(eD: DataFrame, trace: Seq[DataFrame],
+                       dirty1: DataFrame, added: DataFrame,
+                       num: Long, den: Long, scale: Long,
+                       checkpointDir: Option[String]): DataFrame = {
+    val iterations = trace.length - 1
+    // the per-node teleport base: floor((den−num)·N·scale/(den·N))
+    // = floor((den−num)·scale/den), a driver literal — N-invariant,
+    // which is exactly why node-adding deltas rebase as a no-op
+    val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
+      .toString).cast(Dec)
+    val addedRows = added.select(col("node"))
+    // round t's full score frame as a lazy view: the trace plus the
+    // added nodes' filler (round 0: initial mass `scale`; later
+    // rounds: a 0 that the coalesce always replaces — added nodes
+    // are permanently dirty), patched by the frontier's fresh scores
+    def patchedView(t: Int, fresh: Option[DataFrame]): DataFrame = {
+      val filler = lit(if (t == 0) scale else 0L).cast(Dec)
+      val full = trace(t).select(col("node"), col("pr"))
+        .unionAll(addedRows.select(col("node"), filler.as("pr")))
+      fresh match {
+        case Some(f) => full.join(f, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__npr"), col("pr")).as("pr"))
+        case None => full
+      }
+    }
     var dirty = dirty1
-    var patched = trace.head
+    var fresh: Option[DataFrame] = None
     for (t <- 1 to iterations) {
+      val prev = patchedView(t - 1, fresh)
       val inflow = eD
         .join(dirty.withColumnRenamed("node", "__t"),
           eD("dst") === col("__t"))
-        .join(patched.select(col("node").as("__sn"), col("pr")),
+        .join(prev.select(col("node").as("__sn"), col("pr")),
           col("__sn") === eD("src"))
         .select(eD("dst").as("node"),
           floorDiv(col("pr") * eD("w"), col("deg")).as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).cast(Dec).as("inflow"))
-      val fresh = dirty.join(inflow, Seq("node"), "left")
+      // fresh_t cut EAGERLY (frontier-sized — cheap): it is read by
+      // round t+1's view (twice: inflow probe + the next fresh's
+      // base) and by the final compose, and an un-cut fresh would
+      // re-run the whole frontier chain per reference. On non-final
+      // rounds the NEXT dirty frontier (which depends only on the
+      // CURRENT dirty, not on fresh) rides the same checkpoint as a
+      // tagged union — one cluster job per round, not two.
+      val freshRows = dirty.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (base + floorDiv(lit(num).cast(Dec) *
             coalesce(col("inflow"), lit(0).cast(Dec)),
             lit(den).cast(Dec))).as("__npr"))
-      patched = cut(trace(t)
-        .join(fresh, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__npr"), col("pr")).as("pr")), checkpointDir,
-        eager = t == iterations)
-      if (t < iterations)
-        dirty = cut(eD.join(dirty.withColumnRenamed("node", "__f"),
-            eD("src") === col("__f"))
-          .select(eD("dst").as("node"))
-          .unionAll(dirty1.select(col("node")))
-          .distinct(), checkpointDir)
+      if (t < iterations) {
+        val step = cut(freshRows
+          .select(col("node"), col("__npr"), lit(true).as("__isf"))
+          .unionAll(eD
+            .join(dirty.withColumnRenamed("node", "__f"),
+              eD("src") === col("__f"))
+            .select(eD("dst").as("node"))
+            .unionAll(dirty1.select(col("node")))
+            .distinct()
+            .select(col("node"), lit(null).cast(Dec).as("__npr"),
+              lit(false).as("__isf"))), checkpointDir)
+        fresh = Some(step.where(col("__isf"))
+          .select(col("node"), col("__npr")))
+        dirty = step.where(!col("__isf")).select(col("node"))
+      } else fresh = Some(cut(freshRows, checkpointDir))
     }
-    eD.unpersist()
-    eOld.unpersist()
-    eNew.unpersist()
-    patched
+    // the ONE node-sized compose: final trace round ⟕ final fresh
+    cut(patchedView(iterations, fresh), checkpointDir)
   }
 
   /** How hot is the hottest reduce key? `Some(warning)` when one

@@ -190,6 +190,54 @@ object PipelineQueries {
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
     ensurePurchaseGraph(s, d).select(col("src"), col("dst"))
 
+  /** q174/q175's shipment-succession CYCLE graph: within each
+    * supplier, line items sorted by (l_shipdate, l_orderkey,
+    * l_linenumber) link each to the next and the last wraps to the
+    * first — out-degree exactly 1 per node (a single-shipment
+    * supplier self-loops), so the frame is dangling-free by
+    * construction and SPARSE (|E| = |V| = |lineitem|), the regime
+    * where an incremental fold's frontier stays local. One window
+    * shuffle on `l_suppkey` builds it.
+    */
+  private def shipmentCycleEdges(s: SparkSession,
+                                 d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+    val key = concat(lit("l"), col("l_orderkey"), lit("-"),
+      col("l_linenumber"))
+    t(s, d, "lineitem")
+      .select(key.as("src"),
+        coalesce(lead(key, 1).over(w), first(key).over(w))
+          .as("dst"),
+        col("l_suppkey").cast("long").as("supp"))
+  }
+
+  /** The cycle graph MATERIALIZED once per (process, sf dir) beside
+    * the purchase graph (same marker + stale-sweep scheme) — the
+    * incremental contract again: a production fold ranks a
+    * persisted edge frame, it never re-sorts the fact table per
+    * run. Carries `supp` so q174's delta is a column-pruned filter
+    * of the same parquet.
+    */
+  private def ensureShipmentCycle(s: SparkSession,
+                                  d: String): DataFrame = {
+    sweepStaleServingIndexes()
+    val dir = PurchaseGraphDir
+    val marker = java.nio.file.Paths.get(dir, "_cycle_from")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == d
+    if (!fresh) {
+      shipmentCycleEdges(s, d)
+        .write.mode("overwrite").parquet(s"$dir/cycle")
+      java.nio.file.Files.write(marker,
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.read.parquet(s"$dir/cycle")
+  }
+
   /** q169/q173's PERSISTED prior: a real incremental pipeline folds
     * a delta into the scores it already has on disk — the trace is
     * the artifact, not something rebuilt per fold. Materialized once
@@ -619,6 +667,86 @@ object PipelineQueries {
         .select(col("node"), col("pr").cast("long").as("pr"))
         .orderBy(col("pr").desc, col("node").asc_nulls_first)
         .limit(10)
+    }),
+
+    // SMALL-delta incremental PageRank — the fold's production
+    // profile. Frontier locality needs a SPARSE graph (on the dense
+    // purchase graph ANY delta's one-hop out-neighborhood covers
+    // ~every node — measured: 15995 of 15999 — so q169 there proves
+    // correctness, not speed): this one ranks the
+    // shipment-succession CYCLE graph (each line item links to the
+    // supplier's next shipment, the last wraps to the first —
+    // out-degree exactly 1, |V| = |E| = |lineitem|, no dangling by
+    // construction). The delta reinforces the ~1% of cycles owned
+    // by suppkey ≡ 0 (mod 100); over 6 rounds the dirty frontier
+    // stays a few % of the nodes, so the fold does frontier-sized
+    // rounds where the bench twin q175 re-ranks all |lineitem|
+    // nodes 6 times: BENCH q174 < q175 is the measured incremental
+    // win, same pinned answer both ways
+    "q174_pagerank_small_delta" -> ((s, d) => {
+      val cyc = ensureShipmentCycle(s, d)
+      val base = cyc.select(col("src"), col("dst"))
+      val delta = cyc.where(pmod(col("supp"), lit(100)) === 0)
+        .select(col("src"), col("dst"))
+      val trace = ensureRankTrace(s, d, "cycle6", 6)(() =>
+        Graph.pagerankTrace(base, iterations = 6))
+      Graph.pagerankDelta(base, delta, trace)
+        .select(col("node"), col("pr").cast("long").as("pr"))
+        .orderBy(col("pr").desc, col("node").asc_nulls_first)
+        .limit(10)
+    }),
+
+    // q174's from-scratch twin: the full 6-round re-rank of the
+    // SAME base ∪ small-delta frame — the cost the fold replaces.
+    // Identical oracle SQL as q174 (they must hash-match each
+    // other); its bench timing is the baseline q174 beats
+    "q175_pagerank_rerank_baseline" -> ((s, d) => {
+      val cyc = ensureShipmentCycle(s, d)
+      val base = cyc.select(col("src"), col("dst"))
+      val delta = cyc.where(pmod(col("supp"), lit(100)) === 0)
+        .select(col("src"), col("dst"))
+      Graph.pagerank(base.unionAll(delta), iterations = 6)
+        .select(col("node"), col("pr").cast("long").as("pr"))
+        .orderBy(col("pr").desc, col("node").asc_nulls_first)
+        .limit(10)
+    }),
+
+    // NODE-ADDING incremental PageRank (the crawl-batch case: new
+    // pages arrive with every delta): the base graph omits every
+    // purchase pair whose supplier key divides 7, the delta
+    // reintroduces them — those suppliers (and any customer who
+    // only traded with them) are NEW nodes, folded by the analytic
+    // rebase (dangling-free + unseeded ⇒ every score is
+    // N-invariant, so the old trace stays valid verbatim and added
+    // nodes enter at round-0 mass `scale`, permanently dirty). The
+    // oracle replays the FULL rank over the whole symmetrized
+    // graph; the per-kind census sums EVERY node's score, so the
+    // hash match proves the grown fold == full re-run on all nodes,
+    // added ones included
+    "q176_pagerank_grow" -> ((s, d) => {
+      // the custkey ≡ 0 (mod 3) third of the purchase graph (the
+      // q173 discipline: the grow-equivalence proof is
+      // graph-size-agnostic, and q169 already prices the full
+      // graph's fold)
+      val we = ensurePurchaseGraph(s, d)
+        .where(pmod(substring(col("src"), 2, 18).cast("long"),
+          lit(3)) === 0)
+      val sevenSupp =
+        pmod(substring(col("dst"), 2, 18).cast("long"), lit(7)) === 0
+      def symm(f: DataFrame): DataFrame =
+        f.select(col("src"), col("dst"))
+          .unionByName(f.select(col("dst").as("src"),
+            col("src").as("dst")))
+      val base = symm(we.where(!sevenSupp))
+      val delta = symm(we.where(sevenSupp))
+      val trace = ensureRankTrace(s, d, "grow2", 2)(() =>
+        Graph.pagerankTrace(base, iterations = 2))
+      Graph.pagerankDelta(base, delta, trace)
+        .groupBy(substring(col("node"), 1, 1).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("pr")).cast("long").as("sum_pr"),
+          max(col("pr")).cast("long").as("max_pr"))
+        .orderBy(col("kind").asc_nulls_first)
     }),
 
     // TRAINED language identification (the CCNet curation step): a
@@ -3778,6 +3906,30 @@ object PipelineQueries {
     "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM orders JOIN " +
     "lineitem ON l_orderkey = o_orderkey"
 
+  /** q174/q175's shared replay: the full 6-round rank over the
+    * shipment-succession cycle graph plus a reinforcing copy of the
+    * suppkey ≡ 0 (mod 100) suppliers' cycles — the same window
+    * construction as [[shipmentCycleEdges]], so the frame pins
+    * exactly.
+    */
+  private def shipmentCycleSql(whereSql: String): String =
+    "SELECT src, COALESCE(LEAD(src) OVER w, FIRST_VALUE(src) " +
+    "OVER w) AS dst FROM (SELECT 'l' || CAST(l_orderkey AS " +
+    "VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS src, " +
+    "l_suppkey, l_shipdate, l_orderkey, l_linenumber FROM " +
+    s"lineitem $whereSql) WINDOW w AS (PARTITION BY l_suppkey " +
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber)"
+
+  private lazy val smallDeltaRankSql: String =
+    "WITH cyc AS MATERIALIZED (" + shipmentCycleSql("") + "), " +
+    "dcy AS MATERIALIZED (" +
+    shipmentCycleSql("WHERE l_suppkey % 100 = 0") + "), " +
+    pagerankCtes(
+      "SELECT src, dst FROM cyc UNION ALL SELECT src, dst FROM dcy",
+      None, rounds = 6) +
+    " SELECT node, CAST(pr AS BIGINT) AS pr FROM p6 " +
+    "ORDER BY pr DESC, node ASC NULLS FIRST LIMIT 10"
+
   // NB: lazy so the earlier-declared SQL strings can reference it
   // during object initialization
   private lazy val rakeOracleSql: String =
@@ -4810,6 +4962,30 @@ object PipelineQueries {
        pagerankCtes("SELECT src, dst FROM sy", None, rounds = 2) +
        " SELECT node, CAST(pr AS BIGINT) AS pr FROM p2 " +
        "ORDER BY pr DESC, node ASC NULLS FIRST LIMIT 10"),
+
+    // q174/q175: the order-cycle graph plus the mod-100 customers'
+    // reinforcing delta, ranked in full for 6 rounds — q174 answers
+    // with the frontier fold, q175 with the from-scratch re-rank;
+    // both must hash-match this replay
+    "q174_pagerank_small_delta" -> smallDeltaRankSql,
+    "q175_pagerank_rerank_baseline" -> smallDeltaRankSql,
+
+    // q176: the full 2-round rank over the whole custkey ≡ 0
+    // (mod 3) symmetrized subgraph (base ∪ node-adding delta),
+    // censused per node kind — the engine folds the
+    // mod-7-supplier edges (new nodes included) into the shrunken
+    // base's trace
+    "q176_pagerank_grow" ->
+      ("WITH pe AS MATERIALIZED (SELECT src, dst FROM (" +
+       purchaseEdgesSql + ") WHERE CAST(substr(src, 2) AS " +
+       "BIGINT) % 3 = 0), " +
+       "sy AS MATERIALIZED (SELECT src, dst FROM pe UNION ALL " +
+       "SELECT dst AS src, src AS dst FROM pe), " +
+       pagerankCtes("SELECT src, dst FROM sy", None, rounds = 2) +
+       " SELECT substr(node, 1, 1) AS kind, CAST(COUNT(*) AS " +
+       "BIGINT) AS n_nodes, CAST(SUM(pr) AS BIGINT) AS sum_pr, " +
+       "CAST(MAX(pr) AS BIGINT) AS max_pr FROM p2 GROUP BY 1 " +
+       "ORDER BY kind NULLS FIRST"),
 
     // q168: the naive-Bayes training AND argmin replayed in SQL —
     // same char-bigram enumeration, same add-one whole-bit costs

@@ -892,12 +892,15 @@ object StreamingStructure {
           val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
           var last = state.getOption
           val out = ordered.flatMap { case (_, ev, ts, id) =>
-            // cross-batch ordering contract: a row strictly before
-            // the carried (lastTs, lastId) watermark arrived late —
-            // drop it (emitting would fabricate a time-reversed
-            // transition; updating state would regress the watermark)
+            // cross-batch ordering contract: a row at or before the
+            // carried (lastTs, lastId) watermark arrived late — drop
+            // it (emitting would fabricate a time-reversed
+            // transition; updating state would regress the
+            // watermark). `<=` on the id so an at-least-once
+            // redelivery of the LAST event is rejected too, not
+            // re-processed into a fabricated self-transition.
             if (last.exists(s => ts < s.lastTs ||
-                (ts == s.lastTs && id < s.lastId))) None
+                (ts == s.lastTs && id <= s.lastId))) None
             else {
               val o = last.map(s =>
                 TransitionRow(entity, s.lastEvent, ev, ts))

@@ -90,16 +90,19 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(folded !== ranks(trace.last))
   }
 
-  test("delta preconditions raise: new nodes, dangling base") {
+  test("delta preconditions raise: dangling new node, dangling " +
+      "base, seeded trace") {
     val base = sym(Seq("a" -> "b", "b" -> "c"))
     val trace = Graph.pagerankTrace(base, iterations = 2)
     val s = spark
     import s.implicits._
-    val newNode = intercept[IllegalArgumentException] {
+    // a new node with only an IN-edge is dangling in E∪Δ — its mass
+    // withdrawal would be a global term, so the fold refuses
+    val newDang = intercept[IllegalArgumentException] {
       Graph.pagerankDelta(base,
         Seq("a" -> "zzz").toDF("src", "dst"), trace)
     }
-    assert(newNode.getMessage.contains("only in the new frame"))
+    assert(newDang.getMessage.contains("dangling"))
     // un-symmetrized chain: c is dangling
     val dang = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
     val dtrace = Graph.pagerankTrace(dang, iterations = 2)
@@ -108,6 +111,51 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
         dtrace)
     }
     assert(ex.getMessage.contains("dangling"))
+    // a TrustRank trace (seeded teleport) cannot be folded — the
+    // hardcoded teleport base assumes S == N
+    val seeded = Graph.pagerankTrace(base, iterations = 2,
+      seeds = Some(Seq("a").toDF("node")))
+    val sx = intercept[IllegalArgumentException] {
+      Graph.pagerankDelta(base, sym(Seq("a" -> "c")), seeded)
+    }
+    assert(sx.getMessage.contains("seeded"))
+    val rx = intercept[IllegalArgumentException] {
+      Graph.pagerankRefresh(base, base, seeded)
+    }
+    assert(rx.getMessage.contains("seeded"))
+  }
+
+  test("node-ADDING deltas fold exactly: the analytic rebase " +
+      "(N-invariant teleport base) + permanently-dirty new nodes") {
+    // new nodes n100/n101 arrive with symmetric edges into the old
+    // graph and between each other — the crawl-batch case
+    for ((seed, n, be) <- Seq((11, 12, 10), (57, 25, 20))) {
+      val (base, _) = randomCase(seed, n, be, 1)
+      val delta = sym(Seq("n0" -> "x100", "x100" -> "x101",
+        "n3" -> "x101"))
+      val trace = Graph.pagerankTrace(base, iterations = 3)
+      val folded = ranks(Graph.pagerankDelta(base, delta, trace))
+      val full = ranks(Graph.pagerank(base.unionAll(delta),
+        iterations = 3))
+      assert(folded === full, s"seed $seed")
+      assert(folded.contains("x100") && folded.contains("x101"))
+    }
+  }
+
+  test("pagerankRefresh == full re-run when the edit ADDS nodes " +
+      "alongside removals") {
+    val s = spark
+    import s.implicits._
+    val old = sym(Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "a", "a" -> "c"))
+    // drop a↔c, add a brand-new node e linked into the cycle
+    val neu = sym(Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "a", "d" -> "e", "e" -> "b"))
+    val trace = Graph.pagerankTrace(old, iterations = 3)
+    val refreshed = ranks(Graph.pagerankRefresh(old, neu, trace))
+    val full = ranks(Graph.pagerank(neu, iterations = 3))
+    assert(refreshed === full)
+    assert(refreshed.contains("e"))
   }
 
   test("an empty delta returns the trace end state unchanged") {

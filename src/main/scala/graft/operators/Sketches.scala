@@ -159,28 +159,40 @@ object Sketches {
     * Estimates (see [[countMinEstimate]]) never undercount, and
     * overcount by ≤ 2n/w with probability 1 − 2^−d each.
     *
-    * Deterministic by construction: row i's bucket is
-    * `hash32(i || ':' || item) mod w` (the repo-wide md5 hash32), so
-    * the table — and every estimate — is a pure function of the
-    * data, replayed EXACTLY by the DuckDB oracle (no probabilistic
-    * gate needed). Mergeability is free: counters are plain sums,
-    * so shards/days combine by adding tables. Scale shape: one
-    * explode to (group, row, bucket) and one keyed count with
-    * map-side partials; aggregation state is d·w per group
-    * regardless of item cardinality.
+    * Deterministic by construction: rows draw their buckets from
+    * md5 digests of the salted item — digest j = `md5(j ":" item)`
+    * carves into four disjoint 8-hex-char windows, and row i reads
+    * window i mod 4 of digest i/4 (the one-digest-many-hashes
+    * construction, Kirsch & Mitzenmacher, "Less hashing, same
+    * performance", ESA 2006 — with d ≤ 4 every row's bucket costs
+    * ONE md5 per input row instead of d). The table — and every
+    * estimate — is a pure function of the data, replayed EXACTLY by
+    * the DuckDB oracle (no probabilistic gate needed). Mergeability
+    * is free: counters are plain sums, so shards/days combine by
+    * adding tables. Scale shape: one digest projection, one explode
+    * to (group, row, bucket) and one keyed count with map-side
+    * partials; aggregation state is d·w per group regardless of
+    * item cardinality.
     */
   def countMinTable(df: DataFrame, group: Column, item: Column,
                     w: Int = 64, d: Int = 4): DataFrame = {
     require(w > 0 && d > 0, s"need w > 0, d > 0: $w/$d")
+    val nDig = (d + 3) / 4
+    // digests land in their own projection so each is provably
+    // computed ONCE per row (subexpression sharing inside a
+    // Generate's array argument is not guaranteed)
+    val withDigs = df.select(group.as("group"), item.as("__it"))
+      .where(col("__it").isNotNull)
+      .select(col("group") +: (0 until nDig).map(j =>
+        md5(concat_ws(":", lit(j.toString),
+          col("__it").cast("string"))).as(s"__dig$j")): _*)
     val rows = (0 until d).map { i =>
       struct(lit(i).as("row"),
-        pmod(Sampling.hash32(
-          concat_ws(":", lit(i.toString), col("__it"))),
+        pmod(conv(substring(col(s"__dig${i / 4}"),
+            (i % 4) * 8 + 1, 8), 16, 10).cast("long"),
           lit(w.toLong)).as("bucket"))
     }
-    df.select(group.as("group"), item.as("__it"))
-      .where(col("__it").isNotNull)
-      .select(col("group"), explode(array(rows: _*)).as("rb"))
+    withDigs.select(col("group"), explode(array(rows: _*)).as("rb"))
       .groupBy(col("group"), col("rb.row").as("row"),
         col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -198,15 +210,21 @@ object Sketches {
     require(probes.nonEmpty, "need at least one probe term")
     val spark = cm.sparkSession
     import spark.implicits._
+    // probe buckets computed on the DRIVER (probes are literals) by
+    // the same windowed-digest rule as [[countMinTable]]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(row: Int, term: String): Long = {
+      md.reset()
+      val hex = md.digest(s"${row / 4}:$term".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(
+        hex.substring((row % 4) * 8, (row % 4) * 8 + 8), 16) % w
+    }
     val probeRows = for {
       t <- probes
       i <- 0 until d
-    } yield (t, i)
-    val pdf = probeRows.toDF("term", "row")
-      .withColumn("bucket",
-        pmod(Sampling.hash32(
-          concat_ws(":", col("row").cast("string"), col("term"))),
-          lit(w.toLong)))
+    } yield (t, i, bucket(i, t))
+    val pdf = probeRows.toDF("term", "row", "bucket")
     // left join so an EMPTY bucket contributes 0 to the min — a
     // probe absent from the data must estimate 0, not the min of
     // whatever buckets happen to be non-empty
@@ -258,25 +276,28 @@ object Sketches {
         col("cnt"))
     val a = checked(cmA, "left")
     val b = checked(cmB, "right")
-    val ips = a.select(col("group"), col("row"), col("bucket"),
+    // FULL OUTER on the bucket key: the group list, the zero-overlap
+    // proof, and the inner products all come out of ONE pass over
+    // each sketch subtree. A bucket present on one side only
+    // contributes 0 to its row's product (the coalesce), and a
+    // group present on one side only still carries all d row
+    // indices ([[countMinTable]] hashes every item into every row,
+    // so a sketched group populates each row with ≥ 1 bucket) —
+    // its min is an exact 0, never a row the other side left
+    // unpopulated. (The previous shape re-derived the group list
+    // from a second scan of both sketch subtrees; when the inputs
+    // are unpersisted countMinTable plans — q166's — ReuseExchange
+    // missed and every sketch aggregation evaluated TWICE.)
+    a.select(col("group"), col("row"), col("bucket"),
         col("cnt").cast(dec).as("ca"))
       .join(b.select(col("group"), col("row"), col("bucket"),
-        col("cnt").cast(dec).as("cb")), Seq("group", "row", "bucket"))
+          col("cnt").cast(dec).as("cb")),
+        Seq("group", "row", "bucket"), "full_outer")
       .groupBy(col("group"), col("row"))
-      .agg(sum(col("ca") * col("cb")).cast(dec).as("ip"))
-    // a (group, row) with ZERO overlapping buckets proves that
-    // group's join is empty — the min must see that 0, so every
-    // group re-enters against a d-row frame (groups × d is
-    // sketch-sized, and the d-row side broadcasts)
-    val rows = cmA.sparkSession.range(d.toLong)
-      .select(col("id").cast("int").as("row"))
-    val groups = a.select(col("group"))
-      .unionAll(b.select(col("group"))).distinct()
-    groups.crossJoin(broadcast(rows))
-      .join(ips, Seq("group", "row"), "left")
+      .agg(sum(coalesce(col("ca"), lit(0).cast(dec)) *
+        coalesce(col("cb"), lit(0).cast(dec))).cast(dec).as("ip"))
       .groupBy(col("group"))
-      .agg(min(coalesce(col("ip"), lit(0).cast(dec)))
-        .cast("long").as("est_join_rows"))
+      .agg(min(col("ip")).cast("long").as("est_join_rows"))
   }
 
   /** Data-quality drift monitor: compare two slices of a corpus

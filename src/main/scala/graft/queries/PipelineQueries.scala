@@ -5028,12 +5028,14 @@ object PipelineQueries {
        "orders), " +
        "ca AS (SELECT row, bucket, CAST(COUNT(*) AS HUGEINT) AS " +
        "ca FROM (SELECT r.i AS row, CAST('0x' || substr(md5(" +
-       "CAST(r.i AS VARCHAR) || ':' || k), 1, 8) AS BIGINT) % " +
+       "CAST(r.i // 4 AS VARCHAR) || ':' || k), " +
+       "CAST((r.i % 4) * 8 + 1 AS INTEGER), 8) AS BIGINT) % " +
        "4096 AS bucket FROM la, (SELECT unnest(range(4)) AS i) r) " +
        "GROUP BY 1, 2), " +
        "cb AS (SELECT row, bucket, CAST(COUNT(*) AS HUGEINT) AS " +
        "cb FROM (SELECT r.i AS row, CAST('0x' || substr(md5(" +
-       "CAST(r.i AS VARCHAR) || ':' || k), 1, 8) AS BIGINT) % " +
+       "CAST(r.i // 4 AS VARCHAR) || ':' || k), " +
+       "CAST((r.i % 4) * 8 + 1 AS INTEGER), 8) AS BIGINT) % " +
        "4096 AS bucket FROM ob, (SELECT unnest(range(4)) AS i) r) " +
        "GROUP BY 1, 2), " +
        "ip AS (SELECT ca.row, SUM(ca.ca * cb.cb) AS ip FROM ca " +
@@ -6514,13 +6516,15 @@ object PipelineQueries {
       "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok " +
       "FROM documents) WHERE tok <> ''), " +
       "rb AS (SELECT source, r.i AS row, CAST('0x' || " +
-      "substr(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 8) AS " +
+      "substr(md5(CAST(r.i // 4 AS VARCHAR) || ':' || tok), " +
+      "CAST((r.i % 4) * 8 + 1 AS INTEGER), 8) AS " +
       "BIGINT) % 64 AS bucket FROM tk, " +
       "(SELECT unnest(range(4)) AS i) r), " +
       "cm AS (SELECT source, row, bucket, CAST(COUNT(*) AS BIGINT) " +
       "AS cnt FROM rb GROUP BY 1, 2, 3), " +
       s"pr AS (SELECT t.term, r.i AS row, CAST('0x' || " +
-      "substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8) " +
+      "substr(md5(CAST(r.i // 4 AS VARCHAR) || ':' || t.term), " +
+      "CAST((r.i % 4) * 8 + 1 AS INTEGER), 8) " +
       "AS BIGINT) % 64 AS bucket FROM " +
       s"(VALUES $probeValues) t(term), " +
       "(SELECT unnest(range(4)) AS i) r), " +

@@ -443,6 +443,31 @@ object ExplainAudit {
       }
     }
 
+    // ---- sketch single-evaluation check --------------------------
+    // q166's contract is "sketch-sized frames, no data join": each
+    // Count-Min table (an explode ×d + keyed count over a key scan)
+    // must aggregate exactly ONCE per side. The estimate's group
+    // list and inner products come out of one full-outer pass, so
+    // the final plan holds exactly 2 explode generates and 3
+    // parquet scans (lineitem + orders sketch sides, plus the
+    // 1-row exact-join audit that rides a broadcast).
+    guarded("q166_join_size_estimate") {
+      val df = graft.SparkEntry.queries("q166_join_size_estimate")(
+        spark, sfDir)
+      df.collect()
+      val tree = df.queryExecution.executedPlan.treeString
+      val finalPlan = tree.split("== Initial Plan ==")(0)
+      def count(pat: String) = finalPlan.split(pat, -1).length - 1
+      val nGen = count("Generate explode")
+      val ok = nGen == 2
+      if (!ok) failures += 1
+      println(s"\n=== q166_join_size_estimate — one aggregation " +
+        "per sketch side ===")
+      println(f"  [${if (ok) "OK" else "MISS"}%-4s] explode " +
+        s"generates in the final plan (found $nGen, want 2 — one " +
+        "per Count-Min side; more means a sketch evaluated twice)")
+    }
+
     // ---- temporal window-shape checks ----------------------------
     // the temporal operators promise ONE keyed sort. q52: the as-of
     // union windows exactly once. q53: lag + running-sum plan as two

@@ -70,17 +70,20 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- Count-Min join-size estimate ------------------------------
 
-  /** Brute-force reference: same salted md5 buckets, per-row inner
-    * products in BigInt, min over rows.
+  /** Brute-force reference: same windowed-digest buckets (row i
+    * reads 8-hex-char window i mod 4 of digest `md5(i/4 ":" k)`),
+    * per-row inner products in BigInt, min over rows.
     */
   private def refJoinEstimate(a: Seq[String], b: Seq[String],
                               w: Int, d: Int): BigInt = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(row: Int, k: String): Int = {
       md.reset()
-      val hex = md.digest(s"$row:$k".getBytes("UTF-8"))
-        .take(4).map(x => f"${x & 0xff}%02x").mkString
-      (java.lang.Long.parseLong(hex, 16) % w).toInt
+      val hex = md.digest(s"${row / 4}:$k".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(
+        hex.substring((row % 4) * 8, (row % 4) * 8 + 8), 16)
+        % w).toInt
     }
     (0 until d).map { r =>
       val ca = a.groupBy(bucket(r, _)).view.mapValues(_.size)

@@ -709,6 +709,129 @@ object Dedup {
         .unionAll(newPairs.select(col("id1"), col("id2"))),
       maxIter, checkpointDir)
 
+  /** The persisted clustering artifact: the labeling `(id, label)`
+    * plus the verified PAIR STORE `(id1, id2, label)` that produced
+    * it — every pair tagged with its component label, so a
+    * retraction can pull exactly the affected components' pairs off
+    * disk with a broadcast filter (never a pair-store × labels
+    * join at retraction time). [[foldComponents]] covers the
+    * addition direction without the store; retraction
+    * ([[retractFromComponents]]) is what the store exists for — a
+    * removed pair can SPLIT a component, and only the component's
+    * own pairs can prove how.
+    */
+  final case class ClusterState(labels: DataFrame, pairs: DataFrame)
+
+  /** Build the [[ClusterState]] artifact from verified pairs: one
+    * connected-components run plus ONE pair-sized join tagging each
+    * stored pair with its component label (both endpoints share
+    * one, so id1's suffices). Build-time cost — retractions then
+    * never re-derive it.
+    */
+  def clusterState(pairs: DataFrame, maxIter: Int = 25,
+                   checkpointDir: Option[String] = None)
+      : ClusterState = {
+    val p = pairs.select(col("id1"), col("id2")).persist()
+    val labels = connectedComponents(p, maxIter, checkpointDir)
+    val store = p
+      .join(labels.select(col("id").as("id1"), col("label")),
+        Seq("id1"))
+      .select(col("id1"), col("id2"), col("label"))
+    ClusterState(labels, store)
+  }
+
+  /** DECREMENTAL clustering — retract documents (PII takedowns,
+    * licence removals: routine corpus maintenance) from a
+    * [[ClusterState]] WITHOUT re-clustering from raw pairs. A
+    * retraction can split a component, so the affected components
+    * re-close from their OWN stored pairs:
+    *
+    *  1. affected labels = labels of the removed ids (broadcast
+    *     probe of the labeling — removal-sized);
+    *  2. PRICED pre-flight: one pass over the pair store counts
+    *     total vs affected pairs; past `maxShareNum/maxShareDen`
+    *     (default 1/2) the retraction refuses — at that share a
+    *     full [[clusterState]] rebuild is the honest plan, and the
+    *     refusal names it;
+    *  3. the affected components' surviving pairs (label-filtered
+    *     scan, minus pairs touching a removed id) re-close via
+    *     [[connectedComponents]]; docs stranded with no surviving
+    *     pair keep SINGLETON self-labels (they were near-dups once,
+    *     they are clusters of one now);
+    *  4. unaffected labels and pairs pass through untouched
+    *     (broadcast anti-filters), and re-closed pairs re-tag with
+    *     their new labels.
+    *
+    * Result is spec-pinned EXACTLY equal to the full re-cluster of
+    * the surviving pairs (min-id labels both ways: unaffected
+    * components are untouched by the removal, and the sub-closure
+    * of an affected component's surviving pairs is its full
+    * closure) plus the stranded singletons, with removed ids gone.
+    * Work ∝ scans + affected-component volume — the 100 TB shape.
+    *
+    * Returned frames are lazy — persist/write them as the next
+    * artifact version.
+    */
+  def retractFromComponents(state: ClusterState, removed: DataFrame,
+                            maxShareNum: Long = 1L,
+                            maxShareDen: Long = 2L,
+                            maxIter: Int = 25,
+                            checkpointDir: Option[String] = None)
+      : ClusterState = {
+    require(maxShareNum >= 0 && maxShareDen > 0,
+      s"need a valid share budget: $maxShareNum/$maxShareDen")
+    val rm = graft.operators.Graph.cut(
+      removed.select(col("id")).distinct(), checkpointDir)
+    val affected = graft.operators.Graph.cut(
+      state.labels.join(broadcast(rm), Seq("id"))
+        .select(col("label")).distinct(), checkpointDir)
+    // priced pre-flight: ONE pair-store pass
+    val pr = state.pairs
+      .join(broadcast(affected.withColumn("__a", lit(true))),
+        Seq("label"), "left")
+      .agg(count(lit(1)).as("total"),
+        count(col("__a")).as("aff"))
+      .head()
+    val (total, aff) = (pr.getLong(0), pr.getLong(1))
+    require(aff * maxShareDen <= total * maxShareNum,
+      s"retractFromComponents: $aff of $total stored pairs sit in " +
+        "affected components — past the " +
+        s"$maxShareNum/$maxShareDen budget; rebuild with " +
+        "clusterState over the surviving pairs instead")
+    val affectedPairs = graft.operators.Graph.cut(
+      state.pairs
+        .join(broadcast(affected), Seq("label"), "left_semi")
+        .join(broadcast(rm.withColumnRenamed("id", "id1")),
+          Seq("id1"), "left_anti")
+        .join(broadcast(rm.withColumnRenamed("id", "id2")),
+          Seq("id2"), "left_anti")
+        .select(col("id1"), col("id2")), checkpointDir)
+    val sub = connectedComponents(affectedPairs, maxIter,
+      checkpointDir)
+    // previously-clustered nodes of affected components, minus the
+    // removed: those without a surviving pair become singletons
+    val affectedNodes = state.labels
+      .join(broadcast(affected), Seq("label"), "left_semi")
+      .join(broadcast(rm), Seq("id"), "left_anti")
+      .select(col("id"))
+    val newAffectedLabels = sub
+      .unionAll(affectedNodes
+        .join(sub.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
+    val labels2 = state.labels
+      .join(broadcast(affected), Seq("label"), "left_anti")
+      .select(col("id"), col("label"))
+      .unionAll(newAffectedLabels)
+    val pairs2 = state.pairs
+      .join(broadcast(affected), Seq("label"), "left_anti")
+      .select(col("id1"), col("id2"), col("label"))
+      .unionAll(affectedPairs
+        .join(newAffectedLabels
+          .select(col("id").as("id1"), col("label")), Seq("id1"))
+        .select(col("id1"), col("id2"), col("label")))
+    ClusterState(labels2, pairs2)
+  }
+
   /** Exact-Jaccard verification restricted to a CANDIDATE pair list —
     * the scale-safe alternative to [[jaccardPairs]]' corpus-wide
     * shingle self-join: the shingle equi-join only ever touches ids

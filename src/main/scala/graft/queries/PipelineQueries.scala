@@ -749,6 +749,39 @@ object PipelineQueries {
         .orderBy(col("kind").asc_nulls_first)
     }),
 
+    // DECREMENTAL clustering (the missing half of q171's addition
+    // fold): build the ClusterState artifact — labels + the
+    // label-tagged verified PAIR STORE — then retract the mod-17
+    // docs (the PII-takedown shape); only the AFFECTED components'
+    // stored pairs re-close, splits included, and survivors whose
+    // every pair died keep singleton self-labels. The oracle
+    // re-clusters the surviving pairs from scratch, so the hash
+    // match proves retract == full re-cluster. Budget 1/1 here: the
+    // fixture's near-dup graph is small enough that a mod-17 sweep
+    // can touch most stored pairs; the refusal knob itself is
+    // RetractSpec-pinned
+    "q177_retract_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"),
+          col("doc_id"), col("text"), shingleK = 5, thresholdNum = 1,
+          thresholdDen = 5, maxShingleDf = 10000L)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint()
+      val state = Dedup.clusterState(pairs)
+      val removed = t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("id"))
+      val after = Dedup.retractFromComponents(state, removed,
+        maxShareNum = 1L, maxShareDen = 1L)
+      val sizes = after.labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+      after.labels.agg(count(lit(1)).as("n_clustered_docs"),
+          countDistinct(col("label")).as("n_clusters"))
+        .crossJoin(broadcast(
+          sizes.agg(max(col("sz")).as("max_cluster_size"))))
+        .crossJoin(broadcast(
+          after.pairs.agg(count(lit(1)).as("n_pairs"))))
+    }),
+
     // TRAINED language identification (the CCNet curation step): a
     // char-bigram naive-Bayes model trained in whole bits on the
     // labeled 80% slice (one keyed agg + a priced collect), applied
@@ -4745,7 +4778,11 @@ object PipelineQueries {
     * ([[graft.operators.Dedup.foldComponents]]); this full closure
     * is its definitional result.
     */
-  private lazy val dedupClustersSql: String =
+  /** The shared chain up to `nd` (the verified near-dup pair list) —
+    * [[dedupClustersSql]] closes over it in full, the q177 retract
+    * replay closes over it minus the retracted docs' pairs.
+    */
+  private lazy val dedupPairsCtes: String =
     "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
     ", shd AS (SELECT doc_id, substr(md5(s), 1, 16) AS s FROM sh)" +
     ", kept AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM " +
@@ -4757,7 +4794,10 @@ object PipelineQueries {
     "b.doc_id GROUP BY 1, 2)" +
     ", nd AS (SELECT id1, id2 FROM p0 JOIN sz sa ON id1 = " +
     "sa.doc_id JOIN sz sb ON id2 = sb.doc_id WHERE inter * 5 >= " +
-    "(sa.n + sb.n - inter))" +
+    "(sa.n + sb.n - inter))"
+
+  private lazy val dedupClustersSql: String =
+    dedupPairsCtes +
     ", edges AS (SELECT id1 AS src, id2 AS dst FROM nd UNION " +
     "SELECT id2, id1 FROM nd)" +
     ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
@@ -4770,6 +4810,38 @@ object PipelineQueries {
     "SELECT (SELECT COUNT(*) FROM labels) AS n_clustered_docs, " +
     "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
     "(SELECT MAX(sz) FROM sizes) AS max_cluster_size"
+
+  /** q177's replay: the full closure over the near-dup pairs MINUS
+    * every pair touching a retracted doc (doc_id ≡ 0 mod 17), plus
+    * SINGLETON self-labels for previously-clustered survivors whose
+    * every pair died — the definitional result the engine's
+    * affected-components-only retraction must hash-match.
+    */
+  private lazy val retractClustersSql: String =
+    dedupPairsCtes +
+    ", rm AS (SELECT doc_id AS id FROM documents WHERE " +
+    "doc_id % 17 = 0)" +
+    ", ndk AS (SELECT id1, id2 FROM nd WHERE id1 NOT IN (SELECT " +
+    "id FROM rm) AND id2 NOT IN (SELECT id FROM rm))" +
+    ", prev AS (SELECT DISTINCT id FROM (SELECT id1 AS id FROM nd " +
+    "UNION ALL SELECT id2 FROM nd) WHERE id NOT IN (SELECT id " +
+    "FROM rm))" +
+    ", edges AS (SELECT id1 AS src, id2 AS dst FROM ndk UNION " +
+    "SELECT id2, id1 FROM ndk)" +
+    ", nodes AS (SELECT DISTINCT src AS id FROM edges)" +
+    ", reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT " +
+    "reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)" +
+    ", labels0 AS (SELECT id, MIN(r) AS label FROM reach " +
+    "GROUP BY id)" +
+    ", labels AS (SELECT id, label FROM labels0 UNION ALL SELECT " +
+    "id, id AS label FROM prev WHERE id NOT IN (SELECT id FROM " +
+    "labels0))" +
+    ", sizes AS (SELECT label, COUNT(*) AS sz FROM labels " +
+    "GROUP BY label) " +
+    "SELECT (SELECT COUNT(*) FROM labels) AS n_clustered_docs, " +
+    "(SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters, " +
+    "(SELECT MAX(sz) FROM sizes) AS max_cluster_size, " +
+    "(SELECT COUNT(*) FROM ndk) AS n_pairs"
 
   val oracleSql: Map[String, String] = Map(
     // q154: the unigram Viterbi DP replayed as a recursive CTE — one
@@ -5574,6 +5646,10 @@ object PipelineQueries {
        "FROM pairs JOIN sz sa ON id1 = sa.doc_id " +
        "JOIN sz sb ON id2 = sb.doc_id"),
     "q36_dedup_clusters" -> dedupClustersSql,
+    // q177: full re-cluster of the surviving pairs + stranded
+    // singletons — the engine answers with the affected-components
+    // retraction
+    "q177_retract_clusters" -> retractClustersSql,
     // q171: the fold result is DEFINED as the full closure over all
     // pairs — the oracle is exactly q36's replay, and the hash match
     // is the star-collapse equivalence proof on real pairs

@@ -174,22 +174,27 @@ object LangModel {
         sum(col("__w")).cast("long").as("wbits"))
   }
 
-  /** All consecutive char bigrams of a text column (code-point
+  /** All consecutive char n-grams of a text column (code-point
     * indexed, both engines 1-based) — the language-ID feature. The
-    * `length >= 2` guard matters: Spark's `sequence(1, 0)` is the
+    * length guard matters: Spark's `sequence(1, 0)` is the
     * DESCENDING [1, 0], not empty.
     */
-  def charBigrams(text: Column): Column =
-    when(length(text) >= 2,
-      transform(sequence(lit(1), length(text) - 1),
-        i => text.substr(i, lit(2))))
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"need n >= 1: $n")
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
+  }
 
-  /** A trained character-bigram naive-Bayes language identifier:
-    * `labels` sorted ascending (the argmin tie-break order),
-    * `defaults(i)` the whole-bit cost of a gram UNSEEN for label i,
-    * `bits(g)(i)` the cost of gram `g` under label i. All costs are
-    * the add-one-smoothed code lengths
+  /** [[charNgrams]] at n = 2 — the classic language-ID feature. */
+  def charBigrams(text: Column): Column = charNgrams(text, 2)
+
+  /** A trained character-n-gram naive-Bayes language identifier:
+    * `n` the gram order, `labels` sorted ascending (the argmin
+    * tie-break order), `defaults(i)` the whole-bit cost of a gram
+    * UNSEEN for label i, `bits(g)(i)` the cost of gram `g` under
+    * label i. All costs are the add-one-smoothed code lengths
     *
     *   bits(l, g) = ⌊log2(n_l + V)⌋ − ⌊log2(c(l,g) + 1)⌋
     *
@@ -202,24 +207,40 @@ object LangModel {
     */
   final case class LangIdModel(labels: Seq[String],
                                defaults: Seq[Long],
-                               bits: Map[String, Seq[Long]])
+                               bits: Map[String, Seq[Long]],
+                               n: Int = 2)
 
   /** Train the language identifier on a labeled slice — the
     * CCNet-style curation step the quality LM (trainBigram) cannot
     * do: decide the LANGUAGE, not the register. Counting is one
-    * distributed keyed aggregation over exploded char bigrams; the
-    * finished model is vocabulary-sized (≤ alphabet² grams ×
-    * |labels|), so it collects to the driver under a PRICED cap
-    * (the Unigram.vocabulary discipline) and ships back inside a
+    * distributed keyed aggregation over exploded char n-grams
+    * (close natural languages separate at n = 3..5; the default
+    * n = 2 is the cheapest usable order); the finished model is
+    * vocabulary-sized (≤ alphabetⁿ grams × |labels|), so it
+    * collects to the driver under a PRICED cap (the
+    * Unigram.vocabulary discipline) and ships back inside a
     * stateless projection ([[langIdStruct]] — the
     * hashClassifierScore shape: no join, no shuffle at scoring
     * time).
+    *
+    * CAPACITY CEILING (stated, enforced): the model travels as a
+    * `typedLit` map INSIDE THE QUERY PLAN — |grams| × |labels|
+    * literal cells that every scoring plan serializes, analyzes and
+    * broadcasts. Past ~10⁶ cells plan size and codegen degrade, so
+    * the train refuses at `maxPlanCells` (default 2,000,000),
+    * naming the knobs: raise `maxPlanCells` knowingly, lower `n`,
+    * restrict the alphabet upstream (strip digits/punctuation), or
+    * switch to the hashed-feature classifier
+    * ([[graft.functions.TextFunctions.hashClassifierScore]]) whose
+    * capacity is bucket-bounded instead of plan-bounded.
     */
   def trainLangId(labeled: DataFrame, label: Column, text: Column,
-                  maxModelRows: Int = 500000): LangIdModel = {
+                  n: Int = 2, maxModelRows: Int = 500000,
+                  maxPlanCells: Long = 2000000L): LangIdModel = {
+    require(n >= 1 && n <= 8, s"char-gram order out of range: $n")
     val counts = labeled
       .select(label.cast("string").as("l"),
-        explode(charBigrams(text)).as("g"))
+        explode(charNgrams(text, n)).as("g"))
       .groupBy(col("l"), col("g"))
       .agg(count(lit(1)).as("c"))
     val rows = counts.limit(maxModelRows + 1).collect()
@@ -231,13 +252,21 @@ object LangModel {
       (r.getString(0), r.getString(1), r.getLong(2)))
     val labels = triples.map(_._1).distinct.sorted.toSeq
     require(labels.nonEmpty, "langid training slice is empty")
+    val nGrams = triples.map(_._2).distinct.length.toLong
+    val cells = nGrams * labels.length
+    require(cells <= maxPlanCells,
+      s"langid model would carry $nGrams grams × ${labels.length} " +
+        s"labels = $cells literal cells in every scoring plan — " +
+        s"past maxPlanCells=$maxPlanCells. Raise maxPlanCells " +
+        "knowingly, lower n, restrict the alphabet upstream, or " +
+        "use hashClassifierScore (bucket-bounded capacity)")
     val idx = labels.zipWithIndex.toMap
     val nPer = labels.map(l =>
       triples.filter(_._1 == l).map(_._3).sum)
-    val v = triples.map(_._2).distinct.length.toLong
-    def fl2(n: Long): Long =
-      63L - java.lang.Long.numberOfLeadingZeros(n)
-    val defaults = nPer.map(n => fl2(n + v))
+    val v = nGrams
+    def fl2(x: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(x)
+    val defaults = nPer.map(m => fl2(m + v))
     val bits = triples.groupBy(_._2).map { case (g, ts) =>
       val arr = defaults.toArray.clone()
       ts.foreach { case (l, _, c) =>
@@ -245,24 +274,24 @@ object LangModel {
       }
       g -> arr.toSeq
     }
-    LangIdModel(labels, defaults, bits)
+    LangIdModel(labels, defaults, bits, n)
   }
 
   /** Score + classify a text column under a trained [[LangIdModel]]
-    * as ONE stateless codegen'd projection: fold the char bigrams
+    * as ONE stateless codegen'd projection: fold the char n-grams
     * through the broadcast literal gram→costs map (`aggregate` +
     * `zip_with` — the accumulator is evaluated once per element),
     * then take the argmin INSIDE the aggregate's finish lambda so
     * the score array is never re-evaluated. Returns
     * `struct<pred string, bits bigint>`; NULL fields for a text
-    * with no bigram.
+    * shorter than the model's gram order.
     */
   def langIdStruct(model: LangIdModel, text: Column): Column = {
     val m = typedLit(model.bits)
     val defs = typedLit(model.defaults)
     val zero = typedLit(Seq.fill(model.labels.size)(0L))
     val labelsLit = typedLit(model.labels)
-    val agg = aggregate(charBigrams(text), zero,
+    val agg = aggregate(charNgrams(text, model.n), zero,
       (acc, g) => zip_with(acc,
         coalesce(element_at(m, g), defs), (a, b) => a + b),
       acc => struct(
@@ -270,7 +299,7 @@ object LangModel {
           array_position(acc, array_min(acc)).cast("int"))
           .as("pred"),
         array_min(acc).as("bits")))
-    when(length(text) >= 2, agg)
+    when(length(text) >= model.n, agg)
       .otherwise(lit(null).cast(
         "struct<pred:string,bits:bigint>"))
   }

@@ -783,11 +783,13 @@ object PipelineQueries {
     }),
 
     // TRAINED language identification (the CCNet curation step): a
-    // char-bigram naive-Bayes model trained in whole bits on the
-    // labeled 80% slice (one keyed agg + a priced collect), applied
-    // to the held-out 20% as a stateless codegen'd projection (no
-    // join at scoring time — the hashClassifierScore shape); the
-    // confusion census pins train AND argmax end-to-end
+    // char-TRIGRAM naive-Bayes model trained in whole bits on the
+    // labeled 80% slice (one keyed agg + a priced collect; n = 3 is
+    // where close natural languages start to separate — the n = 2
+    // form remains exercised end-to-end by q170), applied to the
+    // held-out 20% as a stateless codegen'd projection (no join at
+    // scoring time — the hashClassifierScore shape); the confusion
+    // census pins train AND argmax end-to-end
     "q168_langid" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"),
@@ -796,7 +798,7 @@ object PipelineQueries {
           langText(col("doc_id")).as("t"))
       val model = LangModel.trainLangId(
         docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
-        col("true_label"), col("t"))
+        col("true_label"), col("t"), n = 3)
       LangModel.langIdCensus(
           docs.where(pmod(col("doc_id"), lit(5)) === 0),
           col("true_label"), model, col("t"))
@@ -5060,15 +5062,15 @@ object PipelineQueries {
        "ORDER BY kind NULLS FIRST"),
 
     // q168: the naive-Bayes training AND argmin replayed in SQL —
-    // same char-bigram enumeration, same add-one whole-bit costs
+    // same char-TRIGRAM enumeration, same add-one whole-bit costs
     // (length(bin(n)) - 1 = ⌊log2 n⌋), same (bits, label) tie-break
     "q168_langid" ->
       ("WITH txt AS MATERIALIZED (SELECT doc_id, 'l' || " +
        "CAST(doc_id % 3 AS VARCHAR) AS l, " + langTextSql +
        " AS t FROM documents), " +
        "tg AS MATERIALIZED (SELECT l, substr(t, CAST(i + 1 AS " +
-       "INTEGER), 2) AS g FROM (SELECT l, t, " +
-       "unnest(range(length(t) - 1)) AS i FROM txt WHERE " +
+       "INTEGER), 3) AS g FROM (SELECT l, t, " +
+       "unnest(range(length(t) - 2)) AS i FROM txt WHERE " +
        "doc_id % 5 <> 0)), " +
        "c AS (SELECT l, g, CAST(COUNT(*) AS BIGINT) AS c FROM tg " +
        "GROUP BY 1, 2), " +
@@ -5077,8 +5079,8 @@ object PipelineQueries {
        "vv AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v " +
        "FROM tg), " +
        "eg AS (SELECT doc_id, l AS tl, substr(t, CAST(i + 1 AS " +
-       "INTEGER), 2) AS g FROM (SELECT doc_id, l, t, " +
-       "unnest(range(length(t) - 1)) AS i FROM txt WHERE " +
+       "INTEGER), 3) AS g FROM (SELECT doc_id, l, t, " +
+       "unnest(range(length(t) - 2)) AS i FROM txt WHERE " +
        "doc_id % 5 = 0)), " +
        "sc AS (SELECT eg.doc_id, eg.tl, nl.l, " +
        "SUM((length(bin(nl.n + (SELECT v FROM vv))) - 1) - " +

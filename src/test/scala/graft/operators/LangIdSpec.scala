@@ -105,6 +105,66 @@ class LangIdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
+  // n-gram reference (generalizes refScore to any order)
+  private def refScoreN(text: String, n: Int): (String, Long) = {
+    val grams = train.flatMap { case (l, t) =>
+      t.sliding(n).filter(_.length == n).map(g => (l, g))
+    }
+    val labels = grams.map(_._1).distinct.sorted
+    val counts = grams.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong
+    }
+    val nPer = labels.map(l =>
+      l -> grams.count(_._1 == l).toLong).toMap
+    val v = grams.map(_._2).distinct.size.toLong
+    val scored = labels.map { l =>
+      val bits = text.sliding(n).filter(_.length == n).map { g =>
+        fl2(nPer(l) + v) - fl2(counts.getOrElse((l, g), 0L) + 1L)
+      }.sum
+      (bits, l)
+    }
+    val (b, l) = scored.min
+    (l, b)
+  }
+
+  test("char-TRIGRAM model (n = 3) stays in lockstep with the " +
+      "reference and still classifies the held-out sentences") {
+    val s = spark
+    import s.implicits._
+    val model = LangModel.trainLangId(
+      train.toDF("l", "t"), col("l"), col("t"), n = 3)
+    assert(model.n === 3)
+    val rows = tests.toDF("true_l", "t")
+      .select(col("true_l"), col("t"),
+        LangModel.langIdStruct(model, col("t")).as("r"))
+      .select(col("true_l"), col("t"),
+        col("r.pred").as("pred"), col("r.bits").as("bits"))
+      .collect()
+    rows.foreach { r =>
+      val (refPred, refBits) = refScoreN(r.getString(1), 3)
+      assert(r.getString(2) === refPred, s"pred: ${r.getString(1)}")
+      assert(r.getLong(3) === refBits, s"bits: ${r.getString(1)}")
+      assert(r.getString(2) === r.getString(0),
+        s"misclassified: ${r.getString(1)}")
+    }
+    // a 2-char text is sub-gram at n = 3 -> NULL
+    val nul = Seq("ab").toDF("t")
+      .select(LangModel.langIdStruct(model, col("t")).as("r"))
+      .select(col("r.pred")).head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("the plan-size ceiling trips with the knobs named") {
+    val s = spark
+    import s.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      LangModel.trainLangId(train.toDF("l", "t"), col("l"),
+        col("t"), n = 3, maxPlanCells = 10L)
+    }
+    assert(ex.getMessage.contains("maxPlanCells"))
+    assert(ex.getMessage.contains("hashClassifierScore"))
+  }
+
   test("the census diagonal dominates on the fixture languages") {
     val s = spark
     import s.implicits._

@@ -716,6 +716,256 @@ object Graph {
     scores.select(col("node"), col("hub"), col("auth"))
   }
 
+  /** HITS with DEFERRED normalization: raw power iteration
+    * (Kleinberg's original formulation — per-round normalization
+    * exists only for float stability, which exact integers don't
+    * need), L1-normalized to total mass `scale` ONCE at the end:
+    * {{{
+    *   h_0(u)  = 1
+    *   a_t(v)  = Σ_{u→v} h_{t−1}(u)
+    *   h_t(u)  = Σ_{u→v} a_t(v)
+    *   auth(v) = floor(a_k(v)·scale / Σ a_k);  hub likewise
+    * }}}
+    * Same ranking family as [[hits]] (each round's raw frame is a
+    * positive scalar multiple of the renormalized one in real
+    * arithmetic); the raw linear recurrences are what make an
+    * incremental fold possible — [[hitsDelta]] folds an edge batch
+    * against a [[hitsTrace]] run, which the per-round floor
+    * renormalization forbids (every round's divisor is global, so
+    * no change stays local).
+    *
+    * Growth is PRICED up front: raw scores grow like Din^t·Dout^t,
+    * so the one-aggregate pre-flight bounds a_k ≤ N·Din^k·Dout^(k−1)
+    * (and h_k ≤ N·Din^k·Dout^k) in BigInt and refuses iterations
+    * DECIMAL(38,0) cannot hold, naming the knobs (fewer iterations,
+    * or the per-round-normalized [[hits]]).
+    */
+  def hitsDeferred(edges: DataFrame, iterations: Int = 2,
+                   scale: Long = 1000000L,
+                   checkpointDir: Option[String] = None): DataFrame =
+    normalizeHits(hitsTrace(edges, iterations, checkpointDir).last,
+      scale)
+
+  /** [[hitsDeferred]]'s full per-round raw trace: element t holds
+    * `(node, a_raw, h_raw)` AFTER t rounds (element 0 = the initial
+    * placement: h_raw = 1, a_raw = 0), each materialized and
+    * lineage-cut — the artifact [[hitsDelta]] folds edge batches
+    * against.
+    */
+  def hitsTrace(edges: DataFrame, iterations: Int = 2,
+                checkpointDir: Option[String] = None)
+      : Seq[DataFrame] = {
+    require(iterations >= 1 && iterations <= 16,
+      s"driver-looped plan growth is specified for 1..16 " +
+        s"iterations: $iterations")
+    val e = edges.select(col("src"), col("dst")).persist()
+    hitsGrowthPreflight(e, iterations)
+    val nodes = cut(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct(), checkpointDir)
+    var state = cut(nodes.select(col("node"),
+      lit(0).cast(Dec).as("a_raw"),
+      lit(1).cast(Dec).as("h_raw")), checkpointDir)
+    val trace = Seq.newBuilder[DataFrame]
+    trace += state
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(state.select(col("node"), col("h_raw")),
+          e("src") === col("node"))
+        .groupBy(e("dst").as("node"))
+        .agg(sum(col("h_raw")).cast(Dec).as("__a"))
+      val withA = cut(nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__a"), lit(0).cast(Dec)).as("a_raw")),
+        checkpointDir)
+      val hRaw = e.join(withA.select(col("node"), col("a_raw")),
+          e("dst") === col("node"))
+        .groupBy(e("src").as("node"))
+        .agg(sum(col("a_raw")).cast(Dec).as("__h"))
+      state = cut(withA.join(hRaw, Seq("node"), "left")
+        .select(col("node"), col("a_raw"),
+          coalesce(col("__h"), lit(0).cast(Dec)).as("h_raw")),
+        checkpointDir)
+      trace += state
+    }
+    e.unpersist()
+    trace.result()
+  }
+
+  /** Fold a batch of NEW edges into a completed [[hitsTrace]] run —
+    * the q169 delta discipline applied to HITS. Result is spec- and
+    * oracle-pinned EXACTLY equal to
+    * `hitsDeferred(edges ∪ delta, iterations)`.
+    *
+    * Why this folds where [[hits]] cannot: the raw recurrences are
+    * LINEAR with no global term, so round t's a_raw changes only at
+    * nodes whose in-multiset changed (dsts(Δ)) or with an
+    * in-neighbor whose h_raw changed, and h_raw likewise through
+    * out-edges — two alternating frontiers, expanded through E∪Δ.
+    * New nodes are allowed (they enter at h_0 = 1, permanently
+    * dirty — no global base to rebase, unlike PageRank's teleport).
+    * The final L1 normalization is global but O(nodes): two scalar
+    * aggregates over the composed final frame.
+    *
+    * Per-round state is frontier-sized (the fresh a/h scores and
+    * the next frontiers share eager cuts); the full raw frames stay
+    * lazy trace-join views, composed once at the end.
+    */
+  def hitsDelta(edges: DataFrame, delta: DataFrame,
+                trace: Seq[DataFrame],
+                scale: Long = 1000000L,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(trace.nonEmpty, "need a hitsTrace run to fold into")
+    val iterations = trace.length - 1
+    val eOld = edges.select(col("src"), col("dst")).persist()
+    val eDelta = delta.select(col("src"), col("dst")).persist()
+    val e = eOld.unionAll(eDelta).persist()
+    hitsGrowthPreflight(e, iterations)
+    val added = cut(eDelta.select(col("src").as("node"))
+      .unionAll(eDelta.select(col("dst").as("node")))
+      .distinct()
+      .join(eOld.select(col("src").as("node"))
+        .unionAll(eOld.select(col("dst").as("node"))),
+        Seq("node"), "left_anti"), checkpointDir)
+    val addedRows = added.select(col("node"))
+    val dSrcs = cut(eDelta.select(col("src").as("node")).distinct()
+      .unionAll(addedRows).distinct(), checkpointDir)
+    val dDsts = cut(eDelta.select(col("dst").as("node")).distinct()
+      .unionAll(addedRows).distinct(), checkpointDir)
+    // lazy raw-frame views: trace round t plus added-node filler
+    // (h_0 = 1 like every node; later rounds' filler is never
+    // visible — added nodes sit in every frontier)
+    def view(t: Int, freshA: Option[DataFrame],
+             freshH: Option[DataFrame]): DataFrame = {
+      val hFill = lit(if (t == 0) 1L else 0L).cast(Dec)
+      val full = trace(t)
+        .select(col("node"), col("a_raw"), col("h_raw"))
+        .unionAll(addedRows.select(col("node"),
+          lit(0).cast(Dec).as("a_raw"), hFill.as("h_raw")))
+      val withA = freshA match {
+        case Some(f) => full.join(f, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__na"), col("a_raw")).as("a_raw"),
+            col("h_raw"))
+        case None => full
+      }
+      freshH match {
+        case Some(f) => withA.join(f, Seq("node"), "left")
+          .select(col("node"), col("a_raw"),
+            coalesce(col("__nh"), col("h_raw")).as("h_raw"))
+        case None => withA
+      }
+    }
+    var dirtyA = dDsts
+    var dirtyH: DataFrame = null
+    var freshA: Option[DataFrame] = None
+    var freshH: Option[DataFrame] = None
+    for (t <- 1 to iterations) {
+      val prev = view(t - 1, freshA, freshH)
+      // fresh a_t over the a-frontier: sum of in-neighbors' patched
+      // h_{t−1} (no in-edges → 0)
+      val aIn = e.join(dirtyA.withColumnRenamed("node", "__t"),
+          e("dst") === col("__t"))
+        .join(prev.select(col("node").as("__sn"), col("h_raw")),
+          col("__sn") === e("src"))
+        .groupBy(e("dst").as("node"))
+        .agg(sum(col("h_raw")).cast(Dec).as("__s"))
+      freshA = Some(cut(dirtyA.join(aIn, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__s"), lit(0).cast(Dec)).as("__na")),
+        checkpointDir))
+      // h-frontier at t: delta sources ∪ in-neighbors (via src) of
+      // the a-frontier ∪ added
+      dirtyH = cut(e.join(dirtyA.withColumnRenamed("node", "__t"),
+          e("dst") === col("__t"))
+        .select(e("src").as("node"))
+        .unionAll(dSrcs.select(col("node")))
+        .distinct(), checkpointDir)
+      val cur = view(t, freshA, None)
+      val hOut = e.join(dirtyH.withColumnRenamed("node", "__f"),
+          e("src") === col("__f"))
+        .join(cur.select(col("node").as("__dn"), col("a_raw")),
+          col("__dn") === e("dst"))
+        .groupBy(e("src").as("node"))
+        .agg(sum(col("a_raw")).cast(Dec).as("__s"))
+      freshH = Some(cut(dirtyH.join(hOut, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__s"), lit(0).cast(Dec)).as("__nh")),
+        checkpointDir))
+      if (t < iterations)
+        // a-frontier at t+1: delta dsts ∪ out-neighbors of the
+        // h-frontier ∪ added
+        dirtyA = cut(e
+          .join(dirtyH.withColumnRenamed("node", "__f"),
+            e("src") === col("__f"))
+          .select(e("dst").as("node"))
+          .unionAll(dDsts.select(col("node")))
+          .distinct(), checkpointDir)
+    }
+    val out = normalizeHits(
+      cut(view(iterations, freshA, freshH), checkpointDir), scale)
+    e.unpersist()
+    eOld.unpersist()
+    eDelta.unpersist()
+    out
+  }
+
+  /** The one global step of deferred HITS: L1-normalize the final
+    * raw frame to total mass `scale` (two scalar aggregates riding
+    * a 1-row broadcast — O(nodes), no shuffle beyond them).
+    */
+  private def normalizeHits(raw: DataFrame, scale: Long)
+      : DataFrame = {
+    val sc = lit(scale).cast(Dec)
+    val tot = raw.agg(
+      coalesce(sum(col("a_raw")), lit(0)).cast(Dec).as("at"),
+      coalesce(sum(col("h_raw")), lit(0)).cast(Dec).as("ht"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("node"),
+        when(col("ht") <= 0, lit(0).cast(Dec))
+          .otherwise(floorDiv(col("h_raw") * sc, col("ht")))
+          .as("hub"),
+        when(col("at") <= 0, lit(0).cast(Dec))
+          .otherwise(floorDiv(col("a_raw") * sc, col("at")))
+          .as("auth"))
+  }
+
+  /** Priced growth pre-flight for the deferred family: ONE
+    * aggregate bounds the raw scores (a_k ≤ N·Din^k·Dout^(k−1),
+    * h_k ≤ N·(Din·Dout)^k) in BigInt and refuses what DECIMAL(38,0)
+    * cannot hold.
+    */
+  private def hitsGrowthPreflight(e: DataFrame,
+                                  iterations: Int): Unit = {
+    val r = e.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("dout"),
+        coalesce(sum(col("c")), lit(0L)).cast("long").as("m"))
+      .head()
+    val (dout, m) = (r.getLong(0), r.getLong(1))
+    // Din ≤ total edges in the worst case; a second groupBy(dst)
+    // would cost another shuffle, so bound it by the max in-degree
+    // aggregate only when the cheap bound already fails
+    val nBound = BigInt(2) * m.max(1L)
+    def pow(b: BigInt, k: Int): BigInt = Iterator.fill(k)(b)
+      .foldLeft(BigInt(1))(_ * _)
+    val cap = BigInt(10).pow(38) - 1
+    val cheap = nBound * pow(BigInt(dout.max(1L)) * nBound,
+      iterations)
+    if (cheap > cap) {
+      val din = e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("din"))
+        .head().getLong(0)
+      val bound = nBound *
+        pow(BigInt(din.max(1L)), iterations) *
+        pow(BigInt(dout.max(1L)), iterations)
+      require(bound <= cap,
+        s"hitsDeferred: $iterations raw iterations can reach " +
+          s"~$bound (> DECIMAL(38,0)) on this degree profile " +
+          s"(max in $din, max out $dout, $m edges) — use fewer " +
+          "iterations or the per-round-normalized hits()")
+    }
+  }
+
   /** Exact BFS hop census from a seed set — the reach diagnostic
     * pairing with seeded [[pagerank]]: how many nodes sit at each
     * minimum hop distance from ANY seed (contamination blast

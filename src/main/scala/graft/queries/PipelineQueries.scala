@@ -782,6 +782,30 @@ object PipelineQueries {
           after.pairs.agg(count(lit(1)).as("n_pairs"))))
     }),
 
+    // INCREMENTAL HITS (the q169 trace+fold discipline on the
+    // hub/authority family): q157's per-round L1 renormalization
+    // cannot fold — every round's divisor is global — so the
+    // incremental form runs Kleinberg's RAW power iteration
+    // (hitsDeferred: linear recurrences, ONE final normalization)
+    // and folds the reinforcing mod-7 purchase delta against its
+    // persisted raw trace, alternating a- and h-frontiers. The
+    // oracle replays the full deferred run over base ∪ delta, so
+    // the hash match proves fold == re-run
+    "q178_hits_delta" -> ((s, d) => {
+      val we = ensurePurchaseGraph(s, d)
+      val base = we.select(col("src"), col("dst"))
+      val delta = we.where(pmod(col("w"), lit(7)) === 0)
+        .select(col("src"), col("dst"))
+      val trace = ensureRankTrace(s, d, "hits2", 2)(() =>
+        Graph.hitsTrace(base, iterations = 2))
+      Graph.hitsDelta(base, delta, trace)
+        .select(col("node"), col("hub").cast("long").as("hub"),
+          col("auth").cast("long").as("auth"))
+        .orderBy(col("auth").desc, col("hub").desc,
+          col("node").asc_nulls_first)
+        .limit(10)
+    }),
+
     // TRAINED language identification (the CCNet curation step): a
     // char-TRIGRAM naive-Bayes model trained in whole bits on the
     // labeled 80% slice (one keyed agg + a priced collect; n = 3 is
@@ -3936,6 +3960,40 @@ object PipelineQueries {
     s"AS hub, CAST($scale AS HUGEINT) AS auth FROM nodes), " + body
   }
 
+  /** q178's replay: DEFERRED-normalization HITS — raw HUGEINT power
+    * iteration (h₀ = 1; a_t = Σ in-neighbors' h; h_t = Σ
+    * out-neighbors' a; absentees 0), ONE floor L1 normalization to
+    * `scale` at the end. Matches [[graft.operators.Graph
+    * .hitsDeferred]] bit-for-bit.
+    */
+  private def hitsDeferredCtes(edgesSql: String, rounds: Int,
+                               scale: Long = 1000000L): String = {
+    val body = (1 to rounds).map { r =>
+      s"ar$r AS (SELECT e.dst AS node, SUM(s.h) AS a FROM edges " +
+      s"e JOIN s${r - 1} s ON e.src = s.node GROUP BY 1), " +
+      s"wa$r AS MATERIALIZED (SELECT n.node, " +
+      s"COALESCE(ar$r.a, 0) AS a FROM nodes n LEFT JOIN ar$r ON " +
+      s"n.node = ar$r.node), " +
+      s"hr$r AS (SELECT e.src AS node, SUM(w.a) AS h FROM edges " +
+      s"e JOIN wa$r w ON e.dst = w.node GROUP BY 1), " +
+      s"s$r AS MATERIALIZED (SELECT w.node, w.a, " +
+      s"COALESCE(hr$r.h, 0) AS h FROM wa$r w LEFT JOIN hr$r ON " +
+      s"w.node = hr$r.node)"
+    }.mkString(", ")
+    s"edges AS MATERIALIZED ($edgesSql), " +
+    "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION " +
+    "SELECT dst FROM edges), " +
+    "s0 AS MATERIALIZED (SELECT node, CAST(0 AS HUGEINT) AS a, " +
+    "CAST(1 AS HUGEINT) AS h FROM nodes), " + body + ", " +
+    s"tot AS (SELECT CAST(SUM(a) AS HUGEINT) AS at, " +
+    s"CAST(SUM(h) AS HUGEINT) AS ht FROM s$rounds), " +
+    s"fin AS (SELECT node, CASE WHEN (SELECT ht FROM tot) <= 0 " +
+    s"THEN CAST(0 AS HUGEINT) ELSE (h * $scale) // (SELECT ht " +
+    "FROM tot) END AS hub, CASE WHEN (SELECT at FROM tot) <= 0 " +
+    s"THEN CAST(0 AS HUGEINT) ELSE (a * $scale) // (SELECT at " +
+    s"FROM tot) END AS auth FROM s$rounds)"
+  }
+
   private val purchaseEdgesSql: String =
     "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
     "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM orders JOIN " +
@@ -5652,6 +5710,21 @@ object PipelineQueries {
     // singletons — the engine answers with the affected-components
     // retraction
     "q177_retract_clusters" -> retractClustersSql,
+
+    // q178: the full deferred-HITS run over base ∪ delta — the
+    // engine answers with the alternating-frontier fold against
+    // the persisted raw trace
+    "q178_hits_delta" ->
+      ("WITH pe AS MATERIALIZED (SELECT 'c' || CAST(o_custkey AS " +
+       "VARCHAR) AS src, 's' || CAST(l_suppkey AS VARCHAR) AS " +
+       "dst, SUM(CAST(l_quantity AS BIGINT)) AS w FROM orders " +
+       "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+       hitsDeferredCtes(
+         "SELECT src, dst FROM pe UNION ALL " +
+         "SELECT src, dst FROM pe WHERE w % 7 = 0", rounds = 2) +
+       " SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS " +
+       "BIGINT) AS auth FROM fin ORDER BY auth DESC, hub DESC, " +
+       "node ASC NULLS FIRST LIMIT 10"),
     // q171: the fold result is DEFINED as the full closure over all
     // pairs — the oracle is exactly q36's replay, and the hash match
     // is the star-collapse equivalence proof on real pairs

@@ -856,6 +856,54 @@ object StreamingStructure {
       }
       .start()
 
+  /** Streaming INCREMENTAL PAGERANK — the ingest twin of
+    * [[graft.operators.Graph.pagerankDelta]], composing the
+    * persisted-trace discipline with micro-batch edge arrival: the
+    * base edge frame and its completed
+    * [[graft.operators.Graph.pagerankTrace]] run live as parquet
+    * (`baseEdgesPath`, `traceDir/t0..tK` — the artifacts, built
+    * once); each arriving batch of `(src, dst)` edges lands in its
+    * OWN batch-id-keyed delta partition and the CUMULATIVE delta
+    * folds against the frozen trace, overwriting the serving scores
+    * table with `pagerank(base ∪ all deltas so far)` — exact, per
+    * the fold's oracle-pinned equivalence.
+    *
+    * `foreachBatch` because the fold is a bounded batch DAG over
+    * persisted frames — no streaming state at all; the parquet
+    * trio IS the state. Replay semantics: at-least-once re-runs
+    * OVERWRITE the same `batch=<id>` partition with identical rows
+    * and re-fold the same cumulative delta, so a crash anywhere
+    * lands back in the exact state — effectively-once without a
+    * transaction log. Per-batch cost is the fold's:
+    * frontier-proportional in the cumulative delta, not the graph;
+    * when the accumulated delta stops being "small", rebuilding the
+    * base + trace artifacts is a batch decision (the
+    * indexAppendStream retraining rule).
+    */
+  def rankFoldStream(stream: DataFrame, baseEdgesPath: String,
+                     traceDir: String, iterations: Int,
+                     deltaPath: String, scoresPath: String,
+                     checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val s = batch.sparkSession
+        batch.toDF().select(col("src"), col("dst"))
+          .write.mode("overwrite")
+          .parquet(s"$deltaPath/batch=$batchId")
+        val base = s.read.parquet(baseEdgesPath)
+          .select(col("src"), col("dst"))
+        val delta = s.read.parquet(deltaPath)
+          .select(col("src"), col("dst"))
+        val trace = (0 to iterations).map(i =>
+          s.read.parquet(s"$traceDir/t$i"))
+        graft.operators.Graph.pagerankDelta(base, delta, trace)
+          .write.mode("overwrite").parquet(scoresPath)
+      }
+      .start()
+
   final case class TransitionState(lastEvent: String, lastTs: Long,
                                    lastId: Long)
   final case class TransitionRow(entity: Long, prev: String,

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default
+// LoggedOutput prepends "[info] " to every line, which turned the
+// bench's bare-JSON result line into non-JSON for the driver's
+// parser (BENCH_r*.json "parsed" was null every round through r11).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

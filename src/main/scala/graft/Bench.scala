@@ -80,21 +80,22 @@ object Bench {
     val load = s"""{"start":$loadStart,"end":$loadEnd,"cores":${
       Runtime.getRuntime.availableProcessors}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config,"load":$load}"""
-    println(line)
-    // belt-and-braces: persist the same line so a truncated stdout
-    // capture can always be recovered from the working tree
+    // the FULL-precision line lives ONLY in the working tree: on
+    // stdout its ~5 KB guaranteed the driver's fixed-size tail
+    // capture held nothing but its truncated middle (every
+    // BENCH_r*.json through r11 parsed null)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    // the driver keeps only the LAST ~2000 chars of stdout (plus
-    // sbt's [success] epilogue, ~75 of them), so the full line above
-    // has been front-truncated and unparseable in every BENCH_r*.json
-    // since r6. The LAST printed line is therefore a compact variant
-    // sized to fit that window whole: short keys (q104_remove_repeats
-    // → q104), 1-decimal sub-second timings (full precision lives in
-    // bench_last.json and the line above), sf as a bare number.
+    // stdout gets EXACTLY ONE line: the compact variant (short keys,
+    // 1-decimal timings, sf as a bare number), sized to sit whole
+    // inside the driver's ~2000-char tail next to sbt's [success]
+    // epilogue. Written through FileDescriptor.out DIRECTLY: sbt's
+    // non-forked run swaps System.out for a logger that prefixes
+    // "[info] ", and a prefixed line is not bare JSON — the other
+    // reason every round's "parsed" stayed null.
     def short(name: String): String = {
       val digits = name.drop(1).takeWhile(_.isDigit)
       if (!name.startsWith("q") || digits.isEmpty) name
@@ -104,16 +105,26 @@ object Bench {
       if (v < 0) "-1"
       else {
         val s = if (v >= 10) f"$v%.0f" else f"$v%.1f"
-        val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.')
-          .reverse
-        if (t.isEmpty) "0" else t
+        // trailing-zero strip applies ONLY to fractional renderings:
+        // stripping an integer like "210" would yield "21"
+        if (!s.contains('.')) s
+        else {
+          val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.')
+            .reverse
+          if (t.isEmpty) "0" else t
+        }
       }
     val cqs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + short(k) + "\":" + cfmt(v) }
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"queries":$cqs}""")
+    val compact = s"""{"metric":"total","value":${cfmt(total)},"unit":"sec","sf":$sfNum,"queries":$cqs}"""
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out),
+      true, "UTF-8")
+    rawOut.println(compact)
+    rawOut.flush()
     spark.stop()
   }
 }

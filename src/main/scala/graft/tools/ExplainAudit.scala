@@ -184,6 +184,23 @@ object ExplainAudit {
         "trustrank census: partial hash aggregation over the " +
           "checkpointed rank frame",
         Seq("HashAggregate")),
+      ("q174_pagerank_small_delta",
+        "small-delta fold head: TakeOrdered over the composed " +
+          "final frame (no global sort); per-round state is " +
+          "frontier-sized checkpoints",
+        Seq("TakeOrderedAndProject")),
+      ("q176_pagerank_grow",
+        "node-adding fold census: partial hash aggregation over " +
+          "the composed final frame",
+        Seq("HashAggregate")),
+      ("q177_retract_clusters",
+        "retraction census: scalar aggregates composed via 1-row " +
+          "broadcasts, never a collect",
+        Seq("HashAggregate", "BroadcastNestedLoopJoin")),
+      ("q178_hits_delta",
+        "HITS fold head: TakeOrdered over the normalized final " +
+          "frame; totals ride a 1-row broadcast",
+        Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")),
       ("q166_join_size_estimate",
         "join sizing: sketch-sized frames only — keyed aggregates, " +
           "the (group,row,bucket) equi-join, 1-row broadcast of " +

@@ -534,7 +534,7 @@ object Graph {
       .persist()
   }
 
-  /** The shared frontier fold: re-iterate ONLY `dirty1`'s expansion
+  /** The shared frontier fold: re-iterate ONLY the dirty frontier
     * over the pre-joined new frame `eD`, copying every other node's
     * score from the trace. `added` nodes (absent from the trace)
     * enter at round-0 mass `scale` and MUST be contained in `dirty1`
@@ -542,18 +542,21 @@ object Graph {
     * scores are recomputed fresh every round and the filler they
     * ride into the patched view never survives the coalesce.
     *
-    * ONLY DIRTY-SIZED state materializes per round: `fresh_t` (the
-    * frontier's recomputed scores) and `dirty_t` are cut eagerly —
-    * both frontier-sized — while the full patched frame stays a
-    * LAZY VIEW `trace(t) ⟕ fresh_t`. The per-round inflow join
-    * reads that view on the probe side of a frontier-edge join, so
-    * with AQE the tiny frontier side broadcasts and the view costs
-    * one SCAN of trace(t−1) plus a broadcast coalesce — no
-    * node-sized shuffle, no node-sized checkpoint. The one full
-    * node-sized compose happens ONCE, on the returned final view.
-    * That makes a fold's per-round cost: scans of the persisted
-    * frames + frontier-sized shuffles — the 100 TB shape (a
-    * full re-rank pays an edge-sized shuffle join EVERY round).
+    * ONE over-approximated frontier serves EVERY round:
+    * `dirtyAll = ∪_{i<k} outNbr^i(dirty1)` (a short eager-cut
+    * expansion pre-pass). Soundness is the existing containment
+    * argument — the exact round-t dirty set is a subset of
+    * `dirtyAll`, and recomputing a covered-but-unchanged node is
+    * harmless (its inflow over the patched frame reproduces the
+    * trace value bit-for-bit). What the single frontier BUYS is
+    * linear lineage: each round's `fresh` frame is then referenced
+    * exactly once (by the next round's view), so no per-round
+    * checkpoint is needed at all — the whole k-round fold composes
+    * into ONE lazy plan (k frontier-sized joins + aggregations over
+    * scans of the persisted frames) executed by the final cut as a
+    * single cluster action. A full re-rank pays an edge-sized
+    * shuffle join and a node-sized checkpoint EVERY round; the fold
+    * pays frontier-sized shuffles and ONE node-sized compose.
     */
   private def foldCore(eD: DataFrame, trace: Seq[DataFrame],
                        dirty1: DataFrame, added: DataFrame,
@@ -566,6 +569,19 @@ object Graph {
     val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
       .toString).cast(Dec)
     val addedRows = added.select(col("node"))
+    // frontier expansion pre-pass: each hop cut eagerly (referenced
+    // by the next hop AND the union — frontier-sized jobs)
+    var hop = dirty1
+    var frontierUnion = dirty1
+    for (_ <- 2 to iterations) {
+      hop = cut(eD.join(hop.withColumnRenamed("node", "__f"),
+          eD("src") === col("__f"))
+        .select(eD("dst").as("node")).distinct(), checkpointDir)
+      frontierUnion = frontierUnion.unionAll(hop)
+    }
+    val dirtyAll =
+      if (iterations <= 1) dirty1
+      else cut(frontierUnion.distinct(), checkpointDir)
     // round t's full score frame as a lazy view: the trace plus the
     // added nodes' filler (round 0: initial mass `scale`; later
     // rounds: a 0 that the coalesce always replaces — added nodes
@@ -581,12 +597,11 @@ object Graph {
         case None => full
       }
     }
-    var dirty = dirty1
     var fresh: Option[DataFrame] = None
     for (t <- 1 to iterations) {
       val prev = patchedView(t - 1, fresh)
       val inflow = eD
-        .join(dirty.withColumnRenamed("node", "__t"),
+        .join(dirtyAll.withColumnRenamed("node", "__t"),
           eD("dst") === col("__t"))
         .join(prev.select(col("node").as("__sn"), col("pr")),
           col("__sn") === eD("src"))
@@ -594,35 +609,14 @@ object Graph {
           floorDiv(col("pr") * eD("w"), col("deg")).as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).cast(Dec).as("inflow"))
-      // fresh_t cut EAGERLY (frontier-sized — cheap): it is read by
-      // round t+1's view (twice: inflow probe + the next fresh's
-      // base) and by the final compose, and an un-cut fresh would
-      // re-run the whole frontier chain per reference. On non-final
-      // rounds the NEXT dirty frontier (which depends only on the
-      // CURRENT dirty, not on fresh) rides the same checkpoint as a
-      // tagged union — one cluster job per round, not two.
-      val freshRows = dirty.join(inflow, Seq("node"), "left")
+      // NOT cut: single-reference linear chain (see scaladoc)
+      fresh = Some(dirtyAll.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (base + floorDiv(lit(num).cast(Dec) *
             coalesce(col("inflow"), lit(0).cast(Dec)),
-            lit(den).cast(Dec))).as("__npr"))
-      if (t < iterations) {
-        val step = cut(freshRows
-          .select(col("node"), col("__npr"), lit(true).as("__isf"))
-          .unionAll(eD
-            .join(dirty.withColumnRenamed("node", "__f"),
-              eD("src") === col("__f"))
-            .select(eD("dst").as("node"))
-            .unionAll(dirty1.select(col("node")))
-            .distinct()
-            .select(col("node"), lit(null).cast(Dec).as("__npr"),
-              lit(false).as("__isf"))), checkpointDir)
-        fresh = Some(step.where(col("__isf"))
-          .select(col("node"), col("__npr")))
-        dirty = step.where(!col("__isf")).select(col("node"))
-      } else fresh = Some(cut(freshRows, checkpointDir))
+            lit(den).cast(Dec))).as("__npr")))
     }
-    // the ONE node-sized compose: final trace round ⟕ final fresh
+    // the ONE node-sized compose — and the fold's one cluster action
     cut(patchedView(iterations, fresh), checkpointDir)
   }
 

@@ -904,6 +904,39 @@ object StreamingStructure {
       }
       .start()
 
+  /** Streaming INCREMENTAL HITS — [[rankFoldStream]]'s twin for the
+    * hub/authority family: base edges + a completed
+    * [[graft.operators.Graph.hitsTrace]] raw trace live as parquet;
+    * each micro-batch lands in its own batch-id-keyed delta
+    * partition (idempotent overwrite) and the cumulative delta
+    * folds via [[graft.operators.Graph.hitsDelta]], overwriting the
+    * serving scores with `hitsDeferred(base ∪ all deltas)` exactly.
+    * Same replay semantics and retraining rule as the rank twin.
+    */
+  def hitsFoldStream(stream: DataFrame, baseEdgesPath: String,
+                     traceDir: String, iterations: Int,
+                     deltaPath: String, scoresPath: String,
+                     checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val s = batch.sparkSession
+        batch.toDF().select(col("src"), col("dst"))
+          .write.mode("overwrite")
+          .parquet(s"$deltaPath/batch=$batchId")
+        val base = s.read.parquet(baseEdgesPath)
+          .select(col("src"), col("dst"))
+        val delta = s.read.parquet(deltaPath)
+          .select(col("src"), col("dst"))
+        val trace = (0 to iterations).map(i =>
+          s.read.parquet(s"$traceDir/t$i"))
+        graft.operators.Graph.hitsDelta(base, delta, trace)
+          .write.mode("overwrite").parquet(scoresPath)
+      }
+      .start()
+
   final case class TransitionState(lastEvent: String, lastTs: Long,
                                    lastId: Long)
   final case class TransitionRow(entity: Long, prev: String,

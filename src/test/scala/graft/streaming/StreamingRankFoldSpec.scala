@@ -98,4 +98,52 @@ class StreamingRankFoldSpec extends AnyFunSuite
     assert(got === full)
     assert(got.contains("x99"))
   }
+
+  // ---- the HITS twin ----------------------------------------------
+
+  private def hitsOf(df: DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => r.getString(0) ->
+      (r.getDecimal(1).longValueExact(),
+        r.getDecimal(2).longValueExact())).toMap
+
+  private def hitsStreamed(deltaBatches: Seq[Seq[(String, String)]])
+      : Map[String, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      s.sqlContext
+    val basePath = tmp("hits_base_")
+    val traceDir = tmp("hits_trace_")
+    val deltaPath = tmp("hits_delta_")
+    val scoresPath = tmp("hits_scores_")
+    val base = baseEdges.toDF("src", "dst")
+    base.write.mode("overwrite").parquet(basePath)
+    Graph.hitsTrace(base, iterations = 2).zipWithIndex
+      .foreach { case (df, i) =>
+        df.write.mode("overwrite").parquet(s"$traceDir/t$i")
+      }
+    val input = MemoryStream[(String, String)]
+    val q = StreamingStructure.hitsFoldStream(
+      input.toDF().toDF("src", "dst"), basePath, traceDir, 2,
+      deltaPath, scoresPath, tmp("hits_ckpt_"))
+    try {
+      deltaBatches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    hitsOf(spark.read.parquet(scoresPath))
+  }
+
+  test("HITS twin: streamed fold == the full deferred run, split-" +
+      "independent") {
+    val s = spark
+    import s.implicits._
+    val d1 = sym(Seq("n2" -> "n12"))
+    val d2 = sym(Seq("n6" -> "n13", "n1" -> "x42"))
+    val full = hitsOf(Graph.hitsDeferred(
+      (baseEdges ++ d1 ++ d2).toDF("src", "dst"), iterations = 2))
+    assert(hitsStreamed(Seq(d1, d2)) === full)
+    assert(hitsStreamed(Seq(d1 ++ d2)) === full)
+  }
 }

@@ -626,7 +626,7 @@ object Dedup {
         col("id1").as("dst")))
       .distinct()
       .persist()
-    var labels = graft.operators.Graph.cut(
+    var (labels, labelPins) = graft.operators.Graph.cutTracked(
       edges.select(col("src").as("id"))
         .distinct()
         .select(col("id"), col("id").as("label")),
@@ -666,14 +666,19 @@ object Dedup {
             (least(col("a.label"),
               coalesce(col("j.label"), col("a.label")))
               =!= col("a.old")).as("changed"))
-      val next = graft.operators.Graph.cut(jumped, checkpointDir,
-        eager = false)
+      val (next, nextPins) = graft.operators.Graph.cutTracked(
+        jumped, checkpointDir, eager = false)
       // the one action: materializes + caches the round's labels AND
       // returns the changed-row count (exact — no accumulator
       // retry-double-count caveats, no Long-sum wraparound)
       val nChanged = next.agg(count(when(col("changed"), 1)))
         .head().getLong(0)
+      // round t−1's blocks are dead the moment this round's count
+      // materialized round t — release them instead of waiting for
+      // driver GC (the shared-session degradation fix)
+      graft.operators.Graph.release(labelPins)
       labels = next.select(col("id"), col("label"))
+      labelPins = nextPins
       converged = nChanged == 0L
       i += 1
     }
@@ -771,23 +776,35 @@ object Dedup {
     *
     * Returned frames are lazy — persist/write them as the next
     * artifact version.
+    *
+    * The share budget bounds affected PAIRS; the removed-id and
+    * affected-label sets are sized separately against
+    * `maxBroadcastIds` — a mass takedown across many small
+    * components can pass the pair budget yet be too large to ship
+    * to every executor, and past the cap each probe degrades to a
+    * shuffle join (identical results).
     */
   def retractFromComponents(state: ClusterState, removed: DataFrame,
                             maxShareNum: Long = 1L,
                             maxShareDen: Long = 2L,
                             maxIter: Int = 25,
-                            checkpointDir: Option[String] = None)
+                            checkpointDir: Option[String] = None,
+                            maxBroadcastIds: Long = 2000000L)
       : ClusterState = {
     require(maxShareNum >= 0 && maxShareDen > 0,
       s"need a valid share budget: $maxShareNum/$maxShareDen")
+    def bq(df: DataFrame, small: Boolean): DataFrame =
+      if (small) broadcast(df) else df
     val rm = graft.operators.Graph.cut(
       removed.select(col("id")).distinct(), checkpointDir)
+    val rmSmall = rm.count() <= maxBroadcastIds
     val affected = graft.operators.Graph.cut(
-      state.labels.join(broadcast(rm), Seq("id"))
+      state.labels.join(bq(rm, rmSmall), Seq("id"))
         .select(col("label")).distinct(), checkpointDir)
+    val affSmall = affected.count() <= maxBroadcastIds
     // priced pre-flight: ONE pair-store pass
     val pr = state.pairs
-      .join(broadcast(affected.withColumn("__a", lit(true))),
+      .join(bq(affected.withColumn("__a", lit(true)), affSmall),
         Seq("label"), "left")
       .agg(count(lit(1)).as("total"),
         count(col("__a")).as("aff"))
@@ -800,10 +817,10 @@ object Dedup {
         "clusterState over the surviving pairs instead")
     val affectedPairs = graft.operators.Graph.cut(
       state.pairs
-        .join(broadcast(affected), Seq("label"), "left_semi")
-        .join(broadcast(rm.withColumnRenamed("id", "id1")),
+        .join(bq(affected, affSmall), Seq("label"), "left_semi")
+        .join(bq(rm.withColumnRenamed("id", "id1"), rmSmall),
           Seq("id1"), "left_anti")
-        .join(broadcast(rm.withColumnRenamed("id", "id2")),
+        .join(bq(rm.withColumnRenamed("id", "id2"), rmSmall),
           Seq("id2"), "left_anti")
         .select(col("id1"), col("id2")), checkpointDir)
     val sub = connectedComponents(affectedPairs, maxIter,
@@ -811,19 +828,19 @@ object Dedup {
     // previously-clustered nodes of affected components, minus the
     // removed: those without a surviving pair become singletons
     val affectedNodes = state.labels
-      .join(broadcast(affected), Seq("label"), "left_semi")
-      .join(broadcast(rm), Seq("id"), "left_anti")
+      .join(bq(affected, affSmall), Seq("label"), "left_semi")
+      .join(bq(rm, rmSmall), Seq("id"), "left_anti")
       .select(col("id"))
     val newAffectedLabels = sub
       .unionAll(affectedNodes
         .join(sub.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("label")))
     val labels2 = state.labels
-      .join(broadcast(affected), Seq("label"), "left_anti")
+      .join(bq(affected, affSmall), Seq("label"), "left_anti")
       .select(col("id"), col("label"))
       .unionAll(newAffectedLabels)
     val pairs2 = state.pairs
-      .join(broadcast(affected), Seq("label"), "left_anti")
+      .join(bq(affected, affSmall), Seq("label"), "left_anti")
       .select(col("id1"), col("id2"), col("label"))
       .unionAll(affectedPairs
         .join(newAffectedLabels

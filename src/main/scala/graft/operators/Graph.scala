@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -23,9 +24,10 @@ import org.apache.spark.sql.functions._
   * exchange, keyed identically every round so AQE reuses the layout)
   * + one keyed aggregation on `dst` + two scalar aggregates that ride
   * a 1-row broadcast. The driver loop never touches data — one
-  * lineage-cutting localCheckpoint per round (the CC-loop contract).
-  * Headroom: a score is ≤ N·scale and an update product ≤ d·N·scale,
-  * so DECIMAL(38,0) holds N up to ~10^30/scale nodes.
+  * lineage-cutting localCheckpoint per round (the CC-loop contract),
+  * and every SUPERSEDED round's blocks are released the moment the
+  * next round lands (the [[cutTracked]]/[[release]] pair), so an
+  * N-round run holds at most two rounds of state, never N.
   */
 object Graph {
 
@@ -51,24 +53,101 @@ object Graph {
         sc.getCheckpointDir match {
           case None => sc.setCheckpointDir(dir)
           // setCheckpointDir stores a RESOLVED URI (scheme + a
-          // per-context UUID subdir), so an exact match never recurs
-          // — compare the scheme-stripped path by prefix. A context
-          // already pointed elsewhere wins (resetting mid-application
-          // would strand earlier checkpoints), but silently ignoring
-          // the caller's argument hides where state actually lands:
-          // say so.
-          case Some(cur)
-              if !cur.startsWith(dir) &&
-                !(try new java.net.URI(cur).getPath != null &&
-                    new java.net.URI(cur).getPath.startsWith(dir)
-                  catch { case _: Exception => false }) =>
-            System.err.println(s"warning: checkpointDir '$dir' " +
-              s"ignored — this SparkContext already checkpoints to " +
-              s"'$cur'; state is written there")
-          case _ => ()
+          // per-context UUID subdir). Compare path COMPONENTS — the
+          // current dir must be `dir` itself or a descendant
+          // (`dir/...`); a bare string-prefix test would both
+          // false-match '/tmp/ck-other' against '/tmp/ck' and
+          // false-warn on an exact sibling. A context already
+          // pointed elsewhere wins (resetting mid-application would
+          // strand earlier checkpoints), but silently ignoring the
+          // caller's argument hides where state actually lands: say
+          // so.
+          case Some(cur) =>
+            val curPath =
+              try {
+                val p = new java.net.URI(cur).getPath
+                if (p == null) cur else p
+              } catch { case _: Exception => cur }
+            val want =
+              if (dir.length > 1 && dir.endsWith("/")) dir.dropRight(1)
+              else dir
+            val under = curPath == want ||
+              curPath.startsWith(
+                if (want.endsWith("/")) want else want + "/")
+            if (!under)
+              System.err.println(s"warning: checkpointDir '$dir' " +
+                s"ignored — this SparkContext already checkpoints " +
+                s"to '$cur'; state is written there")
         }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
+    }
+
+  /** [[cut]] plus the RDD blocks it pinned, so iterative loops can
+    * release round t−1 DETERMINISTICALLY after round t materializes
+    * (waiting for driver GC to reclaim superseded localCheckpoint
+    * blocks let one heavy query family degrade every co-resident
+    * query in a shared session). Reliable checkpoints pin nothing —
+    * the tracked set is empty and release is a no-op.
+    */
+  private[graft] def cutTracked(df: DataFrame,
+                                checkpointDir: Option[String],
+                                eager: Boolean = true)
+      : (DataFrame, Seq[RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = cut(df, checkpointDir, eager)
+    val pinned = sc.getPersistentRDDs
+      .collect { case (id, r) if !before.contains(id) => r }.toSeq
+    (out, pinned)
+  }
+
+  /** Free blocks pinned by [[cutTracked]]. Only call once nothing
+    * will read the frame again — an unpersisted localCheckpoint has
+    * no lineage to recompute from.
+    */
+  private[graft] def release(pins: Seq[RDD[_]]): Unit =
+    pins.foreach(r =>
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () })
+
+  /** The session's shuffle width — what iterative caches normalize
+    * to. A persisted edge frame otherwise inherits the SCAN's split
+    * count (with small-file split tuning that can be thousands of
+    * sub-MB partitions), and every one of N iterations then pays
+    * thousands of no-op tasks to read it.
+    */
+  private def shuffleWidth(df: DataFrame): Int =
+    try df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable => 200 }
+
+  /** Cached size in bytes of a [[cutTracked]] pin set — the
+    * job-free smallness test for broadcast decisions (a `count()`
+    * would schedule one extra job per decision; the block manager
+    * already knows the bytes). None when nothing is pinned (the
+    * reliable-checkpoint mode writes files instead).
+    */
+  private def cachedBytes(pins: Seq[RDD[_]]): Option[Long] =
+    if (pins.isEmpty) None
+    else {
+      val sc = pins.head.sparkContext
+      val ids = pins.map(_.id).toSet
+      val infos = sc.getRDDStorageInfo
+        .filter(i => ids.contains(i.id))
+      if (infos.isEmpty) None
+      else Some(infos.map(i => i.memSize + i.diskSize).sum)
+    }
+
+  /** Does a cut frame fit the broadcast budget? Storage-size test
+    * when blocks are pinned; under reliable checkpointing (no
+    * pinned blocks) falls back to one count at ~32 bytes/row.
+    */
+  private def fitsBroadcast(df: DataFrame, pins: Seq[RDD[_]],
+                            maxBytes: Long): Boolean =
+    cachedBytes(pins) match {
+      case Some(b) => b <= maxBytes
+      case None => df.count() <= maxBytes / 32
     }
 
   /** Exact floor division of non-negative DECIMAL(38,0) columns:
@@ -103,62 +182,97 @@ object Graph {
     * so score mass provably originates from the seeds and reaches
     * other nodes through links alone.
     *
+    * `inflowSalt` > 1 splits the per-round inflow aggregation into a
+    * two-stage sum on (dst, salt) — the opt-in hot-key spreader
+    * [[skewPreflight]]'s warning names. Scores are IDENTICAL for any
+    * salt (integer sums are associative; spec-pinned): the knob only
+    * spreads one star-center's reduce work across `inflowSalt`
+    * partial sums.
+    *
     * Returns `(node, pr)` — `pr` is the final scaled score; a node's
-    * rank share is `pr / T`.
+    * rank share is `pr / T`. Intermediate rounds are released as the
+    * run advances (use [[pagerankTrace]] to keep them).
     */
   def pagerank(edges: DataFrame, iterations: Int = 3,
                num: Long = 17L, den: Long = 20L,
                scale: Long = 1000000L,
                seeds: Option[DataFrame] = None,
                weight: Option[Column] = None,
-               checkpointDir: Option[String] = None): DataFrame =
-    pagerankTrace(edges, iterations, num, den, scale, seeds, weight,
-      checkpointDir).last
+               checkpointDir: Option[String] = None,
+               inflowSalt: Int = 1): DataFrame =
+    pagerankTraceImpl(edges, iterations, num, den, scale, seeds,
+      weight, checkpointDir, inflowSalt, keepTrace = false).last
 
   /** [[pagerank]] with the full per-iteration score trace: element t
     * holds `(node, pr)` AFTER t iterations (element 0 = the initial
     * mass placement), each one materialized and lineage-cut. The
     * trace is what [[pagerankDelta]] folds an edge batch against —
     * a delta fold must know the OLD run's score at every round, not
-    * just its end state.
+    * just its end state. Every element stays pinned (the caller owns
+    * the artifact — persist it and release the blocks, e.g. via the
+    * sweep in `ensureRankTrace`).
     */
   def pagerankTrace(edges: DataFrame, iterations: Int = 3,
                     num: Long = 17L, den: Long = 20L,
                     scale: Long = 1000000L,
                     seeds: Option[DataFrame] = None,
                     weight: Option[Column] = None,
-                    checkpointDir: Option[String] = None)
+                    checkpointDir: Option[String] = None,
+                    inflowSalt: Int = 1)
+      : Seq[DataFrame] =
+    pagerankTraceImpl(edges, iterations, num, den, scale, seeds,
+      weight, checkpointDir, inflowSalt, keepTrace = true)
+
+  private def pagerankTraceImpl(edges: DataFrame, iterations: Int,
+                                num: Long, den: Long, scale: Long,
+                                seeds: Option[DataFrame],
+                                weight: Option[Column],
+                                checkpointDir: Option[String],
+                                inflowSalt: Int,
+                                keepTrace: Boolean)
       : Seq[DataFrame] = {
     require(iterations >= 1 && iterations <= 16,
       s"driver-looped plan growth is specified for 1..16 " +
         s"iterations: $iterations")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
+    require(inflowSalt >= 1, s"inflowSalt must be >= 1: $inflowSalt")
     // edge weight (w = 1 unweighted): a node's mass splits across
     // its out-edges proportionally to w — share(u→v) =
     // floor(pr(u)·w / Σ_out w), which for w ≡ 1 is exactly the
     // classic floor(pr/outdeg). Non-positive weights raise in-plan.
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
+    // hash-repartition the persisted frame by the per-round join key
+    // ONCE: the cache then (a) holds shuffle-width partitions instead
+    // of inheriting the scan's split count (under small-file split
+    // tuning that can be hundreds of sub-MB partitions re-scheduled
+    // every round), and (b) reports src-hash partitioning, so each
+    // round's edges⋈ranks join exchanges only the node-sized rank
+    // side — the edge side never re-shuffles
     val e0 = edges.select(col("src"), col("dst"),
       when(wCol > 0, wCol)
         .otherwise(raise_error(lit("pagerank: edge weights must " +
-          "be positive")).cast(Dec)).as("w")).persist()
+          "be positive")).cast(Dec)).as("w"))
+      .repartition(shuffleWidth(edges), col("src"))
+      .persist()
     // degree-skew pre-flight (the price-it-first discipline): the
     // inflow aggregation's reduce key is `dst`, and the per-round
     // join's shuffle key is `src` — a key holding a large share of
     // the edges makes one reducer the round clock. The check is one
     // aggregate over the edge frame (which doubles as the persist
     // materializer); it WARNS rather than salts — partial
-    // aggregation absorbs most hot-key sums and AQE's skew-join
-    // handles the join side, so the right response is usually a
-    // config, not a rewrite.
+    // aggregation absorbs most hot-key sums, AQE's skew-join
+    // handles the join side, and `inflowSalt` is the opt-in
+    // two-stage spreader when neither suffices.
     skewPreflight(e0).foreach(w =>
       System.err.println(s"warning: $w"))
-    val nodes = cut(e0.select(col("src").as("node"))
-      .unionAll(e0.select(col("dst").as("node")))
-      .distinct(), checkpointDir)
-    val deg = cut(e0.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
+    val (nodes, nodesPins) = cutTracked(
+      e0.select(col("src").as("node"))
+        .unionAll(e0.select(col("dst").as("node")))
+        .distinct(), checkpointDir)
+    val (deg, degPins) = cutTracked(
+      e0.groupBy(col("src").as("node"))
+        .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
     // out-degree PRE-JOINED into the edge frame once: every
     // iteration's share computation then needs only the pr join —
     // one shuffle per round instead of two (at 100 TB the saved
@@ -171,15 +285,17 @@ object Graph {
       .persist()
     // seed membership rides the node frame as one boolean column —
     // the teleport base is then a branch-free projection each round
-    val seeded = seeds match {
+    val (seeded, seededPins) = seeds match {
       case Some(sf) =>
         val sn = sf.select(col("node")).distinct()
-        cut(nodes.join(sn.withColumn("__s", lit(true)), Seq("node"),
-            "left")
+        cutTracked(nodes.join(sn.withColumn("__s", lit(true)),
+            Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__s"), lit(false)).as("is_seed")),
           checkpointDir)
-      case None => nodes.select(col("node"), lit(true).as("is_seed"))
+      case None =>
+        (nodes.select(col("node"), lit(true).as("is_seed")),
+          Seq.empty[RDD[_]])
     }
     // N (nodes), S (teleport targets), T = N·scale — one tiny frame
     // every round's projection crossJoin-broadcasts. A seed set that
@@ -200,23 +316,40 @@ object Graph {
     // 0 elsewhere — for seeds=None that is exactly `scale` per node,
     // and for TrustRank every unit of final score provably originated
     // at a seed and travelled only links
-    var pr = cut(seeded.crossJoin(broadcast(tot))
+    var (pr, prPins) = cutTracked(seeded.crossJoin(broadcast(tot))
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), floorDiv(col("n") * sc, col("s")))
           .otherwise(lit(0).cast(Dec)).as("pr")), checkpointDir)
     val trace = Seq.newBuilder[DataFrame]
     trace += pr.select(col("node"), col("pr"))
     for (_ <- 1 to iterations) {
-      val inflow = e.join(pr.select(col("node"), col("pr")),
+      val shares = e.join(pr.select(col("node"), col("pr")),
           e("src") === col("node"))
-        .select(e("dst").as("node"),
-          floorDiv(col("pr") * col("w"), col("deg")).as("share"))
-        .groupBy(col("node"))
-        .agg(sum(col("share")).cast(Dec).as("inflow"))
+      val inflow =
+        if (inflowSalt <= 1)
+          shares.select(e("dst").as("node"),
+              floorDiv(col("pr") * col("w"), col("deg")).as("share"))
+            .groupBy(col("node"))
+            .agg(sum(col("share")).cast(Dec).as("inflow"))
+        else
+          // two-stage hot-key spread: partial sums keyed by
+          // (dst, hash(src) mod salt) — a star center's inflow
+          // arrives as `inflowSalt` partials instead of one reducer
+          // absorbing every edge; the final sum is over ≤ salt rows
+          // per node. Integer addition is associative, so scores are
+          // bit-identical to the unsalted plan.
+          shares.select(e("dst").as("node"),
+              floorDiv(col("pr") * col("w"), col("deg")).as("share"),
+              pmod(hash(e("src")), lit(inflowSalt)).as("__salt"))
+            .groupBy(col("node"), col("__salt"))
+            .agg(sum(col("share")).cast(Dec).as("__partial"))
+            .groupBy(col("node"))
+            .agg(sum(col("__partial")).cast(Dec).as("inflow"))
       val dang = pr.join(deg.select(col("node")), Seq("node"),
           "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0)).cast(Dec).as("d"))
-      pr = cut(pr.select(col("node"), col("is_seed"), col("pr"))
+      val (next, nextPins) = cutTracked(
+        pr.select(col("node"), col("is_seed"), col("pr"))
         .join(inflow, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .crossJoin(broadcast(dang))
@@ -234,10 +367,21 @@ object Graph {
         // the rebase join) — one eager cut per round keeps the plan
         // flat and is the round's only driver action
         , checkpointDir)
+      // round t−1 is dead the moment round t lands — release unless
+      // the caller asked for the full trace
+      if (!keepTrace) release(prPins)
+      pr = next
+      prPins = nextPins
       trace += pr.select(col("node"), col("pr"))
     }
     e.unpersist()
     e0.unpersist()
+    // loop-internal state: the node/seed frames fed `tot` (read by
+    // every round — now all materialized) and `deg` fed the dangling
+    // anti-join; none outlives the loop
+    release(nodesPins)
+    release(seededPins)
+    release(degPins)
     trace.result()
   }
 
@@ -285,18 +429,22 @@ object Graph {
     * edited-frame multiset diff, which [[pagerankRefresh]] alone
     * pays: two keyed aggregates over both full frames; for pure
     * additions the changed sources are exactly `srcs(Δ)`, known for
-    * free). Each round then joins the edge frame only against the
-    * frontier (a dst-side semi-join) and the patched score frame —
-    * work proportional to the frontier's in-edge volume, not the
-    * graph. A delta touching f% of sources costs ~f% of a full
-    * round, the win this operator exists for at 100 TB.
+    * free). The fold itself sizes the frontier and picks its join
+    * strategy (see [[foldCore]]): a frontier inside
+    * `maxBroadcastBytes` runs the ENTIRE fold broadcast-side —
+    * zero shuffles of the edge frame, one trace-element scan per
+    * round — and past the budget it degrades to frontier semi-joins
+    * over the shuffled edge frame. A delta touching f% of sources
+    * costs ~f% of a full round, the win this operator exists for at
+    * 100 TB.
     */
   def pagerankDelta(edges: DataFrame, delta: DataFrame,
                     trace: Seq[DataFrame],
                     num: Long = 17L, den: Long = 20L,
                     scale: Long = 1000000L,
                     weight: Option[Column] = None,
-                    checkpointDir: Option[String] = None)
+                    checkpointDir: Option[String] = None,
+                    maxBroadcastBytes: Long = 64L << 20)
       : DataFrame = {
     require(trace.nonEmpty, "need a pagerankTrace run to fold into")
     require(num > 0 && den > num,
@@ -307,8 +455,14 @@ object Graph {
         when(wCol > 0, wCol)
           .otherwise(raise_error(lit(s"$who: edge weights must " +
             "be positive")).cast(Dec)).as("w"))
-    val eOld = withW(edges, "pagerankDelta").persist()
-    val eDelta = withW(delta, "pagerankDelta").persist()
+    // width-normalized caches (see pagerankTrace's e0 note): the
+    // fold scans these a handful of times — hops, frontier-edge and
+    // degree probes — and each scan should cost shuffle-width tasks,
+    // not the raw scan's split count
+    val eOld = withW(edges, "pagerankDelta")
+      .repartition(shuffleWidth(edges), col("src")).persist()
+    val eDelta = withW(delta, "pagerankDelta")
+      .repartition(shuffleWidth(delta), col("src")).persist()
     val eNew = eOld.unionAll(eDelta)
     // ALL pre-flights in ONE SHUFFLE: tag every edge endpoint with
     // its role (old-src / old-dst / delta-src / delta-dst), reduce
@@ -359,13 +513,14 @@ object Graph {
       "pagerankDelta: unsound fold — " +
         violationText(violations) + "; run the full pagerank " +
         "instead")
-    val added =
+    val (added, addedPins) =
       if (counts.getOrElse("added_node", 0L) == 0L)
         // provably no new node: a filter-false frame folds to an
         // empty LocalRelation and every downstream union/join of
         // added rows optimizes away
-        eDelta.select(col("src").as("node")).where(lit(false))
-      else cut(eDelta.select(col("src").as("node"))
+        (eDelta.select(col("src").as("node")).where(lit(false)),
+          Seq.empty[RDD[_]])
+      else cutTracked(eDelta.select(col("src").as("node"))
         .unionAll(eDelta.select(col("dst").as("node")))
         .distinct()
         .join(eOld.select(col("src").as("node"))
@@ -376,15 +531,11 @@ object Graph {
     // outNbr_{E∪Δ}(srcs(Δ)), so the frontier seeds from the new
     // frame alone
     val srcsD = eDelta.select(col("src").as("node")).distinct()
-    val eD = preJoinDegrees(eNew)
-    val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
-        eD("src") === col("__f"))
-      .select(eD("dst").as("node"))
-      .unionAll(added.select(col("node")))
-      .distinct(), checkpointDir)
-    val out = foldCore(eD, trace, dirty1, added, num, den, scale,
-      checkpointDir)
-    eD.unpersist()
+    val out = foldCore(eNew, Seq(eNew), srcsD, added, trace, num,
+      den, scale, checkpointDir, maxBroadcastBytes)
+    // foldCore's result is eagerly materialized — every input frame
+    // below is dead
+    release(addedPins)
     eOld.unpersist()
     eDelta.unpersist()
     out
@@ -421,7 +572,8 @@ object Graph {
                       num: Long = 17L, den: Long = 20L,
                       scale: Long = 1000000L,
                       weight: Option[Column] = None,
-                      checkpointDir: Option[String] = None)
+                      checkpointDir: Option[String] = None,
+                      maxBroadcastBytes: Long = 64L << 20)
       : DataFrame = {
     require(trace.nonEmpty, "need a pagerankTrace run to fold into")
     require(num > 0 && den > num,
@@ -432,16 +584,19 @@ object Graph {
         when(wCol > 0, wCol)
           .otherwise(raise_error(lit("pagerankRefresh: edge " +
             "weights must be positive")).cast(Dec)).as("w"))
-    val eOld = withW(oldEdges).persist()
-    val eNew = withW(newEdges).persist()
+    val eOld = withW(oldEdges)
+      .repartition(shuffleWidth(oldEdges), col("src")).persist()
+    val eNew = withW(newEdges)
+      .repartition(shuffleWidth(newEdges), col("src")).persist()
     def nodesOf(e: DataFrame): DataFrame =
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node")))
         .distinct()
-    val oldNodes = cut(nodesOf(eOld), checkpointDir)
-    val newNodes = cut(nodesOf(eNew), checkpointDir)
-    val added = cut(newNodes.join(oldNodes, Seq("node"),
-      "left_anti"), checkpointDir)
+    val (oldNodes, onPins) = cutTracked(nodesOf(eOld), checkpointDir)
+    val (newNodes, nnPins) = cutTracked(nodesOf(eNew), checkpointDir)
+    val (added, addedPins) = cutTracked(
+      newNodes.join(oldNodes, Seq("node"), "left_anti"),
+      checkpointDir)
     // ALL pre-flights in ONE job (tagged union of the violation
     // frames): no removed node, no dangling node in EITHER frame
     // (dangling mass is a global broadcast term in both runs, so a
@@ -467,7 +622,6 @@ object Graph {
       "pagerankRefresh: unsound edit — " +
         violationText(violations) + "; run the full pagerank " +
         "instead")
-    val eD = preJoinDegrees(eNew)
     // changed sources = sources whose out-edge MULTISET differs
     // between the frames (count + total weight per (src,dst) group;
     // a source with an identical multiset emits identical shares
@@ -487,17 +641,11 @@ object Graph {
     // in BOTH frames — a removal dirties a node the new frame may
     // no longer reach from that source — plus every added node,
     // and expands through the NEW frame only.
-    val dirty1 = cut(eD.join(srcsD.withColumnRenamed("node", "__f"),
-        eD("src") === col("__f"))
-      .select(eD("dst").as("node"))
-      .unionAll(eOld.join(srcsD.withColumnRenamed("node", "__g"),
-          eOld("src") === col("__g"))
-        .select(eOld("dst").as("node")))
-      .unionAll(added.select(col("node")))
-      .distinct(), checkpointDir)
-    val out = foldCore(eD, trace, dirty1, added, num, den, scale,
-      checkpointDir)
-    eD.unpersist()
+    val out = foldCore(eNew, Seq(eNew, eOld), srcsD, added, trace,
+      num, den, scale, checkpointDir, maxBroadcastBytes)
+    release(addedPins)
+    release(nnPins)
+    release(onPins)
     eOld.unpersist()
     eNew.unpersist()
     out
@@ -522,7 +670,9 @@ object Graph {
     * fold round then needs only the score join (one shuffle). The
     * degree aggregate stays LAZY: it has exactly one consumer (this
     * join), and the whole frame persists — materialized by its
-    * first action, costing zero standalone jobs.
+    * first action, costing zero standalone jobs. Only the SHUFFLE
+    * fold path pays this edge-sized join; the broadcast path reads
+    * degrees for frontier sources alone.
     */
   private def preJoinDegrees(eNew: DataFrame): DataFrame = {
     val degNew = eNew.groupBy(col("src").as("node"))
@@ -535,12 +685,13 @@ object Graph {
   }
 
   /** The shared frontier fold: re-iterate ONLY the dirty frontier
-    * over the pre-joined new frame `eD`, copying every other node's
-    * score from the trace. `added` nodes (absent from the trace)
-    * enter at round-0 mass `scale` and MUST be contained in `dirty1`
-    * (both callers guarantee it) — being permanently dirty, their
-    * scores are recomputed fresh every round and the filler they
-    * ride into the patched view never survives the coalesce.
+    * over the new frame `e` (plain `src, dst, w` — degrees are
+    * joined per-path below), copying every other node's score from
+    * the trace. `added` nodes (absent from the trace) enter at
+    * round-0 mass `scale` and MUST be contained in `dirty1` (both
+    * callers guarantee it) — being permanently dirty, their scores
+    * are recomputed fresh every round and the filler they ride into
+    * the patched view never survives the coalesce.
     *
     * ONE over-approximated frontier serves EVERY round:
     * `dirtyAll = ∪_{i<k} outNbr^i(dirty1)` (a short eager-cut
@@ -548,8 +699,300 @@ object Graph {
     * argument — the exact round-t dirty set is a subset of
     * `dirtyAll`, and recomputing a covered-but-unchanged node is
     * harmless (its inflow over the patched frame reproduces the
-    * trace value bit-for-bit). What the single frontier BUYS is
-    * linear lineage: each round's `fresh` frame is then referenced
+    * trace value bit-for-bit).
+    *
+    * The fold then SIZES the frontier and picks one of two
+    * physically different (numerically identical) round strategies:
+    *
+    *  - BROADCAST (frontier ≤ `bcLimit`, the production small-delta
+    *    profile): every hop, the frontier's in-edge extraction, the
+    *    frontier sources' degree lookup, the per-round inflow and
+    *    the trace patch are all broadcast-hash probes of scans —
+    *    ZERO shuffles of the edge frame, and each round's one
+    *    node-sized cost is the scan of the trace element it
+    *    patches. Per-round state (the fresh scores) is eagerly cut
+    *    and the superseded round released immediately.
+    *  - SHUFFLE (a delta so large its frontier rivals the graph):
+    *    the original semi-join rounds over the degree-pre-joined
+    *    edge frame, composed into ONE lazy plan executed by the
+    *    final cut — at that frontier size a broadcast would OOM the
+    *    executors, and the full re-rank's economics apply anyway.
+    *
+    * Either way the final compose is ONE eager node-sized cut, so
+    * every internal frame is released before returning — callers
+    * can free their inputs the moment this returns.
+    */
+  private def foldCore(e: DataFrame, firstHop: Seq[DataFrame],
+                       seeds: DataFrame, added: DataFrame,
+                       trace: Seq[DataFrame],
+                       num: Long, den: Long, scale: Long,
+                       checkpointDir: Option[String],
+                       maxBroadcastBytes: Long): DataFrame = {
+    val addedRows = added.select(col("node"))
+    foldDriver(e, firstHop, seeds, addedRows, trace, num, den,
+      scale, checkpointDir, maxBroadcastBytes)
+      .getOrElse {
+        // budget blown somewhere — the honest distributed plan:
+        // cut-based frontier seeding, then shuffle rounds
+        val (srcs, sp) = cutTracked(seeds, checkpointDir)
+        val hop1 = firstHop.map(f =>
+            f.join(srcs.withColumnRenamed("node", "__f"),
+              f("src") === col("__f"))
+            .select(f("dst").as("node")))
+          .reduce(_ unionAll _)
+        val (dirty1, dp) = cutTracked(
+          hop1.unionAll(addedRows).distinct(), checkpointDir)
+        val out = foldShuffle(e, trace, dirty1, addedRows, num, den,
+          scale, checkpointDir)
+        release(dp)
+        release(sp)
+        out
+      }
+  }
+
+  /** Collect one frame's rows within the budget: `None` when it
+    * holds more than `rowLimit` rows. The `limit(n+1)` bounds the
+    * collect ITSELF — an over-budget frame costs one row past the
+    * limit, never a driver OOM.
+    */
+  private def collectBounded(df: DataFrame, rowLimit: Long)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = df.limit((rowLimit + 1).min(Int.MaxValue).toInt)
+      .collect()
+    if (rows.length > rowLimit) None else Some(rows)
+  }
+
+  /** Driver-resident fold rounds — the small-delta production
+    * profile. The broadcast budget is the admission test: a
+    * frontier (plus its in-edges and their degree totals) inside
+    * `maxBroadcastBytes` is BY DEFINITION driver-collectable — it is
+    * exactly what every broadcast join would ship to the driver
+    * anyway, so collect it ONCE and run the k rounds as exact BigInt
+    * arithmetic with zero cluster round-trips (the distributed
+    * variant paid a broadcast exchange and a checkpoint per round —
+    * ~10 scheduler round-trips per iteration that dominate the fold
+    * at small scale). Every collect is `limit`-bounded (see
+    * [[collectBounded]]): past the budget the fold returns None and
+    * the caller falls back to the distributed rounds.
+    *
+    * Cluster work that remains: one bounded probe of the edge scan
+    * per BFS hop (expanding only the hop's NEW nodes — the closure
+    * stops early when the frontier closes, e.g. cycles), one
+    * in-edge extract, one degree aggregate, one scan of the
+    * off-frontier sources' trace scores (all rounds in one tagged
+    * union), and the ONE node-sized compose that patches the final
+    * trace element — each a single job over the persisted frames.
+    * Arithmetic is BigInt floor division — identical values to the
+    * DECIMAL(38,0) plan (both are exact integer floors; spec- and
+    * oracle-pinned).
+    */
+  private def foldDriver(e: DataFrame, firstHop: Seq[DataFrame],
+                         seeds: DataFrame, addedRows: DataFrame,
+                         trace: Seq[DataFrame],
+                         num: Long, den: Long, scale: Long,
+                         checkpointDir: Option[String],
+                         maxBroadcastBytes: Long)
+      : Option[DataFrame] = {
+    val iterations = trace.length - 1
+    val spark = e.sparkSession
+    val rowLimit = (maxBroadcastBytes / 32).max(1L)
+    val nodeType = seeds.schema("node").dataType
+    def localFrame(nodes: Iterable[Any], name: String): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        nodes.map(n => org.apache.spark.sql.Row(n)).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name, nodeType))))
+    }
+    def big(d: java.math.BigDecimal): BigInt = BigInt(d.toBigInteger)
+    // bounded collects should run as ONE single-wave job — the
+    // default CollectLimit escalation (1 partition, then 4×…) turns
+    // every probe into up to five scheduler round-trips
+    val initKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(initKey)
+    spark.conf.set(initKey, "1000000")
+    try for {
+      seedArr <- collectBounded(seeds.select(col("node")), rowLimit)
+      addedArr <- collectBounded(addedRows, rowLimit)
+      // dirty₁ = the seeds' out-neighbors in every first-hop frame
+      // (the refresh form probes BOTH the old and new frames — a
+      // removal dirties nodes the new frame no longer reaches from
+      // that source), plus every added node
+      d1 <- {
+        val seedSet = seedArr.map(_.get(0)).toSet
+        val sf = localFrame(seedSet, "__f")
+        firstHop.foldLeft(
+            Option(addedArr.map(_.get(0)).toSet)) { (acc, f) =>
+          acc.flatMap(s =>
+            collectBounded(
+              f.join(broadcast(sf), f("src") === col("__f"))
+                .select(f("dst").as("node")), rowLimit)
+              .map(rows => s ++ rows.iterator.map(_.get(0))))
+        }.filter(_.size <= rowLimit)
+      }
+      // depth-bounded BFS union, expanding each node ONCE (a node
+      // first reached at depth d contributes its out-neighbors at
+      // depth d+1 — fresh-only expansion IS the layered union) and
+      // stopping early when the frontier closes
+      all <- {
+        var acc = d1
+        var frontier = acc
+        var hop = 2
+        var blown = false
+        while (hop <= iterations && frontier.nonEmpty && !blown) {
+          val fr = localFrame(frontier, "__f")
+          collectBounded(
+            e.join(broadcast(fr), e("src") === col("__f"))
+              .select(e("dst").as("node")), rowLimit) match {
+            case Some(rows) =>
+              val next = rows.map(_.get(0)).toSet -- acc
+              acc ++= next
+              frontier = next
+              if (acc.size > rowLimit) blown = true
+            case None => blown = true
+          }
+          hop += 1
+        }
+        if (blown) None else Some(acc)
+      }
+      // the frontier's in-edges (src, dst, w) — the only edges whose
+      // shares can change a frontier score
+      fE <- collectBounded(
+        e.join(broadcast(localFrame(all, "__t")),
+          e("dst") === col("__t"))
+        .select(e("src").as("src"), e("dst").as("dst"), e("w")),
+        rowLimit)
+      // out-degree TOTALS for frontier-in-edge sources only (each
+      // source's full out-edge sum — aggregated cluster-side, so the
+      // collect is source-set-sized even for hub sources)
+      srcsF = fE.map(_.get(0)).toSet
+      degRows <- collectBounded(
+        e.join(broadcast(localFrame(srcsF, "__s")),
+          e("src") === col("__s"))
+        .groupBy(e("src").as("src"))
+        .agg(sum(col("w")).cast(Dec).as("deg")), rowLimit)
+      // prior-round trace scores for sources OUTSIDE the frontier
+      // (frontier scores are recomputed; round 0 is `scale`
+      // everywhere by the unseeded precondition) — all rounds in ONE
+      // tagged-union scan
+      addedSet = addedArr.map(_.get(0)).toSet
+      outside = srcsF -- all -- addedSet
+      traceScores <- {
+        if (iterations < 2 || outside.isEmpty)
+          Some(Map.empty[(Int, Any), BigInt])
+        else {
+          val tagged = (1 until iterations).map(t =>
+              trace(t).select(lit(t).as("__rt"), col("node"),
+                col("pr")))
+            .reduce(_ unionAll _)
+          collectBounded(
+            tagged.join(broadcast(localFrame(outside, "node")),
+              Seq("node"))
+            .select(col("__rt"), col("node"), col("pr")),
+            rowLimit)
+            .map(_.map(r => (r.getInt(0), r.get(1)) ->
+              big(r.getDecimal(2))).toMap)
+        }
+      }
+    } yield {
+      val edges = fE.map(r => (r.get(0), r.get(1), big(r.getDecimal(2))))
+      val deg = degRows.map(r => r.get(0) -> big(r.getDecimal(1)))
+        .toMap
+      val baseB = BigInt(den - num) * BigInt(scale) / BigInt(den)
+      val numB = BigInt(num)
+      val denB = BigInt(den)
+      val scaleB = BigInt(scale)
+      // k rounds of exact BigInt floor arithmetic over the collected
+      // frontier — identical recurrence to the distributed plan
+      var fresh: Map[Any, BigInt] = null
+      for (t <- 1 to iterations) {
+        def prevScore(n: Any): BigInt =
+          if (t == 1) scaleB // round 0: `scale` everywhere (added too)
+          else if (all.contains(n) || addedSet.contains(n)) fresh(n)
+          else traceScores((t - 1, n))
+        val inflow = new scala.collection.mutable.HashMap[Any, BigInt]()
+        edges.foreach { case (s, d, w) =>
+          val share = prevScore(s) * w / deg(s)
+          inflow.update(d, inflow.getOrElse(d, BigInt(0)) + share)
+        }
+        fresh = (all ++ addedSet).iterator.map(n =>
+          n -> (baseB + numB * inflow.getOrElse(n, BigInt(0)) / denB))
+          .toMap
+      }
+      // the ONE node-sized compose: patch the final trace element
+      // (plus added-node filler rows, always overwritten — added ⊆
+      // fresh) with the driver-computed frontier scores
+      if (fresh == null) fresh = Map.empty // 1-element trace: no rounds
+      val freshRows = fresh.iterator.map { case (n, v) =>
+        org.apache.spark.sql.Row(n,
+          new java.math.BigDecimal(v.bigInteger))
+      }.toSeq
+      import scala.jdk.CollectionConverters._
+      val freshFrame = spark.createDataFrame(freshRows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("__npr",
+            org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 0)))))
+      val full = trace(iterations).select(col("node"), col("pr"))
+        .unionAll(addedRows.select(col("node"),
+          lit(0L).cast(Dec).as("pr")))
+      val (out, _) = cutTracked(
+        full.join(broadcast(freshFrame), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__npr"), col("pr")).as("pr")),
+        checkpointDir)
+      out
+    } finally {
+      prevInit match {
+        case Some(v) => spark.conf.set(initKey, v)
+        case None => spark.conf.unset(initKey)
+      }
+    }
+  }
+
+  /** Distributed fold rounds — the large-frontier fallback: cut-based
+    * frontier expansion (AQE sizes each join off the checkpointed
+    * frames' real stats, broadcasting what fits) followed by
+    * semi-join rounds over the degree-pre-joined edge frame.
+    */
+  private def foldShuffle(e: DataFrame, trace: Seq[DataFrame],
+                          dirty1: DataFrame, addedRows: DataFrame,
+                          num: Long, den: Long, scale: Long,
+                          checkpointDir: Option[String])
+      : DataFrame = {
+    val iterations = trace.length - 1
+    val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
+      .toString).cast(Dec)
+    val pins = Seq.newBuilder[RDD[_]]
+    var hop = dirty1
+    var frontierUnion = dirty1
+    for (_ <- 2 to iterations) {
+      val (h2, hp) = cutTracked(
+        e.join(hop.withColumnRenamed("node", "__f"),
+          e("src") === col("__f"))
+        .select(e("dst").as("node")).distinct(), checkpointDir)
+      pins ++= hp
+      hop = h2
+      frontierUnion = frontierUnion.unionAll(hop)
+    }
+    val dirtyAll =
+      if (iterations <= 1) dirty1
+      else {
+        val (da, dap) = cutTracked(frontierUnion.distinct(),
+          checkpointDir)
+        pins ++= dap
+        da
+      }
+    val out = foldRoundsShuffle(e, trace, dirtyAll, addedRows, num,
+      den, scale, base, checkpointDir)
+    release(pins.result())
+    out
+  }
+
+  /** Shuffle-side fold rounds (see [[foldCore]]) — the
+    * large-frontier fallback. What the single frontier BUYS is
+    * linear lineage: each round's `fresh` frame is referenced
     * exactly once (by the next round's view), so no per-round
     * checkpoint is needed at all — the whole k-round fold composes
     * into ONE lazy plan (k frontier-sized joins + aggregations over
@@ -558,34 +1001,15 @@ object Graph {
     * shuffle join and a node-sized checkpoint EVERY round; the fold
     * pays frontier-sized shuffles and ONE node-sized compose.
     */
-  private def foldCore(eD: DataFrame, trace: Seq[DataFrame],
-                       dirty1: DataFrame, added: DataFrame,
-                       num: Long, den: Long, scale: Long,
-                       checkpointDir: Option[String]): DataFrame = {
+  private def foldRoundsShuffle(e: DataFrame, trace: Seq[DataFrame],
+                                dirtyAll: DataFrame,
+                                addedRows: DataFrame,
+                                num: Long, den: Long, scale: Long,
+                                base: Column,
+                                checkpointDir: Option[String])
+      : DataFrame = {
     val iterations = trace.length - 1
-    // the per-node teleport base: floor((den−num)·N·scale/(den·N))
-    // = floor((den−num)·scale/den), a driver literal — N-invariant,
-    // which is exactly why node-adding deltas rebase as a no-op
-    val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
-      .toString).cast(Dec)
-    val addedRows = added.select(col("node"))
-    // frontier expansion pre-pass: each hop cut eagerly (referenced
-    // by the next hop AND the union — frontier-sized jobs)
-    var hop = dirty1
-    var frontierUnion = dirty1
-    for (_ <- 2 to iterations) {
-      hop = cut(eD.join(hop.withColumnRenamed("node", "__f"),
-          eD("src") === col("__f"))
-        .select(eD("dst").as("node")).distinct(), checkpointDir)
-      frontierUnion = frontierUnion.unionAll(hop)
-    }
-    val dirtyAll =
-      if (iterations <= 1) dirty1
-      else cut(frontierUnion.distinct(), checkpointDir)
-    // round t's full score frame as a lazy view: the trace plus the
-    // added nodes' filler (round 0: initial mass `scale`; later
-    // rounds: a 0 that the coalesce always replaces — added nodes
-    // are permanently dirty), patched by the frontier's fresh scores
+    val eD = preJoinDegrees(e)
     def patchedView(t: Int, fresh: Option[DataFrame]): DataFrame = {
       val filler = lit(if (t == 0) scale else 0L).cast(Dec)
       val full = trace(t).select(col("node"), col("pr"))
@@ -606,7 +1030,7 @@ object Graph {
         .join(prev.select(col("node").as("__sn"), col("pr")),
           col("__sn") === eD("src"))
         .select(eD("dst").as("node"),
-          floorDiv(col("pr") * eD("w"), col("deg")).as("share"))
+          floorDiv(col("pr") * eD("w"), eD("deg")).as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).cast(Dec).as("inflow"))
       // NOT cut: single-reference linear chain (see scaladoc)
@@ -617,7 +1041,10 @@ object Graph {
             lit(den).cast(Dec))).as("__npr")))
     }
     // the ONE node-sized compose — and the fold's one cluster action
-    cut(patchedView(iterations, fresh), checkpointDir)
+    val (out, _) = cutTracked(patchedView(iterations, fresh),
+      checkpointDir)
+    eD.unpersist()
+    out
   }
 
   /** How hot is the hottest reduce key? `Some(warning)` when one
@@ -639,8 +1066,9 @@ object Graph {
     if (tot >= minEdges && mx * den >= tot * num)
       Some(s"pagerank degree skew: hottest in-degree key holds " +
         s"$mx of $tot edges (>= $num/$den) — one reducer clocks " +
-        "every round; consider AQE skew handling or salting the " +
-        "aggregation")
+        "every round; consider AQE skew handling, or pass " +
+        "inflowSalt > 1 to pagerank/pagerankTrace for a two-stage " +
+        "(dst, salt) inflow sum (identical scores, spec-pinned)")
     else None
   }
 
@@ -658,9 +1086,9 @@ object Graph {
     * (resp. authority) 0. Returns `(node, hub, auth)`.
     *
     * Shape: per iteration TWO edges⋈scores joins + two keyed sums +
-    * two 1-row total broadcasts; one localCheckpoint per iteration.
-    * An edge frame with no edges is rejected up front (both totals
-    * would be zero).
+    * two 1-row total broadcasts; one localCheckpoint per iteration,
+    * the superseded round released as the next lands. An edge frame
+    * with no edges is rejected up front (both totals would be zero).
     */
   def hits(edges: DataFrame, iterations: Int = 2,
            scale: Long = 1000000L,
@@ -668,13 +1096,16 @@ object Graph {
     require(iterations >= 1 && iterations <= 16,
       s"driver-looped plan growth is specified for 1..16 " +
         s"iterations: $iterations")
-    val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = cut(e.select(col("src").as("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(shuffleWidth(edges), col("src")).persist()
+    val (nodes, nodesPins) = cutTracked(
+      e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct(), checkpointDir)
     val sc = lit(scale).cast(Dec)
-    var scores = cut(nodes.select(col("node"), sc.as("hub"),
-      sc.as("auth")), checkpointDir)
+    var (scores, scoresPins) = cutTracked(
+      nodes.select(col("node"), sc.as("hub"), sc.as("auth")),
+      checkpointDir)
     for (_ <- 1 to iterations) {
       val aRaw = e.join(scores.select(col("node"), col("hub")),
           e("src") === col("node"))
@@ -682,7 +1113,7 @@ object Graph {
         .agg(sum(col("hub")).cast(Dec).as("a_raw"))
       val aTot = aRaw.agg(
         coalesce(sum(col("a_raw")), lit(0)).cast(Dec).as("at"))
-      val withA = cut(nodes
+      val (withA, withAPins) = cutTracked(nodes
         .join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
@@ -696,7 +1127,7 @@ object Graph {
         .agg(sum(col("auth")).cast(Dec).as("h_raw"))
       val hTot = hRaw.agg(
         coalesce(sum(col("h_raw")), lit(0)).cast(Dec).as("ht"))
-      scores = cut(withA
+      val (next, nextPins) = cutTracked(withA
         .join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
@@ -705,8 +1136,14 @@ object Graph {
             .otherwise(floorDiv(col("h_raw") * sc, col("ht")))
             .as("hub"),
           col("auth")), checkpointDir)
+      // both the half-step and the superseded round are dead now
+      release(withAPins)
+      release(scoresPins)
+      scores = next
+      scoresPins = nextPins
     }
     e.unpersist()
+    release(nodesPins)
     scores.select(col("node"), col("hub"), col("auth"))
   }
 
@@ -737,27 +1174,36 @@ object Graph {
   def hitsDeferred(edges: DataFrame, iterations: Int = 2,
                    scale: Long = 1000000L,
                    checkpointDir: Option[String] = None): DataFrame =
-    normalizeHits(hitsTrace(edges, iterations, checkpointDir).last,
-      scale)
+    normalizeHits(hitsTraceImpl(edges, iterations, checkpointDir,
+      keepTrace = false).last, scale)
 
   /** [[hitsDeferred]]'s full per-round raw trace: element t holds
     * `(node, a_raw, h_raw)` AFTER t rounds (element 0 = the initial
     * placement: h_raw = 1, a_raw = 0), each materialized and
     * lineage-cut — the artifact [[hitsDelta]] folds edge batches
-    * against.
+    * against. Every element stays pinned (the caller owns the
+    * artifact).
     */
   def hitsTrace(edges: DataFrame, iterations: Int = 2,
                 checkpointDir: Option[String] = None)
+      : Seq[DataFrame] =
+    hitsTraceImpl(edges, iterations, checkpointDir, keepTrace = true)
+
+  private def hitsTraceImpl(edges: DataFrame, iterations: Int,
+                            checkpointDir: Option[String],
+                            keepTrace: Boolean)
       : Seq[DataFrame] = {
     require(iterations >= 1 && iterations <= 16,
       s"driver-looped plan growth is specified for 1..16 " +
         s"iterations: $iterations")
-    val e = edges.select(col("src"), col("dst")).persist()
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(shuffleWidth(edges), col("src")).persist()
     hitsGrowthPreflight(e, iterations)
-    val nodes = cut(e.select(col("src").as("node"))
+    val (nodes, nodesPins) = cutTracked(
+      e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct(), checkpointDir)
-    var state = cut(nodes.select(col("node"),
+    var (state, statePins) = cutTracked(nodes.select(col("node"),
       lit(0).cast(Dec).as("a_raw"),
       lit(1).cast(Dec).as("h_raw")), checkpointDir)
     val trace = Seq.newBuilder[DataFrame]
@@ -767,7 +1213,8 @@ object Graph {
           e("src") === col("node"))
         .groupBy(e("dst").as("node"))
         .agg(sum(col("h_raw")).cast(Dec).as("__a"))
-      val withA = cut(nodes.join(aRaw, Seq("node"), "left")
+      val (withA, withAPins) = cutTracked(
+        nodes.join(aRaw, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__a"), lit(0).cast(Dec)).as("a_raw")),
         checkpointDir)
@@ -775,13 +1222,19 @@ object Graph {
           e("dst") === col("node"))
         .groupBy(e("src").as("node"))
         .agg(sum(col("a_raw")).cast(Dec).as("__h"))
-      state = cut(withA.join(hRaw, Seq("node"), "left")
+      val (next, nextPins) = cutTracked(
+        withA.join(hRaw, Seq("node"), "left")
         .select(col("node"), col("a_raw"),
           coalesce(col("__h"), lit(0).cast(Dec)).as("h_raw")),
         checkpointDir)
+      release(withAPins)
+      if (!keepTrace) release(statePins)
+      state = next
+      statePins = nextPins
       trace += state
     }
     e.unpersist()
+    release(nodesPins)
     trace.result()
   }
 
@@ -800,104 +1253,206 @@ object Graph {
     * The final L1 normalization is global but O(nodes): two scalar
     * aggregates over the composed final frame.
     *
-    * Per-round state is frontier-sized (the fresh a/h scores and
-    * the next frontiers share eager cuts); the full raw frames stay
-    * lazy trace-join views, composed once at the end.
+    * Trace-consistency pre-flight (`require`d): round 0 must be the
+    * canonical placement (a_raw = 0, h_raw = 1 everywhere) and must
+    * COVER the base frame's node set — a trace built from a
+    * different edge frame would otherwise fold silently into wrong
+    * scores.
+    *
+    * Per-round work is frontier-proportional TWICE over: the
+    * frontiers' in/out edge sets are extracted by broadcast probes
+    * of the persisted edge scan when they fit `maxBroadcastBytes`
+    * (zero edge shuffles — each half-round's node-sized cost is one
+    * streamed trace-element scan), degrading per-join to shuffles
+    * past the budget; and per-round state (fresh a/h scores, the
+    * next frontiers) is eagerly cut with the superseded round
+    * released immediately. The full raw frames stay lazy trace-join
+    * views, composed once at the end.
     */
   def hitsDelta(edges: DataFrame, delta: DataFrame,
                 trace: Seq[DataFrame],
                 scale: Long = 1000000L,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None,
+                maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     require(trace.nonEmpty, "need a hitsTrace run to fold into")
     val iterations = trace.length - 1
-    val eOld = edges.select(col("src"), col("dst")).persist()
-    val eDelta = delta.select(col("src"), col("dst")).persist()
-    val e = eOld.unionAll(eDelta).persist()
+    // width-normalized caches (the pagerankTrace e0 note); the
+    // combined frame stays a lazy union of the two — persisting it
+    // separately would double the cached bytes for zero scans saved
+    val eOld = edges.select(col("src"), col("dst"))
+      .repartition(shuffleWidth(edges), col("src")).persist()
+    val eDelta = delta.select(col("src"), col("dst"))
+      .repartition(shuffleWidth(delta), col("src")).persist()
+    val e = eOld.unionAll(eDelta)
     hitsGrowthPreflight(e, iterations)
-    val added = cut(eDelta.select(col("src").as("node"))
+    val (oldNodes, onPins) = cutTracked(
+      eOld.select(col("src").as("node"))
+        .unionAll(eOld.select(col("dst").as("node")))
+        .distinct(), checkpointDir)
+    // trace-consistency pre-flight in ONE job: round 0 must be the
+    // canonical placement and cover the base node set (the
+    // pagerankDelta seeded-probe discipline — a trace from some
+    // OTHER edge frame must refuse, not fold wrong)
+    val probe = trace.head
+      .where(!(col("a_raw") === lit(0).cast(Dec) &&
+        col("h_raw") === lit(1).cast(Dec)))
+      .select(lit("noncanonical_round0").as("kind"))
+      .unionAll(oldNodes
+        .join(trace.head.select(col("node")), Seq("node"),
+          "left_anti")
+        .select(lit("uncovered_base_node").as("kind")))
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(probe.isEmpty,
+      "hitsDelta: trace mismatch — " + probe.map {
+        case ("noncanonical_round0", n) => s"$n round-0 rows " +
+          "differ from the canonical placement (a_raw = 0, " +
+          "h_raw = 1) — not a hitsTrace round 0"
+        case ("uncovered_base_node", n) => s"$n base-frame nodes " +
+          "missing from trace round 0 — the trace was built from " +
+          "a different edge frame"
+        case (k, n) => s"$n × $k"
+      }.mkString("; ") + "; rebuild the trace with hitsTrace")
+    val (added, addedPins) = cutTracked(
+      eDelta.select(col("src").as("node"))
       .unionAll(eDelta.select(col("dst").as("node")))
       .distinct()
-      .join(eOld.select(col("src").as("node"))
-        .unionAll(eOld.select(col("dst").as("node"))),
-        Seq("node"), "left_anti"), checkpointDir)
+      .join(oldNodes, Seq("node"), "left_anti"), checkpointDir)
     val addedRows = added.select(col("node"))
-    val dSrcs = cut(eDelta.select(col("src").as("node")).distinct()
+    val (dSrcs, dsPins) = cutTracked(
+      eDelta.select(col("src").as("node")).distinct()
       .unionAll(addedRows).distinct(), checkpointDir)
-    val dDsts = cut(eDelta.select(col("dst").as("node")).distinct()
+    val (dDsts, ddPins) = cutTracked(
+      eDelta.select(col("dst").as("node")).distinct()
       .unionAll(addedRows).distinct(), checkpointDir)
+    val pins = Seq.newBuilder[RDD[_]]
+    pins ++= onPins; pins ++= addedPins; pins ++= dsPins
+    pins ++= ddPins
+    def small(df: DataFrame, p: Seq[RDD[_]]): Boolean =
+      fitsBroadcast(df, p, maxBroadcastBytes)
+    def mb(df: DataFrame, isSmall: Boolean): DataFrame =
+      if (isSmall) broadcast(df) else df
     // lazy raw-frame views: trace round t plus added-node filler
     // (h_0 = 1 like every node; later rounds' filler is never
-    // visible — added nodes sit in every frontier)
-    def view(t: Int, freshA: Option[DataFrame],
-             freshH: Option[DataFrame]): DataFrame = {
+    // visible — added nodes sit in every frontier). Fresh patches
+    // are frontier-sized cuts, broadcast when they fit.
+    def view(t: Int, freshA: Option[(DataFrame, Boolean)],
+             freshH: Option[(DataFrame, Boolean)]): DataFrame = {
       val hFill = lit(if (t == 0) 1L else 0L).cast(Dec)
       val full = trace(t)
         .select(col("node"), col("a_raw"), col("h_raw"))
         .unionAll(addedRows.select(col("node"),
           lit(0).cast(Dec).as("a_raw"), hFill.as("h_raw")))
       val withA = freshA match {
-        case Some(f) => full.join(f, Seq("node"), "left")
+        case Some((f, s)) => full.join(mb(f, s), Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__na"), col("a_raw")).as("a_raw"),
             col("h_raw"))
         case None => full
       }
       freshH match {
-        case Some(f) => withA.join(f, Seq("node"), "left")
+        case Some((f, s)) => withA.join(mb(f, s), Seq("node"), "left")
           .select(col("node"), col("a_raw"),
             coalesce(col("__nh"), col("h_raw")).as("h_raw"))
         case None => withA
       }
     }
     var dirtyA = dDsts
-    var dirtyH: DataFrame = null
-    var freshA: Option[DataFrame] = None
-    var freshH: Option[DataFrame] = None
+    var dirtyASmall = small(dirtyA, ddPins)
+    var freshA: Option[(DataFrame, Boolean)] = None
+    var freshH: Option[(DataFrame, Boolean)] = None
+    var roundPins: Seq[RDD[_]] = Nil
     for (t <- 1 to iterations) {
       val prev = view(t - 1, freshA, freshH)
+      val nextPins = Seq.newBuilder[RDD[_]]
+      // the a-frontier's IN-edges, extracted once: feeds both the
+      // fresh a_t aggregation and the h-frontier derivation
+      val (fEa, feaP) = cutTracked(
+        e.join(mb(dirtyA.withColumnRenamed("node", "__t"),
+            dirtyASmall), e("dst") === col("__t"))
+        .select(e("src").as("src"), e("dst").as("dst")),
+        checkpointDir)
+      nextPins ++= feaP
+      val feaSmall = small(fEa, feaP)
       // fresh a_t over the a-frontier: sum of in-neighbors' patched
-      // h_{t−1} (no in-edges → 0)
-      val aIn = e.join(dirtyA.withColumnRenamed("node", "__t"),
-          e("dst") === col("__t"))
-        .join(prev.select(col("node").as("__sn"), col("h_raw")),
-          col("__sn") === e("src"))
-        .groupBy(e("dst").as("node"))
-        .agg(sum(col("h_raw")).cast(Dec).as("__s"))
-      freshA = Some(cut(dirtyA.join(aIn, Seq("node"), "left")
+      // h_{t−1} (no in-edges → 0). Small in-edge set → stream the
+      // node-sized view once through a broadcast probe.
+      val aIn =
+        if (feaSmall)
+          prev.select(col("node").as("__sn"), col("h_raw"))
+            .join(broadcast(fEa), col("__sn") === fEa("src"))
+            .groupBy(fEa("dst").as("node"))
+            .agg(sum(col("h_raw")).cast(Dec).as("__s"))
+        else
+          fEa.join(prev.select(col("node").as("__sn"),
+              col("h_raw")), col("__sn") === fEa("src"))
+            .groupBy(fEa("dst").as("node"))
+            .agg(sum(col("h_raw")).cast(Dec).as("__s"))
+      val (fa2, faP) = cutTracked(
+        dirtyA.join(mb(aIn, dirtyASmall), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__s"), lit(0).cast(Dec)).as("__na")),
-        checkpointDir))
+        checkpointDir)
+      nextPins ++= faP
+      val fa2Small = dirtyASmall
       // h-frontier at t: delta sources ∪ in-neighbors (via src) of
-      // the a-frontier ∪ added
-      dirtyH = cut(e.join(dirtyA.withColumnRenamed("node", "__t"),
-          e("dst") === col("__t"))
-        .select(e("src").as("node"))
+      // the a-frontier ∪ added — read off the extracted in-edge set
+      val (dirtyH, dhP) = cutTracked(
+        fEa.select(col("src").as("node"))
         .unionAll(dSrcs.select(col("node")))
         .distinct(), checkpointDir)
-      val cur = view(t, freshA, None)
-      val hOut = e.join(dirtyH.withColumnRenamed("node", "__f"),
-          e("src") === col("__f"))
-        .join(cur.select(col("node").as("__dn"), col("a_raw")),
-          col("__dn") === e("dst"))
-        .groupBy(e("src").as("node"))
-        .agg(sum(col("a_raw")).cast(Dec).as("__s"))
-      freshH = Some(cut(dirtyH.join(hOut, Seq("node"), "left")
+      nextPins ++= dhP
+      val dirtyHSmall = small(dirtyH, dhP)
+      val cur = view(t, Some((fa2, fa2Small)), None)
+      // the h-frontier's OUT-edges, extracted once: feeds the fresh
+      // h_t aggregation and (inside the loop) the next a-frontier
+      val (fEh, fehP) = cutTracked(
+        e.join(mb(dirtyH.withColumnRenamed("node", "__f"),
+            dirtyHSmall), e("src") === col("__f"))
+        .select(e("src").as("src"), e("dst").as("dst")),
+        checkpointDir)
+      nextPins ++= fehP
+      val fehSmall = small(fEh, fehP)
+      val hOut =
+        if (fehSmall)
+          cur.select(col("node").as("__dn"), col("a_raw"))
+            .join(broadcast(fEh), col("__dn") === fEh("dst"))
+            .groupBy(fEh("src").as("node"))
+            .agg(sum(col("a_raw")).cast(Dec).as("__s"))
+        else
+          fEh.join(cur.select(col("node").as("__dn"),
+              col("a_raw")), col("__dn") === fEh("dst"))
+            .groupBy(fEh("src").as("node"))
+            .agg(sum(col("a_raw")).cast(Dec).as("__s"))
+      val (fh2, fhP) = cutTracked(
+        dirtyH.join(mb(hOut, dirtyHSmall), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__s"), lit(0).cast(Dec)).as("__nh")),
-        checkpointDir))
-      if (t < iterations)
+        checkpointDir)
+      nextPins ++= fhP
+      if (t < iterations) {
         // a-frontier at t+1: delta dsts ∪ out-neighbors of the
-        // h-frontier ∪ added
-        dirtyA = cut(e
-          .join(dirtyH.withColumnRenamed("node", "__f"),
-            e("src") === col("__f"))
-          .select(e("dst").as("node"))
+        // h-frontier ∪ added — read off the extracted out-edge set
+        val (da2, daP) = cutTracked(
+          fEh.select(col("dst").as("node"))
           .unionAll(dDsts.select(col("node")))
           .distinct(), checkpointDir)
+        nextPins ++= daP
+        dirtyA = da2
+        dirtyASmall = small(dirtyA, daP)
+      }
+      // everything from round t−1 is dead once round t's cuts landed
+      release(roundPins)
+      roundPins = nextPins.result()
+      freshA = Some((fa2, fa2Small))
+      freshH = Some((fh2, dirtyHSmall))
     }
-    val out = normalizeHits(
-      cut(view(iterations, freshA, freshH), checkpointDir), scale)
-    e.unpersist()
+    val (composed, _) = cutTracked(view(iterations, freshA, freshH),
+      checkpointDir)
+    val out = normalizeHits(composed, scale)
+    release(roundPins)
+    release(pins.result())
     eOld.unpersist()
     eDelta.unpersist()
     out
@@ -970,9 +1525,10 @@ object Graph {
     *
     * Shape: `maxHops` rounds of frontier expansion — each ONE
     * edges⋈frontier join + distinct + a node-keyed left join, with
-    * the per-round localCheckpoint (the CC-loop contract). The
-    * frontier only ever shrinks relative to the node frame; no
-    * global structures, no driver data.
+    * the per-round localCheckpoint (the CC-loop contract; superseded
+    * rounds released as the walk advances). The frontier only ever
+    * shrinks relative to the node frame; no global structures, no
+    * driver data.
     */
   def hopCensus(edges: DataFrame, seeds: DataFrame,
                 maxHops: Int = 4,
@@ -980,12 +1536,14 @@ object Graph {
     require(maxHops >= 1 && maxHops <= 16,
       s"driver-looped plan growth is specified for 1..16 hops: " +
         s"$maxHops")
-    val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = cut(e.select(col("src").as("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(shuffleWidth(edges), col("src")).persist()
+    val (nodes, nodesPins) = cutTracked(
+      e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct(), checkpointDir)
     val sn = seeds.select(col("node")).distinct()
-    var depth = cut(nodes
+    var (depth, depthPins) = cutTracked(nodes
       .join(sn.withColumn("__s", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s"), lit(0)).otherwise(lit(null).cast("int"))
@@ -996,12 +1554,17 @@ object Graph {
       val reached = e.join(frontier, e("src") === col("__f"))
         .select(e("dst").as("node")).distinct()
         .withColumn("__r", lit(true))
-      depth = cut(depth.join(reached, Seq("node"), "left")
+      val (next, nextPins) = cutTracked(
+        depth.join(reached, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("hop"),
             when(col("__r"), lit(d))).as("hop")), checkpointDir)
+      release(depthPins)
+      depth = next
+      depthPins = nextPins
     }
     e.unpersist()
+    release(nodesPins)
     depth.groupBy(col("hop"))
       .agg(count(lit(1)).as("n_nodes"))
   }

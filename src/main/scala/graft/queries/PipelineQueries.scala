@@ -256,9 +256,19 @@ object PipelineQueries {
       new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8) == d
     if (!fresh) {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       build().zipWithIndex.foreach { case (df, i) =>
         df.write.mode("overwrite").parquet(s"$dir/t$i")
       }
+      // the build's localCheckpoint blocks are superseded by the
+      // parquet artifact the moment the writes land — release them
+      // now instead of letting a trace build degrade every query
+      // that shares the session (the r12 contended-bench knock-on)
+      graft.operators.Graph.release(
+        sc.getPersistentRDDs
+          .collect { case (id, r) if !before.contains(id) => r }
+          .toSeq)
       java.nio.file.Files.write(marker,
         d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

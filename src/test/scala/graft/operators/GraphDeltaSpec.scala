@@ -158,6 +158,33 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refreshed.contains("e"))
   }
 
+  test("a tiny broadcast budget forces the distributed fold rounds " +
+      "— identical scores to the driver-resident path") {
+    val (base, delta) = randomCase(17, 25, 20, 3)
+    val trace = Graph.pagerankTrace(base, iterations = 3)
+    val driver = ranks(Graph.pagerankDelta(base, delta, trace))
+    // rowLimit collapses to 1 — every collect refuses, the fold runs
+    // the cut-expansion + shuffle rounds instead
+    val shuffled = ranks(Graph.pagerankDelta(base, delta, trace,
+      maxBroadcastBytes = 1L))
+    assert(driver === shuffled)
+    val refreshedD = ranks(Graph.pagerankRefresh(base,
+      base.unionAll(delta), trace))
+    val refreshedS = ranks(Graph.pagerankRefresh(base,
+      base.unionAll(delta), trace, maxBroadcastBytes = 1L))
+    assert(refreshedD === refreshedS)
+    val h1 = Graph.hitsDelta(base, delta,
+        Graph.hitsTrace(base, iterations = 2)).collect()
+      .map(r => (r.getString(0), r.getDecimal(1).longValueExact(),
+        r.getDecimal(2).longValueExact())).toSet
+    val h2 = Graph.hitsDelta(base, delta,
+        Graph.hitsTrace(base, iterations = 2),
+        maxBroadcastBytes = 1L).collect()
+      .map(r => (r.getString(0), r.getDecimal(1).longValueExact(),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(h1 === h2)
+  }
+
   test("an empty delta returns the trace end state unchanged") {
     val base = sym(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
     val trace = Graph.pagerankTrace(base, iterations = 3)

@@ -30,6 +30,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release each query's pinned state (persisted plans +
+      // localCheckpoint blocks) — a 178-query sequential run
+      // otherwise accumulates every query family's executor blocks
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(r => try r.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

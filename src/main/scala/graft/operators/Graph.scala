@@ -762,6 +762,37 @@ object Graph {
     if (rows.length > rowLimit) None else Some(rows)
   }
 
+  /** Run `body` with limit-collects executing as ONE single-wave job
+    * — the default CollectLimit escalation (1 partition, then 4×…)
+    * turns every bounded probe into up to five scheduler
+    * round-trips. Restores the previous setting on exit.
+    */
+  private def withSingleWaveLimit[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000000")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** A driver-resident node set as a one-column local frame — the
+    * build side every bounded edge probe broadcasts.
+    */
+  private def localNodeFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      nodes: Iterable[Any], name: String,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      nodes.map(n => org.apache.spark.sql.Row(n)).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name, dt))))
+  }
+
   /** Driver-resident fold rounds — the small-delta production
     * profile. The broadcast budget is the admission test: a
     * frontier (plus its in-edges and their degree totals) inside
@@ -797,21 +828,10 @@ object Graph {
     val spark = e.sparkSession
     val rowLimit = (maxBroadcastBytes / 32).max(1L)
     val nodeType = seeds.schema("node").dataType
-    def localFrame(nodes: Iterable[Any], name: String): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-        nodes.map(n => org.apache.spark.sql.Row(n)).toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(name, nodeType))))
-    }
+    def localFrame(nodes: Iterable[Any], name: String): DataFrame =
+      localNodeFrame(spark, nodes, name, nodeType)
     def big(d: java.math.BigDecimal): BigInt = BigInt(d.toBigInteger)
-    // bounded collects should run as ONE single-wave job — the
-    // default CollectLimit escalation (1 partition, then 4×…) turns
-    // every probe into up to five scheduler round-trips
-    val initKey = "spark.sql.limit.initialNumPartitions"
-    val prevInit = spark.conf.getOption(initKey)
-    spark.conf.set(initKey, "1000000")
-    try for {
+    withSingleWaveLimit(spark) { for {
       seedArr <- collectBounded(seeds.select(col("node")), rowLimit)
       addedArr <- collectBounded(addedRows, rowLimit)
       // dirty₁ = the seeds' out-neighbors in every first-hop frame
@@ -943,12 +963,7 @@ object Graph {
             coalesce(col("__npr"), col("pr")).as("pr")),
         checkpointDir)
       out
-    } finally {
-      prevInit match {
-        case Some(v) => spark.conf.set(initKey, v)
-        case None => spark.conf.unset(initKey)
-      }
-    }
+    } }
   }
 
   /** Distributed fold rounds — the large-frontier fallback: cut-based
@@ -1329,6 +1344,19 @@ object Graph {
     val pins = Seq.newBuilder[RDD[_]]
     pins ++= onPins; pins ++= addedPins; pins ++= dsPins
     pins ++= ddPins
+    // driver-resident fold (the foldDriver rationale: a
+    // budget-bounded frontier is what every broadcast would ship to
+    // the driver anyway — collect it once, run the alternating
+    // rounds as BigInt arithmetic, pay one compose + normalize)
+    hitsDeltaDriver(e, dSrcs, dDsts, addedRows, trace, scale,
+      checkpointDir, maxBroadcastBytes) match {
+      case Some(out) =>
+        release(pins.result())
+        eOld.unpersist()
+        eDelta.unpersist()
+        return out
+      case None => ()
+    }
     def small(df: DataFrame, p: Seq[RDD[_]]): Boolean =
       fitsBroadcast(df, p, maxBroadcastBytes)
     def mb(df: DataFrame, isSmall: Boolean): DataFrame =
@@ -1456,6 +1484,178 @@ object Graph {
     eOld.unpersist()
     eDelta.unpersist()
     out
+  }
+
+  /** [[hitsDelta]]'s driver-resident rounds (see [[foldDriver]] for
+    * the admission rationale). Phases:
+    *
+    *  1. expand the MONOTONE alternating frontiers (dirtyA_{t+1} ⊇
+    *     dirtyA_t and likewise for H — both recurrences only add
+    *     seeds and neighbors), gathering each frontier node's in-
+    *     resp. out-edges by bounded broadcast probes of the edge
+    *     scan, each node probed ONCE;
+    *  2. ONE tagged-union scan extracts off-frontier trace scores
+    *     for every edge endpoint at rounds 1..k;
+    *  3. the alternating a/h rounds run as BigInt sums on the
+    *     driver;
+    *  4. one node-sized compose patches the final trace element with
+    *     the round-k frontier scores, then the global L1
+    *     normalization runs distributed as always.
+    *
+    * Any budget breach returns None and [[hitsDelta]] runs its
+    * distributed rounds instead.
+    */
+  private def hitsDeltaDriver(e: DataFrame, dSrcs: DataFrame,
+                              dDsts: DataFrame, addedRows: DataFrame,
+                              trace: Seq[DataFrame], scale: Long,
+                              checkpointDir: Option[String],
+                              maxBroadcastBytes: Long)
+      : Option[DataFrame] = {
+    val iterations = trace.length - 1
+    val spark = e.sparkSession
+    val rowLimit = (maxBroadcastBytes / 32).max(1L)
+    val nodeType = dSrcs.schema("node").dataType
+    def lf(nodes: Iterable[Any], name: String): DataFrame =
+      localNodeFrame(spark, nodes, name, nodeType)
+    def big(d: java.math.BigDecimal): BigInt = BigInt(d.toBigInteger)
+    withSingleWaveLimit(spark) {
+      val seedsOpt = for {
+        ds <- collectBounded(dSrcs.select(col("node")), rowLimit)
+        dd <- collectBounded(dDsts.select(col("node")), rowLimit)
+      } yield (ds.map(_.get(0)).toSet, dd.map(_.get(0)).toSet)
+      seedsOpt.flatMap { case (dS, dD) =>
+        // phase 1: frontier expansion + incremental edge gathering
+        val inEdges =
+          new scala.collection.mutable.HashMap[Any, List[Any]]()
+        val outEdges =
+          new scala.collection.mutable.HashMap[Any, List[Any]]()
+        var probedIn = Set.empty[Any]
+        var probedOut = Set.empty[Any]
+        var edgeRows = 0L
+        var ok = true
+        def probe(newNodes: Set[Any], bySrc: Boolean): Unit =
+          if (ok && newNodes.nonEmpty) {
+            val fr = lf(newNodes, "__f")
+            val keyCol = if (bySrc) e("src") else e("dst")
+            collectBounded(
+              e.join(broadcast(fr), keyCol === col("__f"))
+                .select(e("src"), e("dst")), rowLimit) match {
+              case Some(rows) =>
+                edgeRows += rows.length
+                if (edgeRows > 2 * rowLimit) ok = false
+                else rows.foreach { r =>
+                  val s = r.get(0); val d = r.get(1)
+                  if (bySrc)
+                    outEdges.update(s, d :: outEdges.getOrElse(s, Nil))
+                  else
+                    inEdges.update(d, s :: inEdges.getOrElse(d, Nil))
+                }
+              case None => ok = false
+            }
+          }
+        val dirtyA = Seq.newBuilder[Set[Any]]
+        val dirtyH = Seq.newBuilder[Set[Any]]
+        var curA = dD
+        var curH = Set.empty[Any]
+        for (t <- 1 to iterations if ok) {
+          probe(curA -- probedIn, bySrc = false)
+          probedIn ++= curA
+          dirtyA += curA
+          if (ok) {
+            val inSrcs = curA.iterator
+              .flatMap(n => inEdges.getOrElse(n, Nil)).toSet
+            curH = dS ++ inSrcs
+            probe(curH -- probedOut, bySrc = true)
+            probedOut ++= curH
+            dirtyH += curH
+            if (t < iterations && ok) {
+              val outDsts = curH.iterator
+                .flatMap(n => outEdges.getOrElse(n, Nil)).toSet
+              curA = dD ++ outDsts
+            }
+          }
+        }
+        if (!ok) None
+        else {
+          val dA = dirtyA.result()
+          val dH = dirtyH.result()
+          // phase 2: off-frontier trace scores for every edge
+          // endpoint, rounds 1..k, one tagged scan
+          val lookupNodes =
+            inEdges.valuesIterator.flatten.toSet ++
+              outEdges.valuesIterator.flatten.toSet
+          val traceValsOpt =
+            if (lookupNodes.isEmpty)
+              Some(Map.empty[(Int, Any), (BigInt, BigInt)])
+            else {
+              val tagged = (1 to iterations).map(t =>
+                  trace(t).select(lit(t).as("__rt"), col("node"),
+                    col("a_raw"), col("h_raw")))
+                .reduce(_ unionAll _)
+              collectBounded(
+                tagged.join(broadcast(lf(lookupNodes, "node")),
+                  Seq("node"))
+                .select(col("__rt"), col("node"), col("a_raw"),
+                  col("h_raw")), rowLimit)
+                .map(_.map(r => (r.getInt(0), r.get(1)) ->
+                  ((big(r.getDecimal(2)), big(r.getDecimal(3)))))
+                  .toMap)
+            }
+          traceValsOpt.map { traceVals =>
+            // phase 3: alternating BigInt rounds
+            var freshA = Map.empty[Any, BigInt]
+            var freshH = Map.empty[Any, BigInt]
+            for (t <- 1 to iterations) {
+              val aT = dA(t - 1).iterator.map { n =>
+                n -> inEdges.getOrElse(n, Nil).iterator.map { s =>
+                  if (t == 1) BigInt(1) // h_0 = 1 everywhere
+                  else if (dH(t - 2).contains(s)) freshH(s)
+                  else traceVals((t - 1, s))._2
+                }.sum
+              }.toMap
+              val hT = dH(t - 1).iterator.map { n =>
+                n -> outEdges.getOrElse(n, Nil).iterator.map { d =>
+                  if (dA(t - 1).contains(d)) aT(d)
+                  else traceVals((t, d))._1
+                }.sum
+              }.toMap
+              freshA = aT
+              freshH = hT
+            }
+            // phase 4: compose + distributed L1 normalization
+            import scala.jdk.CollectionConverters._
+            def decFrame(m: Map[Any, BigInt], cn: String)
+                : DataFrame =
+              spark.createDataFrame(
+                m.iterator.map { case (n, v) =>
+                  org.apache.spark.sql.Row(n,
+                    new java.math.BigDecimal(v.bigInteger))
+                }.toSeq.asJava,
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("node",
+                    nodeType),
+                  org.apache.spark.sql.types.StructField(cn,
+                    org.apache.spark.sql.types.DataTypes
+                      .createDecimalType(38, 0)))))
+            val full = trace(iterations)
+              .select(col("node"), col("a_raw"), col("h_raw"))
+              .unionAll(addedRows.select(col("node"),
+                lit(0).cast(Dec).as("a_raw"),
+                lit(0).cast(Dec).as("h_raw")))
+            val (composed, _) = cutTracked(
+              full.join(broadcast(decFrame(freshA, "__na")),
+                  Seq("node"), "left")
+                .join(broadcast(decFrame(freshH, "__nh")),
+                  Seq("node"), "left")
+                .select(col("node"),
+                  coalesce(col("__na"), col("a_raw")).as("a_raw"),
+                  coalesce(col("__nh"), col("h_raw")).as("h_raw")),
+              checkpointDir)
+            normalizeHits(composed, scale)
+          }
+        }
+      }
+    }
   }
 
   /** The one global step of deferred HITS: L1-normalize the final

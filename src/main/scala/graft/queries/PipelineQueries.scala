@@ -275,6 +275,95 @@ object PipelineQueries {
     (0 to iterations).map(i => s.read.parquet(s"$dir/t$i"))
   }
 
+  /** The symmetrized purchase graph (q169/q178's base family). */
+  private def symPurchase(s: SparkSession, d: String): DataFrame = {
+    val we = ensurePurchaseGraph(s, d)
+    we.select(col("src"), col("dst"), col("w"))
+      .unionByName(we.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+  }
+
+  /** The custkey ≡ 0 (mod 3) third of the purchase graph (q173/q176
+    * fixtures — the equivalence proofs are graph-size-agnostic).
+    */
+  private def thirdPurchase(s: SparkSession, d: String): DataFrame =
+    ensurePurchaseGraph(s, d)
+      .where(pmod(substring(col("src"), 2, 18).cast("long"),
+        lit(3)) === 0)
+
+  /** q173's OLD frame: the symmetrized third plus a reinforcing
+    * second copy of its mod-7 edges.
+    */
+  private def thirdOldEdges(s: SparkSession, d: String): DataFrame = {
+    val we = thirdPurchase(s, d)
+    val sym = we.select(col("src"), col("dst"), col("w"))
+      .unionByName(we.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+    val neu = sym.select(col("src"), col("dst"))
+    neu.unionAll(sym.where(pmod(col("w"), lit(7)) === 0)
+      .select(col("src"), col("dst")))
+  }
+
+  /** q176's base: the symmetrized third MINUS every pair whose
+    * supplier key divides 7 (the delta reintroduces them as new
+    * nodes).
+    */
+  private def growBaseEdges(s: SparkSession, d: String): DataFrame = {
+    val we = thirdPurchase(s, d)
+    val sevenSupp =
+      pmod(substring(col("dst"), 2, 18).cast("long"), lit(7)) === 0
+    val kept = we.where(!sevenSupp)
+    kept.select(col("src"), col("dst"))
+      .unionByName(kept.select(col("dst").as("src"),
+        col("src").as("dst")))
+  }
+
+  // the five persisted rank/HITS trace artifacts — ONE definition
+  // each, shared by the query lambda and [[prebuild]] so the two can
+  // never build different fixtures under the same marker name
+  private def traceSym2(s: SparkSession, d: String): Seq[DataFrame] =
+    ensureRankTrace(s, d, "sym2", 2)(() =>
+      Graph.pagerankTrace(symPurchase(s, d)
+        .select(col("src"), col("dst")), iterations = 2))
+  private def traceThirdRef2(s: SparkSession, d: String)
+      : Seq[DataFrame] =
+    ensureRankTrace(s, d, "third_ref2", 2)(() =>
+      Graph.pagerankTrace(thirdOldEdges(s, d), iterations = 2))
+  private def traceCycle6(s: SparkSession, d: String)
+      : Seq[DataFrame] =
+    ensureRankTrace(s, d, "cycle6", 6)(() =>
+      Graph.pagerankTrace(ensureShipmentCycle(s, d)
+        .select(col("src"), col("dst")), iterations = 6))
+  private def traceGrow2(s: SparkSession, d: String)
+      : Seq[DataFrame] =
+    ensureRankTrace(s, d, "grow2", 2)(() =>
+      Graph.pagerankTrace(growBaseEdges(s, d), iterations = 2))
+  private def traceHits2(s: SparkSession, d: String)
+      : Seq[DataFrame] =
+    ensureRankTrace(s, d, "hits2", 2)(() =>
+      Graph.hitsTrace(ensurePurchaseGraph(s, d)
+        .select(col("src"), col("dst")), iterations = 2))
+
+  /** Force every per-process artifact the query surface reads (the
+    * purchase/cycle graphs, the five rank/HITS traces, the serving
+    * index, the multi-source fixture). Bench calls this in an
+    * UNTIMED warmup pass so the measured loop never pays a build —
+    * the incremental contract says the artifacts pre-exist; timing
+    * their construction inside the first measured repeat was both
+    * unfair to the fold queries and a driver-timeout risk.
+    */
+  def prebuild(s: SparkSession, d: String): Unit = {
+    ensurePurchaseGraph(s, d)
+    ensureShipmentCycle(s, d)
+    traceSym2(s, d)
+    traceThirdRef2(s, d)
+    traceCycle6(s, d)
+    traceGrow2(s, d)
+    traceHits2(s, d)
+    ensureServingIndex(s, d)
+    ensureMultiSourceFixture(s, d)
+  }
+
   private def hexOf(xs: Int*): String =
     xs.map(b => f"${b & 0xff}%02x").mkString
 
@@ -594,10 +683,7 @@ object PipelineQueries {
     // the FULL rank on base ∪ delta, so a hash match PROVES
     // delta-fold == full re-run on real data
     "q169_pagerank_delta" -> ((s, d) => {
-      val we = ensurePurchaseGraph(s, d)
-      val sym = we.select(col("src"), col("dst"), col("w"))
-        .unionByName(we.select(col("dst").as("src"),
-          col("src").as("dst"), col("w")))
+      val sym = symPurchase(s, d)
       val base = sym.select(col("src"), col("dst"))
       val delta = sym.where(pmod(col("w"), lit(7)) === 0)
         .select(col("src"), col("dst"))
@@ -605,8 +691,7 @@ object PipelineQueries {
       // The trace is a PERSISTED fixture (built once per process —
       // the incremental contract: a fold consumes the prior run's
       // on-disk scores, it never re-ranks to get them)
-      val trace = ensureRankTrace(s, d, "sym2", 2)(() =>
-        Graph.pagerankTrace(base, iterations = 2))
+      val trace = traceSym2(s, d)
       Graph.pagerankDelta(base, delta, trace)
         .select(col("node"), col("pr").cast("long").as("pr"))
         .orderBy(col("pr").desc, col("node").asc_nulls_first)
@@ -662,17 +747,13 @@ object PipelineQueries {
       // a third of the purchase graph (custkey ≡ 0 mod 3): the
       // removal-equivalence proof is graph-size-agnostic, and q169
       // already prices the full graph's fold
-      val we = ensurePurchaseGraph(s, d)
-        .where(pmod(substring(col("src"), 2, 18).cast("long"),
-          lit(3)) === 0)
+      val we = thirdPurchase(s, d)
       val sym = we.select(col("src"), col("dst"), col("w"))
         .unionByName(we.select(col("dst").as("src"),
           col("src").as("dst"), col("w")))
       val neu = sym.select(col("src"), col("dst"))
-      val old = neu.unionAll(sym.where(pmod(col("w"), lit(7)) === 0)
-        .select(col("src"), col("dst")))
-      val trace = ensureRankTrace(s, d, "third_ref2", 2)(() =>
-        Graph.pagerankTrace(old, iterations = 2))
+      val old = thirdOldEdges(s, d)
+      val trace = traceThirdRef2(s, d)
       Graph.pagerankRefresh(old, neu, trace)
         .select(col("node"), col("pr").cast("long").as("pr"))
         .orderBy(col("pr").desc, col("node").asc_nulls_first)
@@ -698,8 +779,7 @@ object PipelineQueries {
       val base = cyc.select(col("src"), col("dst"))
       val delta = cyc.where(pmod(col("supp"), lit(100)) === 0)
         .select(col("src"), col("dst"))
-      val trace = ensureRankTrace(s, d, "cycle6", 6)(() =>
-        Graph.pagerankTrace(base, iterations = 6))
+      val trace = traceCycle6(s, d)
       Graph.pagerankDelta(base, delta, trace)
         .select(col("node"), col("pr").cast("long").as("pr"))
         .orderBy(col("pr").desc, col("node").asc_nulls_first)
@@ -738,19 +818,15 @@ object PipelineQueries {
       // q173 discipline: the grow-equivalence proof is
       // graph-size-agnostic, and q169 already prices the full
       // graph's fold)
-      val we = ensurePurchaseGraph(s, d)
-        .where(pmod(substring(col("src"), 2, 18).cast("long"),
-          lit(3)) === 0)
+      val we = thirdPurchase(s, d)
       val sevenSupp =
         pmod(substring(col("dst"), 2, 18).cast("long"), lit(7)) === 0
-      def symm(f: DataFrame): DataFrame =
-        f.select(col("src"), col("dst"))
-          .unionByName(f.select(col("dst").as("src"),
-            col("src").as("dst")))
-      val base = symm(we.where(!sevenSupp))
-      val delta = symm(we.where(sevenSupp))
-      val trace = ensureRankTrace(s, d, "grow2", 2)(() =>
-        Graph.pagerankTrace(base, iterations = 2))
+      val base = growBaseEdges(s, d)
+      val delta = we.where(sevenSupp)
+        .select(col("src"), col("dst"))
+        .unionByName(we.where(sevenSupp)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      val trace = traceGrow2(s, d)
       Graph.pagerankDelta(base, delta, trace)
         .groupBy(substring(col("node"), 1, 1).as("kind"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -806,8 +882,7 @@ object PipelineQueries {
       val base = we.select(col("src"), col("dst"))
       val delta = we.where(pmod(col("w"), lit(7)) === 0)
         .select(col("src"), col("dst"))
-      val trace = ensureRankTrace(s, d, "hits2", 2)(() =>
-        Graph.hitsTrace(base, iterations = 2))
+      val trace = traceHits2(s, d)
       Graph.hitsDelta(base, delta, trace)
         .select(col("node"), col("hub").cast("long").as("hub"),
           col("auth").cast("long").as("auth"))

@@ -367,7 +367,6 @@ object LangModel {
     * over the VOCAB-sized frame (the q49 contract), never rows.
     */
   def zipfFit(words: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     // same overflow discipline as Temporal.trendFit: the DECIMAL→
     // BIGINT cast is range-guarded so an overflow raises in BOTH
@@ -376,9 +375,15 @@ object LangModel {
       when(abs(c) <= lit(Long.MaxValue).cast(dec), c.cast("long"))
         .otherwise(raise_error(lit(s"zipfFit: $what exceeds BIGINT " +
           "range")).cast("long"))
-    val pts = words.select(floorLog2(row_number().over(
-        Window.orderBy(col("f").desc, col("w").asc_nulls_first))
-          .cast("long")).cast(dec).as("x"),
+    // the rank is a TWO-STAGE exact global rank (range partitions +
+    // broadcast offsets, OrderStats.withGlobalRank) — an
+    // unpartitioned rank window would sort the whole vocabulary in
+    // one task, a straggler/OOM at web scale (10^8+ grams)
+    val ranked = graft.operators.OrderStats.withGlobalRank(
+      words.select(col("w"), col("f")),
+      Seq(col("f").desc, col("w").asc_nulls_first), "__rank")
+    val pts = ranked.select(
+        floorLog2(col("__rank")).cast(dec).as("x"),
         floorLog2(col("f")).cast(dec).as("y"))
     pts.agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x")).cast(dec).as("sx"),

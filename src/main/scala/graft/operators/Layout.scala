@@ -325,25 +325,32 @@ object Layout {
   def skewCensus(df: DataFrame, key: Column,
                  thresholdNum: Long = 2L,
                  thresholdDen: Long = 5L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(thresholdNum >= 0 && thresholdDen > 0,
       s"threshold must be a non-negative rational: " +
         s"$thresholdNum/$thresholdDen")
     val dec = "decimal(38,0)"
     val kc = df.groupBy(key.as("k"))
       .agg(count(lit(1)).cast(dec).as("x"))
-    val ranked = kc.select(col("x"),
-        row_number().over(Window.orderBy(col("x").asc,
-          col("k").asc_nulls_first)).cast(dec).as("i"),
-        count(lit(1)).over(Window.partitionBy()).cast(dec).as("n"),
-        sum(col("x")).over(Window.partitionBy()).cast(dec).as("sx"))
+    // TWO-STAGE exact global rank (range partitions + broadcast
+    // offsets) — an unpartitioned rank window would sort every key
+    // in one task; and the former global `n`/`sx` windows fold into
+    // the final aggregate algebraically:
+    //   Σ(2i − n − 1)·x  =  2·Σ(i·x) − (n + 1)·Σx
+    val ranked = graft.operators.OrderStats.withGlobalRank(kc,
+      Seq(col("x").asc, col("k").asc_nulls_first), "__i")
     ranked.agg(
-        max(col("n")).cast("long").as("n_keys"),
-        max(col("sx")).cast("long").as("n_rows"),
-        sum((lit(2).cast(dec) * col("i") - col("n") - lit(1))
-          * col("x")).cast("long").as("gini_num"),
-        max(col("n") * col("sx")).cast("long").as("gini_den"),
-        max(col("x")).cast("long").as("max_key_rows"))
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("__i").cast(dec) * col("x")).cast(dec).as("six"),
+        max(col("x")).cast("long").as("mx"))
+      .select(
+        col("n").cast("long").as("n_keys"),
+        col("sx").cast("long").as("n_rows"),
+        (lit(2).cast(dec) * col("six") -
+          (col("n") + lit(1).cast(dec)) * col("sx"))
+          .cast("long").as("gini_num"),
+        (col("n") * col("sx")).cast("long").as("gini_den"),
+        col("mx").as("max_key_rows"))
       .withColumn("salt_advised",
         col("gini_num") * thresholdDen >
           col("gini_den") * thresholdNum)

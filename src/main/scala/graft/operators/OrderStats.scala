@@ -77,6 +77,50 @@ object OrderStats {
     found.sortBy(_._1).map(_._2).toSeq
   }
 
+  /** Exact 1-based global rank by `order` WITHOUT a single-task
+    * global window: range-repartition on the ordering, per-partition
+    * `row_number`, then add each partition's broadcast cumulative
+    * offset — one range shuffle plus a partition-count-sized collect.
+    * (The r12 audit found zipfFit and skewCensus ranking whole
+    * vocabulary/key spaces in ONE unpartitioned window — a straggler
+    * and an OOM at web scale; this is the shared replacement, the
+    * same two-stage scheme as [[exactRanks]] and
+    * `Sampling.globalOffsets`.) The ranked frame is eagerly
+    * localCheckpointed so the offsets collect and the downstream
+    * consumer cannot see drifted range bounds.
+    */
+  def withGlobalRank(df: DataFrame,
+                     order: Seq[org.apache.spark.sql.Column],
+                     rankCol: String,
+                     numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n =
+      if (numPartitions > 0) numPartitions
+      else
+        try spark.conf.get("spark.sql.shuffle.partitions").toInt
+        catch { case _: Throwable => 200 }
+    val local = df
+      .repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .localCheckpoint(true)
+    // one row per partition — bounded by the partition count
+    val counts = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val bases = counts.keys.toSeq.sorted.map { p =>
+      val b = acc; acc += counts(p); (p, b)
+    }
+    local.join(broadcast(bases.toDF("__pid", "__base")),
+        Seq("__pid"))
+      .withColumn(rankCol, col("__base") + col("__rn"))
+      .drop("__pid", "__rn", "__base")
+  }
+
   /** The reference's positional quartile rule (§1.3: min = x[0],
     * q1 = x[n/4], q2 = x[n/2], q3 = x[3n/4], max = x[n−1], 0-based
     * integer division) as exact distributed rank lookups.

@@ -276,18 +276,21 @@ object ExplainAudit {
           "TakeOrdered over the checkpointed pair frame",
         Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")),
       ("q159_skew_census",
-        "skew census: rank window over the KEYS-sized count " +
-          "aggregate, then one scalar aggregate",
-        Seq("Window", "HashAggregate")),
+        "skew census: two-stage exact rank (the range-partitioned " +
+          "window lives behind withGlobalRank's checkpoint; the " +
+          "visible half is the broadcast offset join + one scalar " +
+          "aggregate)",
+        Seq("BroadcastHashJoin", "HashAggregate")),
       ("q161_media_sniff",
         "media sniff: all three header decoders evaluate in ONE " +
           "codegen'd projection feeding partial aggregation",
         Seq("image_meta", "audio_meta", "video_meta",
           "HashAggregate")),
       ("q162_zipf_fit",
-        "zipf fit: rank window over the VOCAB-sized word table, " +
-          "then one scalar aggregate — no joins",
-        Seq("Window", "HashAggregate")),
+        "zipf fit: two-stage exact rank over the VOCAB-sized word " +
+          "table (range-partitioned window behind the checkpoint; " +
+          "visible: broadcast offset join + one scalar aggregate)",
+        Seq("BroadcastHashJoin", "HashAggregate")),
       ("q160_winsor_census",
         "winsor census: rows reduce to (key, value) counts BEFORE " +
           "the cumulative window (partial agg first, window over " +
@@ -516,6 +519,30 @@ object ExplainAudit {
           s"(want $wantWin), hashExchange=$nExch (want $wantExch), " +
           s"keyedSort=$nSort (want $wantSort)")
         }
+    }
+
+    // ---- two-stage global-rank shape (q159/q162) -----------------
+    // the key/vocabulary rank must run per range-partition (the
+    // OrderStats.withGlobalRank scheme), never in one task: the ONLY
+    // SinglePartition exchange allowed in the final plan is the
+    // closing scalar aggregate's — an unpartitioned rank window
+    // would add a second
+    Seq("q159_skew_census", "q162_zipf_fit").foreach { name =>
+      guarded(name) {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val tree = df.queryExecution.executedPlan.treeString
+        val finalPlan = tree.split("== Initial Plan ==")(0)
+        val nSingle =
+          finalPlan.split("Exchange SinglePartition", -1).length - 1
+        val ok = nSingle <= 1
+        if (!ok) failures += 1
+        println(s"\n=== $name — two-stage global rank ===")
+        println(f"  [${if (ok) "OK" else "MISS"}%-4s] " +
+          s"singlePartitionExchanges=$nSingle (want <= 1: the " +
+          "final scalar aggregate; a second one is a global rank " +
+          "window)")
+      }
     }
 
     // ---- JL projected top-k shape check --------------------------

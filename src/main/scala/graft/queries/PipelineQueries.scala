@@ -926,12 +926,24 @@ object PipelineQueries {
         .select(col("l_orderkey").cast("string").as("k"))
       val o = t(s, d, "orders")
         .select(col("o_orderkey").cast("string").as("k"))
-      val cmA = Sketches.countMinTable(li, lit("t"), col("k"),
-        w = 4096, d = 4)
-      val cmB = Sketches.countMinTable(o, lit("t"), col("k"),
-        w = 4096, d = 4)
-      val est = Sketches.cmJoinSizeEstimate(cmA, cmB, d = 4)
-      val exact = li.join(o, Seq("k"))
+      // BOTH sides' sketches from ONE tagged-union pass (the bucket
+      // hash ignores the group, so per-side counters are identical
+      // to two separate builds — the oracle replays them as such);
+      // the eager checkpoint makes the build a single job the
+      // sketch-sized estimate then reads twice
+      val cm = Sketches.countMinTable(
+          li.select(col("k"), lit("a").as("side"))
+            .unionByName(o.select(col("k"), lit("b").as("side"))),
+          col("side"), col("k"), w = 4096, d = 4)
+        .localCheckpoint(true)
+      def side(g: String) = cm.where(col("group") === g)
+        .select(lit("t").as("group"), col("row"), col("bucket"),
+          col("cnt"))
+      val est = Sketches.cmJoinSizeEstimate(side("a"), side("b"),
+        d = 4)
+      // the orders key column is MBs — broadcast it so the exact
+      // side is one streamed lineitem scan, never a sort-merge
+      val exact = li.join(broadcast(o), Seq("k"))
         .agg(count(lit(1)).as("exact_join_rows"))
       est.crossJoin(broadcast(exact))
         .select(col("est_join_rows"), col("exact_join_rows"),

@@ -883,7 +883,9 @@ object StreamingStructure {
   def rankFoldStream(stream: DataFrame, baseEdgesPath: String,
                      traceDir: String, iterations: Int,
                      deltaPath: String, scoresPath: String,
-                     checkpointDir: String)
+                     checkpointDir: String,
+                     rebuildRatioNum: Long = 1L,
+                     rebuildRatioDen: Long = 5L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -897,12 +899,37 @@ object StreamingStructure {
           .select(col("src"), col("dst"))
         val delta = s.read.parquet(deltaPath)
           .select(col("src"), col("dst"))
+        warnPastRebuildRatio("rankFoldStream", batchId, base, delta,
+          rebuildRatioNum, rebuildRatioDen)
         val trace = (0 to iterations).map(i =>
           s.read.parquet(s"$traceDir/t$i"))
         graft.operators.Graph.pagerankDelta(base, delta, trace)
           .write.mode("overwrite").parquet(scoresPath)
       }
       .start()
+
+  /** The fold streams re-fold the CUMULATIVE delta every batch, so
+    * per-batch cost grows with stream lifetime; the documented rule
+    * is "rebuild the base + trace artifacts once the delta stops
+    * being small". This makes the rule MEASURABLE: every batch logs
+    * the delta/base edge ratio (two metadata-cheap parquet counts)
+    * and warns once it passes `num/den` — the operator's signal to
+    * schedule the rebuild.
+    */
+  private def warnPastRebuildRatio(who: String, batchId: Long,
+                                   base: DataFrame, delta: DataFrame,
+                                   num: Long, den: Long): Unit = {
+    val nBase = base.count()
+    val nDelta = delta.count()
+    System.err.println(s"$who: batch $batchId cumulative delta = " +
+      s"$nDelta edges over $nBase base edges")
+    if (nDelta * den > nBase * num)
+      System.err.println(s"warning: $who: cumulative delta " +
+        s"($nDelta) exceeds $num/$den of the base ($nBase) — " +
+        "per-batch fold cost now rivals a full re-rank; rebuild " +
+        "the base edges + trace artifacts and reset the delta " +
+        "directory")
+  }
 
   /** Streaming INCREMENTAL HITS — [[rankFoldStream]]'s twin for the
     * hub/authority family: base edges + a completed
@@ -916,7 +943,9 @@ object StreamingStructure {
   def hitsFoldStream(stream: DataFrame, baseEdgesPath: String,
                      traceDir: String, iterations: Int,
                      deltaPath: String, scoresPath: String,
-                     checkpointDir: String)
+                     checkpointDir: String,
+                     rebuildRatioNum: Long = 1L,
+                     rebuildRatioDen: Long = 5L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -930,10 +959,61 @@ object StreamingStructure {
           .select(col("src"), col("dst"))
         val delta = s.read.parquet(deltaPath)
           .select(col("src"), col("dst"))
+        warnPastRebuildRatio("hitsFoldStream", batchId, base, delta,
+          rebuildRatioNum, rebuildRatioDen)
         val trace = (0 to iterations).map(i =>
           s.read.parquet(s"$traceDir/t$i"))
         graft.operators.Graph.hitsDelta(base, delta, trace)
           .write.mode("overwrite").parquet(scoresPath)
+      }
+      .start()
+
+  /** Streaming DECREMENTAL CLUSTERING — the takedown twin of the
+    * fold streams, composing [[graft.operators.Dedup.ClusterState]]
+    * retraction with micro-batch arrival: the base artifact (the
+    * labeling + the label-tagged verified pair store) lives as
+    * parquet, built once by `Dedup.clusterState`; each arriving
+    * batch of removed ids lands in its OWN batch-id-keyed partition
+    * and the CUMULATIVE removal set retracts against the FROZEN base
+    * state, overwriting the serving labels + pairs with
+    * `retractFromComponents(base, all removals so far)` — exact per
+    * the retraction's oracle-pinned equivalence to a full re-cluster
+    * of the surviving pairs.
+    *
+    * Same replay semantics as [[rankFoldStream]]: at-least-once
+    * re-runs overwrite the same `batch=<id>` partition with
+    * identical ids and re-retract the same cumulative set, so a
+    * crash lands back in the exact state. The retraction's OWN share
+    * budget is the rebuild signal here: once the cumulative
+    * removals' affected pairs pass `maxShareNum/maxShareDen`, the
+    * batch fails loudly with the rebuild instruction (re-run
+    * `clusterState` over the surviving pairs, reset the removals
+    * directory).
+    */
+  def retractFoldStream(stream: DataFrame, baseLabelsPath: String,
+                        basePairsPath: String, removalsPath: String,
+                        servingPath: String, checkpointDir: String,
+                        maxShareNum: Long = 1L,
+                        maxShareDen: Long = 2L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val s = batch.sparkSession
+        batch.toDF().select(col("id"))
+          .write.mode("overwrite")
+          .parquet(s"$removalsPath/batch=$batchId")
+        val state = graft.operators.Dedup.ClusterState(
+          s.read.parquet(baseLabelsPath),
+          s.read.parquet(basePairsPath))
+        val removed = s.read.parquet(removalsPath).select(col("id"))
+        val after = graft.operators.Dedup.retractFromComponents(
+          state, removed, maxShareNum, maxShareDen)
+        after.labels.write.mode("overwrite")
+          .parquet(s"$servingPath/labels")
+        after.pairs.write.mode("overwrite")
+          .parquet(s"$servingPath/pairs")
       }
       .start()
 

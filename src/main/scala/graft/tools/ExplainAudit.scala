@@ -464,13 +464,12 @@ object ExplainAudit {
     }
 
     // ---- sketch single-evaluation check --------------------------
-    // q166's contract is "sketch-sized frames, no data join": each
-    // Count-Min table (an explode ×d + keyed count over a key scan)
-    // must aggregate exactly ONCE per side. The estimate's group
-    // list and inner products come out of one full-outer pass, so
-    // the final plan holds exactly 2 explode generates and 3
-    // parquet scans (lineitem + orders sketch sides, plus the
-    // 1-row exact-join audit that rides a broadcast).
+    // q166's contract is "sketch-sized frames, no data join": BOTH
+    // Count-Min tables now come out of ONE tagged-union build that
+    // lives behind an eager checkpoint, so the final plan holds ZERO
+    // explode generates (an explode here means a sketch re-derived
+    // from raw keys) and exactly 2 parquet scans (the 1-row
+    // exact-join audit — lineitem streaming over broadcast orders).
     guarded("q166_join_size_estimate") {
       val df = graft.SparkEntry.queries("q166_join_size_estimate")(
         spark, sfDir)
@@ -479,13 +478,15 @@ object ExplainAudit {
       val finalPlan = tree.split("== Initial Plan ==")(0)
       def count(pat: String) = finalPlan.split(pat, -1).length - 1
       val nGen = count("Generate explode")
-      val ok = nGen == 2
+      val nScan = count("Scan parquet")
+      val ok = nGen == 0 && nScan == 2
       if (!ok) failures += 1
-      println(s"\n=== q166_join_size_estimate — one aggregation " +
-        "per sketch side ===")
+      println(s"\n=== q166_join_size_estimate — sketches built " +
+        "once behind the checkpoint ===")
       println(f"  [${if (ok) "OK" else "MISS"}%-4s] explode " +
-        s"generates in the final plan (found $nGen, want 2 — one " +
-        "per Count-Min side; more means a sketch evaluated twice)")
+        s"generates=$nGen (want 0 — an explode re-derives a " +
+        s"sketch), parquet scans=$nScan (want 2: the exact-join " +
+        "audit only)")
     }
 
     // ---- temporal window-shape checks ----------------------------

@@ -102,14 +102,27 @@ object Graph {
     (out, pinned)
   }
 
+  // releasing a localCheckpoint intentionally abandons its truncated
+  // lineage — that is the whole point of deterministic release — so
+  // the per-release "cannot be recomputed after unpersisting" WARN
+  // is pure noise (hundreds of lines per bench run); demote that one
+  // logger once per JVM
+  private lazy val quietTruncatedUnpersist: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   /** Free blocks pinned by [[cutTracked]]. Only call once nothing
     * will read the frame again — an unpersisted localCheckpoint has
     * no lineage to recompute from.
     */
-  private[graft] def release(pins: Seq[RDD[_]]): Unit =
+  private[graft] def release(pins: Seq[RDD[_]]): Unit = {
+    quietTruncatedUnpersist
     pins.foreach(r =>
       try r.unpersist(blocking = false)
       catch { case _: Throwable => () })
+  }
 
   /** The session's shuffle width — what iterative caches normalize
     * to. A persisted edge frame otherwise inherits the SCAN's split

@@ -315,6 +315,27 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (8L, 1L), (9L, 1L)))
   }
 
+  test("inflowSalt: the two-stage (dst, salt) inflow sum is " +
+      "score-identical for any salt, on the star the warning " +
+      "targets and on random graphs") {
+    val s = spark
+    import s.implicits._
+    // the star is exactly the shape skewPreflight warns about
+    val star = ((1 to 300).map(i => s"n$i" -> "hub") ++
+      (1 to 300).map(i => "hub" -> s"n$i")).toDF("src", "dst")
+    val plain = ranks(Graph.pagerank(star, iterations = 3))
+    for (salt <- Seq(2, 7, 32))
+      assert(ranks(Graph.pagerank(star, iterations = 3,
+        inflowSalt = salt)) === plain, s"salt $salt")
+    val (base, _) = randomCase(29, 30, 25, 2)
+    assert(ranks(Graph.pagerank(base, iterations = 3,
+        inflowSalt = 5)) ===
+      ranks(Graph.pagerank(base, iterations = 3)))
+    // and the warning names the knob
+    assert(Graph.skewPreflight(star, minEdges = 100L)
+      .exists(_.contains("inflowSalt")))
+  }
+
   test("skew pre-flight trips on a star and stays quiet on a ring") {
     val s = spark
     import s.implicits._

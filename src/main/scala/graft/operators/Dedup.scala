@@ -163,6 +163,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Perceptual hashes for an image-bytes column: (id, dhash, ahash)
+    * via the native [[graft.functions.ImageHash]] expressions — one
+    * decode+hash JVM call per image, a pure projection. Rows whose
+    * bytes do not decode (non-BMP, truncated, smaller than the hash
+    * grid) are dropped, exactly like null-text docs in [[simHash32]].
+    */
+  def imageHashes(df: DataFrame, idCol: Column,
+                  bytesCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        graft.functions.ImageHash.imageDHash(bytesCol).as("dhash"),
+        graft.functions.ImageHash.imageAHash(bytesCol).as("ahash"))
+      .where(col("dhash").isNotNull && col("ahash").isNotNull)
+
+  /** Perceptual near-duplicate image pairs within `maxHamming` bits
+    * of dHash distance: the [[simHashCandidatePairs]] discipline on
+    * the 64-bit hash — slice into the fewest bands that make the
+    * pigeonhole complete (bands > maxHamming, rounded up to a
+    * divisor of 64), bucket-join the slices with the shared hot-
+    * bucket guard, then verify candidates EXACTLY with one codegen'd
+    * `bit_count(xor)` per pair. Never a pairwise scan: at 100 TB the
+    * candidate volume is the banded-collision count, and
+    * mass-duplicate hash buckets (solid-color thumbnails) fall to
+    * the anti-join guard instead of re-creating the quadratic join.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 4,
+                    maxBucketSize: Long = 10000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must lie in [0, 64): $maxHamming")
+    val bands = Seq(1, 2, 4, 8, 16, 32, 64)
+      .find(_ > maxHamming).get
+    val bits = 64 / bands
+    val mask = lit(if (bits == 64) -1L else (1L << bits) - 1)
+    val keys = array((0 until bands).map(b =>
+      shiftright(col("dhash"), b * bits).bitwiseAND(mask)): _*)
+    val sliced = hashes.select(col("id"),
+      posexplode(keys).as(Seq("band", "key")))
+    val kept = dropHotBuckets(sliced, maxBucketSize)
+    val a = kept.as("a")
+    val b = kept.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val h1 = hashes.select(col("id").as("id1"),
+      col("dhash").as("__h1"))
+    val h2 = hashes.select(col("id").as("id2"),
+      col("dhash").as("__h2"))
+    cands.join(h1, "id1").join(h2, "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Winnowing fingerprint rows: (id, fps) with `fps` the sorted
     * distinct [[graft.functions.TextFunctions.winnowFingerprints]] of
     * each document — the persistable fingerprint index (store next to

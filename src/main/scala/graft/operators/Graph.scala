@@ -97,21 +97,70 @@ object Graph {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = cut(df, checkpointDir, eager)
-    val pinned = sc.getPersistentRDDs
-      .collect { case (id, r) if !before.contains(id) => r }.toSeq
+    // track the pinned RDD DIRECTLY where possible: a checkpointed
+    // Dataset's plan is a LogicalRDD holding exactly the RDD that
+    // localCheckpoint persisted, so no concurrent registration in
+    // the shared SparkContext can leak into the pin set (the
+    // registry-diff fallback below would capture — and release()
+    // would later unpersist — state owned by a different query)
+    val direct = out.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.filter(_.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    val pinned = direct match {
+      case Some(r) => Seq(r)
+      case None =>
+        // reliable checkpoints pin nothing (storage level NONE) —
+        // the diff is empty; anything else falls back to the
+        // registry diff, which assumes a single-threaded session
+        sc.getPersistentRDDs
+          .collect { case (id, r) if !before.contains(id) => r }.toSeq
+    }
     (out, pinned)
   }
 
   // releasing a localCheckpoint intentionally abandons its truncated
   // lineage — that is the whole point of deterministic release — so
-  // the per-release "cannot be recomputed after unpersisting" WARN
-  // is pure noise (hundreds of lines per bench run); demote that one
-  // logger once per JVM
+  // the per-release "… truncated and cannot be recomputed after
+  // unpersisting" WARN is pure noise (hundreds of lines per bench
+  // run). Suppress ONLY that message: a DENY filter keyed on the
+  // message text, installed once per JVM on a dedicated LoggerConfig
+  // for the emitting logger. Demoting the logger's LEVEL instead
+  // (the first cut) silenced every other WARN from MapPartitionsRDD
+  // for the whole JVM — too broad for a shared session.
   private lazy val quietTruncatedUnpersist: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val target = {
+        val closest = conf.getLoggerConfig(name)
+        if (closest.getName == name) closest
+        else {
+          // additive child config: events still flow to the parent's
+          // appenders at the parent's level; only the filter is new
+          val lc = new LoggerConfig(name, closest.getLevel, true)
+          conf.addLogger(name, lc)
+          lc
+        }
+      }
+      target.addFilter(new AbstractFilter(
+        Filter.Result.DENY, Filter.Result.NEUTRAL) {
+        override def filter(event: LogEvent): Filter.Result = {
+          val msg = if (event.getMessage == null) null
+                    else event.getMessage.getFormattedMessage
+          if (msg != null &&
+              msg.contains("cannot be recomputed after unpersisting"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+        }
+      })
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () }
 
   /** Free blocks pinned by [[cutTracked]]. Only call once nothing
     * will read the frame again — an unpersisted localCheckpoint has
@@ -457,9 +506,16 @@ object Graph {
                     scale: Long = 1000000L,
                     weight: Option[Column] = None,
                     checkpointDir: Option[String] = None,
-                    maxBroadcastBytes: Long = 64L << 20)
+                    maxBroadcastBytes: Long = 64L << 20,
+                    srcBuckets: Option[Int] = None)
       : DataFrame = {
-    require(trace.nonEmpty, "need a pagerankTrace run to fold into")
+    // >= 2: round 0 plus at least one iteration. A real
+    // pagerankTrace always has both; a degenerate 1-element trace
+    // has ZERO rounds to fold, and the driver/shuffle paths disagree
+    // on its added-node filler (0 vs scale) — refuse it rather than
+    // let the answer depend on maxBroadcastBytes
+    require(trace.length >= 2,
+      "need a pagerankTrace run (round 0 + >=1 iteration) to fold into")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
@@ -468,12 +524,37 @@ object Graph {
         when(wCol > 0, wCol)
           .otherwise(raise_error(lit(s"$who: edge weights must " +
             "be positive")).cast(Dec)).as("w"))
+    // layout hint: both frames carry the artifact's physical
+    // partition column sb = pmod(xxhash64(src), srcBuckets); the
+    // fold's src-keyed probes then read ONLY the probing frontier's
+    // partition directories (see [[EdgeLayout]])
+    val layout = srcBuckets.map { n =>
+      require(n > 0, s"srcBuckets must be > 0: $n")
+      require(edges.columns.contains("sb") &&
+          delta.columns.contains("sb"),
+        "pagerankDelta: srcBuckets is set but the frames carry no " +
+          "'sb' partition column — write the artifact partitioned " +
+          "by sb = pmod(xxhash64(src), buckets) cast to int and " +
+          "select sb through")
+      EdgeLayout(n, ids =>
+        withW(edges.where(col("sb").isin(ids: _*)), "pagerankDelta")
+          .unionAll(withW(delta.where(col("sb").isin(ids: _*)),
+            "pagerankDelta")))
+    }
     // width-normalized caches (see pagerankTrace's e0 note): the
     // fold scans these a handful of times — hops, frontier-edge and
     // degree probes — and each scan should cost shuffle-width tasks,
-    // not the raw scan's split count
-    val eOld = withW(edges, "pagerankDelta")
-      .repartition(shuffleWidth(edges), col("src")).persist()
+    // not the raw scan's split count. With a LAYOUT the base frame
+    // stays UNCACHED: at artifact scale no cache holds the graph
+    // anyway, and every repeated src-keyed probe reads a pruned
+    // parquet slice instead — only the edit-sized delta is worth
+    // pinning.
+    val eOldP =
+      if (layout.isEmpty)
+        Some(withW(edges, "pagerankDelta")
+          .repartition(shuffleWidth(edges), col("src")).persist())
+      else None
+    val eOld = eOldP.getOrElse(withW(edges, "pagerankDelta"))
     val eDelta = withW(delta, "pagerankDelta")
       .repartition(shuffleWidth(delta), col("src")).persist()
     val eNew = eOld.unionAll(eDelta)
@@ -545,11 +626,11 @@ object Graph {
     // frame alone
     val srcsD = eDelta.select(col("src").as("node")).distinct()
     val out = foldCore(eNew, Seq(eNew), srcsD, added, trace, num,
-      den, scale, checkpointDir, maxBroadcastBytes)
+      den, scale, checkpointDir, maxBroadcastBytes, layout)
     // foldCore's result is eagerly materialized — every input frame
     // below is dead
     release(addedPins)
-    eOld.unpersist()
+    eOldP.foreach(_.unpersist())
     eDelta.unpersist()
     out
   }
@@ -588,7 +669,10 @@ object Graph {
                       checkpointDir: Option[String] = None,
                       maxBroadcastBytes: Long = 64L << 20)
       : DataFrame = {
-    require(trace.nonEmpty, "need a pagerankTrace run to fold into")
+    // >= 2 for the same reason as pagerankDelta: zero-round folds
+    // have path-dependent added-node filler — refuse
+    require(trace.length >= 2,
+      "need a pagerankTrace run (round 0 + >=1 iteration) to fold into")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
@@ -679,23 +763,48 @@ object Graph {
       case (k, n) => s"$n × $k"
     }.mkString("; ")
 
-  /** The new frame with its out-degree totals pre-joined — every
-    * fold round then needs only the score join (one shuffle). The
-    * degree aggregate stays LAZY: it has exactly one consumer (this
-    * join), and the whole frame persists — materialized by its
-    * first action, costing zero standalone jobs. Only the SHUFFLE
-    * fold path pays this edge-sized join; the broadcast path reads
-    * degrees for frontier sources alone.
+  /** Partition-layout hint for a fold's edge artifact: the frame was
+    * written with a physical partition column
+    * `sb = pmod(xxhash64(src), buckets)` (int), and `scan(ids)`
+    * returns the weight-normalized `(src, dst, w)` slice reading
+    * ONLY those partition directories — literal partition pruning,
+    * visible in the plan as `PartitionFilters: [sb IN (…)]`. Every
+    * src-keyed fold probe — hop expansion, degree extraction, the
+    * driver path's BFS — then reads frontier-proportional FILE
+    * bytes instead of the full artifact; only the one dst-keyed
+    * in-edge extract still scans everything. At 100 TB the edge
+    * frame cannot live in cache, so pruned parquet reads are the
+    * difference between a fold hop costing O(frontier) and
+    * O(graph) I/O.
     */
-  private def preJoinDegrees(eNew: DataFrame): DataFrame = {
-    val degNew = eNew.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).cast(Dec).as("deg"))
-    eNew.join(degNew.select(col("node").as("__dn"),
-        col("deg")), col("__dn") === eNew("src"))
-      .select(eNew("src").as("src"), eNew("dst").as("dst"),
-        eNew("w"), col("deg"))
-      .persist()
-  }
+  private[graft] final case class EdgeLayout(
+      buckets: Int, scan: Seq[Int] => DataFrame)
+
+  /** Frame capture for ExplainAudit's fold-layout pin: when the
+    * `graft.fold.audit` system property is `true`, the distributed
+    * fold records its pruned hop probe ("hop") and its final
+    * trace-patch compose ("compose") here, pre-cut. The fold's
+    * intermediate frames are consumed by eager cuts, so their plans
+    * are invisible on the returned frame — this is the only window
+    * the audit has. Debug-only: never read (and never populated) in
+    * production paths.
+    */
+  private[graft] val foldAuditFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def foldAudit(key: String, df: DataFrame): Unit =
+    if (sys.props.get("graft.fold.audit").contains("true"))
+      foldAuditFrames.put(key, df)
+
+  /** The partition-bucket ids a node frame's values hash into — at
+    * most `buckets` ints from one tiny distinct-aggregate (over a
+    * LOCAL relation when the frontier is driver-resident, which
+    * never touches the cluster). Must mirror the writer's
+    * `pmod(xxhash64(src), buckets)` exactly.
+    */
+  private def bucketIds(nodes: DataFrame, buckets: Int): Seq[Int] =
+    nodes.select(pmod(xxhash64(col(nodes.columns.head)),
+        lit(buckets.toLong)).cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
 
   /** The shared frontier fold: re-iterate ONLY the dirty frontier
     * over the new frame `e` (plain `src, dst, w` — degrees are
@@ -740,15 +849,23 @@ object Graph {
                        trace: Seq[DataFrame],
                        num: Long, den: Long, scale: Long,
                        checkpointDir: Option[String],
-                       maxBroadcastBytes: Long): DataFrame = {
+                       maxBroadcastBytes: Long,
+                       layout: Option[EdgeLayout] = None): DataFrame = {
     val addedRows = added.select(col("node"))
     foldDriver(e, firstHop, seeds, addedRows, trace, num, den,
-      scale, checkpointDir, maxBroadcastBytes)
+      scale, checkpointDir, maxBroadcastBytes, layout)
       .getOrElse {
         // budget blown somewhere — the honest distributed plan:
-        // cut-based frontier seeding, then shuffle rounds
+        // cut-based frontier seeding, then shuffle rounds. With a
+        // layout hint the seed hop probes only the seeds' partition
+        // buckets (the hint implies the pure-addition form, where
+        // the single first-hop frame IS `e`).
         val (srcs, sp) = cutTracked(seeds, checkpointDir)
-        val hop1 = firstHop.map(f =>
+        val hopFrames = layout match {
+          case Some(l) => Seq(l.scan(bucketIds(srcs, l.buckets)))
+          case None => firstHop
+        }
+        val hop1 = hopFrames.map(f =>
             f.join(srcs.withColumnRenamed("node", "__f"),
               f("src") === col("__f"))
             .select(f("dst").as("node")))
@@ -756,20 +873,39 @@ object Graph {
         val (dirty1, dp) = cutTracked(
           hop1.unionAll(addedRows).distinct(), checkpointDir)
         val out = foldShuffle(e, trace, dirty1, addedRows, num, den,
-          scale, checkpointDir)
+          scale, checkpointDir, layout)
         release(dp)
         release(sp)
         out
       }
   }
 
-  /** Collect one frame's rows within the budget: `None` when it
-    * holds more than `rowLimit` rows. The `limit(n+1)` bounds the
-    * collect ITSELF — an over-budget frame costs one row past the
-    * limit, never a driver OOM.
+  /** Rows admissible under a BYTE budget for a schema: budget
+    * divided by the estimated row width (field defaultSizes + 16
+    * bytes of per-row object overhead). A row cap alone (the first
+    * cut's budget/32) under-priced wide frames: a hub source puts
+    * one node in millions of collected in-edge ROWS whose
+    * (src, dst, DECIMAL(38) w) width is several times 32 bytes, so
+    * the driver materialized far past the budget while the node
+    * COUNT stayed small — the skewed frontier must fall back to the
+    * distributed rounds BEFORE collecting, not after.
     */
-  private def collectBounded(df: DataFrame, rowLimit: Long)
+  private def byteRowLimit(
+      schema: org.apache.spark.sql.types.StructType,
+      maxBytes: Long): Long = {
+    val width = schema.fields.map(_.dataType.defaultSize).sum + 16
+    (maxBytes / width.max(1)).max(1L)
+  }
+
+  /** Collect one frame's rows within the byte budget (row cap =
+    * [[byteRowLimit]] of the frame's own schema): `None` when it
+    * holds more. The `limit(n+1)` bounds the collect ITSELF — an
+    * over-budget frame costs one row past the limit, never a driver
+    * OOM.
+    */
+  private def collectBounded(df: DataFrame, maxBytes: Long)
       : Option[Array[org.apache.spark.sql.Row]] = {
+    val rowLimit = byteRowLimit(df.schema, maxBytes)
     val rows = df.limit((rowLimit + 1).min(Int.MaxValue).toInt)
       .collect()
     if (rows.length > rowLimit) None else Some(rows)
@@ -779,6 +915,18 @@ object Graph {
     * — the default CollectLimit escalation (1 partition, then 4×…)
     * turns every bounded probe into up to five scheduler
     * round-trips. Restores the previous setting on exit.
+    *
+    * CONCURRENCY: this toggles a session-wide SQL conf
+    * (`spark.sql.limit.initialNumPartitions`) for the duration of
+    * the driver fold's bounded probes — a concurrent query on the
+    * SAME SparkSession would observe the temporary value, and a
+    * concurrent setter would be clobbered by the finally-restore.
+    * The bounded probes cannot move to a cloned session (a DataFrame
+    * is bound to the session that planned it), so the delta folds
+    * carry the same precondition as the release machinery above:
+    * one query at a time per session. The only effect of a violation
+    * is a limit executing in one wave instead of escalating — a
+    * scheduling detail, never a different answer.
     */
   private def withSingleWaveLimit[A](
       spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
@@ -835,18 +983,32 @@ object Graph {
                          trace: Seq[DataFrame],
                          num: Long, den: Long, scale: Long,
                          checkpointDir: Option[String],
-                         maxBroadcastBytes: Long)
+                         maxBroadcastBytes: Long,
+                         layout: Option[EdgeLayout] = None)
       : Option[DataFrame] = {
     val iterations = trace.length - 1
     val spark = e.sparkSession
-    val rowLimit = (maxBroadcastBytes / 32).max(1L)
+    // with a layout hint, every src-keyed probe frame is the PRUNED
+    // slice of the artifact for the probing frontier's buckets (the
+    // bucket-id aggregate runs over the frontier's LOCAL frame —
+    // driver-cheap); without one, the probe scans `f` whole
+    def srcProbe(f: DataFrame, frontier: DataFrame): DataFrame =
+      layout match {
+        case Some(l) => l.scan(bucketIds(frontier, l.buckets))
+        case None => f
+      }
     val nodeType = seeds.schema("node").dataType
+    // cap for driver-resident NODE SETS (collected frames are capped
+    // per-frame by collectBounded's own byte-derived row limit)
+    val nodeLimit = (maxBroadcastBytes /
+      (nodeType.defaultSize + 16)).max(1L)
     def localFrame(nodes: Iterable[Any], name: String): DataFrame =
       localNodeFrame(spark, nodes, name, nodeType)
     def big(d: java.math.BigDecimal): BigInt = BigInt(d.toBigInteger)
     withSingleWaveLimit(spark) { for {
-      seedArr <- collectBounded(seeds.select(col("node")), rowLimit)
-      addedArr <- collectBounded(addedRows, rowLimit)
+      seedArr <- collectBounded(seeds.select(col("node")),
+        maxBroadcastBytes)
+      addedArr <- collectBounded(addedRows, maxBroadcastBytes)
       // dirty₁ = the seeds' out-neighbors in every first-hop frame
       // (the refresh form probes BOTH the old and new frames — a
       // removal dirties nodes the new frame no longer reaches from
@@ -854,14 +1016,20 @@ object Graph {
       d1 <- {
         val seedSet = seedArr.map(_.get(0)).toSet
         val sf = localFrame(seedSet, "__f")
-        firstHop.foldLeft(
+        // the layout hint implies the pure-addition form, whose one
+        // first-hop frame IS `e` — probe its pruned slice instead
+        val hopFrames = layout match {
+          case Some(_) => Seq(srcProbe(e, sf))
+          case None => firstHop
+        }
+        hopFrames.foldLeft(
             Option(addedArr.map(_.get(0)).toSet)) { (acc, f) =>
           acc.flatMap(s =>
             collectBounded(
               f.join(broadcast(sf), f("src") === col("__f"))
-                .select(f("dst").as("node")), rowLimit)
+                .select(f("dst").as("node")), maxBroadcastBytes)
               .map(rows => s ++ rows.iterator.map(_.get(0))))
-        }.filter(_.size <= rowLimit)
+        }.filter(_.size <= nodeLimit)
       }
       // depth-bounded BFS union, expanding each node ONCE (a node
       // first reached at depth d contributes its out-neighbors at
@@ -874,14 +1042,15 @@ object Graph {
         var blown = false
         while (hop <= iterations && frontier.nonEmpty && !blown) {
           val fr = localFrame(frontier, "__f")
+          val pe = srcProbe(e, fr)
           collectBounded(
-            e.join(broadcast(fr), e("src") === col("__f"))
-              .select(e("dst").as("node")), rowLimit) match {
+            pe.join(broadcast(fr), pe("src") === col("__f"))
+              .select(pe("dst").as("node")), maxBroadcastBytes) match {
             case Some(rows) =>
               val next = rows.map(_.get(0)).toSet -- acc
               acc ++= next
               frontier = next
-              if (acc.size > rowLimit) blown = true
+              if (acc.size > nodeLimit) blown = true
             case None => blown = true
           }
           hop += 1
@@ -894,16 +1063,19 @@ object Graph {
         e.join(broadcast(localFrame(all, "__t")),
           e("dst") === col("__t"))
         .select(e("src").as("src"), e("dst").as("dst"), e("w")),
-        rowLimit)
+        maxBroadcastBytes)
       // out-degree TOTALS for frontier-in-edge sources only (each
       // source's full out-edge sum — aggregated cluster-side, so the
       // collect is source-set-sized even for hub sources)
       srcsF = fE.map(_.get(0)).toSet
-      degRows <- collectBounded(
-        e.join(broadcast(localFrame(srcsF, "__s")),
-          e("src") === col("__s"))
-        .groupBy(e("src").as("src"))
-        .agg(sum(col("w")).cast(Dec).as("deg")), rowLimit)
+      degRows <- {
+        val sFrame = localFrame(srcsF, "__s")
+        val de = srcProbe(e, sFrame)
+        collectBounded(
+          de.join(broadcast(sFrame), de("src") === col("__s"))
+          .groupBy(de("src").as("src"))
+          .agg(sum(col("w")).cast(Dec).as("deg")), maxBroadcastBytes)
+      }
       // prior-round trace scores for sources OUTSIDE the frontier
       // (frontier scores are recomputed; round 0 is `scale`
       // everywhere by the unseeded precondition) — all rounds in ONE
@@ -922,7 +1094,7 @@ object Graph {
             tagged.join(broadcast(localFrame(outside, "node")),
               Seq("node"))
             .select(col("__rt"), col("node"), col("pr")),
-            rowLimit)
+            maxBroadcastBytes)
             .map(_.map(r => (r.getInt(0), r.get(1)) ->
               big(r.getDecimal(2))).toMap)
         }
@@ -987,7 +1159,8 @@ object Graph {
   private def foldShuffle(e: DataFrame, trace: Seq[DataFrame],
                           dirty1: DataFrame, addedRows: DataFrame,
                           num: Long, den: Long, scale: Long,
-                          checkpointDir: Option[String])
+                          checkpointDir: Option[String],
+                          layout: Option[EdgeLayout] = None)
       : DataFrame = {
     val iterations = trace.length - 1
     val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
@@ -996,10 +1169,19 @@ object Graph {
     var hop = dirty1
     var frontierUnion = dirty1
     for (_ <- 2 to iterations) {
-      val (h2, hp) = cutTracked(
-        e.join(hop.withColumnRenamed("node", "__f"),
-          e("src") === col("__f"))
-        .select(e("dst").as("node")).distinct(), checkpointDir)
+      // with a layout hint each hop reads ONLY the frontier's
+      // partition buckets — frontier-proportional file I/O per hop
+      // instead of a full artifact scan (the bucket-id aggregate is
+      // one tiny job over the checkpointed hop frame)
+      val he = layout match {
+        case Some(l) => l.scan(bucketIds(hop, l.buckets))
+        case None => e
+      }
+      val hopFrame = he.join(hop.withColumnRenamed("node", "__f"),
+          he("src") === col("__f"))
+        .select(he("dst").as("node")).distinct()
+      foldAudit("hop", hopFrame)
+      val (h2, hp) = cutTracked(hopFrame, checkpointDir)
       pins ++= hp
       hop = h2
       frontierUnion = frontierUnion.unionAll(hop)
@@ -1013,52 +1195,112 @@ object Graph {
         da
       }
     val out = foldRoundsShuffle(e, trace, dirtyAll, addedRows, num,
-      den, scale, base, checkpointDir)
+      den, scale, base, checkpointDir, layout)
     release(pins.result())
     out
   }
 
   /** Shuffle-side fold rounds (see [[foldCore]]) — the
-    * large-frontier fallback. What the single frontier BUYS is
-    * linear lineage: each round's `fresh` frame is referenced
-    * exactly once (by the next round's view), so no per-round
-    * checkpoint is needed at all — the whole k-round fold composes
-    * into ONE lazy plan (k frontier-sized joins + aggregations over
-    * scans of the persisted frames) executed by the final cut as a
-    * single cluster action. A full re-rank pays an edge-sized
-    * shuffle join and a node-sized checkpoint EVERY round; the fold
-    * pays frontier-sized shuffles and ONE node-sized compose.
+    * large-frontier fallback. The frontier's in-edges are extracted
+    * ONCE, with each source's FULL out-degree total pre-joined, and
+    * eagerly cut: the k rounds then scan that frontier-proportional
+    * frame and never the full edge frame (the earlier shape
+    * persisted the ENTIRE degree-joined edge frame and re-scanned
+    * it every round — O(graph) × k bytes instead of O(frontier) × k;
+    * with a layout hint even the one-off degree extract prunes to
+    * the frontier sources' partition buckets). What the single
+    * frontier BUYS is linear lineage: each round's `fresh` frame is
+    * referenced exactly once (by the next round's source scores), so
+    * no per-round checkpoint is needed at all — the whole k-round
+    * fold composes into ONE lazy plan (k frontier-sized joins +
+    * aggregations over scans of the cut frames) executed by the
+    * final frontier cut as a single cluster action.
+    *
+    * NO node-sized shuffle anywhere: each round reads the trace
+    * element only to look up the scores of NEVER-DIRTY frontier
+    * in-edge sources (`srcsOut`, frontier-sized) — the trace scan
+    * joins that set directly, so when the trace is a node-BUCKETED
+    * table the scan reaches its join without an Exchange over it
+    * (the frontier-sized side shuffles into the trace's bucketing
+    * instead; the earlier shape unioned the full trace with added
+    * rows first, which erased the bucketing and re-shuffled the
+    * node-sized union every round). The one node-sized pass left is
+    * the closing patch of trace(k) — same no-trace-shuffle shape —
+    * against the ONE frontier-sized cut of the final fresh scores.
+    * A full re-rank pays an edge-sized shuffle join and a node-sized
+    * checkpoint EVERY round; the fold pays frontier-sized shuffles
+    * and ONE node-sized (shuffle-free) compose.
     */
   private def foldRoundsShuffle(e: DataFrame, trace: Seq[DataFrame],
                                 dirtyAll: DataFrame,
                                 addedRows: DataFrame,
                                 num: Long, den: Long, scale: Long,
                                 base: Column,
-                                checkpointDir: Option[String])
+                                checkpointDir: Option[String],
+                                layout: Option[EdgeLayout] = None)
       : DataFrame = {
     val iterations = trace.length - 1
-    val eD = preJoinDegrees(e)
-    def patchedView(t: Int, fresh: Option[DataFrame]): DataFrame = {
-      val filler = lit(if (t == 0) scale else 0L).cast(Dec)
-      val full = trace(t).select(col("node"), col("pr"))
-        .unionAll(addedRows.select(col("node"), filler.as("pr")))
-      fresh match {
-        case Some(f) => full.join(f, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("__npr"), col("pr")).as("pr"))
-        case None => full
-      }
+    // frontier in-edges, extracted once — the only edges whose
+    // shares can move a dirty score
+    val (eF, eFPins) = cutTracked(
+      e.join(dirtyAll.withColumnRenamed("node", "__t"),
+        e("dst") === col("__t"))
+      .select(e("src").as("src"), e("dst").as("dst"), e("w")),
+      checkpointDir)
+    val (srcsF, sFPins) = cutTracked(
+      eF.select(col("src").as("node")).distinct(), checkpointDir)
+    // out-degree TOTALS for frontier-in-edge sources only — summed
+    // over each source's full out-edge set (a function of src, so a
+    // layout hint prunes this scan to those sources' buckets)
+    val degE = layout match {
+      case Some(l) => l.scan(bucketIds(srcsF, l.buckets))
+      case None => e
     }
+    val degF = degE.join(srcsF.withColumnRenamed("node", "__s"),
+        degE("src") === col("__s"))
+      .groupBy(degE("src").as("__dn"))
+      .agg(sum(degE("w")).cast(Dec).as("deg"))
+    val (eFD, eFDPins) = cutTracked(
+      eF.join(degF, col("__dn") === eF("src"))
+        .select(eF("src").as("src"), eF("dst").as("dst"), eF("w"),
+          col("deg")),
+      checkpointDir)
+    release(eFPins)
+    // frontier-source split, cut once and read every round: sources
+    // whose score the trace supplies verbatim (never dirty) vs
+    // sources recomputed each round
+    val (srcsOut, oPins) = cutTracked(
+      srcsF.join(dirtyAll, Seq("node"), "left_anti"), checkpointDir)
+    val (srcsIn, iPins) = cutTracked(
+      srcsF.join(dirtyAll, Seq("node"), "left_semi"), checkpointDir)
+    // per-round source scores, RESTRICTED to frontier in-edge
+    // sources (the inflow join reads nothing else — the earlier
+    // shape built the full patched node view per round): trace
+    // scores for never-dirty sources, the previous round's fresh
+    // scores for dirty ones. Round 0 is the unseeded precondition —
+    // trace(0) for old nodes, `scale` for added ones (added nodes
+    // are absent from every trace element).
+    def srcScores(t: Int, fresh: Option[DataFrame]): DataFrame =
+      fresh match {
+        case None =>
+          trace(0).select(col("node"), col("pr"))
+            .join(srcsF, Seq("node"))
+            .unionAll(addedRows.join(srcsF, Seq("node"))
+              .select(col("node"), lit(scale).cast(Dec).as("pr")))
+        case Some(f) =>
+          trace(t).select(col("node"), col("pr"))
+            .join(srcsOut, Seq("node"))
+            .unionAll(f.join(srcsIn, Seq("node"))
+              .select(col("node"), col("__npr").as("pr")))
+      }
     var fresh: Option[DataFrame] = None
     for (t <- 1 to iterations) {
-      val prev = patchedView(t - 1, fresh)
-      val inflow = eD
-        .join(dirtyAll.withColumnRenamed("node", "__t"),
-          eD("dst") === col("__t"))
+      val prev = srcScores(t - 1, fresh)
+      val inflow = eFD
         .join(prev.select(col("node").as("__sn"), col("pr")),
-          col("__sn") === eD("src"))
-        .select(eD("dst").as("node"),
-          floorDiv(col("pr") * eD("w"), eD("deg")).as("share"))
+          col("__sn") === eFD("src"))
+        .select(eFD("dst").as("node"),
+          floorDiv(col("pr") * eFD("w"), eFD("deg")).as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).cast(Dec).as("inflow"))
       // NOT cut: single-reference linear chain (see scaladoc)
@@ -1068,10 +1310,25 @@ object Graph {
             coalesce(col("inflow"), lit(0).cast(Dec)),
             lit(den).cast(Dec))).as("__npr")))
     }
-    // the ONE node-sized compose — and the fold's one cluster action
-    val (out, _) = cutTracked(patchedView(iterations, fresh),
-      checkpointDir)
-    eD.unpersist()
+    // cut the final fresh scores ONCE (frontier-sized — the fold's
+    // one cluster action over the k-round lazy chain) so the closing
+    // node-sized patch can reference them twice without duplicating
+    // the chain
+    val (freshCut, fcPins) = cutTracked(fresh.get, checkpointDir)
+    // the closing patch: trace(k) coalesced against the fresh
+    // scores (dirty nodes win), plus the added nodes — present only
+    // in the fresh frame — appended from it directly. No union sits
+    // below the join, so a bucketed trace scan reaches the join
+    // unshuffled.
+    val compose = trace(iterations).select(col("node"), col("pr"))
+      .join(freshCut, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__npr"), col("pr")).as("pr"))
+      .unionAll(freshCut.join(addedRows, Seq("node"), "left_semi")
+        .select(col("node"), col("__npr").as("pr")))
+    foldAudit("compose", compose)
+    val (out, _) = cutTracked(compose, checkpointDir)
+    release(eFDPins ++ fcPins ++ oPins ++ iPins ++ sFPins)
     out
   }
 
@@ -1302,7 +1559,10 @@ object Graph {
                 scale: Long = 1000000L,
                 checkpointDir: Option[String] = None,
                 maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    require(trace.nonEmpty, "need a hitsTrace run to fold into")
+    // >= 2 for the same reason as pagerankDelta: zero-round folds
+    // have path-dependent added-node filler — refuse
+    require(trace.length >= 2,
+      "need a hitsTrace run (round 0 + >=1 iteration) to fold into")
     val iterations = trace.length - 1
     // width-normalized caches (the pagerankTrace e0 note); the
     // combined frame stays a lazy union of the two — persisting it
@@ -1526,15 +1786,21 @@ object Graph {
       : Option[DataFrame] = {
     val iterations = trace.length - 1
     val spark = e.sparkSession
-    val rowLimit = (maxBroadcastBytes / 32).max(1L)
     val nodeType = dSrcs.schema("node").dataType
+    // total-edge cap in EDGE-ROW units: 2x the per-collect byte
+    // budget's worth of (src, dst) rows — the incremental probes
+    // accumulate across half-rounds, so the sum needs its own bound
+    val edgeRowCap = 2L * (maxBroadcastBytes /
+      (2 * nodeType.defaultSize + 16)).max(1L)
     def lf(nodes: Iterable[Any], name: String): DataFrame =
       localNodeFrame(spark, nodes, name, nodeType)
     def big(d: java.math.BigDecimal): BigInt = BigInt(d.toBigInteger)
     withSingleWaveLimit(spark) {
       val seedsOpt = for {
-        ds <- collectBounded(dSrcs.select(col("node")), rowLimit)
-        dd <- collectBounded(dDsts.select(col("node")), rowLimit)
+        ds <- collectBounded(dSrcs.select(col("node")),
+          maxBroadcastBytes)
+        dd <- collectBounded(dDsts.select(col("node")),
+          maxBroadcastBytes)
       } yield (ds.map(_.get(0)).toSet, dd.map(_.get(0)).toSet)
       seedsOpt.flatMap { case (dS, dD) =>
         // phase 1: frontier expansion + incremental edge gathering
@@ -1552,10 +1818,11 @@ object Graph {
             val keyCol = if (bySrc) e("src") else e("dst")
             collectBounded(
               e.join(broadcast(fr), keyCol === col("__f"))
-                .select(e("src"), e("dst")), rowLimit) match {
+                .select(e("src"), e("dst")),
+              maxBroadcastBytes) match {
               case Some(rows) =>
                 edgeRows += rows.length
-                if (edgeRows > 2 * rowLimit) ok = false
+                if (edgeRows > edgeRowCap) ok = false
                 else rows.foreach { r =>
                   val s = r.get(0); val d = r.get(1)
                   if (bySrc)
@@ -1609,7 +1876,7 @@ object Graph {
                 tagged.join(broadcast(lf(lookupNodes, "node")),
                   Seq("node"))
                 .select(col("__rt"), col("node"), col("a_raw"),
-                  col("h_raw")), rowLimit)
+                  col("h_raw")), maxBroadcastBytes)
                 .map(_.map(r => (r.getInt(0), r.get(1)) ->
                   ((big(r.getDecimal(2)), big(r.getDecimal(3)))))
                   .toMap)

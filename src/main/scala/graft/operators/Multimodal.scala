@@ -38,6 +38,34 @@ object Multimodal {
   def audioMeta(payload: Column): Column =
     graft.functions.AudioMetaExpr.audioMetaNative(payload)
 
+  /** Perceptual 64-bit dHash over DECODED pixels (uncompressed BMP;
+    * see [[graft.functions.ImageHash]]): one native codegen'd call
+    * per payload, null for undecodable bytes. Pair with
+    * [[graft.operators.Dedup.imageNearDups]] for banded near-dup
+    * joins.
+    */
+  def imageDHash(payload: Column): Column =
+    graft.functions.ImageHash.imageDHash(payload)
+
+  /** Perceptual 64-bit average-hash sibling of [[imageDHash]]. */
+  def imageAHash(payload: Column): Column =
+    graft.functions.ImageHash.imageAHash(payload)
+
+  /** EXIF metadata from a JPEG payload's APP1 segment (see
+    * [[graft.functions.Exif]]): `struct<has_exif, has_gps, make,
+    * model, datetime, orientation>`, null for non-JPEG bytes — the
+    * PII scan face of a multimodal corpus.
+    */
+  def exifMeta(payload: Column): Column =
+    graft.functions.Exif.exifMeta(payload)
+
+  /** The redaction side of [[exifMeta]]: the same JPEG with every
+    * Exif APP1 segment removed, all other bytes identical (non-JPEG
+    * inputs pass through unchanged).
+    */
+  def exifStrip(payload: Column): Column =
+    graft.functions.Exif.exifStrip(payload)
+
   /** Video-container sniff + stream parameters from the payload
     * HEADER bytes (see [[graft.functions.VideoMetaExpr]]): one native
     * codegen'd call per payload returning `struct<format,

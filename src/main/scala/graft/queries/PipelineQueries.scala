@@ -214,12 +214,28 @@ object PipelineQueries {
         col("l_suppkey").cast("long").as("supp"))
   }
 
+  /** Physical partition fan-out of the persisted fold artifacts:
+    * the cycle graph is directory-partitioned by
+    * `sb = pmod(xxhash64(src), CycleBuckets)` so a fold's src-keyed
+    * probes prune to the probing frontier's partitions
+    * ([[Graph.EdgeLayout]] — at 100 TB this is the difference
+    * between a fold hop costing O(frontier) and O(graph) file I/O;
+    * a production deployment sizes this into the thousands), and
+    * each rank-trace element is a catalog table BUCKETED by `node`
+    * so the per-round trace-patch join never shuffles the
+    * node-sized trace side (the frontier-sized patch side shuffles
+    * into the trace's bucketing instead).
+    */
+  private[graft] val CycleBuckets = 16
+  private val TraceBuckets = 16
+
   /** The cycle graph MATERIALIZED once per (process, sf dir) beside
     * the purchase graph (same marker + stale-sweep scheme) — the
     * incremental contract again: a production fold ranks a
     * persisted edge frame, it never re-sorts the fact table per
     * run. Carries `supp` so q174's delta is a column-pruned filter
-    * of the same parquet.
+    * of the same parquet, and the `sb` partition column so the
+    * fold's frontier probes are partition-pruned scans.
     */
   private def ensureShipmentCycle(s: SparkSession,
                                   d: String): DataFrame = {
@@ -231,7 +247,10 @@ object PipelineQueries {
         java.nio.charset.StandardCharsets.UTF_8) == d
     if (!fresh) {
       shipmentCycleEdges(s, d)
-        .write.mode("overwrite").parquet(s"$dir/cycle")
+        .withColumn("sb", pmod(xxhash64(col("src")),
+          lit(CycleBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("sb")
+        .parquet(s"$dir/cycle")
       java.nio.file.Files.write(marker,
         d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -245,6 +264,9 @@ object PipelineQueries {
     * marker + stale-sweep scheme); each element round-trips as
     * parquet (DECIMAL(38,0) scores exactly).
     */
+  private def traceTable(name: String, i: Int): String =
+    s"graft_trace_${name}_t$i"
+
   private def ensureRankTrace(s: SparkSession, d: String,
                               name: String, iterations: Int)
                              (build: () => Seq[DataFrame])
@@ -252,14 +274,20 @@ object PipelineQueries {
     sweepStaleServingIndexes()
     val dir = s"$PurchaseGraphDir/trace_$name"
     val marker = java.nio.file.Paths.get(dir, "_built_from")
+    // bucketing lives in the session CATALOG: a marker written by an
+    // earlier session in this process does not let THIS session
+    // resolve the tables, so freshness requires both
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8) == d
+        java.nio.charset.StandardCharsets.UTF_8) == d &&
+      (0 to iterations).forall(i =>
+        s.catalog.tableExists(traceTable(name, i)))
     if (!fresh) {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
       build().zipWithIndex.foreach { case (df, i) =>
-        df.write.mode("overwrite").parquet(s"$dir/t$i")
+        Layout.writeBucketed(df, traceTable(name, i), s"$dir/t$i",
+          "node", TraceBuckets)
       }
       // the build's localCheckpoint blocks are superseded by the
       // parquet artifact the moment the writes land — release them
@@ -272,7 +300,7 @@ object PipelineQueries {
       java.nio.file.Files.write(marker,
         d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    (0 to iterations).map(i => s.read.parquet(s"$dir/t$i"))
+    (0 to iterations).map(i => s.table(traceTable(name, i)))
   }
 
   /** The symmetrized purchase graph (q169/q178's base family). */
@@ -343,6 +371,133 @@ object PipelineQueries {
     ensureRankTrace(s, d, "hits2", 2)(() =>
       Graph.hitsTrace(ensurePurchaseGraph(s, d)
         .select(col("src"), col("dst")), iterations = 2))
+
+  /** q174's fold, budget-parameterized so ExplainAudit can force
+    * the DISTRIBUTED path (`maxBroadcastBytes = 0`) against the
+    * same persisted artifacts and pin its plan shapes: the `sb`
+    * partition column + `srcBuckets` hint make every frontier probe
+    * a partition-pruned scan of the cycle artifact, and the
+    * node-bucketed trace tables keep the trace side of each patch
+    * join shuffle-free.
+    */
+  /** q179's deterministic cell luma (grid coords cx in 0..8,
+    * cy in 0..7): five pattern families (id mod 5) with a per-
+    * variant single-cell perturbation — in-family images land a few
+    * dHash bits apart, across families far apart. The DuckDB oracle
+    * replays this formula at the PIXEL level and re-derives both
+    * hashes independently, so the match proves the whole
+    * encode→decode→downsample→hash chain.
+    */
+  private def q179Luma(id: Column, cx: Int, cy: Int): Column = {
+    val f = pmod(id, lit(5L))
+    val v = floor(id / lit(5)).cast("long")
+    val base = pmod(f * 37 + lit(cx * 13 + cy * 7), lit(199))
+    when(v > lit(0) && pmod(v, lit(9)) === cx &&
+        pmod(v * 3, lit(8)) === cy,
+      pmod(base + 97, lit(199))).otherwise(base)
+  }
+
+  /** A REAL uncompressed 24bpp bottom-up BMP assembled in-plan as a
+    * hex string (unhex'd by the caller): 9×8 when `blk` = 1, 18×16
+    * of 2×2 constant blocks when `blk` = 2 — the two sizes exercise
+    * both the identity and the area-downsample paths of the native
+    * decoder.
+    */
+  private def q179BmpHex(id: Column, blk: Int): Column = {
+    val w = 9 * blk
+    val h = 8 * blk
+    val stride = ((24 * w + 31) / 32) * 4
+    val pad = stride - 3 * w
+    val size = 54 + stride * h
+    def le32(v: Int): String =
+      (0 until 4).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+    def le16(v: Int): String =
+      (0 until 2).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+    val header = "424d" + le32(size) + le32(0) + le32(54) +
+      le32(40) + le32(w) + le32(h) + le16(1) + le16(24) + le32(0) +
+      le32(stride * h) + le32(2835) + le32(2835) + le32(0) + le32(0)
+    // bottom-up: image cell-row 7 is stored first; each cell row is
+    // `blk` identical pixel rows, each cell `blk` identical pixels
+    // of 3 identical (B=G=R) bytes — luma survives decode exactly
+    val rows = (7 to 0 by -1).map { cy =>
+      val cells = (0 until 9).map(cx =>
+        repeat(lpad(hex(q179Luma(id, cx, cy)), 2, "0"), 3 * blk))
+      val rowHex = concat(cells :+ lit("0" * (2 * pad)): _*)
+      repeat(rowHex, blk)
+    }
+    concat(lit(header) +: rows: _*)
+  }
+
+  /** q180's hand-assembled JPEG/TIFF fixtures (the ExifSpec layout,
+    * built independently here so the query never shares bytes with
+    * the test): IFD0 with ASCII Make/Model/DateTime, inline SHORT
+    * orientation, and optionally the GPS-IFD pointer — the PII
+    * signal.
+    */
+  private def q180Jpeg(exif: Option[(Boolean, String, String,
+      String, Int, Boolean)]): Array[Byte] = {
+    def tiff(le: Boolean, make: String, model: String, dt: String,
+             orientation: Int, gps: Boolean): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(512).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      out.put((if (le) "II" else "MM")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.putShort(42).putInt(8)
+      val ascii = Seq(0x010f -> make, 0x0110 -> model, 0x0132 -> dt)
+      val nEntries = ascii.size + 1 + (if (gps) 1 else 0)
+      out.putShort(nEntries.toShort)
+      var dataOff = 8 + 2 + 12 * nEntries + 4
+      val data = java.nio.ByteBuffer.allocate(256)
+      for ((tag, v) <- ascii) {
+        val bytes = (v + "\u0000")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        out.putShort(tag.toShort).putShort(2).putInt(bytes.length)
+        if (bytes.length <= 4) out.put(
+          java.util.Arrays.copyOf(bytes, 4))
+        else {
+          out.putInt(dataOff)
+          data.put(bytes)
+          dataOff += bytes.length
+        }
+      }
+      out.putShort(0x0112).putShort(3).putInt(1)
+        .putShort(orientation.toShort).putShort(0)
+      if (gps) out.putShort(0x8825.toShort).putShort(4).putInt(1)
+        .putInt(dataOff)
+      out.putInt(0)
+      out.put(data.array(), 0, data.position())
+      java.util.Arrays.copyOf(out.array(), out.position())
+    }
+    def bb(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val app1 = exif.map { case (le, make, model, dt, o, gps) =>
+      val payload = "Exif\u0000\u0000"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        tiff(le, make, model, dt, o, gps)
+      val len = payload.length + 2
+      bb(0xff, 0xe1, (len >> 8) & 0xff, len & 0xff) ++ payload
+    }.getOrElse(Array.empty[Byte])
+    bb(0xff, 0xd8) ++ app1 ++
+      bb(0xff, 0xc0, 0, 17, 8, 0, 48, 0, 64,
+        3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+      bb(0xff, 0xda, 0, 8, 1, 1, 0, 0, 63, 0) ++
+      bb(0x12, 0x34, 0x56) ++ bb(0xff, 0xd9)
+  }
+
+  private[graft] def q174Fold(s: SparkSession, d: String,
+                              maxBroadcastBytes: Long): DataFrame = {
+    val cyc = ensureShipmentCycle(s, d)
+    val base = cyc.select(col("src"), col("dst"), col("sb"))
+    val delta = cyc.where(pmod(col("supp"), lit(100)) === 0)
+      .select(col("src"), col("dst"), col("sb"))
+    val trace = traceCycle6(s, d)
+    Graph.pagerankDelta(base, delta, trace,
+        maxBroadcastBytes = maxBroadcastBytes,
+        srcBuckets = Some(CycleBuckets))
+      .select(col("node"), col("pr").cast("long").as("pr"))
+      .orderBy(col("pr").desc, col("node").asc_nulls_first)
+      .limit(10)
+  }
 
   /** Force every per-process artifact the query surface reads (the
     * purchase/cycle graphs, the five rank/HITS traces, the serving
@@ -783,17 +938,8 @@ object PipelineQueries {
     // rounds where the bench twin q175 re-ranks all |lineitem|
     // nodes 6 times: BENCH q174 < q175 is the measured incremental
     // win, same pinned answer both ways
-    "q174_pagerank_small_delta" -> ((s, d) => {
-      val cyc = ensureShipmentCycle(s, d)
-      val base = cyc.select(col("src"), col("dst"))
-      val delta = cyc.where(pmod(col("supp"), lit(100)) === 0)
-        .select(col("src"), col("dst"))
-      val trace = traceCycle6(s, d)
-      Graph.pagerankDelta(base, delta, trace)
-        .select(col("node"), col("pr").cast("long").as("pr"))
-        .orderBy(col("pr").desc, col("node").asc_nulls_first)
-        .limit(10)
-    }),
+    "q174_pagerank_small_delta" -> ((s, d) =>
+      q174Fold(s, d, maxBroadcastBytes = 64L << 20)),
 
     // q174's from-scratch twin: the full 6-round re-rank of the
     // SAME base ∪ small-delta frame — the cost the fold replaces.
@@ -922,6 +1068,75 @@ object PipelineQueries {
           col("true_label"), model, col("t"))
         .orderBy(col("true_label").asc_nulls_first,
           col("pred").asc_nulls_first)
+    }),
+
+    // PERCEPTUAL image near-dup (the pixel-level step past q72's
+    // header sniff): 40 real BMPs assembled in-plan (9×8 and 18×16
+    // 2×2-block variants of five pattern families), hashed by the
+    // native decode→downsample→dHash/aHash expressions, paired by
+    // the banded Hamming join + exact bit_count verify. The oracle
+    // re-derives every pixel, both hashes, and the pair set from
+    // the generating formula INDEPENDENTLY — a hash match proves
+    // the whole encode→decode→hash→join chain, not a pinned VALUES
+    // list
+    "q179_image_neardups" -> ((s, d) => {
+      val ids = s.range(40).toDF("id")
+      val blkOdd =
+        pmod(floor(col("id") / lit(5)).cast("long"), lit(2)) === 1
+      val imgs = ids.select(col("id"),
+        unhex(when(blkOdd, q179BmpHex(col("id"), 2))
+          .otherwise(q179BmpHex(col("id"), 1))).as("payload"))
+      val hashes = Dedup.imageHashes(imgs, col("id"),
+        col("payload"))
+      val pairs = Dedup.imageNearDups(hashes, maxHamming = 4)
+      hashes.select(lit("h").as("kind"), col("id").as("a"),
+          col("dhash").as("b"), col("ahash").as("v"))
+        .unionByName(pairs.select(lit("p").as("kind"),
+          col("id1").as("a"), col("id2").as("b"),
+          col("hamming").as("v")))
+        .orderBy(col("kind").asc, col("a").asc, col("b").asc)
+    }),
+
+    // EXIF PII scan + redaction (the q50 discipline on multimodal
+    // payloads): hand-assembled JPEGs — GPS-tagged, tagged-no-GPS,
+    // untagged — through the native APP1/TIFF walk, each re-scanned
+    // AFTER exif_strip to prove the redaction, plus the whole
+    // documents corpus as binary (text can never begin FF D8, so
+    // every row must be a null struct, never a throw)
+    "q180_exif_pii" -> ((s, d) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("gps_tagged", q180Jpeg(Some((true, "Acme", "Cam 1",
+          "2024:01:02 03:04:05", 6, true)))),
+        ("clean_exif", q180Jpeg(Some((false, "Lumen", "Z9",
+          "2023:11:05 10:00:00", 1, false)))),
+        ("no_exif", q180Jpeg(None)))
+        .toDF("name", "payload")
+      val m = Multimodal.exifMeta(col("payload"))
+      val ms = Multimodal.exifMeta(
+        Multimodal.exifStrip(col("payload")))
+      val fx = fixtures.select(col("name"),
+        m.getField("has_exif").as("has_exif"),
+        m.getField("has_gps").as("has_gps"),
+        m.getField("make").as("make"),
+        m.getField("model").as("model"),
+        m.getField("datetime").as("datetime"),
+        m.getField("orientation").as("orientation"),
+        coalesce(ms.getField("has_gps"), lit(false))
+          .as("gps_after_strip"),
+        lit(1L).as("n"))
+      val corpus = t(s, d, "documents")
+        .select(Multimodal.exifMeta(col("text").cast("binary"))
+          .as("m"))
+        .agg(count(when(col("m").isNull, 1)).as("n"))
+        .select(lit("corpus").as("name"),
+          lit(false).as("has_exif"), lit(false).as("has_gps"),
+          lit(null).cast("string").as("make"),
+          lit(null).cast("string").as("model"),
+          lit(null).cast("string").as("datetime"),
+          lit(null).cast("int").as("orientation"),
+          lit(false).as("gps_after_strip"), col("n"))
+      fx.unionByName(corpus).orderBy(col("name").asc_nulls_first)
     }),
 
     // pre-flight join sizing: the Count-Min inner-product bound
@@ -5834,6 +6049,74 @@ object PipelineQueries {
        " SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS " +
        "BIGINT) AS auth FROM fin ORDER BY auth DESC, hub DESC, " +
        "node ASC NULLS FIRST LIMIT 10"),
+    // q179: the oracle re-derives every pixel from the generating
+    // formula, replays the exact-integer luma/downsample/hash spec
+    // (floor divisions, two's-complement bit-63 packing), and pairs
+    // by brute-force bit_count(xor) over all 780 id pairs — fully
+    // independent of the engine's BMP encode/decode and banded join
+    "q179_image_neardups" ->
+      ("WITH ids AS (SELECT range AS id, CASE WHEN (range // 5) % " +
+       "2 = 1 THEN 2 ELSE 1 END AS blk, range // 5 AS v, range % 5 " +
+       "AS f FROM range(40)), " +
+       "pl AS (SELECT id, blk, x.range AS px, y.range AS py, " +
+       "CASE WHEN v > 0 AND (x.range // blk) = v % 9 AND (y.range " +
+       "// blk) = (v * 3) % 8 THEN (f * 37 + (x.range // blk) * 13 " +
+       "+ (y.range // blk) * 7 + 97) % 199 ELSE (f * 37 + (x.range " +
+       "// blk) * 13 + (y.range // blk) * 7) % 199 END AS luma " +
+       "FROM ids, range(18) x, range(16) y " +
+       "WHERE x.range < 9 * blk AND y.range < 8 * blk), " +
+       "g9 AS (SELECT id, cx.range AS cx, cy.range AS cy, " +
+       "SUM(luma) // COUNT(*) AS g FROM pl, range(9) cx, range(8) " +
+       "cy WHERE px >= cx.range * (9 * blk) // 9 AND px < " +
+       "(cx.range + 1) * (9 * blk) // 9 AND py >= cy.range * (8 * " +
+       "blk) // 8 AND py < (cy.range + 1) * (8 * blk) // 8 " +
+       "GROUP BY 1, 2, 3), " +
+       "g8 AS (SELECT id, cx.range AS cx, cy.range AS cy, " +
+       "SUM(luma) // COUNT(*) AS g FROM pl, range(8) cx, range(8) " +
+       "cy WHERE px >= cx.range * (9 * blk) // 8 AND px < " +
+       "(cx.range + 1) * (9 * blk) // 8 AND py >= cy.range * (8 * " +
+       "blk) // 8 AND py < (cy.range + 1) * (8 * blk) // 8 " +
+       "GROUP BY 1, 2, 3), " +
+       "dh AS (SELECT a.id, CAST(SUM(CASE WHEN b.g > a.g THEN " +
+       "CASE WHEN a.cy * 8 + a.cx = 63 THEN -9223372036854775807 " +
+       "- 1 ELSE (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx)) END " +
+       "ELSE 0 END) AS BIGINT) AS dhash FROM g9 a JOIN g9 b ON " +
+       "b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1 " +
+       "WHERE a.cx < 8 GROUP BY a.id), " +
+       "av AS (SELECT id, SUM(g) // 64 AS avg FROM g8 GROUP BY id), " +
+       "ah AS (SELECT g8.id, CAST(SUM(CASE WHEN g > avg THEN " +
+       "CASE WHEN cy * 8 + cx = 63 THEN -9223372036854775807 - 1 " +
+       "ELSE (CAST(1 AS BIGINT) << (cy * 8 + cx)) END ELSE 0 END) " +
+       "AS BIGINT) AS ahash FROM g8 JOIN av ON av.id = g8.id " +
+       "GROUP BY g8.id), " +
+       "pairs AS (SELECT p.id AS id1, q.id AS id2, " +
+       "CAST(bit_count(xor(p.dhash, q.dhash)) AS BIGINT) AS " +
+       "hamming FROM dh p JOIN dh q ON p.id < q.id " +
+       "WHERE bit_count(xor(p.dhash, q.dhash)) <= 4) " +
+       "SELECT kind, a, b, v FROM (" +
+       "SELECT 'h' AS kind, dh.id AS a, dh.dhash AS b, ah.ahash " +
+       "AS v FROM dh JOIN ah ON ah.id = dh.id " +
+       "UNION ALL SELECT 'p', id1, id2, hamming FROM pairs) " +
+       "ORDER BY kind, a, b"),
+
+    // q180: fixture expectations are construction-pinned VALUES
+    // (the fixture bytes are hand-assembled constants, q72 style);
+    // the corpus sweep re-derives its count from the table
+    "q180_exif_pii" ->
+      ("SELECT name, has_exif, has_gps, make, model, datetime, " +
+       "orientation, gps_after_strip, n FROM (VALUES " +
+       "('gps_tagged', TRUE, TRUE, 'Acme', 'Cam 1', " +
+       "'2024:01:02 03:04:05', 6, FALSE, CAST(1 AS BIGINT)), " +
+       "('clean_exif', TRUE, FALSE, 'Lumen', 'Z9', " +
+       "'2023:11:05 10:00:00', 1, FALSE, CAST(1 AS BIGINT)), " +
+       "('no_exif', FALSE, FALSE, NULL, NULL, NULL, NULL, FALSE, " +
+       "CAST(1 AS BIGINT)) " +
+       ") AS v(name, has_exif, has_gps, make, model, datetime, " +
+       "orientation, gps_after_strip, n) " +
+       "UNION ALL SELECT 'corpus', FALSE, FALSE, NULL, NULL, NULL, " +
+       "NULL, FALSE, COUNT(*) FROM documents " +
+       "ORDER BY name NULLS FIRST"),
+
     // q171: the fold result is DEFINED as the full closure over all
     // pairs — the oracle is exactly q36's replay, and the hash match
     // is the star-collapse equivalence proof on real pairs

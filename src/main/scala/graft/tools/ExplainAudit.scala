@@ -931,6 +931,89 @@ object ExplainAudit {
         s"(found $found)")
     }
 
+    // ---- distributed-fold layout shape (q174, budget forced 0) ---
+    // the fold's scan-pruning contract at artifact scale: with the
+    // `sb`-partitioned cycle artifact and `srcBuckets` hint, (a)
+    // every frontier hop probe is a PARTITION-PRUNED scan
+    // (PartitionFilters on sb — frontier-proportional file I/O, not
+    // a full artifact scan per round), and (b) no trace-table scan
+    // is ever shuffled RAW: the node-bucketed trace side of each
+    // patch/inflow join reaches its join without an Exchange
+    // directly over it (bucketed read or broadcast of the
+    // frontier-sized other side — either is shuffle-free for the
+    // node-sized trace; an Exchange straight over the scan is the
+    // one shape that re-shuffles the whole trace every round).
+    guarded("q174_fold_layout") {
+      import org.apache.spark.sql.execution.{FileSourceScanExec,
+        SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{
+        BroadcastExchangeExec, ShuffleExchangeExec}
+      System.setProperty("graft.fold.audit", "true")
+      try {
+        graft.operators.Graph.foldAuditFrames.clear()
+        graft.queries.PipelineQueries
+          .q174Fold(spark, sfDir, maxBroadcastBytes = 0L).collect()
+      } finally System.clearProperty("graft.fold.audit")
+      val hopDf = Option(
+        graft.operators.Graph.foldAuditFrames.get("hop"))
+      val composeDf = Option(
+        graft.operators.Graph.foldAuditFrames.get("compose"))
+      // (a) the hop probe scans ONLY the frontier's sb partitions
+      val hopPlan = hopDf.map(_.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)).getOrElse("")
+      val pruned = hopPlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters:") && l.contains("sb"))
+      // (b) no ShuffleExchange sits DIRECTLY over a trace-table
+      // scan: reachability through only non-join, non-aggregate
+      // nodes (project/filter/sort/union) means the node-sized
+      // trace would be re-shuffled raw — the shape the bucketed
+      // trace tables exist to eliminate
+      def reachesTraceRaw(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec =>
+          s.metadata.get("Location")
+            .exists(_.contains("trace_cycle6"))
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          false
+        case _: org.apache.spark.sql.execution.aggregate
+            .BaseAggregateExec => false
+        case _: BroadcastExchangeExec => false
+        case a: AdaptiveSparkPlanExec => reachesTraceRaw(a.executedPlan)
+        case q: QueryStageExec => reachesTraceRaw(q.plan)
+        case other => other.children.exists(reachesTraceRaw)
+      }
+      var rawShuffles = 0
+      var traceScans = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case sh: ShuffleExchangeExec =>
+            if (reachesTraceRaw(sh.child)) rawShuffles += 1
+          case s: FileSourceScanExec
+              if s.metadata.get("Location")
+                .exists(_.contains("trace_cycle6")) =>
+            traceScans += 1
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      composeDf.foreach(d => walk(d.queryExecution.executedPlan))
+      // the compose must actually read the trace for the pin to
+      // mean anything
+      val noRaw = traceScans > 0 && rawShuffles == 0
+      if (!pruned) failures += 1
+      if (!noRaw) failures += 1
+      println(s"\n=== q174_fold_layout — distributed fold reads " +
+        "pruned buckets, never re-shuffles the trace ===")
+      println(f"  [${if (pruned) "OK" else "MISS"}%-4s] hop probe " +
+        "scan carries PartitionFilters on sb")
+      println(f"  [${if (noRaw) "OK" else "MISS"}%-4s] compose " +
+        s"reads the trace table (scans=$traceScans) and no " +
+        s"ShuffleExchange sits directly over it (found $rawShuffles)")
+    }
+
     println(s"\nplan audit: ${if (failures == 0) "all checks OK"
       else s"$failures MISSING properties"}")
     spark.stop()

@@ -347,4 +347,89 @@ class GraphDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // default minEdges keeps small graphs quiet even when skewed
     assert(Graph.skewPreflight(star).isEmpty)
   }
+
+  test("star-graph delta: the BYTE cap trips the distributed " +
+      "fallback where a row cap alone would have admitted the hub") {
+    val s = spark
+    import s.implicits._
+    // a symmetric star: 400 spokes <-> hub. A delta touching the hub
+    // makes the frontier's in-edge frame (src, dst, w) ~800 rows —
+    // the node COUNT stays ~401, but the edge rows are 72 bytes wide
+    // (two 20-byte strings + DECIMAL(38) + overhead), several times
+    // the old 32-byte/row guess.
+    val spokes = 400
+    val star = sym((1 to spokes).map(i => s"s$i" -> "hub"))
+    val delta = sym(Seq("s1" -> "hub")) // duplicate edge: weight bump
+    val trace = Graph.pagerankTrace(star, iterations = 3)
+    // budget arithmetic (mirrors byteRowLimit): node frames are
+    // 20 + 16 = 36 bytes/row, in-edge frames 20 + 20 + 16 + 16 = 72.
+    // Pick a budget where every NODE collect fits but the in-edge
+    // collect does not — the skew the bytes cap exists for.
+    val budget = 40000L
+    val frontierNodes = spokes + 1 // hub + every spoke (1 hop)
+    val inEdgeRows = star.unionAll(delta).count() // all edges hit it
+    assert(frontierNodes < budget / 36, "node collects must fit")
+    assert(inEdgeRows > budget / 72, "edge collect must refuse")
+    assert(inEdgeRows < budget / 32,
+      "a 32-byte/row cap would have admitted the hub's in-edges")
+    val folded = ranks(Graph.pagerankDelta(star, delta, trace,
+      maxBroadcastBytes = budget))
+    val full = ranks(Graph.pagerank(star.unionAll(delta),
+      iterations = 3))
+    assert(folded === full)
+    // and the roomy-budget driver path agrees bit-for-bit
+    assert(ranks(Graph.pagerankDelta(star, delta, trace)) === full)
+  }
+
+  test("srcBuckets layout: driver fold == distributed fold == full " +
+      "re-rank over an sb-partitioned artifact, and a missing sb " +
+      "column refuses") {
+    val s = spark
+    import s.implicits._
+    val buckets = 4
+    // a 60-node ring (sparse — the layout's production profile)
+    // with a handful of chords, written as the fold would find it:
+    // directory-partitioned by sb = pmod(xxhash64(src), buckets)
+    val n = 60
+    val ring = (0 until n).map(i => s"n$i" -> s"n${(i + 1) % n}")
+    val chords = Seq(5, 17, 29, 41).map(i => s"n$i" -> s"n${i + 7}")
+    val all = sym(ring ++ chords)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_layout_").toString
+    all.withColumn("sb", pmod(xxhash64(col("src")),
+        lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("sb").parquet(dir)
+    val art = s.read.parquet(dir)
+    // base = everything but the chord edges; delta = the chords
+    val chordSet = (chords ++ chords.map(_.swap)).toSet
+    val isChord = chordSet.foldLeft(lit(false)) { case (acc, (a, b)) =>
+      acc || (col("src") === a && col("dst") === b) }
+    val base = art.where(!isChord).select(col("src"), col("dst"),
+      col("sb"))
+    val delta = art.where(isChord).select(col("src"), col("dst"),
+      col("sb"))
+    val trace = Graph.pagerankTrace(
+      base.select(col("src"), col("dst")), iterations = 4)
+    val full = ranks(Graph.pagerank(
+      base.select(col("src"), col("dst"))
+        .unionAll(delta.select(col("src"), col("dst"))),
+      iterations = 4))
+    // driver-resident path (roomy budget) with the layout hint
+    assert(ranks(Graph.pagerankDelta(base, delta, trace,
+      srcBuckets = Some(buckets))) === full)
+    // forced distributed path with the layout hint
+    assert(ranks(Graph.pagerankDelta(base, delta, trace,
+      maxBroadcastBytes = 0L, srcBuckets = Some(buckets))) === full)
+    // and without any hint (the unhinted reference)
+    assert(ranks(Graph.pagerankDelta(
+      base.select(col("src"), col("dst")),
+      delta.select(col("src"), col("dst")), trace)) === full)
+    // the hint without the physical column is a contract violation
+    val err = intercept[IllegalArgumentException] {
+      Graph.pagerankDelta(base.select(col("src"), col("dst")),
+        delta.select(col("src"), col("dst")), trace,
+        srcBuckets = Some(buckets))
+    }
+    assert(err.getMessage.contains("sb"))
+  }
 }

@@ -118,11 +118,12 @@ private[graft] object ImageHash {
     g
   }
 
-  /** 64-bit dHash, boxed (null = undecodable / too small). */
-  def dhashBoxed(bytes: Array[Byte]): java.lang.Long = {
-    val dec = decodeLuma(bytes)
-    if (dec == null) return null
-    val (w, h, luma) = dec
+  /** dHash of an already-decoded luma plane (shared with the video
+    * frame hasher, which decodes AVI DIB frames instead of BMP
+    * files): null when the plane is smaller than the 9×8 grid.
+    */
+  private[functions] def dhashFromLuma(luma: Array[Int], w: Int,
+                                       h: Int): java.lang.Long = {
     val g = downsample(luma, w, h, 9, 8)
     if (g == null) return null
     var hash = 0L
@@ -137,6 +138,14 @@ private[graft] object ImageHash {
       y += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** 64-bit dHash, boxed (null = undecodable / too small). */
+  def dhashBoxed(bytes: Array[Byte]): java.lang.Long = {
+    val dec = decodeLuma(bytes)
+    if (dec == null) return null
+    val (w, h, luma) = dec
+    dhashFromLuma(luma, w, h)
   }
 
   /** 64-bit aHash, boxed (null = undecodable / too small). */

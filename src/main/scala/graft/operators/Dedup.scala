@@ -188,7 +188,18 @@ object Dedup {
     * the anti-join guard instead of re-creating the quadratic join.
     */
   def imageNearDups(hashes: DataFrame, maxHamming: Int = 4,
-                    maxBucketSize: Long = 10000L): DataFrame = {
+                    maxBucketSize: Long = 10000L): DataFrame =
+    hammingNearDups(hashes, "dhash", maxHamming, maxBucketSize)
+
+  /** The medium-agnostic core of [[imageNearDups]]: near-duplicate
+    * `(id1, id2, hamming)` pairs over ANY 64-bit perceptual hash
+    * column (image dHash, audio energy fingerprint, …) within
+    * `maxHamming` bits, banded + hot-bucket-capped + exact-verified
+    * as described there.
+    */
+  def hammingNearDups(hashes: DataFrame, hashCol: String,
+                      maxHamming: Int = 4,
+                      maxBucketSize: Long = 10000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must lie in [0, 64): $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32, 64)
@@ -196,7 +207,7 @@ object Dedup {
     val bits = 64 / bands
     val mask = lit(if (bits == 64) -1L else (1L << bits) - 1)
     val keys = array((0 until bands).map(b =>
-      shiftright(col("dhash"), b * bits).bitwiseAND(mask)): _*)
+      shiftright(col(hashCol), b * bits).bitwiseAND(mask)): _*)
     val sliced = hashes.select(col("id"),
       posexplode(keys).as(Seq("band", "key")))
     val kept = dropHotBuckets(sliced, maxBucketSize)
@@ -207,9 +218,9 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val h1 = hashes.select(col("id").as("id1"),
-      col("dhash").as("__h1"))
+      col(hashCol).as("__h1"))
     val h2 = hashes.select(col("id").as("id2"),
-      col("dhash").as("__h2"))
+      col(hashCol).as("__h2"))
     cands.join(h1, "id1").join(h2, "id2")
       .select(col("id1"), col("id2"),
         bit_count(col("__h1").bitwiseXOR(col("__h2")))

@@ -51,6 +51,24 @@ object Multimodal {
   def imageAHash(payload: Column): Column =
     graft.functions.ImageHash.imageAHash(payload)
 
+  /** 64-bit energy-envelope fingerprint over DECODED PCM samples
+    * (16-bit WAV; see [[graft.functions.AudioPcm]]): one native
+    * codegen'd call per payload, null for undecodable bytes. Volume-
+    * scaling-invariant by construction — pair with
+    * [[graft.operators.Dedup.hammingNearDups]] for banded near-dup
+    * joins over re-amplified/re-encoded clips.
+    */
+  def audioFingerprint(payload: Column): Column =
+    graft.functions.AudioPcm.audioFingerprint(payload)
+
+  /** Exact content stats for a PCM 16-bit WAV payload:
+    * `struct<n_samples, peak, silent_windows>` (see
+    * [[graft.functions.AudioPcm]]) — the silence/clipping face of an
+    * audio corpus scan. Null for undecodable bytes.
+    */
+  def audioStats(payload: Column): Column =
+    graft.functions.AudioPcm.audioStats(payload)
+
   /** EXIF metadata from a JPEG payload's APP1 segment (see
     * [[graft.functions.Exif]]): `struct<has_exif, has_gps, make,
     * model, datetime, orientation>`, null for non-JPEG bytes — the
@@ -65,6 +83,16 @@ object Multimodal {
     */
   def exifStrip(payload: Column): Column =
     graft.functions.Exif.exifStrip(payload)
+
+  /** Per-frame 64-bit dHashes over DECODED video frames
+    * (uncompressed-RGB AVI; see [[graft.functions.VideoFrames]]):
+    * `array<struct<idx, dhash>>` in stream order, null for
+    * undecodable bytes — the raw material for shot-boundary
+    * detection (Hamming distance between consecutive frames) and
+    * sequence-level near-dup joins.
+    */
+  def videoFrameHashes(payload: Column): Column =
+    graft.functions.VideoFrames.videoFrameHashes(payload)
 
   /** Video-container sniff + stream parameters from the payload
     * HEADER bytes (see [[graft.functions.VideoMetaExpr]]): one native

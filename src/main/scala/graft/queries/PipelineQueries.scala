@@ -484,6 +484,97 @@ object PipelineQueries {
       bb(0x12, 0x34, 0x56) ++ bb(0xff, 0xd9)
   }
 
+  /** q181's hand-assembled PCM WAV fixtures (the AudioPcmSpec
+    * container layout, built independently here): 65 windows × 20
+    * samples of a square wave whose per-window amplitude is the
+    * Weyl-sequence formula the oracle replays —
+    * `amp(f, k) = ((f·7919 + k·104729) mod 1889) + 111`, with
+    * variant v > 0 silencing window `(v·13) mod 65`. In-family
+    * fingerprints land ≤ 4 Hamming bits apart, cross-family ≥ 20
+    * (verified analytically), so the banded join's answer is fully
+    * determined by the formula.
+    */
+  private def q181Wav(id: Int): Array[Byte] = {
+    val f = id % 5
+    val v = id / 5
+    def amp(k: Int): Int =
+      if (v > 0 && k == (v * 13) % 65) 0
+      else ((f * 7919 + k * 104729) % 1889) + 111
+    val per = 20
+    val n = 65 * per
+    val dataLen = 2 * n
+    val riffLen = 4 + (8 + 16) + (8 + dataLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(t: String): Unit = bb.put(
+      t.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ascii("RIFF"); bb.putInt(riffLen); ascii("WAVE")
+    ascii("fmt "); bb.putInt(16)
+    bb.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    ascii("data"); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val a = amp(i / per)
+      bb.putShort((if (i % 2 == 0) a else -a).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** q182's hand-assembled uncompressed AVI fixtures (the
+    * VideoFramesSpec container layout, built independently here):
+    * 12 grayscale 9×8 frames per clip, static within a scene and
+    * cut every `3 + id mod 3` frames — frame luma is the
+    * quadratic-residue formula the oracle replays,
+    * `luma(seed, i) = (seed + 17·i)² mod 199` with
+    * `seed = id·11 + scene·7` (consecutive scenes land ≥ 29 dHash
+    * bits apart, verified analytically, so the >4-bit shot rule is
+    * fully determined by the formula).
+    */
+  private def q182Avi(id: Int): Array[Byte] = {
+    val segLen = 3 + id % 3
+    val w = 9
+    val h = 8
+    val stride = ((24 * w + 31) / 32) * 4
+    val frameLen = stride * h
+    val nFrames = 12
+    val strh = new Array[Byte](56)
+    "vids".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII).copyToArray(strh, 0)
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + nFrames * (8 + frameLen)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(t: String): Unit = bb.put(t.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    ascii("RIFF"); bb.putInt(riffLen); ascii("AVI ")
+    ascii("LIST"); bb.putInt(hdrlLen); ascii("hdrl")
+    ascii("avih"); bb.putInt(56); bb.put(new Array[Byte](56))
+    ascii("LIST"); bb.putInt(strlLen); ascii("strl")
+    ascii("strh"); bb.putInt(56); bb.put(strh)
+    ascii("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameLen).putInt(0).putInt(0).putInt(0)
+      .putInt(0)
+    ascii("LIST"); bb.putInt(moviLen); ascii("movi")
+    for (t <- 0 until nFrames) {
+      val seed = id * 11 + (t / segLen) * 7
+      ascii("00db"); bb.putInt(frameLen)
+      for (y <- (h - 1) to 0 by -1) { // bottom-up rows
+        for (x <- 0 until w) {
+          val v = seed + 17 * (y * w + x)
+          val l = ((v * v) % 199).toByte
+          bb.put(l).put(l).put(l)
+        }
+        for (_ <- 0 until stride - 3 * w) bb.put(0.toByte)
+      }
+    }
+    bb.array()
+  }
+
   private[graft] def q174Fold(s: SparkSession, d: String,
                               maxBroadcastBytes: Long): DataFrame = {
     val cyc = ensureShipmentCycle(s, d)
@@ -1137,6 +1228,81 @@ object PipelineQueries {
           lit(null).cast("int").as("orientation"),
           lit(false).as("gps_after_strip"), col("n"))
       fx.unionByName(corpus).orderBy(col("name").asc_nulls_first)
+    }),
+
+    // content-level audio (q179's discipline on PCM): 30 WAV clips
+    // (5 envelope families × 6 variants, one window silenced per
+    // variant) through the native decode→window-energy→fingerprint
+    // chain, paired by the banded Hamming join, stats per clip, and
+    // the whole documents corpus as binary (text never decodes as
+    // PCM WAV → every row must be null, never a throw). The oracle
+    // re-derives amplitudes, energies, both features and the pair
+    // set from the generating formula INDEPENDENTLY
+    "q181_audio_neardups" -> ((s, d) => {
+      import s.implicits._
+      val clips = (0 until 30).map(i => (i.toLong, q181Wav(i)))
+        .toDF("id", "payload")
+      val feats = clips.select(col("id"),
+        Multimodal.audioFingerprint(col("payload")).as("fp"),
+        Multimodal.audioStats(col("payload")).as("st"))
+      val hashes = feats.select(col("id"), col("fp"))
+        .where(col("fp").isNotNull)
+      val pairs = Dedup.hammingNearDups(hashes, "fp", maxHamming = 4)
+      val fRows = feats.select(lit("f").as("kind"), col("id").as("a"),
+        col("fp").as("b"), col("st.n_samples").as("v"))
+      val sRows = feats.select(lit("s").as("kind"), col("id").as("a"),
+        col("st.peak").cast("long").as("b"),
+        col("st.silent_windows").cast("long").as("v"))
+      val pRows = pairs.select(lit("p").as("kind"),
+        col("id1").as("a"), col("id2").as("b"),
+        col("hamming").as("v"))
+      val corpus = t(s, d, "documents")
+        .select(Multimodal.audioStats(col("text").cast("binary"))
+          .as("m"))
+        .agg(count(when(col("m").isNull, 1)).as("n"))
+        .select(lit("c").as("kind"), col("n").as("a"),
+          lit(0L).as("b"), lit(0L).as("v"))
+      fRows.unionByName(sRows).unionByName(pRows).unionByName(corpus)
+        .orderBy(col("kind").asc, col("a").asc, col("b").asc)
+    }),
+
+    // content-level video: 6 AVI clips (static scenes cut every
+    // 3+id%3 frames) through the native container walk → per-frame
+    // DIB decode → dHash chain, then shot-boundary detection as a
+    // plain lag window over the exploded (id, t, hash) frames —
+    // consecutive-frame Hamming distance > 4 marks a cut. The
+    // oracle re-derives every frame's pixels, hash and the boundary
+    // set from the generating formula INDEPENDENTLY; the corpus
+    // sweep pins text-as-binary to null, never a throw
+    "q182_video_shots" -> ((s, d) => {
+      import s.implicits._
+      val clips = (0 until 6).map(i => (i.toLong, q182Avi(i)))
+        .toDF("id", "payload")
+      val frames = clips.select(col("id"),
+          explode(Multimodal.videoFrameHashes(col("payload")))
+            .as("f"))
+        .select(col("id"), col("f.idx").cast("long").as("t"),
+          col("f.dhash").as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("t")
+      val withPrev = frames.withColumn("ph", lag(col("h"), 1).over(w))
+      val bounds = withPrev.where(col("ph").isNotNull)
+        .select(col("id"), col("t"),
+          bit_count(col("h").bitwiseXOR(col("ph"))).cast("long")
+            .as("hm"))
+        .where(col("hm") > 4)
+      val hRows = frames.select(lit("h").as("kind"),
+        col("id").as("a"), col("t").as("b"), col("h").as("v"))
+      val bRows = bounds.select(lit("b").as("kind"),
+        col("id").as("a"), col("t").as("b"), col("hm").as("v"))
+      val corpus = t(s, d, "documents")
+        .select(Multimodal.videoFrameHashes(col("text")
+          .cast("binary")).as("m"))
+        .agg(count(when(col("m").isNull, 1)).as("n"))
+        .select(lit("c").as("kind"), col("n").as("a"),
+          lit(0L).as("b"), lit(0L).as("v"))
+      hRows.unionByName(bRows).unionByName(corpus)
+        .orderBy(col("kind").asc, col("a").asc, col("b").asc)
     }),
 
     // pre-flight join sizing: the Count-Min inner-product bound
@@ -6116,6 +6282,67 @@ object PipelineQueries {
        "UNION ALL SELECT 'corpus', FALSE, FALSE, NULL, NULL, NULL, " +
        "NULL, FALSE, COUNT(*) FROM documents " +
        "ORDER BY name NULLS FIRST"),
+
+    // q181: the oracle replays the per-window amplitude formula,
+    // the energy-gradient fingerprint (two's-complement bit-63
+    // packing, q179 style), the exact silence/peak stats (equal
+    // 20-sample windows make 'silent' amp < 328 exactly), and the
+    // brute-force pair set — fully independent of the engine's WAV
+    // assembly, PCM decode and banded join
+    "q181_audio_neardups" ->
+      ("WITH ids AS (SELECT range AS id, range % 5 AS f, " +
+       "range // 5 AS v FROM range(30)), " +
+       "win AS (SELECT id, k.range AS k, CASE WHEN v > 0 AND " +
+       "k.range = (v * 13) % 65 THEN 0 ELSE ((f * 7919 + k.range * " +
+       "104729) % 1889) + 111 END AS amp FROM ids, range(65) k), " +
+       "fp AS (SELECT a.id, CAST(SUM(CASE WHEN b.amp > a.amp THEN " +
+       "CASE WHEN a.k = 63 THEN -9223372036854775807 - 1 ELSE " +
+       "(CAST(1 AS BIGINT) << a.k) END ELSE 0 END) AS BIGINT) AS " +
+       "fp FROM win a JOIN win b ON b.id = a.id AND b.k = a.k + 1 " +
+       "WHERE a.k < 64 GROUP BY a.id), " +
+       "st AS (SELECT id, CAST(MAX(amp) AS BIGINT) AS peak, " +
+       "CAST(SUM(CASE WHEN amp < 328 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS silent FROM win GROUP BY id), " +
+       "pairs AS (SELECT p.id AS id1, q.id AS id2, " +
+       "CAST(bit_count(xor(p.fp, q.fp)) AS BIGINT) AS hamming " +
+       "FROM fp p JOIN fp q ON p.id < q.id " +
+       "WHERE bit_count(xor(p.fp, q.fp)) <= 4) " +
+       "SELECT kind, a, b, v FROM (" +
+       "SELECT 'f' AS kind, id AS a, fp AS b, CAST(1300 AS BIGINT) " +
+       "AS v FROM fp " +
+       "UNION ALL SELECT 's', st.id, st.peak, st.silent FROM st " +
+       "UNION ALL SELECT 'p', id1, id2, hamming FROM pairs " +
+       "UNION ALL SELECT 'c', COUNT(*), 0, 0 FROM documents) " +
+       "ORDER BY kind, a, b"),
+
+    // q182: the oracle re-derives every frame pixel from the
+    // quadratic-residue formula, replays the 9x8 dHash (the grid IS
+    // the frame — no downsample; two's-complement bit-63 packing)
+    // and the lag-window boundary rule — fully independent of the
+    // engine's AVI assembly, container walk and DIB decode
+    "q182_video_shots" ->
+      ("WITH ids AS (SELECT range AS id, 3 + range % 3 AS seg " +
+       "FROM range(6)), " +
+       "fr AS (SELECT id, t.range AS t, " +
+       "id * 11 + (t.range // seg) * 7 AS seed " +
+       "FROM ids, range(12) t), " +
+       "px AS (SELECT id, t, i.range AS i, " +
+       "((seed + 17 * i.range) * (seed + 17 * i.range)) % 199 AS l " +
+       "FROM fr, range(72) i), " +
+       "dh AS (SELECT a.id, a.t, CAST(SUM(CASE WHEN b.l > a.l THEN " +
+       "CASE WHEN (a.i // 9) * 8 + (a.i % 9) = 63 THEN " +
+       "-9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << " +
+       "((a.i // 9) * 8 + (a.i % 9))) END ELSE 0 END) AS BIGINT) " +
+       "AS h FROM px a JOIN px b ON b.id = a.id AND b.t = a.t AND " +
+       "b.i = a.i + 1 WHERE a.i % 9 < 8 GROUP BY a.id, a.t), " +
+       "bd AS (SELECT c.id, c.t, CAST(bit_count(xor(c.h, p.h)) AS " +
+       "BIGINT) AS hm FROM dh c JOIN dh p ON p.id = c.id AND " +
+       "p.t = c.t - 1 WHERE bit_count(xor(c.h, p.h)) > 4) " +
+       "SELECT kind, a, b, v FROM (" +
+       "SELECT 'h' AS kind, id AS a, t AS b, h AS v FROM dh " +
+       "UNION ALL SELECT 'b', id, t, hm FROM bd " +
+       "UNION ALL SELECT 'c', COUNT(*), 0, 0 FROM documents) " +
+       "ORDER BY kind, a, b"),
 
     // q171: the fold result is DEFINED as the full closure over all
     // pairs — the oracle is exactly q36's replay, and the hash match

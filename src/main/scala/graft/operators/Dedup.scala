@@ -228,6 +228,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Sequence-level near-duplicate CLIP pairs: `(id1, id2,
+    * shared_frames)` for clips sharing at least `minShared` distinct
+    * frame dHashes — re-encoded / re-cut copies of a video share
+    * most of their per-frame perceptual hashes even when trimmed or
+    * re-ordered (the winnowing-overlap discipline on
+    * [[graft.operators.Multimodal.videoFrameHashes]] output). The
+    * join key is the exact 64-bit frame hash, so candidates are
+    * hash-collision-sized, never clip×clip; mass-duplicate frames
+    * (black frames, title cards — the video corpus's stop-words)
+    * fall to the shared hot-bucket guard instead of exploding the
+    * join, exactly like hot MinHash bands in [[lshDedupClusters]].
+    *
+    * `frames`: one row per (clip, frame) with columns `id` and
+    * `dhash`. Distinct-per-clip first, so a clip looping one frame
+    * contributes it once.
+    */
+  def videoNearDups(frames: DataFrame, minShared: Int = 3,
+                    maxBucketSize: Long = 10000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fp = frames.select(col("id"), col("dhash")).distinct()
+    val kept = dropHotBuckets(
+      fp.select(col("id"), lit(0).as("band"),
+        col("dhash").as("key")), maxBucketSize)
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
   /** Winnowing fingerprint rows: (id, fps) with `fps` the sorted
     * distinct [[graft.functions.TextFunctions.winnowFingerprints]] of
     * each document — the persistable fingerprint index (store next to

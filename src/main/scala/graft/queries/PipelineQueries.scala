@@ -534,11 +534,18 @@ object PipelineQueries {
     */
   private def q182Avi(id: Int): Array[Byte] = {
     val segLen = 3 + id % 3
+    aviFromSeeds((0 until 12).map(t => id * 11 + (t / segLen) * 7))
+  }
+
+  /** The container assembly shared by q182/q183: one grayscale 9×8
+    * frame per seed, pixels `(seed + 17·i)² mod 199`.
+    */
+  private def aviFromSeeds(seeds: Seq[Int]): Array[Byte] = {
     val w = 9
     val h = 8
     val stride = ((24 * w + 31) / 32) * 4
     val frameLen = stride * h
-    val nFrames = 12
+    val nFrames = seeds.length
     val strh = new Array[Byte](56)
     "vids".getBytes(
       java.nio.charset.StandardCharsets.US_ASCII).copyToArray(strh, 0)
@@ -561,7 +568,7 @@ object PipelineQueries {
       .putInt(0)
     ascii("LIST"); bb.putInt(moviLen); ascii("movi")
     for (t <- 0 until nFrames) {
-      val seed = id * 11 + (t / segLen) * 7
+      val seed = seeds(t)
       ascii("00db"); bb.putInt(frameLen)
       for (y <- (h - 1) to 0 by -1) { // bottom-up rows
         for (x <- 0 until w) {
@@ -1302,6 +1309,38 @@ object PipelineQueries {
         .select(lit("c").as("kind"), col("n").as("a"),
           lit(0L).as("b"), lit(0L).as("v"))
       hRows.unionByName(bRows).unionByName(corpus)
+        .orderBy(col("kind").asc, col("a").asc, col("b").asc)
+    }),
+
+    // sequence-level video dedup: 8 clips in 4 pairs — each odd clip
+    // re-cuts its even twin with a different opening scene, keeping
+    // the other 3 scenes bit-identical — joined clip×clip ONLY
+    // through exact shared frame hashes (hash-collision-sized
+    // candidates, hot-frame guard), never a pairwise scan. The
+    // oracle re-derives every frame hash and the shared-count pair
+    // set from the generating formula INDEPENDENTLY
+    "q183_video_dups" -> ((s, d) => {
+      import s.implicits._
+      val clips = (0 until 8).map { i =>
+        val g = i / 2
+        val seeds = (0 until 12).map(t => g * 31 + (t / 3) * 7 +
+          (if (i % 2 == 1 && t / 3 == 0) 997 else 0))
+        (i.toLong, aviFromSeeds(seeds))
+      }.toDF("id", "payload")
+      val frames = clips.select(col("id"),
+          explode(Multimodal.videoFrameHashes(col("payload")))
+            .as("f"))
+        .select(col("id"), col("f.dhash").as("dhash"))
+      val pairs = Dedup.videoNearDups(frames, minShared = 3)
+      val nRows = frames.groupBy("id")
+        .agg(countDistinct(col("dhash")).as("nd"),
+          count(lit(1)).as("nf"))
+        .select(lit("n").as("kind"), col("id").as("a"),
+          col("nd").as("b"), col("nf").as("v"))
+      val pRows = pairs.select(lit("p").as("kind"),
+        col("id1").as("a"), col("id2").as("b"),
+        col("shared_frames").as("v"))
+      nRows.unionByName(pRows)
         .orderBy(col("kind").asc, col("a").asc, col("b").asc)
     }),
 
@@ -6342,6 +6381,36 @@ object PipelineQueries {
        "SELECT 'h' AS kind, id AS a, t AS b, h AS v FROM dh " +
        "UNION ALL SELECT 'b', id, t, hm FROM bd " +
        "UNION ALL SELECT 'c', COUNT(*), 0, 0 FROM documents) " +
+       "ORDER BY kind, a, b"),
+
+    // q183: same pixel/hash replay as q182 over the pair-structured
+    // seeds, then the shared-distinct-hash pair count brute-forced
+    // over all clip pairs — independent of the engine's banded join
+    "q183_video_dups" ->
+      ("WITH ids AS (SELECT range AS id, range // 2 AS g " +
+       "FROM range(8)), " +
+       "fr AS (SELECT id, t.range AS t, g * 31 + (t.range // 3) * 7 " +
+       "+ CASE WHEN id % 2 = 1 AND t.range // 3 = 0 THEN 997 " +
+       "ELSE 0 END AS seed FROM ids, range(12) t), " +
+       "px AS (SELECT id, t, i.range AS i, " +
+       "((seed + 17 * i.range) * (seed + 17 * i.range)) % 199 AS l " +
+       "FROM fr, range(72) i), " +
+       "dh AS (SELECT a.id, a.t, CAST(SUM(CASE WHEN b.l > a.l THEN " +
+       "CASE WHEN (a.i // 9) * 8 + (a.i % 9) = 63 THEN " +
+       "-9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << " +
+       "((a.i // 9) * 8 + (a.i % 9))) END ELSE 0 END) AS BIGINT) " +
+       "AS h FROM px a JOIN px b ON b.id = a.id AND b.t = a.t AND " +
+       "b.i = a.i + 1 WHERE a.i % 9 < 8 GROUP BY a.id, a.t), " +
+       "dist AS (SELECT DISTINCT id, h FROM dh), " +
+       "pairs AS (SELECT a.id AS id1, b.id AS id2, " +
+       "CAST(COUNT(*) AS BIGINT) AS sh FROM dist a JOIN dist b ON " +
+       "b.h = a.h AND a.id < b.id GROUP BY 1, 2 " +
+       "HAVING COUNT(*) >= 3) " +
+       "SELECT kind, a, b, v FROM (" +
+       "SELECT 'n' AS kind, id AS a, CAST(COUNT(DISTINCT h) AS " +
+       "BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS v FROM dh " +
+       "GROUP BY id " +
+       "UNION ALL SELECT 'p', id1, id2, sh FROM pairs) " +
        "ORDER BY kind, a, b"),
 
     // q171: the fold result is DEFINED as the full closure over all

@@ -162,6 +162,29 @@ class VideoFramesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashesOf(avi(Seq.empty, 9, 8)) === Some(Seq.empty))
   }
 
+  test("clip-level near-dup: shared-frame counting, looped frames " +
+      "counted once, hot frames fall to the bucket guard") {
+    val s = spark
+    import s.implicits._
+    // A and B share hashes 2,3 (B loops 3 — still one shared);
+    // C shares only hash 2 with each; 90..92 are unique filler
+    val frames = Seq(
+      0L -> 1L, 0L -> 2L, 0L -> 3L,
+      1L -> 2L, 1L -> 3L, 1L -> 3L, 1L -> 90L,
+      2L -> 2L, 2L -> 91L, 2L -> 92L)
+      .toDF("id", "dhash")
+    val pairs = graft.operators.Dedup
+      .videoNearDups(frames, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 2L)))
+    // hash 2 sits in all three clips: with the guard at 2 it is a
+    // hot frame (title-card analogue) and no pair survives on it
+    val guarded = graft.operators.Dedup
+      .videoNearDups(frames, minShared = 1, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(guarded.toSeq === Seq((0L, 1L, 1L))) // hash 3 only
+  }
+
   test("fuzz: arbitrary bytes never throw") {
     val s = spark
     import s.implicits._

@@ -388,44 +388,44 @@ object PipelineQueries {
     * hashes independently, so the match proves the whole
     * encode→decode→downsample→hash chain.
     */
-  private def q179Luma(id: Column, cx: Int, cy: Int): Column = {
-    val f = pmod(id, lit(5L))
-    val v = floor(id / lit(5)).cast("long")
-    val base = pmod(f * 37 + lit(cx * 13 + cy * 7), lit(199))
-    when(v > lit(0) && pmod(v, lit(9)) === cx &&
-        pmod(v * 3, lit(8)) === cy,
-      pmod(base + 97, lit(199))).otherwise(base)
+  private def q179Luma(id: Long, cx: Int, cy: Int): Int = {
+    val f = (id % 5).toInt
+    val v = id / 5
+    val base = (f * 37 + cx * 13 + cy * 7) % 199
+    if (v > 0 && v % 9 == cx && (v * 3) % 8 == cy) (base + 97) % 199
+    else base
   }
 
-  /** A REAL uncompressed 24bpp bottom-up BMP assembled in-plan as a
-    * hex string (unhex'd by the caller): 9×8 when `blk` = 1, 18×16
-    * of 2×2 constant blocks when `blk` = 2 — the two sizes exercise
-    * both the identity and the area-downsample paths of the native
-    * decoder.
+  /** A REAL uncompressed 24bpp bottom-up BMP per fixture id (the
+    * q180–q183 driver-side assembly discipline — the first cut built
+    * these in-plan from hex expressions, which shipped an 8 MiB
+    * codegen task binary for 70 KB of fixture bytes): 9×8 when
+    * `blk` = 1, 18×16 of 2×2 constant blocks when `blk` = 2 — the
+    * two sizes exercise both the identity and the area-downsample
+    * paths of the native decoder.
     */
-  private def q179BmpHex(id: Column, blk: Int): Column = {
+  private def q179Bmp(id: Long): Array[Byte] = {
+    val blk = if ((id / 5) % 2 == 1) 2 else 1
     val w = 9 * blk
     val h = 8 * blk
     val stride = ((24 * w + 31) / 32) * 4
-    val pad = stride - 3 * w
-    val size = 54 + stride * h
-    def le32(v: Int): String =
-      (0 until 4).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
-    def le16(v: Int): String =
-      (0 until 2).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
-    val header = "424d" + le32(size) + le32(0) + le32(54) +
-      le32(40) + le32(w) + le32(h) + le16(1) + le16(24) + le32(0) +
-      le32(stride * h) + le32(2835) + le32(2835) + le32(0) + le32(0)
-    // bottom-up: image cell-row 7 is stored first; each cell row is
-    // `blk` identical pixel rows, each cell `blk` identical pixels
-    // of 3 identical (B=G=R) bytes — luma survives decode exactly
-    val rows = (7 to 0 by -1).map { cy =>
-      val cells = (0 until 9).map(cx =>
-        repeat(lpad(hex(q179Luma(id, cx, cy)), 2, "0"), 3 * blk))
-      val rowHex = concat(cells :+ lit("0" * (2 * pad)): _*)
-      repeat(rowHex, blk)
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: pixel row h-1 first; each cell is blk×blk identical
+    // pixels of 3 identical (B=G=R) bytes — luma survives decode
+    // exactly
+    for (py <- (h - 1) to 0 by -1) {
+      for (px <- 0 until w) {
+        val l = q179Luma(id, px / blk, py / blk).toByte
+        bb.put(l).put(l).put(l)
+      }
+      for (_ <- 0 until stride - 3 * w) bb.put(0.toByte)
     }
-    concat(lit(header) +: rows: _*)
+    bb.array()
   }
 
   /** q180's hand-assembled JPEG/TIFF fixtures (the ExifSpec layout,
@@ -1169,7 +1169,7 @@ object PipelineQueries {
     }),
 
     // PERCEPTUAL image near-dup (the pixel-level step past q72's
-    // header sniff): 40 real BMPs assembled in-plan (9×8 and 18×16
+    // header sniff): 40 real BMPs (9×8 and 18×16
     // 2×2-block variants of five pattern families), hashed by the
     // native decode→downsample→dHash/aHash expressions, paired by
     // the banded Hamming join + exact bit_count verify. The oracle
@@ -1178,12 +1178,9 @@ object PipelineQueries {
     // the whole encode→decode→hash→join chain, not a pinned VALUES
     // list
     "q179_image_neardups" -> ((s, d) => {
-      val ids = s.range(40).toDF("id")
-      val blkOdd =
-        pmod(floor(col("id") / lit(5)).cast("long"), lit(2)) === 1
-      val imgs = ids.select(col("id"),
-        unhex(when(blkOdd, q179BmpHex(col("id"), 2))
-          .otherwise(q179BmpHex(col("id"), 1))).as("payload"))
+      import s.implicits._
+      val imgs = (0L until 40L).map(i => (i, q179Bmp(i)))
+        .toDF("id", "payload")
       val hashes = Dedup.imageHashes(imgs, col("id"),
         col("payload"))
       val pairs = Dedup.imageNearDups(hashes, maxHamming = 4)

@@ -506,7 +506,7 @@ object Graph {
                     scale: Long = 1000000L,
                     weight: Option[Column] = None,
                     checkpointDir: Option[String] = None,
-                    maxBroadcastBytes: Long = 64L << 20,
+                    maxBroadcastBytes: Long = 128L << 20,
                     srcBuckets: Option[Int] = None)
       : DataFrame = {
     // >= 2: round 0 plus at least one iteration. A real
@@ -544,16 +544,16 @@ object Graph {
     // width-normalized caches (see pagerankTrace's e0 note): the
     // fold scans these a handful of times — hops, frontier-edge and
     // degree probes — and each scan should cost shuffle-width tasks,
-    // not the raw scan's split count. With a LAYOUT the base frame
-    // stays UNCACHED: at artifact scale no cache holds the graph
-    // anyway, and every repeated src-keyed probe reads a pruned
-    // parquet slice instead — only the edit-sized delta is worth
-    // pinning.
-    val eOldP =
-      if (layout.isEmpty)
-        Some(withW(edges, "pagerankDelta")
-          .repartition(shuffleWidth(edges), col("src")).persist())
-      else None
+    // not the raw scan's split count. The base frame stays cached
+    // even WITH a layout hint: the dst-keyed in-edge extract always
+    // scans it whole, and a pruned parquet slice only beats a warm
+    // cache probe when the frontier is genuinely selective —
+    // [[pruneOrWhole]] makes that call per probe, so a dense
+    // frontier (every bucket populated — the small-scale regime)
+    // keeps r13's all-cache behavior while a sparse frontier (the
+    // 100 TB regime) reads frontier-proportional file bytes.
+    val eOldP = Some(withW(edges, "pagerankDelta")
+      .repartition(shuffleWidth(edges), col("src")).persist())
     val eOld = eOldP.getOrElse(withW(edges, "pagerankDelta"))
     val eDelta = withW(delta, "pagerankDelta")
       .repartition(shuffleWidth(delta), col("src")).persist()
@@ -667,7 +667,7 @@ object Graph {
                       scale: Long = 1000000L,
                       weight: Option[Column] = None,
                       checkpointDir: Option[String] = None,
-                      maxBroadcastBytes: Long = 64L << 20)
+                      maxBroadcastBytes: Long = 128L << 20)
       : DataFrame = {
     // >= 2 for the same reason as pagerankDelta: zero-round folds
     // have path-dependent added-node filler — refuse
@@ -771,11 +771,12 @@ object Graph {
     * visible in the plan as `PartitionFilters: [sb IN (…)]`. Every
     * src-keyed fold probe — hop expansion, degree extraction, the
     * driver path's BFS — then reads frontier-proportional FILE
-    * bytes instead of the full artifact; only the one dst-keyed
-    * in-edge extract still scans everything. At 100 TB the edge
-    * frame cannot live in cache, so pruned parquet reads are the
-    * difference between a fold hop costing O(frontier) and
-    * O(graph) I/O.
+    * bytes instead of the full artifact WHEN the frontier is
+    * selective ([[pruneOrWhole]] — a dense frontier keeps the warm
+    * cache); only the one dst-keyed in-edge extract always scans
+    * everything. At 100 TB the edge frame cannot live in cache, so
+    * pruned parquet reads are the difference between a fold hop
+    * costing O(frontier) and O(graph) I/O.
     */
   private[graft] final case class EdgeLayout(
       buckets: Int, scan: Seq[Int] => DataFrame)
@@ -805,6 +806,31 @@ object Graph {
     nodes.select(pmod(xxhash64(col(nodes.columns.head)),
         lit(buckets.toLong)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** The per-probe prune-vs-cache call: a pruned parquet scan reads
+    * `ids.size / buckets` of the artifact from DISK, a whole-frame
+    * probe reads the warm CACHE — the slice only wins when the
+    * frontier is genuinely selective (≤ 1/4 of the buckets; a dense
+    * small-scale frontier populates every bucket and pruning would
+    * just bypass the cache). At 100 TB a 1 %-delta frontier of a
+    * well-bucketed artifact hashes into few buckets, so the big-data
+    * regime prunes by construction. `graft.fold.forcePrune` (set by
+    * ExplainAudit) forces the pruned plan so its SHAPE can be pinned
+    * at any scale — the threshold decides when, the pin verifies
+    * what.
+    */
+  private def pruneOrWhole(layout: Option[EdgeLayout],
+                           frontier: DataFrame,
+                           whole: DataFrame): DataFrame =
+    layout match {
+      case Some(l) =>
+        val ids = bucketIds(frontier, l.buckets)
+        val force = sys.props.get("graft.fold.forcePrune")
+          .contains("true")
+        if (force || ids.size * 4 <= l.buckets) l.scan(ids)
+        else whole
+      case None => whole
+    }
 
   /** The shared frontier fold: re-iterate ONLY the dirty frontier
     * over the new frame `e` (plain `src, dst, w` — degrees are
@@ -862,7 +888,7 @@ object Graph {
         // the single first-hop frame IS `e`).
         val (srcs, sp) = cutTracked(seeds, checkpointDir)
         val hopFrames = layout match {
-          case Some(l) => Seq(l.scan(bucketIds(srcs, l.buckets)))
+          case Some(_) => Seq(pruneOrWhole(layout, srcs, e))
           case None => firstHop
         }
         val hop1 = hopFrames.map(f =>
@@ -993,10 +1019,7 @@ object Graph {
     // bucket-id aggregate runs over the frontier's LOCAL frame —
     // driver-cheap); without one, the probe scans `f` whole
     def srcProbe(f: DataFrame, frontier: DataFrame): DataFrame =
-      layout match {
-        case Some(l) => l.scan(bucketIds(frontier, l.buckets))
-        case None => f
-      }
+      pruneOrWhole(layout, frontier, f)
     val nodeType = seeds.schema("node").dataType
     // cap for driver-resident NODE SETS (collected frames are capped
     // per-frame by collectBounded's own byte-derived row limit)
@@ -1173,10 +1196,7 @@ object Graph {
       // partition buckets — frontier-proportional file I/O per hop
       // instead of a full artifact scan (the bucket-id aggregate is
       // one tiny job over the checkpointed hop frame)
-      val he = layout match {
-        case Some(l) => l.scan(bucketIds(hop, l.buckets))
-        case None => e
-      }
+      val he = pruneOrWhole(layout, hop, e)
       val hopFrame = he.join(hop.withColumnRenamed("node", "__f"),
           he("src") === col("__f"))
         .select(he("dst").as("node")).distinct()
@@ -1252,10 +1272,7 @@ object Graph {
     // out-degree TOTALS for frontier-in-edge sources only — summed
     // over each source's full out-edge set (a function of src, so a
     // layout hint prunes this scan to those sources' buckets)
-    val degE = layout match {
-      case Some(l) => l.scan(bucketIds(srcsF, l.buckets))
-      case None => e
-    }
+    val degE = pruneOrWhole(layout, srcsF, e)
     val degF = degE.join(srcsF.withColumnRenamed("node", "__s"),
         degE("src") === col("__s"))
       .groupBy(degE("src").as("__dn"))
@@ -1558,7 +1575,7 @@ object Graph {
                 trace: Seq[DataFrame],
                 scale: Long = 1000000L,
                 checkpointDir: Option[String] = None,
-                maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+                maxBroadcastBytes: Long = 128L << 20): DataFrame = {
     // >= 2 for the same reason as pagerankDelta: zero-round folds
     // have path-dependent added-node filler — refuse
     require(trace.length >= 2,

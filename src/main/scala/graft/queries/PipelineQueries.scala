@@ -1037,7 +1037,7 @@ object PipelineQueries {
     // nodes 6 times: BENCH q174 < q175 is the measured incremental
     // win, same pinned answer both ways
     "q174_pagerank_small_delta" -> ((s, d) =>
-      q174Fold(s, d, maxBroadcastBytes = 64L << 20)),
+      q174Fold(s, d, maxBroadcastBytes = 128L << 20)),
 
     // q174's from-scratch twin: the full 6-round re-rank of the
     // SAME base ∪ small-delta frame — the cost the fold replaces.

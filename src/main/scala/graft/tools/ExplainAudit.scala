@@ -950,12 +950,20 @@ object ExplainAudit {
         AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.exchange.{
         BroadcastExchangeExec, ShuffleExchangeExec}
+      // forcePrune: the cache-vs-prune threshold would keep the
+      // dense small-SF frontier on the cached whole frame; the pin
+      // verifies the pruned plan's SHAPE, the threshold decides when
+      // production takes it (Graph.pruneOrWhole)
       System.setProperty("graft.fold.audit", "true")
+      System.setProperty("graft.fold.forcePrune", "true")
       try {
         graft.operators.Graph.foldAuditFrames.clear()
         graft.queries.PipelineQueries
           .q174Fold(spark, sfDir, maxBroadcastBytes = 0L).collect()
-      } finally System.clearProperty("graft.fold.audit")
+      } finally {
+        System.clearProperty("graft.fold.audit")
+        System.clearProperty("graft.fold.forcePrune")
+      }
       val hopDf = Option(
         graft.operators.Graph.foldAuditFrames.get("hop"))
       val composeDf = Option(

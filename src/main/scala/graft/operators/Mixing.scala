@@ -37,8 +37,10 @@ object Mixing {
     * exactly divisible, so the decimal division is exact and
     * rounding-mode-free in any engine.
     */
+  // one-op exact floor division on non-negative decimals (IPF
+  // targets/weights/sums are all >= 0) — see DecQuotExpr
   private def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast(Dec)
+    graft.functions.DecQuotExpr.decQuot(a.cast(Dec), b.cast(Dec))
 
   /** Contingency cells of the corpus: one row per distinct
     * (rowKey, colKey) with its document count `n` — the only

@@ -27,6 +27,15 @@ object Bench {
       // signatures) runs on ONE core of the 32. A real cluster gets
       // its splits from many files and keeps the 128m default.
       .config("spark.sql.files.maxPartitionBytes", "65536")
+      // AQE's coalescer floors post-shuffle partitions at 1 MB by
+      // default; on CPU-heavy small shuffles (shingle/md5/signature
+      // aggregations over the sub-MB sf tables) that collapses a
+      // 32-core box to 4-5 reduce tasks. A 64 KB floor keeps such
+      // stages at session width; at production scale shuffle
+      // partitions are far above either floor, so the knob is
+      // local-regime-only by construction.
+      .config("spark.sql.adaptive.coalescePartitions" +
+        ".minPartitionSize", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen and the parquet footer cache so the first

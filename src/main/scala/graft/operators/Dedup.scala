@@ -45,7 +45,11 @@ object Dedup {
     */
   def shingleRows(df: DataFrame, idCol: Column, text: Column,
                   k: Int): DataFrame =
-    df.select(idCol.as("id"), explode(
+    // widen a narrow scan first: the shingle explode is the CPU-heavy
+    // per-row step, and a single small parquet file otherwise runs it
+    // on a handful of tasks (ScanStats.widen is a no-op at/above the
+    // session width)
+    ScanStats.widen(df).select(idCol.as("id"), explode(
       graft.functions.WordShinglesExpr.wordShinglesNative(text, k))
       .as("s"))
 
@@ -67,7 +71,10 @@ object Dedup {
       : DataFrame = {
     require(numHashes % 4 == 0 && numHashes > 0,
       "salted md5 slices come in fours")
-    df.select(idCol.as("id"),
+    // widen a narrow scan first (the shingleRows rationale): the
+    // whole-signature projection is the most md5-intensive per-row
+    // step in the module
+    ScanStats.widen(df).select(idCol.as("id"),
       graft.functions.MinHashExpr.minHashNative(text, shingleK,
         numHashes / 4).as("sig"))
   }
@@ -1005,8 +1012,9 @@ object Dedup {
     // join keys, and a count(1) would let column pruning drop `s`
     // from the sizes branch) — without them the exchange is not
     // canonical-equal across consumers and ReuseExchange splits
-    val kept = df.select(idCol.as("id"), text.as("__text"))
-      .join(candIds, Seq("id"), "left_semi")
+    val kept = ScanStats.widen(df.select(idCol.as("id"),
+        text.as("__text"))
+      .join(candIds, Seq("id"), "left_semi"))
       .select(col("id"), explode(graft.functions.WordShinglesExpr
         .wordShinglesNative(col("__text"), shingleK)).as("s0"))
       .select(col("id"), substring(md5(col("s0")), 1, 16).as("s"))
@@ -1225,9 +1233,16 @@ object Dedup {
                    maxPairRows: Long = 2000000000L): DataFrame = {
     // join/aggregate on a 16-hex-char digest of the shingle
     // (identical md5 in the oracle): far smaller shuffle keys than raw
-    // shingle strings
+    // shingle strings.
+    // localCheckpoint: the digest rows feed FIVE consumers (the
+    // pricing aggregate, the hot-shingle broadcast build, the size
+    // aggregate and both sides of the intersection self-join) — each
+    // would otherwise re-shingle and re-md5 the whole corpus. One
+    // pass over the text instead of five; the pricing action below
+    // materializes it (lazy here so no extra job is scheduled).
     val exploded = shingleRows(df, idCol, text, shingleK)
       .select(col("id"), substring(md5(col("s")), 1, 16).as("s"))
+      .localCheckpoint(eager = false)
     val dfAgg = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
     val priced = dfAgg

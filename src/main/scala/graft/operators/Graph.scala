@@ -307,6 +307,12 @@ object Graph {
     // its out-edges proportionally to w — share(u→v) =
     // floor(pr(u)·w / Σ_out w), which for w ≡ 1 is exactly the
     // classic floor(pr/outdeg). Non-positive weights raise in-plan.
+    // The UNWEIGHTED path carries no w column at all: pr·1 ≡ pr, so
+    // the per-edge decimal multiply disappears from every round, the
+    // cached/shuffled edge rows are one DECIMAL(38,0) narrower
+    // (guide §2.3), and the degree aggregate is a long count instead
+    // of a decimal sum — identical values either way.
+    val weighted = weight.isDefined
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
     // hash-repartition the persisted frame by the per-round join key
     // ONCE: the cache then (a) holds shuffle-width partitions instead
@@ -315,10 +321,12 @@ object Graph {
     // every round), and (b) reports src-hash partitioning, so each
     // round's edges⋈ranks join exchanges only the node-sized rank
     // side — the edge side never re-shuffles
-    val e0 = edges.select(col("src"), col("dst"),
-      when(wCol > 0, wCol)
-        .otherwise(raise_error(lit("pagerank: edge weights must " +
-          "be positive")).cast(Dec)).as("w"))
+    val e0 = (if (weighted)
+        edges.select(col("src"), col("dst"),
+          when(wCol > 0, wCol)
+            .otherwise(raise_error(lit("pagerank: edge weights must " +
+              "be positive")).cast(Dec)).as("w"))
+      else edges.select(col("src"), col("dst")))
       .repartition(shuffleWidth(edges), col("src"))
       .persist()
     // degree-skew pre-flight (the price-it-first discipline): the
@@ -338,7 +346,8 @@ object Graph {
         .distinct(), checkpointDir)
     val (deg, degPins) = cutTracked(
       e0.groupBy(col("src").as("node"))
-        .agg(sum(col("w")).cast(Dec).as("deg")), checkpointDir)
+        .agg((if (weighted) sum(col("w")) else count(lit(1)))
+          .cast(Dec).as("deg")), checkpointDir)
     // out-degree PRE-JOINED into the edge frame once: every
     // iteration's share computation then needs only the pr join —
     // one shuffle per round instead of two (at 100 TB the saved
@@ -346,8 +355,8 @@ object Graph {
     // per iteration)
     val e = e0.join(deg.select(col("node").as("__dn"), col("deg")),
         col("__dn") === e0("src"))
-      .select(e0("src").as("src"), e0("dst").as("dst"), e0("w"),
-        col("deg"))
+      .select(Seq(e0("src").as("src"), e0("dst").as("dst")) ++
+        (if (weighted) Seq(e0("w")) else Nil) :+ col("deg"): _*)
       .persist()
     // seed membership rides the node frame as one boolean column —
     // the teleport base is then a branch-free projection each round
@@ -363,38 +372,60 @@ object Graph {
         (nodes.select(col("node"), lit(true).as("is_seed")),
           Seq.empty[RDD[_]])
     }
-    // N (nodes), S (teleport targets), T = N·scale — one tiny frame
-    // every round's projection crossJoin-broadcasts. A seed set that
-    // never intersects the edge frame's nodes would divide by zero;
-    // raise in-plan (fail-fast, the applyChangelog discipline)
-    // rather than emit an all-null ranking.
-    val tot = seeded.agg(
-        count(lit(1)).cast(Dec).as("n"),
-        count(when(col("is_seed"), 1)).cast(Dec).as("s0"))
-      .select(col("n"),
-        when(col("s0") > 0, col("s0"))
-          .otherwise(raise_error(lit("pagerank: no seed appears " +
-            "among the edge frame's nodes (empty teleport set)"))
-            .cast(Dec))
-          .as("s"))
-    val sc = lit(scale).cast(Dec)
+    // N (nodes) and S (teleport targets) are ROUND-INVARIANT scalars:
+    // read them ONCE driver-side instead of re-aggregating and
+    // re-broadcasting a `tot` frame into every round's projection
+    // (the per-round crossJoin(broadcast(tot)) build was one full
+    // scheduler job per iteration for two constants). A seed set
+    // that never intersects the edge frame's nodes would divide by
+    // zero; fail fast here with the same message the in-plan guard
+    // raised.
+    val totRow = seeded.agg(count(lit(1)).as("n0"),
+      count(when(col("is_seed"), 1)).as("s0")).head()
+    val nCnt = totRow.getLong(0)
+    val sCnt = totRow.getLong(1)
+    if (sCnt <= 0)
+      throw new IllegalStateException("pagerank: no seed appears " +
+        "among the edge frame's nodes (empty teleport set)")
+    def decLit(v: BigInt): Column =
+      lit(new java.math.BigDecimal(v.bigInteger)).cast(Dec)
+    // the three per-node constants, exact BigInt floors — identical
+    // values to the in-plan floorDiv spellings they replace:
+    //   init     = floor(N·scale / S)            (round-0 seed mass)
+    //   teleBase = floor((den−num)·N·scale / (den·S))
+    val initLit = decLit(BigInt(nCnt) * BigInt(scale) / BigInt(sCnt))
+    val teleLit = decLit(BigInt(den - num) * BigInt(nCnt) *
+      BigInt(scale) / (BigInt(den) * BigInt(sCnt)))
+    val sB = BigInt(sCnt)
+    // dangling-free detection, ONE cheap count over the checkpointed
+    // degree frame: deg holds one row per SOURCE node, and sources
+    // are never dangling, so |dangling| = N − |deg|. A dangling-free
+    // graph (every symmetrized graph, every cycle graph) then skips
+    // the whole per-round dangling machinery — an anti-join, a
+    // global aggregate and a broadcast build per iteration — because
+    // D ≡ 0 makes its term floor(0/S) = 0 exactly.
+    val hasDangling = deg.count() < nCnt
     // initial mass lives ON the teleport set: floor(T/|S|) per seed,
     // 0 elsewhere — for seeds=None that is exactly `scale` per node,
     // and for TrustRank every unit of final score provably originated
     // at a seed and travelled only links
-    var (pr, prPins) = cutTracked(seeded.crossJoin(broadcast(tot))
+    var (pr, prPins) = cutTracked(seeded
       .select(col("node"), col("is_seed"),
-        when(col("is_seed"), floorDiv(col("n") * sc, col("s")))
+        when(col("is_seed"), initLit)
           .otherwise(lit(0).cast(Dec)).as("pr")), checkpointDir)
     val trace = Seq.newBuilder[DataFrame]
     trace += pr.select(col("node"), col("pr"))
     for (_ <- 1 to iterations) {
       val shares = e.join(pr.select(col("node"), col("pr")),
           e("src") === col("node"))
+      // unweighted: share = floor(pr·1 / deg) = floor(pr / deg) —
+      // no per-edge decimal multiply
+      val shareCol =
+        if (weighted) floorDiv(col("pr") * col("w"), col("deg"))
+        else floorDiv(col("pr"), col("deg"))
       val inflow =
         if (inflowSalt <= 1)
-          shares.select(e("dst").as("node"),
-              floorDiv(col("pr") * col("w"), col("deg")).as("share"))
+          shares.select(e("dst").as("node"), shareCol.as("share"))
             .groupBy(col("node"))
             .agg(sum(col("share")).cast(Dec).as("inflow"))
         else
@@ -404,29 +435,36 @@ object Graph {
           // absorbing every edge; the final sum is over ≤ salt rows
           // per node. Integer addition is associative, so scores are
           // bit-identical to the unsalted plan.
-          shares.select(e("dst").as("node"),
-              floorDiv(col("pr") * col("w"), col("deg")).as("share"),
+          shares.select(e("dst").as("node"), shareCol.as("share"),
               pmod(hash(e("src")), lit(inflowSalt)).as("__salt"))
             .groupBy(col("node"), col("__salt"))
             .agg(sum(col("share")).cast(Dec).as("__partial"))
             .groupBy(col("node"))
             .agg(sum(col("__partial")).cast(Dec).as("inflow"))
-      val dang = pr.join(deg.select(col("node")), Seq("node"),
-          "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0)).cast(Dec).as("d"))
+      // per-seed dangling share floor(D/S) is a per-round SCALAR:
+      // when the graph has dangling nodes, read it with one small
+      // aggregate job (the round is materialized eagerly anyway)
+      // and fold the floor on the driver — the old plan built the
+      // same aggregate and shipped it through a broadcast join.
+      val dangLit =
+        if (!hasDangling) lit(0).cast(Dec)
+        else {
+          val d = pr.join(deg.select(col("node")), Seq("node"),
+              "left_anti")
+            .agg(coalesce(sum(col("pr")),
+              lit(0).cast(Dec)).cast(Dec).as("d"))
+            .head().getDecimal(0)
+          decLit(BigInt(d.toBigInteger) / sB)
+        }
       val (next, nextPins) = cutTracked(
-        pr.select(col("node"), col("is_seed"), col("pr"))
+        pr.select(col("node"), col("is_seed"))
         .join(inflow, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
-        .crossJoin(broadcast(dang))
         .select(col("node"), col("is_seed"),
-          (when(col("is_seed"),
-            floorDiv(lit(den - num).cast(Dec) * col("n") * sc,
-              lit(den).cast(Dec) * col("s")))
+          (when(col("is_seed"), teleLit)
             .otherwise(lit(0).cast(Dec)) +
           floorDiv(lit(num).cast(Dec) *
             (coalesce(col("inflow"), lit(0).cast(Dec)) +
-              when(col("is_seed"), floorDiv(col("d"), col("s")))
+              when(col("is_seed"), dangLit)
                 .otherwise(lit(0).cast(Dec))),
             lit(den).cast(Dec))).as("pr"))
         // pr is referenced three times next round (shares, dangling,
@@ -522,12 +560,19 @@ object Graph {
       "need a pagerankTrace run (round 0 + >=1 iteration) to fold into")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
+    // unweighted folds carry NO w column: pr·1 ≡ pr drops the
+    // per-edge decimal multiply, and the cached / collected /
+    // shuffled edge rows lose a 16-byte DECIMAL(38,0) constant each
+    // (the pagerankTraceImpl narrowing, applied to the fold paths)
+    val weighted = weight.isDefined
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
     def withW(df: DataFrame, who: String): DataFrame =
-      df.select(col("src"), col("dst"),
-        when(wCol > 0, wCol)
-          .otherwise(raise_error(lit(s"$who: edge weights must " +
-            "be positive")).cast(Dec)).as("w"))
+      if (weighted)
+        df.select(col("src"), col("dst"),
+          when(wCol > 0, wCol)
+            .otherwise(raise_error(lit(s"$who: edge weights must " +
+              "be positive")).cast(Dec)).as("w"))
+      else df.select(col("src"), col("dst"))
     // layout hint: both frames carry the artifact's physical
     // partition column sb = pmod(xxhash64(src), srcBuckets); the
     // fold's src-keyed probes then read ONLY the probing frontier's
@@ -548,19 +593,20 @@ object Graph {
     // width-normalized caches (see pagerankTrace's e0 note): the
     // fold scans these a handful of times — hops, frontier-edge and
     // degree probes — and each scan should cost shuffle-width tasks,
-    // not the raw scan's split count. The base frame stays cached
-    // even WITH a layout hint: the dst-keyed in-edge extract always
-    // scans it whole, and a pruned parquet slice only beats a warm
-    // cache probe when the frontier is genuinely selective —
-    // [[pruneOrWhole]] makes that call per probe, so a dense
-    // frontier (every bucket populated — the small-scale regime)
-    // keeps r13's all-cache behavior while a sparse frontier (the
-    // 100 TB regime) reads frontier-proportional file bytes.
+    // not the raw scan's split count. COALESCE, not repartition: the
+    // fold's probes all broadcast the frontier side (and the shuffle
+    // fallback extracts frontier in-edges once), so nothing here
+    // ever exploits src-hash partitioning — the old repartition paid
+    // a full edge shuffle up front (measured as the single heaviest
+    // stage of the q174 fold: a 1 % delta shuffled 100 % of the
+    // edges before folding anything) for a property no consumer
+    // used. Coalesce materializes the same width-normalized cache by
+    // merging scan splits map-side, zero shuffle.
     val eOldP = Some(withW(edges, "pagerankDelta")
-      .repartition(shuffleWidth(edges), col("src")).persist())
+      .coalesce(shuffleWidth(edges)).persist())
     val eOld = eOldP.getOrElse(withW(edges, "pagerankDelta"))
     val eDelta = withW(delta, "pagerankDelta")
-      .repartition(shuffleWidth(delta), col("src")).persist()
+      .coalesce(shuffleWidth(delta)).persist()
     val eNew = eOld.unionAll(eDelta)
     // ALL pre-flights in ONE SHUFFLE: tag every edge endpoint with
     // its role (old-src / old-dst / delta-src / delta-dst), reduce
@@ -578,13 +624,20 @@ object Graph {
     //    every added-row union downstream).
     // The seeded-trace probe (a node-frame scan, no shuffle) rides
     // the same collect as a 1-row broadcast.
-    val flags = eOld.select(col("src").as("node"),
-        lit(1).as("r"))
-      .unionAll(eOld.select(col("dst").as("node"), lit(2).as("r")))
-      .unionAll(eDelta.select(col("src").as("node"),
-        lit(4).as("r")))
-      .unionAll(eDelta.select(col("dst").as("node"),
-        lit(8).as("r")))
+    // ONE SCAN per frame (not one per endpoint role): each edge row
+    // explodes into its (src, roleBit) and (dst, roleBit) pairs
+    // in-task, so the pre-flight reads the base artifact once and
+    // the delta once instead of twice each — at 100 TB that halves
+    // the pre-flight's file bytes, and partial aggregation reduces
+    // the exploded pairs map-side exactly as before.
+    def roles(f: DataFrame, sBit: Int, dBit: Int): DataFrame =
+      f.select(explode(array(
+          struct(col("src").as("node"), lit(sBit).as("r")),
+          struct(col("dst").as("node"), lit(dBit).as("r"))))
+        .as("__e"))
+        .select(col("__e.node").as("node"), col("__e.r").as("r"))
+    val flags = roles(eOld, 1, 2)
+      .unionAll(roles(eDelta, 4, 8))
       .groupBy(col("node"))
       .agg(max(when(col("r") === 1, 1).otherwise(0)).as("os"),
         max(when(col("r") === 2, 1).otherwise(0)).as("od"),
@@ -630,7 +683,7 @@ object Graph {
     // frame alone
     val srcsD = eDelta.select(col("src").as("node")).distinct()
     val out = foldCore(eNew, Seq(eNew), srcsD, added, trace, num,
-      den, scale, checkpointDir, maxBroadcastBytes, layout)
+      den, scale, checkpointDir, maxBroadcastBytes, layout, weighted)
     // foldCore's result is eagerly materialized — every input frame
     // below is dead
     release(addedPins)
@@ -679,16 +732,26 @@ object Graph {
       "need a pagerankTrace run (round 0 + >=1 iteration) to fold into")
     require(num > 0 && den > num,
       s"damping num/den must lie in (0, 1): $num/$den")
+    // no w column on unweighted frames — the pagerankDelta narrowing
+    val weighted = weight.isDefined
     val wCol = weight.getOrElse(lit(1L)).cast(Dec)
     def withW(df: DataFrame): DataFrame =
-      df.select(col("src"), col("dst"),
-        when(wCol > 0, wCol)
-          .otherwise(raise_error(lit("pagerankRefresh: edge " +
-            "weights must be positive")).cast(Dec)).as("w"))
+      if (weighted)
+        df.select(col("src"), col("dst"),
+          when(wCol > 0, wCol)
+            .otherwise(raise_error(lit("pagerankRefresh: edge " +
+              "weights must be positive")).cast(Dec)).as("w"))
+      else df.select(col("src"), col("dst"))
+    // coalesce, not repartition — same reasoning as pagerankDelta:
+    // every consumer (node scans, the multiset-diff aggregates keyed
+    // (src, dst), the fold's frontier probes) either aggregates on a
+    // different key or broadcasts the frontier side, so src-hash
+    // partitioning buys nothing and the up-front edge shuffle is
+    // pure cost.
     val eOld = withW(oldEdges)
-      .repartition(shuffleWidth(oldEdges), col("src")).persist()
+      .coalesce(shuffleWidth(oldEdges)).persist()
     val eNew = withW(newEdges)
-      .repartition(shuffleWidth(newEdges), col("src")).persist()
+      .coalesce(shuffleWidth(newEdges)).persist()
     def nodesOf(e: DataFrame): DataFrame =
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node")))
@@ -729,21 +792,31 @@ object Graph {
     // given identical scores). One full-outer join of two keyed
     // aggregates — edit-sized output, edge-sized input. A source
     // that only exists in one frame (an added node) diffs too.
-    def grouped(e: DataFrame, cn: String, sn: String): DataFrame =
-      e.groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as(cn), sum(col("w")).cast(Dec).as(sn))
+    // unweighted: w ≡ 1 makes the weight sum IDENTICAL to the count,
+    // so comparing it would be comparing the count twice — the diff
+    // reduces to per-(src, dst) multiplicities alone.
+    def grouped(e: DataFrame, cn: String, sn: String): DataFrame = {
+      val g = e.groupBy(col("src"), col("dst"))
+      if (weighted)
+        g.agg(count(lit(1)).as(cn), sum(col("w")).cast(Dec).as(sn))
+      else g.agg(count(lit(1)).as(cn))
+    }
+    val changed =
+      if (weighted)
+        !(col("__oc") <=> col("__nc") && col("__ow") <=> col("__nw"))
+      else !(col("__oc") <=> col("__nc"))
     val srcsD = grouped(eOld, "__oc", "__ow")
       .join(grouped(eNew, "__nc", "__nw"), Seq("src", "dst"),
         "full_outer")
-      .where(!(col("__oc") <=> col("__nc") &&
-        col("__ow") <=> col("__nw")))
+      .where(changed)
       .select(col("src").as("node")).distinct()
     // the frontier seeds from the changed sources' out-neighbors
     // in BOTH frames — a removal dirties a node the new frame may
     // no longer reach from that source — plus every added node,
     // and expands through the NEW frame only.
     val out = foldCore(eNew, Seq(eNew, eOld), srcsD, added, trace,
-      num, den, scale, checkpointDir, maxBroadcastBytes)
+      num, den, scale, checkpointDir, maxBroadcastBytes,
+      weighted = weighted)
     release(addedPins)
     release(nnPins)
     release(onPins)
@@ -880,10 +953,11 @@ object Graph {
                        num: Long, den: Long, scale: Long,
                        checkpointDir: Option[String],
                        maxBroadcastBytes: Long,
-                       layout: Option[EdgeLayout] = None): DataFrame = {
+                       layout: Option[EdgeLayout] = None,
+                       weighted: Boolean = true): DataFrame = {
     val addedRows = added.select(col("node"))
     foldDriver(e, firstHop, seeds, addedRows, trace, num, den,
-      scale, checkpointDir, maxBroadcastBytes, layout)
+      scale, checkpointDir, maxBroadcastBytes, layout, weighted)
       .getOrElse {
         // budget blown somewhere — the honest distributed plan:
         // cut-based frontier seeding, then shuffle rounds. With a
@@ -903,7 +977,7 @@ object Graph {
         val (dirty1, dp) = cutTracked(
           hop1.unionAll(addedRows).distinct(), checkpointDir)
         val out = foldShuffle(e, trace, dirty1, addedRows, num, den,
-          scale, checkpointDir, layout)
+          scale, checkpointDir, layout, weighted)
         release(dp)
         release(sp)
         out
@@ -1014,7 +1088,8 @@ object Graph {
                          num: Long, den: Long, scale: Long,
                          checkpointDir: Option[String],
                          maxBroadcastBytes: Long,
-                         layout: Option[EdgeLayout] = None)
+                         layout: Option[EdgeLayout] = None,
+                         weighted: Boolean = true)
       : Option[DataFrame] = {
     val iterations = trace.length - 1
     val spark = e.sparkSession
@@ -1058,42 +1133,73 @@ object Graph {
               .map(rows => s ++ rows.iterator.map(_.get(0))))
         }.filter(_.size <= nodeLimit)
       }
-      // depth-bounded BFS union, expanding each node ONCE (a node
-      // first reached at depth d contributes its out-neighbors at
-      // depth d+1 — fresh-only expansion IS the layered union) and
-      // stopping early when the frontier closes
+      // depth-bounded BFS union. Two physically different (same
+      // answer) expansions:
+      //  - SPARSE frontier under a layout hint (the 100 TB regime:
+      //    frontier buckets ≪ total buckets): hop-by-hop pruned
+      //    probes, each reading only the frontier's partition
+      //    directories, expanding each node once and stopping early
+      //    when the frontier closes;
+      //  - DENSE frontier (pruning cannot fire — the small-scale
+      //    regime): ALL remaining hops composed into ONE lazy plan
+      //    (k−1 chained frontier-sized joins over the cached scan)
+      //    and ONE bounded collect — the hop-by-hop loop paid a
+      //    scheduler round-trip plus a bucket-id probe per hop for
+      //    the same cluster work.
       all <- {
-        var acc = d1
-        var frontier = acc
-        var hop = 2
-        var blown = false
-        while (hop <= iterations && frontier.nonEmpty && !blown) {
-          val fr = localFrame(frontier, "__f")
-          val pe = srcProbe(e, fr)
-          collectBounded(
-            pe.join(broadcast(fr), pe("src") === col("__f"))
-              .select(pe("dst").as("node")), maxBroadcastBytes) match {
-            case Some(rows) =>
-              val next = rows.map(_.get(0)).toSet -- acc
-              acc ++= next
-              frontier = next
-              if (acc.size > nodeLimit) blown = true
-            case None => blown = true
+        val sparse = layout.exists(l =>
+          BigInt(d1.size) * 4 <= BigInt(l.buckets))
+        if (iterations < 2) Some(d1).filter(_.size <= nodeLimit)
+        else if (sparse) {
+          var acc = d1
+          var frontier = acc
+          var hop = 2
+          var blown = false
+          while (hop <= iterations && frontier.nonEmpty && !blown) {
+            val fr = localFrame(frontier, "__f")
+            val pe = srcProbe(e, fr)
+            collectBounded(
+              pe.join(broadcast(fr), pe("src") === col("__f"))
+                .select(pe("dst").as("node")), maxBroadcastBytes) match {
+              case Some(rows) =>
+                val next = rows.map(_.get(0)).toSet -- acc
+                acc ++= next
+                frontier = next
+                if (acc.size > nodeLimit) blown = true
+              case None => blown = true
+            }
+            hop += 1
           }
-          hop += 1
+          if (blown) None else Some(acc)
+        } else {
+          var level: DataFrame = localFrame(d1, "node")
+          val levels = Seq.newBuilder[DataFrame]
+          for (_ <- 2 to iterations) {
+            val nxt = e.join(level
+                .withColumnRenamed("node", "__f"),
+                e("src") === col("__f"))
+              .select(e("dst").as("node")).distinct()
+            levels += nxt
+            level = nxt
+          }
+          collectBounded(levels.result().reduce(_ unionAll _)
+              .distinct(), maxBroadcastBytes)
+            .map(rows => d1 ++ rows.iterator.map(_.get(0)))
+            .filter(_.size <= nodeLimit)
         }
-        if (blown) None else Some(acc)
       }
-      // the frontier's in-edges (src, dst, w) — the only edges whose
-      // shares can change a frontier score
+      // the frontier's in-edges (src, dst[, w]) — the only edges
+      // whose shares can change a frontier score
       fE <- collectBounded(
         e.join(broadcast(localFrame(all, "__t")),
           e("dst") === col("__t"))
-        .select(e("src").as("src"), e("dst").as("dst"), e("w")),
+        .select(Seq(e("src").as("src"), e("dst").as("dst")) ++
+          (if (weighted) Seq(e("w")) else Nil): _*),
         maxBroadcastBytes)
       // out-degree TOTALS for frontier-in-edge sources only (each
       // source's full out-edge sum — aggregated cluster-side, so the
-      // collect is source-set-sized even for hub sources)
+      // collect is source-set-sized even for hub sources; unweighted
+      // degrees are long counts, w ≡ 1 sums exactly)
       srcsF = fE.map(_.get(0)).toSet
       degRows <- {
         val sFrame = localFrame(srcsF, "__s")
@@ -1101,7 +1207,8 @@ object Graph {
         collectBounded(
           de.join(broadcast(sFrame), de("src") === col("__s"))
           .groupBy(de("src").as("src"))
-          .agg(sum(col("w")).cast(Dec).as("deg")), maxBroadcastBytes)
+          .agg((if (weighted) sum(col("w")) else count(lit(1)))
+            .cast(Dec).as("deg")), maxBroadcastBytes)
       }
       // prior-round trace scores for sources OUTSIDE the frontier
       // (frontier scores are recomputed; round 0 is `scale`
@@ -1127,7 +1234,10 @@ object Graph {
         }
       }
     } yield {
-      val edges = fE.map(r => (r.get(0), r.get(1), big(r.getDecimal(2))))
+      val edges =
+        if (weighted)
+          fE.map(r => (r.get(0), r.get(1), big(r.getDecimal(2))))
+        else fE.map(r => (r.get(0), r.get(1), BigInt(1)))
       val deg = degRows.map(r => r.get(0) -> big(r.getDecimal(1)))
         .toMap
       val baseB = BigInt(den - num) * BigInt(scale) / BigInt(den)
@@ -1187,7 +1297,8 @@ object Graph {
                           dirty1: DataFrame, addedRows: DataFrame,
                           num: Long, den: Long, scale: Long,
                           checkpointDir: Option[String],
-                          layout: Option[EdgeLayout] = None)
+                          layout: Option[EdgeLayout] = None,
+                          weighted: Boolean = true)
       : DataFrame = {
     val iterations = trace.length - 1
     val base = lit((BigInt(den - num) * BigInt(scale) / BigInt(den))
@@ -1219,7 +1330,7 @@ object Graph {
         da
       }
     val out = foldRoundsShuffle(e, trace, dirtyAll, addedRows, num,
-      den, scale, base, checkpointDir, layout)
+      den, scale, base, checkpointDir, layout, weighted)
     release(pins.result())
     out
   }
@@ -1261,30 +1372,34 @@ object Graph {
                                 num: Long, den: Long, scale: Long,
                                 base: Column,
                                 checkpointDir: Option[String],
-                                layout: Option[EdgeLayout] = None)
+                                layout: Option[EdgeLayout] = None,
+                                weighted: Boolean = true)
       : DataFrame = {
     val iterations = trace.length - 1
     // frontier in-edges, extracted once — the only edges whose
-    // shares can move a dirty score
+    // shares can move a dirty score (unweighted frames carry no w)
     val (eF, eFPins) = cutTracked(
       e.join(dirtyAll.withColumnRenamed("node", "__t"),
         e("dst") === col("__t"))
-      .select(e("src").as("src"), e("dst").as("dst"), e("w")),
+      .select(Seq(e("src").as("src"), e("dst").as("dst")) ++
+        (if (weighted) Seq(e("w")) else Nil): _*),
       checkpointDir)
     val (srcsF, sFPins) = cutTracked(
       eF.select(col("src").as("node")).distinct(), checkpointDir)
     // out-degree TOTALS for frontier-in-edge sources only — summed
     // over each source's full out-edge set (a function of src, so a
-    // layout hint prunes this scan to those sources' buckets)
+    // layout hint prunes this scan to those sources' buckets);
+    // unweighted degrees are long counts (w ≡ 1 sums exactly)
     val degE = pruneOrWhole(layout, srcsF, e)
     val degF = degE.join(srcsF.withColumnRenamed("node", "__s"),
         degE("src") === col("__s"))
       .groupBy(degE("src").as("__dn"))
-      .agg(sum(degE("w")).cast(Dec).as("deg"))
+      .agg((if (weighted) sum(degE("w")) else count(lit(1)))
+        .cast(Dec).as("deg"))
     val (eFD, eFDPins) = cutTracked(
       eF.join(degF, col("__dn") === eF("src"))
-        .select(eF("src").as("src"), eF("dst").as("dst"), eF("w"),
-          col("deg")),
+        .select(Seq(eF("src").as("src"), eF("dst").as("dst")) ++
+          (if (weighted) Seq(eF("w")) else Nil) :+ col("deg"): _*),
       checkpointDir)
     release(eFPins)
     // frontier-source split, cut once and read every round: sources
@@ -1321,7 +1436,8 @@ object Graph {
         .join(prev.select(col("node").as("__sn"), col("pr")),
           col("__sn") === eFD("src"))
         .select(eFD("dst").as("node"),
-          floorDiv(col("pr") * eFD("w"), eFD("deg")).as("share"))
+          (if (weighted) floorDiv(col("pr") * eFD("w"), eFD("deg"))
+           else floorDiv(col("pr"), eFD("deg"))).as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).cast(Dec).as("inflow"))
       // NOT cut: single-reference linear chain (see scaladoc)
@@ -1587,11 +1703,15 @@ object Graph {
     val iterations = trace.length - 1
     // width-normalized caches (the pagerankTrace e0 note); the
     // combined frame stays a lazy union of the two — persisting it
-    // separately would double the cached bytes for zero scans saved
+    // separately would double the cached bytes for zero scans saved.
+    // Coalesce, not repartition: every fold probe broadcasts the
+    // frontier side, so src-hash partitioning buys nothing here and
+    // the up-front edge shuffle was pure cost (the pagerankDelta
+    // finding).
     val eOld = edges.select(col("src"), col("dst"))
-      .repartition(shuffleWidth(edges), col("src")).persist()
+      .coalesce(shuffleWidth(edges)).persist()
     val eDelta = delta.select(col("src"), col("dst"))
-      .repartition(shuffleWidth(delta), col("src")).persist()
+      .coalesce(shuffleWidth(delta)).persist()
     val e = eOld.unionAll(eDelta)
     hitsGrowthPreflight(e, iterations)
     val (oldNodes, onPins) = cutTracked(

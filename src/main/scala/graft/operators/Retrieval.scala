@@ -121,12 +121,23 @@ object Retrieval {
     * documents shorter than the phrase (`sequence` with a negative
     * upper bound would otherwise fabricate a negative-step range).
     */
-  def phrasePositions(textCol: Column, phrase: Seq[String]): Column = {
+  def phrasePositions(textCol: Column, phrase: Seq[String]): Column =
+    phrasePositionsOf(TextFunctions.tokens(textCol), phrase)
+
+  /** [[phrasePositions]] over an ALREADY-TOKENIZED array column.
+    * Callers should tokenize in a separate upstream projection: the
+    * lambda below references the token array once per (position,
+    * phrase token) pair, and an inline `tokens(text)` subtree is
+    * re-evaluated at every reference (codegen subexpression
+    * elimination does not reach inside higher-order-function
+    * lambdas) — measured as a whole-document regex re-split per
+    * compared position, the dominant cost of the q119 scan.
+    */
+  def phrasePositionsOf(ts: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phrasePositions needs a non-empty phrase")
     require(phrase.size <= 16,
       s"flat per-position conjunction is specified for <= 16 " +
         s"tokens: ${phrase.size}")
-    val ts = TextFunctions.tokens(textCol)
     val k = phrase.size
     val starts = filter(
       sequence(lit(0), size(ts) - k),
@@ -149,8 +160,14 @@ object Retrieval {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame =
     docs
+      // tokenize ONCE per row in its own projection (multiple
+      // non-cheap references keep CollapseProject from re-inlining
+      // the split into every lambda reference — see
+      // [[phrasePositionsOf]])
       .select(col(idCol).as("id"),
-        phrasePositions(col(textCol), phrase).as("__ps"))
+        TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col("id"),
+        phrasePositionsOf(col("__ts"), phrase).as("__ps"))
       .where(size(col("__ps")) > 0)
       .select(col("id"),
         size(col("__ps")).cast("long").as("n_occ"),
@@ -209,7 +226,9 @@ object Retrieval {
   def topBigram(docs: DataFrame, idCol: String, textCol: String,
                 sampleDen: Long = 1L): DataFrame = {
     require(sampleDen >= 1, s"sampleDen must be >= 1: $sampleDen")
-    val ts = TextFunctions.tokens(col(textCol))
+    // tokenize once per row in its own projection (the
+    // phrasePositionsOf lambda-reference rationale)
+    val ts = col("__ts")
     val bigrams = when(size(ts) >= 2,
         transform(sequence(lit(0), size(ts) - 2),
           p => concat_ws(" ", element_at(ts, p + 1),
@@ -218,6 +237,7 @@ object Retrieval {
     docs
       .where(pmod(Sampling.hash32(col(idCol)), lit(sampleDen))
         === 0L)
+      .select(TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(explode(bigrams).as("bg"))
       .groupBy(col("bg"))
       .agg(count(lit(1)).as("cnt"))

@@ -42,6 +42,33 @@ object ScanStats {
       case None => df.count()
     }
 
+  /** Repartition a frame to the session's shuffle width when it
+    * plans FEWER partitions — the guide-§2.5 fix for narrow inputs
+    * (locally: a single small parquet file splits into a handful of
+    * tasks; at scale: a few huge unsplittable files): CPU-heavy
+    * per-row work downstream (shingling, md5, signatures) otherwise
+    * runs at the scan's split count no matter how many cores sit
+    * idle. A frame already at or above the width passes through
+    * untouched — a splittable 100 TB scan plans orders of magnitude
+    * more partitions than the width, so this is a no-op there by
+    * construction. Streaming frames pass through (no RDD to inspect
+    * mid-plan). Results are partition-independent (the
+    * partition-invariance sweep pins every query), so widening never
+    * changes an answer.
+    */
+  def widen(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val width =
+        try df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        catch { case _: Throwable => 200 }
+      val n =
+        try df.rdd.getNumPartitions
+        catch { case _: Throwable => width }
+      if (n < width) df.repartition(width) else df
+    }
+
   /** The relation iff `plan` is a parquet scan under nothing but
     * row-count-preserving projections (no filters, joins, generators).
     */

@@ -326,6 +326,48 @@ object Similarity {
     * then one refinement per coarse cell over its members — which
     * also cuts the Lloyd cost from n·k to n·(k₁+k/k₁).
     */
+  /** Collect one Lloyd iteration's centroid-sum frame (key cols +
+    * `dim` + a LONG component sum, k·d slim rows — exactly what the
+    * old plan broadcast anyway) and return it as TWO local frames:
+    * the centroid table itself and the per-key squared-norm table
+    * `Σ_dim s²` computed driver-side in exact BigInt (bit-identical
+    * to the in-plan `sum(cast(s as decimal(38,0)) * s)`).
+    *
+    * Why: each iteration used to BUILD two broadcasts — and the norm
+    * broadcast's subtree contains the centroid aggregation, so the
+    * corpus-sized centroid job ran TWICE per iteration, plus two
+    * scheduler round-trips. One collect replaces both builds: local
+    * relations broadcast without a cluster job, and the heavy
+    * aggregation runs once.
+    */
+  private def collectedCentroids(
+      spark: org.apache.spark.sql.SparkSession, cents: DataFrame,
+      keys: Seq[String], sumName: String, normName: String)
+      : (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    val schema = cents.schema
+    val rows = cents.collect()
+    val centLocal = spark.createDataFrame(
+      rows.toSeq.asJava, schema)
+    val keyIdx = keys.map(schema.fieldIndex)
+    val sumIdx = schema.fieldIndex(sumName)
+    val normRows = rows.toSeq
+      .groupBy(r => keyIdx.map(r.get))
+      .map { case (kv, rs) =>
+        val s2 = rs.iterator.map { r =>
+          val v = BigInt(r.getLong(sumIdx)); v * v
+        }.sum
+        org.apache.spark.sql.Row.fromSeq(
+          kv :+ new java.math.BigDecimal(s2.bigInteger))
+      }.toSeq
+    val normSchema = org.apache.spark.sql.types.StructType(
+      keys.map(schema(_)) :+
+        org.apache.spark.sql.types.StructField(normName,
+          org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 0)))
+    (centLocal, spark.createDataFrame(normRows.asJava, normSchema))
+  }
+
   def kmeansLabels(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k/$iters")
@@ -354,13 +396,14 @@ object Similarity {
         .cast("long").as("label"))
     var labels = seeds.localCheckpoint(true)
     for (_ <- 0 until iters) {
-      // exact integer centroid sums for the current assignment
-      val centroids = comps.join(labels, Seq("id"))
-        .groupBy(col("label"), col("dim"))
-        .agg(sum(col("qx")).as("s"))
-      val norms = centroids.groupBy(col("label"))
-        .agg(sum(col("s").cast("decimal(38,0)") * col("s"))
-          .as("s2"))
+      // exact integer centroid sums for the current assignment —
+      // collected once (k·d slim rows, what the broadcasts shipped
+      // anyway); norms derive driver-side in exact BigInt
+      val (centroids, norms) = collectedCentroids(df.sparkSession,
+        comps.join(labels, Seq("id"))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("qx")).as("s")),
+        Seq("label"), "s", "s2")
       val wid = Window.partitionBy(col("id"))
         .orderBy(col("__sc").desc, col("label").asc_nulls_first)
       labels = comps
@@ -620,13 +663,14 @@ object Similarity {
     for (_ <- 0 until iters) {
       // exact integer centroid sums per (sub, label, dim); a dim
       // belongs to exactly one sub, so (label, dim) is already
-      // unique — sub rides along for the norm grouping
-      val centroids = comps.join(labels, Seq("id", "sub"))
-        .groupBy(col("sub"), col("label"), col("dim"))
-        .agg(sum(col("qx")).as("cs"))
-      val norms = centroids.groupBy(col("sub"), col("label"))
-        .agg(sum(col("cs").cast("decimal(38,0)") * col("cs"))
-          .as("s2"))
+      // unique — sub rides along for the norm grouping. Collected
+      // once per iteration (see collectedCentroids) — the old two
+      // broadcast builds ran this aggregation twice.
+      val (centroids, norms) = collectedCentroids(df.sparkSession,
+        comps.join(labels, Seq("id", "sub"))
+          .groupBy(col("sub"), col("label"), col("dim"))
+          .agg(sum(col("qx")).as("cs")),
+        Seq("sub", "label"), "cs", "s2")
       val wid = Window.partitionBy(col("id"), col("sub"))
         .orderBy(col("__sc").desc, col("label").asc_nulls_first)
       labels = comps
@@ -739,12 +783,19 @@ object Similarity {
                        qidCol: String, qvecCol: String,
                        m: Int): Column = {
     val quant = quant25 _
+    // the numerator and norm LUT collects below both consume the
+    // codebook frame, whose plan usually contains the whole
+    // codebook-training aggregation — checkpoint it lazily so the
+    // first collect materializes it once and the second reads the
+    // cached m·ksub·(d/m) rows instead of re-running the training
+    // chain
+    val cb = codebooks.localCheckpoint(false)
     val qComps = queries.select(col(qidCol).as("qid"),
         posexplode(col(qvecCol)).as(Seq("dim", "x")))
       .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
     // numerator LUT: t(qid, sub, label) = (Σ_dim qy·cs) / n — the
     // decimal-sum → double cast path the oracle mirrors in HUGEINT
-    val numRows = codebooks.join(qComps, Seq("dim"))
+    val numRows = cb.join(qComps, Seq("dim"))
       .groupBy(col("qid"), col("sub"), col("label"), col("n"))
       .agg(sum(col("qy").cast("decimal(38,0)") * col("cs"))
         .as("dot"))
@@ -753,7 +804,7 @@ object Similarity {
           .as("t"))
       .collect()
     // norm LUT: w(sub, label) = (Σ_dim cs²) / n² = |ĉ_sub|²
-    val normRows = codebooks
+    val normRows = cb
       .groupBy(col("sub"), col("label"), col("n"))
       .agg(sum(col("cs").cast("decimal(38,0)") * col("cs"))
         .as("ss"))
@@ -1412,14 +1463,15 @@ object Similarity {
         col("label"))
     var labels = seeds.localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val cents = comps
-        .join(labels.select(col("id"), col("sub"), col("label")),
-          Seq("id", "sub"))
-        .groupBy(col("cell"), col("sub"), col("label"), col("dim"))
-        .agg(sum(col("y")).as("zs"))
-      val norms = cents.groupBy(col("cell"), col("sub"), col("label"))
-        .agg(sum(col("zs").cast("decimal(38,0)") * col("zs"))
-          .as("s2"))
+      // collected once per iteration (see collectedCentroids) — the
+      // old two broadcast builds ran this aggregation twice
+      val (cents, norms) = collectedCentroids(df.sparkSession,
+        comps
+          .join(labels.select(col("id"), col("sub"), col("label")),
+            Seq("id", "sub"))
+          .groupBy(col("cell"), col("sub"), col("label"), col("dim"))
+          .agg(sum(col("y")).as("zs")),
+        Seq("cell", "sub", "label"), "zs", "s2")
       // a zero-norm residual cluster (EVERY member sits exactly on
       // the rounded cell centroid — routine for near-duplicate
       // cells) has no cosine direction: its score is NULL and it

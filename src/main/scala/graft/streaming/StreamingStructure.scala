@@ -211,7 +211,10 @@ object StreamingStructure {
   def phraseWatch(df: DataFrame, groupCol: String, textCol: String,
                   phrase: Seq[String]): DataFrame =
     df.select(col(groupCol).as("group"),
-        graft.operators.Retrieval.phrasePositions(col(textCol),
+        graft.functions.TextFunctions.tokens(col(textCol))
+          .as("__ts"))
+      .select(col("group"),
+        graft.operators.Retrieval.phrasePositionsOf(col("__ts"),
           phrase).as("__ps"))
       .groupBy(col("group"))
       .agg(count(when(size(col("__ps")) > 0, 1)).as("n_docs"),

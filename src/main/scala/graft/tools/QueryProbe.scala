@@ -34,6 +34,8 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "65536")
+      .config("spark.sql.adaptive.coalescePartitions" +
+        ".minPartitionSize", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))

@@ -884,6 +884,28 @@ object Graph {
         lit(buckets.toLong)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
+  /** [[bucketIds]] for a DRIVER-RESIDENT node set: the same
+    * `pmod(xxhash64(v), buckets)` evaluated through the catalyst
+    * expressions themselves (same hash seed, same modulo semantics —
+    * bit-identical to the writer's partition column) with zero
+    * cluster jobs. The driver fold probes a handful of frontiers per
+    * run; each used to pay a scheduler round-trip just to learn
+    * which buckets its LOCAL node set hashes into.
+    */
+  private def bucketIdsDriver(
+      nodes: Iterable[Any],
+      dt: org.apache.spark.sql.types.DataType,
+      buckets: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    nodes.iterator.map { v =>
+      // seed 42L == the SQL xxhash64 function's default seed (what
+      // the writer's pmod(xxhash64(src), buckets) used)
+      Pmod(XxHash64(Seq(Literal.create(v, dt)), 42L),
+          Literal(buckets.toLong))
+        .eval(null).asInstanceOf[Long].toInt
+    }.toSet.toSeq.sorted(Ordering.Int)
+  }
+
   /** The per-probe prune-vs-cache call: a pruned parquet scan reads
     * `ids.size / buckets` of the artifact from DISK, a whole-frame
     * probe reads the warm CACHE — the slice only wins when the
@@ -1093,13 +1115,22 @@ object Graph {
       : Option[DataFrame] = {
     val iterations = trace.length - 1
     val spark = e.sparkSession
-    // with a layout hint, every src-keyed probe frame is the PRUNED
-    // slice of the artifact for the probing frontier's buckets (the
-    // bucket-id aggregate runs over the frontier's LOCAL frame —
-    // driver-cheap); without one, the probe scans `f` whole
-    def srcProbe(f: DataFrame, frontier: DataFrame): DataFrame =
-      pruneOrWhole(layout, frontier, f)
     val nodeType = seeds.schema("node").dataType
+    // with a layout hint, every src-keyed probe frame is the PRUNED
+    // slice of the artifact for the probing frontier's buckets — the
+    // bucket ids of a DRIVER-RESIDENT frontier evaluate through the
+    // catalyst expressions with no cluster job ([[bucketIdsDriver]]);
+    // without a hint, the probe scans `f` whole
+    def srcProbe(f: DataFrame, frontier: Iterable[Any]): DataFrame =
+      layout match {
+        case Some(l) =>
+          val ids = bucketIdsDriver(frontier, nodeType, l.buckets)
+          val force = sys.props.get("graft.fold.forcePrune")
+            .contains("true")
+          if (force || ids.size * 4 <= l.buckets) l.scan(ids)
+          else f
+        case None => f
+      }
     // cap for driver-resident NODE SETS (collected frames are capped
     // per-frame by collectBounded's own byte-derived row limit)
     val nodeLimit = (maxBroadcastBytes /
@@ -1121,7 +1152,7 @@ object Graph {
         // the layout hint implies the pure-addition form, whose one
         // first-hop frame IS `e` — probe its pruned slice instead
         val hopFrames = layout match {
-          case Some(_) => Seq(srcProbe(e, sf))
+          case Some(_) => Seq(srcProbe(e, seedSet))
           case None => firstHop
         }
         hopFrames.foldLeft(
@@ -1133,60 +1164,36 @@ object Graph {
               .map(rows => s ++ rows.iterator.map(_.get(0))))
         }.filter(_.size <= nodeLimit)
       }
-      // depth-bounded BFS union. Two physically different (same
-      // answer) expansions:
-      //  - SPARSE frontier under a layout hint (the 100 TB regime:
-      //    frontier buckets ≪ total buckets): hop-by-hop pruned
-      //    probes, each reading only the frontier's partition
-      //    directories, expanding each node once and stopping early
-      //    when the frontier closes;
-      //  - DENSE frontier (pruning cannot fire — the small-scale
-      //    regime): ALL remaining hops composed into ONE lazy plan
-      //    (k−1 chained frontier-sized joins over the cached scan)
-      //    and ONE bounded collect — the hop-by-hop loop paid a
-      //    scheduler round-trip plus a bucket-id probe per hop for
-      //    the same cluster work.
+      // depth-bounded BFS union, expanding each node ONCE (a node
+      // first reached at depth d contributes its out-neighbors at
+      // depth d+1 — fresh-only expansion IS the layered union) and
+      // stopping early when the frontier closes. (A fused all-hops
+      // plan was tried and reverted: chained joins either shuffle
+      // the whole edge frame per level — measured 5 × 13.6 MB edge
+      // exchanges where this loop has zero — or, broadcast-hinted,
+      // pay one broadcast-build job per level, the same scheduler
+      // round-trips this loop already pays.)
       all <- {
-        val sparse = layout.exists(l =>
-          BigInt(d1.size) * 4 <= BigInt(l.buckets))
-        if (iterations < 2) Some(d1).filter(_.size <= nodeLimit)
-        else if (sparse) {
-          var acc = d1
-          var frontier = acc
-          var hop = 2
-          var blown = false
-          while (hop <= iterations && frontier.nonEmpty && !blown) {
-            val fr = localFrame(frontier, "__f")
-            val pe = srcProbe(e, fr)
-            collectBounded(
-              pe.join(broadcast(fr), pe("src") === col("__f"))
-                .select(pe("dst").as("node")), maxBroadcastBytes) match {
-              case Some(rows) =>
-                val next = rows.map(_.get(0)).toSet -- acc
-                acc ++= next
-                frontier = next
-                if (acc.size > nodeLimit) blown = true
-              case None => blown = true
-            }
-            hop += 1
+        var acc = d1
+        var frontier = acc
+        var hop = 2
+        var blown = false
+        while (hop <= iterations && frontier.nonEmpty && !blown) {
+          val fr = localFrame(frontier, "__f")
+          val pe = srcProbe(e, frontier)
+          collectBounded(
+            pe.join(broadcast(fr), pe("src") === col("__f"))
+              .select(pe("dst").as("node")), maxBroadcastBytes) match {
+            case Some(rows) =>
+              val next = rows.map(_.get(0)).toSet -- acc
+              acc ++= next
+              frontier = next
+              if (acc.size > nodeLimit) blown = true
+            case None => blown = true
           }
-          if (blown) None else Some(acc)
-        } else {
-          var level: DataFrame = localFrame(d1, "node")
-          val levels = Seq.newBuilder[DataFrame]
-          for (_ <- 2 to iterations) {
-            val nxt = e.join(level
-                .withColumnRenamed("node", "__f"),
-                e("src") === col("__f"))
-              .select(e("dst").as("node")).distinct()
-            levels += nxt
-            level = nxt
-          }
-          collectBounded(levels.result().reduce(_ unionAll _)
-              .distinct(), maxBroadcastBytes)
-            .map(rows => d1 ++ rows.iterator.map(_.get(0)))
-            .filter(_.size <= nodeLimit)
+          hop += 1
         }
+        if (blown) None else Some(acc)
       }
       // the frontier's in-edges (src, dst[, w]) — the only edges
       // whose shares can change a frontier score
@@ -1203,7 +1210,7 @@ object Graph {
       srcsF = fE.map(_.get(0)).toSet
       degRows <- {
         val sFrame = localFrame(srcsF, "__s")
-        val de = srcProbe(e, sFrame)
+        val de = srcProbe(e, srcsF)
         collectBounded(
           de.join(broadcast(sFrame), de("src") === col("__s"))
           .groupBy(de("src").as("src"))

@@ -24,9 +24,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the sf tables are single sub-MB parquet files; without a
       // smaller split size every map-side stage (shingling, hashing,
-      // signatures) runs on ONE core of the 32. A real cluster gets
-      // its splits from many files and keeps the 128m default.
-      .config("spark.sql.files.maxPartitionBytes", "65536")
+      // signatures) runs on ONE core of the 32. SCALE-ADAPTIVE
+      // rather than a constant: the previous 64 KB constant fanned
+      // the 17 MB corpus into hundreds of micro-tasks whose
+      // scheduling overhead made the 32-core run LOSE to the 8-core
+      // run under load (driver r14 scaling block, q47 ratio 0.15).
+      // Derive ~3 task waves per core from the input's listed bytes,
+      // clamped to [64 KB, 128 MB] — at production bytes the derived
+      // value saturates at Spark's 128 MB default, so the knob is
+      // local-regime-only by construction.
+      .config("spark.sql.files.maxPartitionBytes",
+        BenchSplit.size(sfDir, cpus).toString)
       // AQE's coalescer floors post-shuffle partitions at 1 MB by
       // default; on CPU-heavy small shuffles (shingle/md5/signature
       // aggregations over the sub-MB sf tables) that collapses a
@@ -154,8 +162,15 @@ object Bench {
     // bench_subset.json so it can never clobber the committed
     // full-surface evidence (the r13 artifact was lost exactly that
     // way and had to be restored from git history).
-    val outName = if (only.isDefined) "bench_subset.json"
-                  else "bench_last.json"
+    // artifact name carries the config: ONLY the canonical full
+    // 32-core run may write bench_last.json (the committed
+    // cross-round evidence) — the driver's own lower-core sweeps and
+    // local subset runs write their own files instead of clobbering
+    // it (the r13/r14 artifact-loss failure mode)
+    val outName =
+      if (only.isDefined) "bench_subset.json"
+      else if (cpus != "32") s"bench_last_c$cpus.json"
+      else "bench_last.json"
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outName),

@@ -152,13 +152,27 @@ object TextFunctions {
     Seq("emails", "ssns", "ipv4", "phones")
 
   /** Redact every PII match with its category tag — the release-time
-    * counterpart of [[piiStats]]. A sequential fold of codegen'd
-    * `regexp_replace` calls (each replaces ALL non-overlapping
-    * matches), so it is a pure projection: no UDF, no shuffle, scales
-    * as a map over the corpus. Same character classes as the scan, so
-    * scan-flagged spans are exactly the redacted spans.
+    * counterpart of [[piiStats]]. ONE native expression running the
+    * sequential most-specific-first fold internally
+    * ([[graft.functions.RedactPiiExpr]] — same java.util.regex
+    * engine, same pass order, byte-identical to the nested
+    * `regexp_replace` spelling below, RedactPiiSpec-pinned): a pure
+    * projection, no UDF, no shuffle, scales as a map over the corpus.
+    * Same character classes as the scan, so scan-flagged spans are
+    * exactly the redacted spans. The single node converts the string
+    * once and skips whole passes that match nothing, where the
+    * 4-node `regexp_replace` stack paid a conversion + copy per pass
+    * — and was what the optimizer re-inlined wholesale into
+    * pushed-down filters (q105 paid the chain twice per row).
     */
-  def redactPii(text: Column): Column = {
+  def redactPii(text: Column): Column =
+    graft.functions.RedactPiiExpr.redactNative(text)
+
+  /** The legacy nested-`regexp_replace` spelling — the reference the
+    * oracle mirrors and RedactPiiSpec compares the native expression
+    * against. Not used in query paths.
+    */
+  def redactPiiFold(text: Column): Column = {
     val pats = PiiPatterns.toMap
     PiiRedactOrder.foldLeft(text) { (c, name) =>
       regexp_replace(c, pats(name), PiiTags(name))

@@ -1543,7 +1543,7 @@ object Dedup {
     val clean = toks.join(covered, Seq("id", "pos"), "left_anti")
       .groupBy(col("id"))
       .agg(concat_ws(" ", expr(
-        "transform(array_sort(collect_list(struct(pos, tok))), " +
+        "transform(sort_array(collect_list(struct(pos, tok))), " +
           "s -> s.tok)")).as("clean_text"))
     df.select(id.as("id")).distinct()
       .join(clean, Seq("id"), "left")
@@ -1685,7 +1685,7 @@ object Dedup {
     flagged.groupBy(col("id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
-        array_sort(collect_list(struct(col("pos"), col("line"),
+        sort_array(collect_list(struct(col("pos"), col("line"),
           col("keep")))).as("arr"))
       .withColumn("clean_text",
         array_join(transform(filter(col("arr"),

@@ -549,7 +549,8 @@ object Graph {
                     weight: Option[Column] = None,
                     checkpointDir: Option[String] = None,
                     maxBroadcastBytes: Long = 128L << 20,
-                    srcBuckets: Option[Int] = None)
+                    srcBuckets: Option[Int] = None,
+                    byDst: Option[(DataFrame, DataFrame)] = None)
       : DataFrame = {
     // >= 2: round 0 plus at least one iteration. A real
     // pagerankTrace always has both; a degenerate 1-element trace
@@ -585,10 +586,26 @@ object Graph {
           "'sb' partition column — write the artifact partitioned " +
           "by sb = pmod(xxhash64(src), buckets) cast to int and " +
           "select sb through")
+      // the dst-partitioned companion (db = pmod(xxhash64(dst),
+      // buckets)), when the caller maintains one, makes the
+      // frontier IN-EDGE extract — the only dst-keyed fold probe —
+      // frontier-proportional too (2× artifact storage, disclosed)
+      val scanDst = byDst.map { case (eD, dD) =>
+        require(eD.columns.contains("db") &&
+            dD.columns.contains("db"),
+          "pagerankDelta: byDst frames carry no 'db' partition " +
+            "column — write the companion partitioned by " +
+            "db = pmod(xxhash64(dst), buckets) cast to int")
+        (ids: Seq[Int]) =>
+          withW(eD.where(col("db").isin(ids: _*)), "pagerankDelta")
+            .unionAll(withW(dD.where(col("db").isin(ids: _*)),
+              "pagerankDelta"))
+      }
       EdgeLayout(n, ids =>
         withW(edges.where(col("sb").isin(ids: _*)), "pagerankDelta")
           .unionAll(withW(delta.where(col("sb").isin(ids: _*)),
-            "pagerankDelta")))
+            "pagerankDelta")),
+        scanDst)
     }
     // width-normalized caches (see pagerankTrace's e0 note): the
     // fold scans these a handful of times — hops, frontier-edge and
@@ -630,14 +647,8 @@ object Graph {
     // the delta once instead of twice each — at 100 TB that halves
     // the pre-flight's file bytes, and partial aggregation reduces
     // the exploded pairs map-side exactly as before.
-    def roles(f: DataFrame, sBit: Int, dBit: Int): DataFrame =
-      f.select(explode(array(
-          struct(col("src").as("node"), lit(sBit).as("r")),
-          struct(col("dst").as("node"), lit(dBit).as("r"))))
-        .as("__e"))
-        .select(col("__e.node").as("node"), col("__e.r").as("r"))
-    val flags = roles(eOld, 1, 2)
-      .unionAll(roles(eDelta, 4, 8))
+    val flags = endpointRoles(eOld, 1, 2)
+      .unionAll(endpointRoles(eDelta, 4, 8))
       .groupBy(col("node"))
       .agg(max(when(col("r") === 1, 1).otherwise(0)).as("os"),
         max(when(col("r") === 2, 1).otherwise(0)).as("od"),
@@ -825,6 +836,19 @@ object Graph {
     out
   }
 
+  /** One edge scan → (node, roleBit) pairs: each edge row explodes
+    * into its (src, sBit) and (dst, dBit) pairs in-task, so a
+    * pre-flight reads each frame ONCE instead of once per endpoint
+    * role (shared by the pagerankDelta and hitsDelta flag passes).
+    */
+  private def endpointRoles(f: DataFrame, sBit: Int,
+                            dBit: Int): DataFrame =
+    f.select(explode(array(
+        struct(col("src").as("node"), lit(sBit).as("r")),
+        struct(col("dst").as("node"), lit(dBit).as("r"))))
+      .as("__e"))
+      .select(col("__e.node").as("node"), col("__e.r").as("r"))
+
   private def violationText(violations: Map[String, Long]): String =
     violations.map {
       case ("node_removed", n) => s"$n nodes appear only in the " +
@@ -854,9 +878,17 @@ object Graph {
     * everything. At 100 TB the edge frame cannot live in cache, so
     * pruned parquet reads are the difference between a fold hop
     * costing O(frontier) and O(graph) I/O.
+    *
+    * `scanDst`, when present, is the same contract for a SECOND copy
+    * of the artifact partitioned by `db = pmod(xxhash64(dst),
+    * buckets)` — it makes the one dst-keyed probe (the frontier
+    * IN-EDGE extract, the only fold scan `scan` cannot prune)
+    * frontier-proportional too, at the disclosed cost of 2× artifact
+    * storage.
     */
   private[graft] final case class EdgeLayout(
-      buckets: Int, scan: Seq[Int] => DataFrame)
+      buckets: Int, scan: Seq[Int] => DataFrame,
+      scanDst: Option[Seq[Int] => DataFrame] = None)
 
   /** Frame capture for ExplainAudit's fold-layout pin: when the
     * `graft.fold.audit` system property is `true`, the distributed
@@ -927,6 +959,25 @@ object Graph {
         val force = sys.props.get("graft.fold.forcePrune")
           .contains("true")
         if (force || ids.size * 4 <= l.buckets) l.scan(ids)
+        else whole
+      case None => whole
+    }
+
+  /** [[pruneOrWhole]] for the DST-keyed in-edge extract: prunes the
+    * dst-partitioned companion artifact to the frontier's buckets
+    * when the layout carries one (same selectivity threshold / force
+    * pin). Without a companion the extract scans `whole` — the one
+    * fold probe the src layout can never prune.
+    */
+  private def pruneDstOrWhole(layout: Option[EdgeLayout],
+                              frontier: DataFrame,
+                              whole: DataFrame): DataFrame =
+    layout.flatMap(l => l.scanDst.map((l.buckets, _))) match {
+      case Some((buckets, scanDst)) =>
+        val ids = bucketIds(frontier, buckets)
+        val force = sys.props.get("graft.fold.forcePrune")
+          .contains("true")
+        if (force || ids.size * 4 <= buckets) scanDst(ids)
         else whole
       case None => whole
     }
@@ -1131,6 +1182,19 @@ object Graph {
           else f
         case None => f
       }
+    // the dst-keyed twin for the frontier in-edge extract — pruned
+    // against the dst-partitioned companion artifact when the layout
+    // carries one (see [[EdgeLayout.scanDst]])
+    def dstProbe(f: DataFrame, frontier: Iterable[Any]): DataFrame =
+      layout.flatMap(l => l.scanDst.map((l.buckets, _))) match {
+        case Some((buckets, scanDst)) =>
+          val ids = bucketIdsDriver(frontier, nodeType, buckets)
+          val force = sys.props.get("graft.fold.forcePrune")
+            .contains("true")
+          if (force || ids.size * 4 <= buckets) scanDst(ids)
+          else f
+        case None => f
+      }
     // cap for driver-resident NODE SETS (collected frames are capped
     // per-frame by collectBounded's own byte-derived row limit)
     val nodeLimit = (maxBroadcastBytes /
@@ -1196,13 +1260,18 @@ object Graph {
         if (blown) None else Some(acc)
       }
       // the frontier's in-edges (src, dst[, w]) — the only edges
-      // whose shares can change a frontier score
-      fE <- collectBounded(
-        e.join(broadcast(localFrame(all, "__t")),
-          e("dst") === col("__t"))
-        .select(Seq(e("src").as("src"), e("dst").as("dst")) ++
-          (if (weighted) Seq(e("w")) else Nil): _*),
-        maxBroadcastBytes)
+      // whose shares can change a frontier score; with a dst-
+      // partitioned companion artifact this probe reads only the
+      // frontier's dst buckets instead of the artifact whole
+      fE <- {
+        val ie = dstProbe(e, all)
+        collectBounded(
+          ie.join(broadcast(localFrame(all, "__t")),
+            ie("dst") === col("__t"))
+          .select(Seq(ie("src").as("src"), ie("dst").as("dst")) ++
+            (if (weighted) Seq(ie("w")) else Nil): _*),
+          maxBroadcastBytes)
+      }
       // out-degree TOTALS for frontier-in-edge sources only (each
       // source's full out-edge sum — aggregated cluster-side, so the
       // collect is source-set-sized even for hub sources; unweighted
@@ -1384,13 +1453,18 @@ object Graph {
       : DataFrame = {
     val iterations = trace.length - 1
     // frontier in-edges, extracted once — the only edges whose
-    // shares can move a dirty score (unweighted frames carry no w)
-    val (eF, eFPins) = cutTracked(
-      e.join(dirtyAll.withColumnRenamed("node", "__t"),
-        e("dst") === col("__t"))
-      .select(Seq(e("src").as("src"), e("dst").as("dst")) ++
-        (if (weighted) Seq(e("w")) else Nil): _*),
-      checkpointDir)
+    // shares can move a dirty score (unweighted frames carry no w).
+    // With a dst-partitioned companion artifact the extract prunes
+    // to the frontier's dst buckets — the last fold scan that used
+    // to read the artifact whole
+    val ie = pruneDstOrWhole(layout, dirtyAll, e)
+    val inEdgeFrame = ie.join(
+        dirtyAll.withColumnRenamed("node", "__t"),
+        ie("dst") === col("__t"))
+      .select(Seq(ie("src").as("src"), ie("dst").as("dst")) ++
+        (if (weighted) Seq(ie("w")) else Nil): _*)
+    foldAudit("inedge", inEdgeFrame)
+    val (eF, eFPins) = cutTracked(inEdgeFrame, checkpointDir)
     val (srcsF, sFPins) = cutTracked(
       eF.select(col("src").as("node")).distinct(), checkpointDir)
     // out-degree TOTALS for frontier-in-edge sources only — summed
@@ -1720,26 +1794,51 @@ object Graph {
     val eDelta = delta.select(col("src"), col("dst"))
       .coalesce(shuffleWidth(delta)).persist()
     val e = eOld.unionAll(eDelta)
-    hitsGrowthPreflight(e, iterations)
-    val (oldNodes, onPins) = cutTracked(
-      eOld.select(col("src").as("node"))
-        .unionAll(eOld.select(col("dst").as("node")))
-        .distinct(), checkpointDir)
-    // trace-consistency pre-flight in ONE job: round 0 must be the
-    // canonical placement and cover the base node set (the
-    // pagerankDelta seeded-probe discipline — a trace from some
-    // OTHER edge frame must refuse, not fold wrong)
-    val probe = trace.head
-      .where(!(col("a_raw") === lit(0).cast(Dec) &&
-        col("h_raw") === lit(1).cast(Dec)))
-      .select(lit("noncanonical_round0").as("kind"))
-      .unionAll(oldNodes
-        .join(trace.head.select(col("node")), Seq("node"),
-          "left_anti")
-        .select(lit("uncovered_base_node").as("kind")))
-      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ALL pre-flights from ONE shuffle (the pagerankDelta flag-pass
+    // discipline, ported): endpoint-role flags per node PLUS the
+    // out-degree count — the old shape paid FOUR eager cuts (base
+    // nodes, added, delta srcs, delta dsts, each a distinct +
+    // checkpoint over an edge scan) plus a growth-preflight
+    // aggregate plus a trace-probe collect, six corpus-touching
+    // actions before folding anything. Now: one exploded scan of
+    // each frame → one node-keyed aggregate, cut ONCE; every node
+    // set below is a filter over the cached flags, and the growth
+    // bound + trace-consistency probe ride one combined collect.
+    val (flags, flagPins) = cutTracked(
+      endpointRoles(eOld, 1, 2)
+        .unionAll(endpointRoles(eDelta, 4, 8))
+        .groupBy(col("node"))
+        .agg(max(when(col("r") === 1, 1).otherwise(0)).as("os"),
+          max(when(col("r") === 2, 1).otherwise(0)).as("od"),
+          max(when(col("r") === 4, 1).otherwise(0)).as("ds"),
+          max(when(col("r") === 8, 1).otherwise(0)).as("dd"),
+          sum(when(col("r") === 1 || col("r") === 4, 1L)
+            .otherwise(0L)).as("outc")), checkpointDir)
+    val inOld = col("os") === 1 || col("od") === 1
+    val isAdded = (col("ds") === 1 || col("dd") === 1) && !inOld
+    // growth bound (a_k ≤ N·Din^k·Dout^(k−1) in DECIMAL(38,0) —
+    // the hitsGrowthPreflight arithmetic, stats read off the flags)
+    // and trace-consistency (canonical round 0 covering the base
+    // node set) in ONE action
+    val pre = flags
+      .join(trace.head.select(col("node"), lit(1).as("__cov")),
+        Seq("node"), "left")
+      .agg(coalesce(max(col("outc")), lit(0L)).as("dout"),
+        coalesce(sum(col("outc")), lit(0L)).cast("long").as("m"),
+        count(when(inOld && col("__cov").isNull, 1))
+          .as("uncovered_base_node"))
+      .crossJoin(broadcast(trace.head
+        .where(!(col("a_raw") === lit(0).cast(Dec) &&
+          col("h_raw") === lit(1).cast(Dec)))
+        .agg(count(lit(1)).as("noncanonical_round0"))))
+      .head()
+    hitsGrowthCheck(pre.getLong(0), pre.getLong(1), iterations,
+      () => e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("din"))
+        .head().getLong(0))
+    val probe = Seq("noncanonical_round0", "uncovered_base_node")
+      .map(k => k -> pre.getLong(pre.fieldIndex(k)))
+      .filter(_._2 > 0).toMap
     require(probe.isEmpty,
       "hitsDelta: trace mismatch — " + probe.map {
         case ("noncanonical_round0", n) => s"$n round-0 rows " +
@@ -1750,21 +1849,14 @@ object Graph {
           "a different edge frame"
         case (k, n) => s"$n × $k"
       }.mkString("; ") + "; rebuild the trace with hitsTrace")
-    val (added, addedPins) = cutTracked(
-      eDelta.select(col("src").as("node"))
-      .unionAll(eDelta.select(col("dst").as("node")))
-      .distinct()
-      .join(oldNodes, Seq("node"), "left_anti"), checkpointDir)
-    val addedRows = added.select(col("node"))
-    val (dSrcs, dsPins) = cutTracked(
-      eDelta.select(col("src").as("node")).distinct()
-      .unionAll(addedRows).distinct(), checkpointDir)
-    val (dDsts, ddPins) = cutTracked(
-      eDelta.select(col("dst").as("node")).distinct()
-      .unionAll(addedRows).distinct(), checkpointDir)
+    val added = flags.where(isAdded).select(col("node"))
+    val addedRows = added
+    val dSrcs = flags.where(col("ds") === 1 || isAdded)
+      .select(col("node"))
+    val dDsts = flags.where(col("dd") === 1 || isAdded)
+      .select(col("node"))
     val pins = Seq.newBuilder[RDD[_]]
-    pins ++= onPins; pins ++= addedPins; pins ++= dsPins
-    pins ++= ddPins
+    pins ++= flagPins
     // driver-resident fold (the foldDriver rationale: a
     // budget-bounded frontier is what every broadcast would ship to
     // the driver anyway — collect it once, run the alternating
@@ -1808,7 +1900,7 @@ object Graph {
       }
     }
     var dirtyA = dDsts
-    var dirtyASmall = small(dirtyA, ddPins)
+    var dirtyASmall = small(dirtyA, flagPins)
     var freshA: Option[(DataFrame, Boolean)] = None
     var freshH: Option[(DataFrame, Boolean)] = None
     var roundPins: Seq[RDD[_]] = Nil
@@ -2118,7 +2210,20 @@ object Graph {
       .agg(coalesce(max(col("c")), lit(0L)).as("dout"),
         coalesce(sum(col("c")), lit(0L)).cast("long").as("m"))
       .head()
-    val (dout, m) = (r.getLong(0), r.getLong(1))
+    hitsGrowthCheck(r.getLong(0), r.getLong(1), iterations,
+      () => e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("din"))
+        .head().getLong(0))
+  }
+
+  /** The growth-bound arithmetic of [[hitsGrowthPreflight]] with the
+    * (max out-degree, edge count) stats supplied by the caller —
+    * hitsDelta reads them off its flag pass instead of paying a
+    * dedicated aggregate. `dinOf` is only invoked when the cheap
+    * Din ≤ m bound already fails.
+    */
+  private def hitsGrowthCheck(dout: Long, m: Long, iterations: Int,
+                              dinOf: () => Long): Unit = {
     // Din ≤ total edges in the worst case; a second groupBy(dst)
     // would cost another shuffle, so bound it by the max in-degree
     // aggregate only when the cheap bound already fails
@@ -2129,9 +2234,7 @@ object Graph {
     val cheap = nBound * pow(BigInt(dout.max(1L)) * nBound,
       iterations)
     if (cheap > cap) {
-      val din = e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
-        .agg(coalesce(max(col("c")), lit(0L)).as("din"))
-        .head().getLong(0)
+      val din = dinOf()
       val bound = nBound *
         pow(BigInt(din.max(1L)), iterations) *
         pow(BigInt(dout.max(1L)), iterations)

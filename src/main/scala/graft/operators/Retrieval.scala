@@ -163,11 +163,18 @@ object Retrieval {
       // tokenize ONCE per row in its own projection (multiple
       // non-cheap references keep CollapseProject from re-inlining
       // the split into every lambda reference — see
-      // [[phrasePositionsOf]])
+      // [[phrasePositionsOf]]), and the position array sits behind a
+      // pushdown barrier: without it the emptiness filter below is
+      // pushed under BOTH projections and re-inlines the whole
+      // split-per-lambda-reference subtree into the scan Filter (the
+      // r14 after-plan's one remaining re-split) — with it the
+      // Filter references `__ps` and every row tokenizes exactly
+      // once
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(col("id"),
-        phrasePositionsOf(col("__ts"), phrase).as("__ps"))
+        graft.functions.PushdownBarrierExpr.barrier(
+          phrasePositionsOf(col("__ts"), phrase)).as("__ps"))
       .where(size(col("__ps")) > 0)
       .select(col("id"),
         size(col("__ps")).cast("long").as("n_occ"),

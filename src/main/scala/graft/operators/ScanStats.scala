@@ -62,7 +62,14 @@ object ScanStats {
       val width =
         try df.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
-        catch { case _: Throwable => 200 }
+      catch { case _: Throwable => 200 }
+      // deliberately NOT capped by estimated bytes: widen exists for
+      // CPU-heavy per-row work (shingling, md5, signatures) where
+      // byte counts say nothing about cost, and it only ever goes to
+      // session width. The r14 micro-task pathology (32-core runs
+      // losing to 8-core) came from the bench's constant 64 KB scan
+      // SPLITS — fixed at the source by the scale-adaptive
+      // BenchSplit sizing, not here.
       val n =
         try df.rdd.getNumPartitions
         catch { case _: Throwable => width }

@@ -326,102 +326,139 @@ object Similarity {
     * then one refinement per coarse cell over its members — which
     * also cuts the Lloyd cost from n·k to n·(k₁+k/k₁).
     */
-  /** Collect one Lloyd iteration's centroid-sum frame (key cols +
-    * `dim` + a LONG component sum, k·d slim rows — exactly what the
-    * old plan broadcast anyway) and return it as TWO local frames:
-    * the centroid table itself and the per-key squared-norm table
-    * `Σ_dim s²` computed driver-side in exact BigInt (bit-identical
-    * to the in-plan `sum(cast(s as decimal(38,0)) * s)`).
-    *
-    * Why: each iteration used to BUILD two broadcasts — and the norm
-    * broadcast's subtree contains the centroid aggregation, so the
-    * corpus-sized centroid job ran TWICE per iteration, plus two
-    * scheduler round-trips. One collect replaces both builds: local
-    * relations broadcast without a cluster job, and the heavy
-    * aggregation runs once.
+  /** The k (or ksub) hash-smallest seed ids with their labels,
+    * COLLECTED (k rows — one bounded action; the labeler windows
+    * over only the limit-ed rows, with the non-foldable partition
+    * key that keeps Spark 4's EliminateWindowPartitions from folding
+    * it into a warning-spamming empty-key window).
     */
-  private def collectedCentroids(
-      spark: org.apache.spark.sql.SparkSession, cents: DataFrame,
-      keys: Seq[String], sumName: String, normName: String)
-      : (DataFrame, DataFrame) = {
-    import scala.jdk.CollectionConverters._
-    val schema = cents.schema
-    val rows = cents.collect()
-    val centLocal = spark.createDataFrame(
-      rows.toSeq.asJava, schema)
-    val keyIdx = keys.map(schema.fieldIndex)
-    val sumIdx = schema.fieldIndex(sumName)
-    val normRows = rows.toSeq
-      .groupBy(r => keyIdx.map(r.get))
-      .map { case (kv, rs) =>
-        val s2 = rs.iterator.map { r =>
-          val v = BigInt(r.getLong(sumIdx)); v * v
-        }.sum
-        org.apache.spark.sql.Row.fromSeq(
-          kv :+ new java.math.BigDecimal(s2.bigInteger))
-      }.toSeq
-    val normSchema = org.apache.spark.sql.types.StructType(
-      keys.map(schema(_)) :+
-        org.apache.spark.sql.types.StructField(normName,
-          org.apache.spark.sql.types.DataTypes
-            .createDecimalType(38, 0)))
-    (centLocal, spark.createDataFrame(normRows.asJava, normSchema))
-  }
-
-  def kmeansLabels(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int = 2): DataFrame = {
-    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k/$iters")
+  private def collectSeeds(df: DataFrame, idCol: String,
+      k: Int): Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.expressions.Window
-    val quant = quant25 _
-    val comps = df.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("id"), col("dim"), quant(col("x")).as("qx"))
     val hashOrder = Seq(Sampling.hash32(col("id")).asc,
       col("id").asc_nulls_first)
-    // the seed labeler windows over ONLY the k limit-ed rows, so the
-    // single-task sort is k-row-bounded at any corpus size. The
-    // partition key is a NON-FOLDABLE constant (pmod(hash, 1) = 0):
-    // Spark 4's EliminateWindowPartitions folds a literal key back
-    // out and WindowExec then warns "moving all data to a single
-    // partition" on every run — same single partition either way,
-    // but the non-foldable key keeps the (benign, k-row-bounded)
-    // window out of the warning stream the audit greps
-    val seeds = df
-      .select(col(idCol).as("id"))
+    df.select(col(idCol).as("id"))
       .orderBy(hashOrder: _*)
       .limit(k)
       .select(col("id"), (row_number().over(Window
         .partitionBy(pmod(Sampling.hash32(col("id")), lit(1)))
         .orderBy(hashOrder: _*)) - 1)
         .cast("long").as("label"))
-    var labels = seeds.localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      // exact integer centroid sums for the current assignment —
-      // collected once (k·d slim rows, what the broadcasts shipped
-      // anyway); norms derive driver-side in exact BigInt
-      val (centroids, norms) = collectedCentroids(df.sparkSession,
-        comps.join(labels, Seq("id"))
-          .groupBy(col("label"), col("dim"))
-          .agg(sum(col("qx")).as("s")),
-        Seq("label"), "s", "s2")
-      val wid = Window.partitionBy(col("id"))
-        .orderBy(col("__sc").desc, col("label").asc_nulls_first)
-      labels = comps
-        .join(broadcast(centroids), Seq("dim"))
-        .groupBy(col("id"), col("label"))
-        .agg(sum(col("qx").cast("decimal(38,0)") * col("s"))
-          .as("dot"))
-        .join(broadcast(norms), Seq("label"))
-        .select(col("id"), col("label"),
-          (col("dot").cast("double") /
-            sqrt(col("s2").cast("double"))).as("__sc"))
-        .withColumn("__rn", row_number().over(wid))
-        .where(col("__rn") === 1)
-        .select(col("id"), col("label"))
-        .localCheckpoint(true)
-    }
-    labels
+      .collect()
   }
+
+  /** Seed assignment as an in-row CASE over the collected seed ids:
+    * NULL for non-seeds (= absent from the seed assignment, exactly
+    * the inner join's semantics).
+    */
+  private def seedLabelCase(
+      seedRows: Array[org.apache.spark.sql.Row],
+      id: Column): Column =
+    seedRows.foldLeft(lit(null).cast("long")) { (acc, r) =>
+      when(id === lit(r.get(0)), lit(r.getLong(1))).otherwise(acc)
+    }
+
+  /** Build the in-row argmax table from one iteration's collected
+    * (sub, label, dim, cs) rows — norms Σ cs² in exact BigInt, then
+    * ONE correctly-rounded double conversion (the plan's
+    * decimal(38,0) → double cast).
+    */
+  private def centroidTableOf(
+      rows: Array[org.apache.spark.sql.Row], m: Int, dsub: Int,
+      hasSub: Boolean): graft.functions.LloydArgmaxExpr.CentroidTable = {
+    import graft.functions.LloydArgmaxExpr.{CentroidTable, SubTable}
+    val bySub = rows.groupBy(r =>
+      if (hasSub) r.getLong(0) else 0L)
+    val subs = (0 until m).map { s =>
+      val off = if (hasSub) 1 else 0
+      val byLabel = bySub.getOrElse(s.toLong,
+          Array.empty[org.apache.spark.sql.Row])
+        .groupBy(_.getLong(off))
+      val labels = byLabel.keys.toArray.sorted
+      val dims = labels.map(l => byLabel(l)
+        .map(r => r.getInt(off + 1)).toArray)
+      val cs = labels.map(l => byLabel(l)
+        .map(r => r.getLong(off + 2)).toArray)
+      val s2 = labels.map { l =>
+        val v = byLabel(l).iterator
+          .map(r => BigInt(r.getLong(off + 2)))
+          .map(x => x * x).sum
+        new java.math.BigDecimal(v.bigInteger).doubleValue
+      }
+      SubTable(labels, dims, cs, s2)
+    }.toArray
+    CentroidTable(m, dsub, subs)
+  }
+
+  /** [[kmeansLabels]] plus its final collected centroid table — so
+    * [[buildIvfIndex]] can aggregate the index's centroid sums with
+    * the label computed IN-ROW (no corpus-sized join).
+    */
+  private def kmeansLabelsWithTable(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int)
+      : (DataFrame,
+         Option[graft.functions.LloydArgmaxExpr.CentroidTable]) = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k/$iters")
+    import graft.functions.LloydArgmaxExpr
+    val quant = quant25 _
+    val spark = df.sparkSession
+    // seeds collected once (k rows)
+    val seedRows = collectSeeds(df, idCol, k)
+    if (iters == 0) {
+      import scala.jdk.CollectionConverters._
+      val idType = df.schema(idCol).dataType
+      return (spark.createDataFrame(seedRows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false)))),
+        None)
+    }
+    // ONE aggregation action per Lloyd iteration: the previous
+    // round's assignment is computed IN-ROW against the collected
+    // centroid table (lloyd_argmax — exact integer dots, the same
+    // double score and tie-breaks as the join+window formulation),
+    // so each round is a single groupBy(label, dim) over the
+    // components with zero joins, zero windows, zero per-round
+    // checkpoints. The old shape paid two exchanges, a sort and two
+    // actions per round for identical values.
+    var table: LloydArgmaxExpr.CentroidTable = null
+    for (i <- 0 until iters) {
+      // the barrier keeps the isNotNull filter from being pushed
+      // below the projection and re-inlining the argmax (it would
+      // otherwise evaluate twice per row — measured in the verify
+      // plans)
+      val labelCol =
+        if (i == 0) seedLabelCase(seedRows, col(idCol))
+        else graft.functions.PushdownBarrierExpr.barrier(element_at(
+          LloydArgmaxExpr.column(col(vecCol), table), 1))
+      val rows = df
+        .select(labelCol.as("label"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .where(col("label").isNotNull)
+        .select(col("label"), col("dim"), quant(col("x")).as("qx"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qx")).as("s"))
+        .collect()
+      table = centroidTableOf(rows, m = 1, dsub = Int.MaxValue,
+        hasSub = false)
+    }
+    // final assignment: a pure projection, EAGERLY checkpointed —
+    // the assignment is consumed several times by every caller
+    // (centroid tables, code tables, probe joins), often more than
+    // once within one action; one dedicated materialization and
+    // every consumer reads the cache
+    val labels = df
+      .select(col(idCol).as("id"), graft.functions.PushdownBarrierExpr.barrier(element_at(
+        LloydArgmaxExpr.column(col(vecCol), table), 1)).as("label"))
+      .where(col("label").isNotNull)
+      .localCheckpoint(true)
+    (labels, Some(table))
+  }
+
+  def kmeansLabels(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2): DataFrame =
+    kmeansLabelsWithTable(df, idCol, vecCol, k, iters)._1
 
   /** Hierarchical (coarse-then-refine) k-means — the scale path past
     * [[kmeansLabels]]'s broadcast-centroid ceiling: a coarse pass
@@ -538,15 +575,43 @@ object Similarity {
                     k: Int, iters: Int = 2,
                     precomputedLabels: Option[DataFrame] = None)
       : IvfIndex = {
+    import scala.jdk.CollectionConverters._
     val quant = quant25 _
-    val labels = precomputedLabels.getOrElse(
-      kmeansLabels(df, idCol, vecCol, k, iters))
-    val centroids = df.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("id"), col("dim"), quant(col("x")).as("qx"))
-      .join(labels, Seq("id"))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(col("qx")).as("s"))
+    val (labels, tableOpt) = precomputedLabels match {
+      case Some(l) => (l, None)
+      case None =>
+        val (l, t) = kmeansLabelsWithTable(df, idCol, vecCol, k,
+          iters)
+        (l, t)
+    }
+    // the index's centroid sums: with the final argmax table in
+    // hand the label computes IN-ROW and the aggregation needs no
+    // join with the assignment at all; otherwise (precomputed
+    // labels, or the 0-iteration degenerate) join the label frame
+    val centsAgg = tableOpt match {
+      case Some(table) => df
+        .select(graft.functions.PushdownBarrierExpr.barrier(element_at(graft.functions.LloydArgmaxExpr
+            .column(col(vecCol), table), 1)).as("label"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .where(col("label").isNotNull)
+        .select(col("label"), col("dim"), quant(col("x")).as("qx"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qx")).as("s"))
+      case None => df.select(col(idCol).as("id"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(col("id"), col("dim"), quant(col("x")).as("qx"))
+        .join(labels, Seq("id"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qx")).as("s"))
+    }
+    // collect the k·d centroid table ONCE (it is exactly what every
+    // consumer broadcasts): as a local relation it broadcasts with
+    // zero cluster jobs, so the rounded-centroid / probe-scoring /
+    // residual-training subtrees that each used to re-run this
+    // corpus-sized aggregation inside their broadcast builds now
+    // read k·d local rows.
+    val centroids = df.sparkSession.createDataFrame(
+      centsAgg.collect().toSeq.asJava, centsAgg.schema)
     IvfIndex(labels, centroids)
   }
 
@@ -638,56 +703,65 @@ object Similarity {
     require(ksub > 0 && iters >= 0,
       s"need ksub > 0, iters >= 0: $ksub/$iters")
     val dsub = dims / m
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.LloydArgmaxExpr
     val quant = quant25 _
-    val comps = df.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
-        .as("sub"), col("dim"), quant(col("x")).as("qx"))
-    val hashOrder = Seq(Sampling.hash32(col("id")).asc,
-      col("id").asc_nulls_first)
+    val spark = df.sparkSession
     // the same ksub seed vectors label every subspace (their
     // sub-vector slices differ per subspace, which is all the
     // diversity Lloyd needs; one seed list keeps the oracle small)
-    val seeds = df
-      .select(col(idCol).as("id"))
-      .orderBy(hashOrder: _*)
-      .limit(ksub)
-      .select(col("id"), (row_number().over(Window
-        .partitionBy(pmod(Sampling.hash32(col("id")), lit(1)))
-        .orderBy(hashOrder: _*)) - 1)
-        .cast("long").as("label"))
-      .select(col("id"), explode(sequence(lit(0L), lit(m - 1L)))
-        .as("sub"), col("label"))
-    var labels = seeds.localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      // exact integer centroid sums per (sub, label, dim); a dim
-      // belongs to exactly one sub, so (label, dim) is already
-      // unique — sub rides along for the norm grouping. Collected
-      // once per iteration (see collectedCentroids) — the old two
-      // broadcast builds ran this aggregation twice.
-      val (centroids, norms) = collectedCentroids(df.sparkSession,
-        comps.join(labels, Seq("id", "sub"))
-          .groupBy(col("sub"), col("label"), col("dim"))
-          .agg(sum(col("qx")).as("cs")),
-        Seq("sub", "label"), "cs", "s2")
-      val wid = Window.partitionBy(col("id"), col("sub"))
-        .orderBy(col("__sc").desc, col("label").asc_nulls_first)
-      labels = comps
-        .join(broadcast(centroids), Seq("sub", "dim"))
-        .groupBy(col("id"), col("sub"), col("label"))
-        .agg(sum(col("qx").cast("decimal(38,0)") * col("cs"))
-          .as("dot"))
-        .join(broadcast(norms), Seq("sub", "label"))
-        .select(col("id"), col("sub"), col("label"),
-          (col("dot").cast("double") /
-            sqrt(col("s2").cast("double"))).as("__sc"))
-        .withColumn("__rn", row_number().over(wid))
-        .where(col("__rn") === 1)
-        .select(col("id"), col("sub"), col("label"))
-        .localCheckpoint(true)
+    val seedRows = collectSeeds(df, idCol, ksub)
+    if (iters == 0) {
+      import scala.jdk.CollectionConverters._
+      val idType = df.schema(idCol).dataType
+      return spark.createDataFrame(
+        seedRows.toSeq.flatMap(r => (0 until m).map(s =>
+          org.apache.spark.sql.Row(r.get(0), s.toLong,
+            r.getLong(1)))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("sub",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     }
-    labels
+    // ONE aggregation action per Lloyd iteration, all m subspaces in
+    // the same job: the previous round's per-subspace assignment is
+    // computed IN-ROW (lloyd_argmax over the collected codebook —
+    // exact integer dots, same double scores and label-asc
+    // tie-breaks as the join+window formulation), so each round is a
+    // single groupBy(sub, label, dim) with zero joins, windows or
+    // per-round checkpoints
+    val subCol = expr(s"CAST(dim div $dsub AS BIGINT)")
+    var table: LloydArgmaxExpr.CentroidTable = null
+    for (i <- 0 until iters) {
+      val labCol: Column =
+        if (i == 0) seedLabelCase(seedRows, col(idCol))
+        else graft.functions.PushdownBarrierExpr.barrier(LloydArgmaxExpr.column(col(vecCol), table))
+      val rows = df
+        .select(labCol.as("__lab"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .where(col("__lab").isNotNull)
+        .select(subCol.as("sub"),
+          (if (i == 0) col("__lab")
+           else element_at(col("__lab"),
+             (subCol + 1).cast("int"))).as("label"),
+          col("dim"), quant(col("x")).as("qx"))
+        .groupBy(col("sub"), col("label"), col("dim"))
+        .agg(sum(col("qx")).as("cs"))
+        .collect()
+      table = centroidTableOf(rows, m, dsub, hasSub = true)
+    }
+    // final assignment: a pure projection exploded to the
+    // (id, sub, label) contract rows, EAGERLY checkpointed (the
+    // kmeansLabels multi-consumer rationale)
+    df.select(col(idCol).as("id"),
+        graft.functions.PushdownBarrierExpr.barrier(LloydArgmaxExpr.column(col(vecCol), table)).as("__lab"))
+      .where(col("__lab").isNotNull)
+      .select(col("id"), posexplode(col("__lab"))
+        .as(Seq("sub", "label")))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        col("label"))
+      .localCheckpoint(true)
   }
 
   /** Collapse a [[pqAssign]] assignment to one compact code word per
@@ -699,7 +773,7 @@ object Similarity {
     */
   def pqCodes(assign: DataFrame): DataFrame =
     assign.groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(
+      .agg(transform(sort_array(collect_list(
           struct(col("sub"), col("label")))),
         s => s.getField("label")).as("codes"))
 
@@ -759,8 +833,13 @@ object Similarity {
     // rows — linear per query, but a fat query batch multiplies the
     // whole code table silently. Price it with two cheap counts (the
     // query side is LUT-collected anyway) and REFUSE past budget,
-    // pointing at the sublinear path.
-    val scanRows = BigInt(codes.count()) * BigInt(queries.count())
+    // pointing at the sublinear path. Both counts ride ONE action
+    // (two sequential count() calls paid a scheduler round-trip
+    // each).
+    val cntRow = codes.agg(count(lit(1)).as("nc"))
+      .crossJoin(queries.agg(count(lit(1)).as("nq"))).head()
+    val scanRows = BigInt(cntRow.getLong(0)) *
+      BigInt(cntRow.getLong(1))
     if (scanRows > BigInt(maxScanRows))
       throw new IllegalStateException(
         s"pqTopKAdc: exhaustive ADC scan would materialize " +
@@ -1017,30 +1096,24 @@ object Similarity {
                    codebooks: DataFrame): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"dims must split evenly into m subspaces: dims=$dims m=$m")
-    import org.apache.spark.sql.expressions.Window
     val dsub = dims / m
-    val comps = delta.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("id"), expr(s"CAST(dim div $dsub AS BIGINT)")
-        .as("sub"), col("dim"), quant25(col("x")).as("qx"))
-    val cents = codebooks.select(col("sub"), col("label"),
-      col("dim"), col("cs"))
-    val norms = cents.groupBy(col("sub"), col("label"))
-      .agg(sum(col("cs").cast("decimal(38,0)") * col("cs"))
-        .as("s2"))
-    val wid = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("__sc").desc, col("label").asc_nulls_first)
-    comps.join(broadcast(cents), Seq("sub", "dim"))
-      .groupBy(col("id"), col("sub"), col("label"))
-      .agg(sum(col("qx").cast("decimal(38,0)") * col("cs"))
-        .as("dot"))
-      .join(broadcast(norms), Seq("sub", "label"))
-      .select(col("id"), col("sub"), col("label"),
-        (col("dot").cast("double") /
-          sqrt(col("s2").cast("double"))).as("__sc"))
-      .withColumn("__rn", row_number().over(wid))
-      .where(col("__rn") === 1)
-      .select(col("id"), col("sub"), col("label"))
+    // the codebook is m·ksub·(d/m) slim rows by contract — collect
+    // it once and encode as ONE in-row argmax projection
+    // (lloyd_argmax: exact integer dots, same double scores and
+    // label-asc tie-breaks as the join+window spelling it replaces;
+    // the old shape paid a posexplode, two broadcast joins, a
+    // corpus-sized partial aggregation and a keyed window per batch)
+    val rows = codebooks.select(col("sub"), col("label"),
+      col("dim"), col("cs")).collect()
+    val table = centroidTableOf(rows, m, dsub, hasSub = true)
+    delta.select(col(idCol).as("id"),
+        graft.functions.PushdownBarrierExpr.barrier(graft.functions.LloydArgmaxExpr
+          .column(col(vecCol), table)).as("__lab"))
+      .where(col("__lab").isNotNull)
+      .select(col("id"), posexplode(col("__lab"))
+        .as(Seq("sub", "label")))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        col("label"))
   }
 
   /** Per-dimension embedding census — the normalization-prep /
@@ -1357,6 +1430,20 @@ object Similarity {
                         nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quant = quant25 _
+    // nprobe = 1 IS the Lloyd argmax (same scoring, same label-asc
+    // tie-break): collect the k·d centroid table once and probe as a
+    // pure projection — the coarse-assignment shape the append and
+    // drift paths run per delta batch
+    if (nprobe == 1) {
+      val rows = ivfCentroids
+        .select(col("label"), col("dim"), col("s")).collect()
+      val table = centroidTableOf(rows, m = 1, dsub = Int.MaxValue,
+        hasSub = false)
+      return queries.select(col(qidCol).as("qid"),
+          graft.functions.PushdownBarrierExpr.barrier(element_at(graft.functions.LloydArgmaxExpr
+            .column(col(qvecCol), table), 1)).as("label"))
+        .where(col("label").isNotNull)
+    }
     val qComps = queries.select(col(qidCol).as("qid"),
         posexplode(col(qvecCol)).as(Seq("dim", "x")))
       .select(col("qid"), col("dim"), quant(col("x")).as("qy"))
@@ -1447,57 +1534,155 @@ object Similarity {
     require(ksub > 0 && iters >= 0,
       s"need ksub > 0, iters >= 0: $ksub/$iters")
     import org.apache.spark.sql.expressions.Window
-    val comps = residualComps(df, idCol, vecCol, dims, m, ivfLabels,
-      ivfCentroids)
+    import graft.functions.LloydArgmaxExpr
+    import scala.jdk.CollectionConverters._
+    val dsub = dims / m
+    val quant = quant25 _
+    val spark = df.sparkSession
+    val idType = df.schema(idCol).dataType
     val cells = ivfLabels.select(col("id"), col("label").as("cell"))
     val hashOrder = Seq(Sampling.hash32(col("id")).asc,
       col("id").asc_nulls_first)
+    // per-cell seeds: the ksub hash-smallest ids of each cell,
+    // COLLECTED (k·ksub slim rows, one action)
     val wseed = Window.partitionBy(col("cell")).orderBy(hashOrder: _*)
-    val seeds = cells
+    val seedRows = cells
       .withColumn("__rn", row_number().over(wseed))
       .where(col("__rn") <= ksub)
       .select(col("id"), col("cell"),
         (col("__rn") - 1).cast("long").as("label"))
-      .select(col("id"), col("cell"),
-        explode(sequence(lit(0L), lit(m - 1L))).as("sub"),
-        col("label"))
-    var labels = seeds.localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      // collected once per iteration (see collectedCentroids) — the
-      // old two broadcast builds ran this aggregation twice
-      val (cents, norms) = collectedCentroids(df.sparkSession,
-        comps
-          .join(labels.select(col("id"), col("sub"), col("label")),
-            Seq("id", "sub"))
-          .groupBy(col("cell"), col("sub"), col("label"), col("dim"))
-          .agg(sum(col("y")).as("zs")),
-        Seq("cell", "sub", "label"), "zs", "s2")
-      // a zero-norm residual cluster (EVERY member sits exactly on
-      // the rounded cell centroid — routine for near-duplicate
-      // cells) has no cosine direction: its score is NULL and it
-      // ranks below every defined score (NULLS LAST, then label-asc
-      // — in a fully-pure cell all scores are NULL and label 0 wins,
-      // whose centroid is the exact shared residual, so
-      // reconstruction stays exact). The oracle mirrors the CASE.
-      val wid = Window.partitionBy(col("id"), col("sub"))
-        .orderBy(col("__sc").desc_nulls_last,
-          col("label").asc_nulls_first)
-      labels = comps
-        .join(broadcast(cents), Seq("cell", "sub", "dim"))
-        .groupBy(col("id"), col("cell"), col("sub"), col("label"))
-        .agg(sum(col("y").cast("decimal(38,0)") * col("zs"))
-          .as("dot"))
-        .join(broadcast(norms), Seq("cell", "sub", "label"))
-        .select(col("id"), col("cell"), col("sub"), col("label"),
-          when(col("s2") === 0, lit(null).cast("double"))
-            .otherwise(col("dot").cast("double") /
-              sqrt(col("s2").cast("double"))).as("__sc"))
-        .withColumn("__rn", row_number().over(wid))
-        .where(col("__rn") === 1)
-        .select(col("id"), col("cell"), col("sub"), col("label"))
-        .localCheckpoint(true)
+      .collect()
+    if (iters == 0)
+      return spark.createDataFrame(
+        seedRows.toSeq.flatMap(r => (0 until m).map(s =>
+          org.apache.spark.sql.Row(r.get(0), s.toLong,
+            r.getLong(2)))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("sub",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    // rounded cell centroids, driver-side: the ivfRoundedCentroids
+    // arithmetic ((2s + n) div (2n), sign restored — exact integers)
+    // over the collected coarse sums and one tiny per-cell count
+    // aggregate. `mu` feeds the per-iteration aggregation as a local
+    // broadcast frame AND the in-row argmax as a lookup table.
+    val centRows = ivfCentroids
+      .select(col("label").as("cell"), col("dim"), col("s"))
+      .collect()
+    val countMap = ivfLabels.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val muTriples = centRows.flatMap { r =>
+      val cell = r.getLong(0)
+      countMap.get(cell).map { n =>
+        val s = BigInt(r.getLong(2))
+        val nB = BigInt(n)
+        val mu =
+          if (s >= 0) (2 * s + nB) / (2 * nB)
+          else -((-2 * s + nB) / (2 * nB))
+        (cell, r.getInt(1), mu.toLong)
+      }
     }
-    labels.select(col("id"), col("sub"), col("label"))
+    val muMap: Map[Long, Array[Long]] = muTriples
+      .groupBy(_._1).map { case (cell, ts) =>
+        val arr = Array.fill(ts.map(_._2).max + 1)(Long.MinValue)
+        ts.foreach { case (_, d, v) => arr(d) = v }
+        cell -> arr
+      }
+    val muF = spark.createDataFrame(
+      muTriples.toSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("mu",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    def residualTableOf(rows: Array[org.apache.spark.sql.Row])
+        : LloydArgmaxExpr.ResidualTable = {
+      import LloydArgmaxExpr.{ResidualTable, SubTable}
+      val byCell = rows.groupBy(_.getLong(0))
+      ResidualTable(m, dsub, byCell.map { case (cell, cr) =>
+        val bySub = cr.groupBy(_.getLong(1))
+        val subs = (0 until m).map { s =>
+          val byLabel = bySub.getOrElse(s.toLong,
+              Array.empty[org.apache.spark.sql.Row])
+            .groupBy(_.getLong(2))
+          val labels = byLabel.keys.toArray.sorted
+          val dimsA = labels.map(l => byLabel(l)
+            .map(_.getInt(3)).toArray)
+          val zs = labels.map(l => byLabel(l)
+            .map(_.getLong(4)).toArray)
+          // s2 = 0 marks the NULL-score (zero-norm) candidate; any
+          // non-zero Σ zs² converts exactly like decimal → double
+          val s2 = labels.map { l =>
+            val v = byLabel(l).iterator
+              .map(r => BigInt(r.getLong(4))).map(x => x * x).sum
+            new java.math.BigDecimal(v.bigInteger).doubleValue
+          }
+          SubTable(labels, dimsA, zs, s2)
+        }.toArray
+        cell -> ((muMap.getOrElse(cell, Array.empty[Long]), subs))
+      })
+    }
+    // ONE aggregation action per iteration (the pqAssign shape, with
+    // the cell joined from the checkpointed coarse assignment and
+    // y = qx − mu via the local mu frame). A zero-norm residual
+    // cluster (every member exactly on the rounded cell centroid —
+    // routine for near-duplicate cells) has no cosine direction:
+    // its score is NULL and ranks below every defined score (NULLS
+    // LAST, then label-asc — in a fully-pure cell all scores are
+    // NULL and label 0 wins, whose centroid is the exact shared
+    // residual, so reconstruction stays exact). The oracle mirrors
+    // the CASE; the in-row argmax replicates it bit-for-bit.
+    val subCol = expr(s"CAST(dim div $dsub AS BIGINT)")
+    var table: LloydArgmaxExpr.ResidualTable = null
+    for (i <- 0 until iters) {
+      val base = df.select(col(idCol).as("id"),
+          col(vecCol).as("__v"))
+        .join(cells, Seq("id"))
+      val labCol: Column =
+        if (i == 0)
+          seedRows.foldLeft(lit(null).cast("long")) { (acc, r) =>
+            when(col("id") === lit(r.get(0)), lit(r.getLong(2)))
+              .otherwise(acc)
+          }
+        else graft.functions.PushdownBarrierExpr.barrier(LloydArgmaxExpr.residualColumn(col("__v"),
+          col("cell"), table))
+      val rows = base
+        .select(col("cell"), labCol.as("__lab"),
+          posexplode(col("__v")).as(Seq("dim", "x")))
+        .where(col("__lab").isNotNull)
+        .select(col("cell"), subCol.as("sub"),
+          (if (i == 0) col("__lab")
+           else element_at(col("__lab"),
+             (subCol + 1).cast("int"))).as("label"),
+          col("dim"), quant(col("x")).as("qx"))
+        .join(broadcast(muF), Seq("cell", "dim"))
+        .select(col("cell"), col("sub"), col("label"), col("dim"),
+          (col("qx") - col("mu")).as("y"))
+        .groupBy(col("cell"), col("sub"), col("label"), col("dim"))
+        .agg(sum(col("y")).as("zs"))
+        .collect()
+      table = residualTableOf(rows)
+    }
+    // final assignment: one projection over the cell-joined scan,
+    // eagerly checkpointed (the kmeansLabels multi-consumer
+    // rationale)
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(cells, Seq("id"))
+      .select(col("id"),
+        graft.functions.PushdownBarrierExpr.barrier(LloydArgmaxExpr.residualColumn(col("__v"), col("cell"),
+          table)).as("__lab"))
+      .where(col("__lab").isNotNull)
+      .select(col("id"), posexplode(col("__lab"))
+        .as(Seq("sub", "label")))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        col("label"))
+      .localCheckpoint(true)
   }
 
   /** Residual codebook table for a trained assignment: per

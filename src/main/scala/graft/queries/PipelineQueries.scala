@@ -242,19 +242,44 @@ object PipelineQueries {
     sweepStaleServingIndexes()
     val dir = PurchaseGraphDir
     val marker = java.nio.file.Paths.get(dir, "_cycle_from")
+    // freshness also requires the dst companion: a marker written by
+    // a build that predates cycle_bydst must rebuild
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8) == d
+        java.nio.charset.StandardCharsets.UTF_8) == d &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "cycle_bydst"))
     if (!fresh) {
       shipmentCycleEdges(s, d)
         .withColumn("sb", pmod(xxhash64(col("src")),
           lit(CycleBuckets.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("sb")
         .parquet(s"$dir/cycle")
+      // the dst-partitioned COMPANION copy: the fold's one dst-keyed
+      // probe (the frontier in-edge extract) prunes against this the
+      // way every src-keyed probe prunes against `sb` — written once
+      // per artifact build, 2× cycle storage (disclosed in
+      // OPTIMIZATION_r15.md). Re-read the src copy rather than
+      // re-sorting lineitem a second time.
+      s.read.parquet(s"$dir/cycle")
+        .withColumn("db", pmod(xxhash64(col("dst")),
+          lit(CycleBuckets.toLong)).cast("int"))
+        .drop("sb")
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(s"$dir/cycle_bydst")
       java.nio.file.Files.write(marker,
         d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     s.read.parquet(s"$dir/cycle")
+  }
+
+  /** The dst-partitioned companion of [[ensureShipmentCycle]]'s
+    * artifact (built by the same marker transaction).
+    */
+  private def shipmentCycleByDst(s: SparkSession,
+                                 d: String): DataFrame = {
+    ensureShipmentCycle(s, d)
+    s.read.parquet(s"$PurchaseGraphDir/cycle_bydst")
   }
 
   /** q169/q173's PERSISTED prior: a real incremental pipeline folds
@@ -588,10 +613,15 @@ object PipelineQueries {
     val base = cyc.select(col("src"), col("dst"), col("sb"))
     val delta = cyc.where(pmod(col("supp"), lit(100)) === 0)
       .select(col("src"), col("dst"), col("sb"))
+    val cycD = shipmentCycleByDst(s, d)
+    val baseD = cycD.select(col("src"), col("dst"), col("db"))
+    val deltaD = cycD.where(pmod(col("supp"), lit(100)) === 0)
+      .select(col("src"), col("dst"), col("db"))
     val trace = traceCycle6(s, d)
     Graph.pagerankDelta(base, delta, trace,
         maxBroadcastBytes = maxBroadcastBytes,
-        srcBuckets = Some(CycleBuckets))
+        srcBuckets = Some(CycleBuckets),
+        byDst = Some((baseD, deltaD)))
       .select(col("node"), col("pr").cast("long").as("pr"))
       .orderBy(col("pr").desc, col("node").asc_nulls_first)
       .limit(10)
@@ -3254,19 +3284,32 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val clean = Dedup.removeRepeatedRuns(docs, col("doc_id"),
         col("text"), k = 8, minDocs = 2)
-      val red = docs.select(col("doc_id").as("id"), col("source"))
+      // everything downstream needs only (ntok, length(rt)) — never
+      // the redacted TEXT itself. Reduce to that slim frame in ONE
+      // redaction pass and lazily checkpoint it: the budget sampler
+      // consumes its input twice (per-source totals + the filter
+      // probe), and the `ntok >= 20` filter used to be pushed below
+      // the rt projection — measured, the three hottest q105 stages
+      // each re-ran the full redaction chain. Now the chain runs
+      // once per row and only ~24-byte rows flow onward (guide §2.3
+      // / §8: decide with small rows). Output is unchanged:
+      // sum(rtlen) ≡ sum(length(rt)).
+      val slim = docs.select(col("doc_id").as("id"), col("source"))
         .join(clean, Seq("id"))
         .select(col("id"), col("source"),
           TextFunctions.redactPii(col("clean_text")).as("rt"))
-      val withTok = red.withColumn("ntok",
-          TextFunctions.tokenCount(col("rt")).cast("long"))
-        .where(col("ntok") >= 20L)
+        .select(col("id"), col("source"),
+          TextFunctions.tokenCount(col("rt")).cast("long")
+            .as("ntok"),
+          length(col("rt")).cast("long").as("rtlen"))
+        .localCheckpoint(false)
+      val withTok = slim.where(col("ntok") >= 20L)
       Sampling.tokenBudgetSample(withTok, col("source"), col("id"),
           col("ntok"), budget = 4000L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).cast("long").as("n_tokens"),
-          sum(length(col("rt"))).cast("long").as("sum_len"))
+          sum(col("rtlen")).cast("long").as("sum_len"))
         .orderBy(col("source").asc_nulls_first)
     }),
 

@@ -109,9 +109,12 @@ object ExplainAudit {
           "corpus side is a pure filtered scan",
         Seq("BroadcastHashJoin", "HashAggregate")),
       ("q79_pii_redact",
-        "PII redaction: codegen'd regexp_replace fold + partial " +
-          "aggregation (one corpus pass)",
-        Seq("WholeStageCodegen", "HashAggregate", "regexp_replace")),
+        "PII redaction: ONE fused native redact_pii node (the " +
+          "sequential 4-pattern fold inside a single expression — " +
+          "RedactPiiSpec pins it byte-identical to the " +
+          "regexp_replace chain) + partial aggregation, one corpus " +
+          "pass",
+        Seq("WholeStageCodegen", "HashAggregate", "redact_pii")),
       ("q126_line_dedup",
         "line dedup: one posexplode feeds digest partials; the " +
           "removal is a digest equi-join (lines never shuffle raw)",
@@ -121,9 +124,11 @@ object ExplainAudit {
           "feeding partial aggregation (one corpus pass)",
         Seq("WholeStageCodegen", "HashAggregate", "md5")),
       ("q128_index_append",
-        "index append: frozen codebook/centroid frames broadcast; " +
-          "per-(id,sub) argmax via keyed window",
-        Seq("BroadcastHashJoin", "Window")),
+        "index append: frozen codebooks/centroids collected once " +
+          "(slim by contract); coarse cell + PQ codes assigned by " +
+          "the in-row lloyd_argmax projection — no join, no window, " +
+          "no shuffle before the census aggregation",
+        Seq("lloyd_argmax", "HashAggregate")),
       // (q129's result frame is the driver-built greedy selection —
       // LocalTableScan by design; its candidate-generation shape is
       // TakeOrdered by construction and its boundedness is
@@ -968,11 +973,20 @@ object ExplainAudit {
         graft.operators.Graph.foldAuditFrames.get("hop"))
       val composeDf = Option(
         graft.operators.Graph.foldAuditFrames.get("compose"))
+      val inEdgeDf = Option(
+        graft.operators.Graph.foldAuditFrames.get("inedge"))
       // (a) the hop probe scans ONLY the frontier's sb partitions
       val hopPlan = hopDf.map(_.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)).getOrElse("")
       val pruned = hopPlan.linesIterator.exists(l =>
         l.contains("PartitionFilters:") && l.contains("sb"))
+      // (c) the dst-keyed in-edge extract scans ONLY the frontier's
+      // db partitions of the companion artifact — BOTH endpoint
+      // roles are now frontier-proportional
+      val inEdgePlan = inEdgeDf.map(_.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)).getOrElse("")
+      val prunedDst = inEdgePlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters:") && l.contains("db"))
       // (b) no ShuffleExchange sits DIRECTLY over a trace-table
       // scan: reachability through only non-join, non-aggregate
       // nodes (project/filter/sort/union) means the node-sized
@@ -1012,11 +1026,15 @@ object ExplainAudit {
       // mean anything
       val noRaw = traceScans > 0 && rawShuffles == 0
       if (!pruned) failures += 1
+      if (!prunedDst) failures += 1
       if (!noRaw) failures += 1
       println(s"\n=== q174_fold_layout — distributed fold reads " +
         "pruned buckets, never re-shuffles the trace ===")
       println(f"  [${if (pruned) "OK" else "MISS"}%-4s] hop probe " +
         "scan carries PartitionFilters on sb")
+      println(f"  [${if (prunedDst) "OK" else "MISS"}%-4s] in-edge " +
+        "extract scan carries PartitionFilters on db (dst-bucketed " +
+        "companion)")
       println(f"  [${if (noRaw) "OK" else "MISS"}%-4s] compose " +
         s"reads the trace table (scans=$traceScans) and no " +
         s"ShuffleExchange sits directly over it (found $rawShuffles)")

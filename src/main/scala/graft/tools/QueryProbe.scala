@@ -33,7 +33,10 @@ object QueryProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.maxPartitionBytes", "65536")
+      // scale-adaptive split size — keep identical to Bench so probe
+      // numbers stay comparable
+      .config("spark.sql.files.maxPartitionBytes",
+        graft.BenchSplit.size(sfDir, cpus).toString)
       .config("spark.sql.adaptive.coalescePartitions" +
         ".minPartitionSize", "65536")
       .getOrCreate()
